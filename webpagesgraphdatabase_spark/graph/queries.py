@@ -1,0 +1,274 @@
+"""Read-query layer over :class:`PropertyGraph` — SURVEY.md §2 read ops.
+
+Each function mirrors a reference query (cited) and returns a DataFrame
+with explicitly-aliased columns so driver oracle comparison is stable.
+
+Determinism note: wherever the reference pairs ORDER BY with LIMIT on a
+non-unique prefix (``c11:34-35``), we extend the sort key to a *total*
+order over the projected columns — otherwise LIMIT at a tie boundary is
+engine-dependent and no oracle could match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .model import PropertyGraph
+
+
+def links_with_categories(g: PropertyGraph) -> DataFrame:
+    """J1 (reference ``main.py:185``): 1-hop (l:Link)-[:BELONGS_TO]->(c).
+
+    Null-coalescing projection P9 (``main.py:186-196``) included: missing
+    explanations default to 'None'.
+    """
+    return (
+        g.links.join(g.belongs_to, g.links.url == g.belongs_to.src_url)
+        .join(g.categories, g.belongs_to.dst_category == g.categories.name)
+        .select(
+            g.links.url.alias("url"),
+            F.col("title").alias("title"),
+            F.col("keywords").alias("keywords"),
+            F.coalesce(F.col("category_explanation"), F.lit("None")).alias(
+                "category_explanation"
+            ),
+            F.coalesce(F.col("keyword_explanation"), F.lit("None")).alias(
+                "keyword_explanation"
+            ),
+            F.col("name").alias("category"),
+        )
+    )
+
+
+def links_with_keywords(g: PropertyGraph) -> DataFrame:
+    """J2 (reference ``main.py:468``, ``c11:22``): (l)-[:HAS_KEYWORD]->(k)."""
+    return (
+        g.links.join(g.has_keyword, g.links.url == g.has_keyword.src_url)
+        .select(
+            g.links.url.alias("url"),
+            F.col("title").alias("title"),
+            F.col("dst_keyword").alias("keyword"),
+        )
+    )
+
+
+def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
+    """J3 flagship, notebook variant (``Edits.ipynb c11:28-36``).
+
+    Pairs of links in *different* categories sharing a keyword, canonical
+    ``l1.url < l2.url``, ORDER BY + LIMIT. Sort key extended to a total
+    order (keyword, cat1, cat2, url1, url2) for determinism.
+
+    Plan shape: self-join of ``has_keyword`` on keyword (the one big
+    shuffle; skewed hot keywords are split by AQE skew-join), then two
+    joins to ``belongs_to`` on url, theta filter cat1<>cat2. At scale,
+    ``has_keyword`` bucketed by keyword makes the self-join shuffle-free.
+    """
+    hk1 = g.has_keyword.alias("hk1")
+    hk2 = g.has_keyword.alias("hk2")
+    b1 = g.belongs_to.alias("b1")
+    b2 = g.belongs_to.alias("b2")
+    return (
+        hk1.join(
+            hk2,
+            (F.col("hk1.dst_keyword") == F.col("hk2.dst_keyword"))
+            & (F.col("hk1.src_url") < F.col("hk2.src_url")),
+        )
+        .join(b1, F.col("hk1.src_url") == F.col("b1.src_url"))
+        .join(b2, F.col("hk2.src_url") == F.col("b2.src_url"))
+        .filter(F.col("b1.dst_category") != F.col("b2.dst_category"))
+        .select(
+            F.col("hk1.dst_keyword").alias("keyword"),
+            F.col("b1.dst_category").alias("category_1"),
+            F.col("b2.dst_category").alias("category_2"),
+            F.col("hk1.src_url").alias("url_1"),
+            F.col("hk2.src_url").alias("url_2"),
+        )
+        .orderBy("keyword", "category_1", "category_2", "url_1", "url_2")
+        .limit(limit)
+    )
+
+
+def interconnections_symmetric(
+    g: PropertyGraph,
+    keyword: str | None = None,
+    category_1: str | None = None,
+) -> DataFrame:
+    """J3 flagship, app variant (``main.py:199-204``): symmetric (both
+    orientations), no sort/limit — the app renders all rows.
+
+    Optional equality filters (P3/P7 compound-filter semantics) bound the
+    output: with ~64 distinct keywords shared by every link, the
+    unconstrained pair set is quadratic (28M rows at sf0.01) — row-level
+    materialization of that is wrong at any scale; use
+    :func:`interconnection_pair_counts` for the full join.
+    """
+    hk1 = g.has_keyword.alias("hk1")
+    hk2 = g.has_keyword.alias("hk2")
+    b1 = g.belongs_to.alias("b1")
+    b2 = g.belongs_to.alias("b2")
+    out = (
+        hk1.join(
+            hk2,
+            (F.col("hk1.dst_keyword") == F.col("hk2.dst_keyword"))
+            & (F.col("hk1.src_url") != F.col("hk2.src_url")),
+        )
+        .join(b1, F.col("hk1.src_url") == F.col("b1.src_url"))
+        .join(b2, F.col("hk2.src_url") == F.col("b2.src_url"))
+        .filter(F.col("b1.dst_category") != F.col("b2.dst_category"))
+        .select(
+            F.col("hk1.src_url").alias("url_1"),
+            F.col("b1.dst_category").alias("category_1"),
+            F.col("hk1.dst_keyword").alias("keyword"),
+            F.col("hk2.src_url").alias("url_2"),
+            F.col("b2.dst_category").alias("category_2"),
+        )
+    )
+    if keyword is not None:
+        out = out.filter(F.col("keyword") == F.lit(keyword))
+    if category_1 is not None:
+        out = out.filter(F.col("category_1") == F.lit(category_1))
+    return out
+
+
+def interconnection_pair_counts(g: PropertyGraph) -> DataFrame:
+    """Scale-honest full interconnection join: count of symmetric
+    cross-category link pairs per (category_1, category_2). The join is
+    unbounded (quadratic in links-per-keyword) but the aggregate is tiny
+    (|C|² rows) and Spark pushes partial aggregation below the exchange —
+    this is the form you'd actually run at 100 TB."""
+    hk1 = g.has_keyword.alias("hk1")
+    hk2 = g.has_keyword.alias("hk2")
+    b1 = g.belongs_to.alias("b1")
+    b2 = g.belongs_to.alias("b2")
+    return (
+        hk1.join(
+            hk2,
+            (F.col("hk1.dst_keyword") == F.col("hk2.dst_keyword"))
+            & (F.col("hk1.src_url") != F.col("hk2.src_url")),
+        )
+        .join(b1, F.col("hk1.src_url") == F.col("b1.src_url"))
+        .join(b2, F.col("hk2.src_url") == F.col("b2.src_url"))
+        .filter(F.col("b1.dst_category") != F.col("b2.dst_category"))
+        .groupBy(
+            F.col("b1.dst_category").alias("category_1"),
+            F.col("b2.dst_category").alias("category_2"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_links(g: PropertyGraph) -> DataFrame:
+    """A1 (``main.py:25,220,348``): MATCH (l:Link) RETURN COUNT(l)."""
+    return g.links.agg(F.count("*").alias("cnt"))
+
+
+def links_per_category(g: PropertyGraph) -> DataFrame:
+    """A1-over-pattern + group: count of links per category (1-hop join
+    then groupBy; partial aggregation map-side, broadcast-able dim)."""
+    return (
+        g.belongs_to.groupBy(F.col("dst_category").alias("category"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def orphan_keywords(g: PropertyGraph) -> DataFrame:
+    """J5 read-form (``c12:31-32``): Keyword nodes with no incoming
+    HAS_KEYWORD edge — left-anti join."""
+    return g.keywords.join(
+        g.has_keyword, g.keywords.name == g.has_keyword.dst_keyword, "left_anti"
+    ).select(F.col("name").alias("name"))
+
+
+def orphan_categories(g: PropertyGraph) -> DataFrame:
+    """J5 read-form for Category (``c12:31``)."""
+    return g.categories.join(
+        g.belongs_to, g.categories.name == g.belongs_to.dst_category, "left_anti"
+    ).select(F.col("name").alias("name"))
+
+
+def export_nodes(g: PropertyGraph) -> DataFrame:
+    """S9/U1 (``main.py:435-473``): union of typed node scans with
+    type-prefixed ids and group tags, null-guarded (P4)."""
+    link_nodes = g.links.filter(F.col("title").isNotNull()).select(
+        F.concat(F.lit("Link:"), F.col("url")).alias("id"),
+        F.col("title").alias("label"),
+        F.lit("Link").alias("group"),
+    )
+    cat_nodes = g.categories.filter(F.col("name").isNotNull()).select(
+        F.concat(F.lit("Category:"), F.col("name")).alias("id"),
+        F.col("name").alias("label"),
+        F.lit("Category").alias("group"),
+    )
+    kw_nodes = g.keywords.filter(F.col("name").isNotNull()).select(
+        F.concat(F.lit("Keyword:"), F.col("name")).alias("id"),
+        F.col("name").alias("label"),
+        F.lit("Keyword").alias("group"),
+    )
+    return link_nodes.unionByName(cat_nodes).unionByName(kw_nodes)
+
+
+def export_edges(g: PropertyGraph) -> DataFrame:
+    """S9/U1 edge half (``main.py:458-473``): BELONGS_TO ∪ HAS_KEYWORD
+    with type-prefixed endpoints."""
+    bt = g.belongs_to.select(
+        F.concat(F.lit("Link:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit("Category:"), F.col("dst_category")).alias("dst"),
+        F.lit("BELONGS_TO").alias("rel"),
+    )
+    hk = g.has_keyword.select(
+        F.concat(F.lit("Link:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit("Keyword:"), F.col("dst_keyword")).alias("dst"),
+        F.lit("HAS_KEYWORD").alias("rel"),
+    )
+    return bt.unionByName(hk)
+
+
+def top_keywords(g: PropertyGraph, limit: int = 20) -> DataFrame:
+    """A3 value_counts (``c7:95-99``): split the denormalized comma-
+    separated ``keywords`` property, explode, count desc. Total-order
+    tiebreak on keyword for deterministic LIMIT."""
+    return (
+        g.links.filter(F.col("keywords") != "none")
+        .select(F.explode(F.split(F.col("keywords"), ",\\s*")).alias("keyword"))
+        .filter(F.col("keyword") != "")
+        .groupBy("keyword")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("keyword"))
+        .limit(limit)
+    )
+
+
+def distinct_categories(g: PropertyGraph) -> DataFrame:
+    """A2 (``c7:93``, ``c10:45``): distinct category values in use."""
+    return g.belongs_to.select(F.col("dst_category").alias("category")).distinct()
+
+
+def point_lookup(g: PropertyGraph, url: str) -> DataFrame:
+    """P2 (``main.py:105,257,367``): PK point lookup / existence probe.
+    On a parquet-backed table this prunes to a filter pushed into the
+    scan; at scale a bucketed/Z-ordered layout makes it near-O(1)."""
+    return g.links.filter(F.col("url") == F.lit(url)).select(
+        "url", "title", "suggested_category"
+    )
+
+
+def sample_links(g: PropertyGraph, n: int = 5) -> DataFrame:
+    """O4 (``c7:102``): random sample — made deterministic and
+    engine-portable by ordering on md5(url) (stable across Spark/DuckDB)."""
+    return (
+        g.links.orderBy(F.md5(F.col("url")))
+        .limit(n)
+        .select("url", "title", "suggested_category")
+    )
+
+
+def viz_slice(g: PropertyGraph, limit: int = 50) -> DataFrame:
+    """O2 (``c12:53``): capped link scan for visualization; total-order
+    by url for deterministic LIMIT."""
+    return (
+        g.links.select("url", "title", "keywords", "suggested_category")
+        .orderBy("url")
+        .limit(limit)
+    )
