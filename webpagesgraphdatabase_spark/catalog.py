@@ -1,0 +1,112 @@
+"""Warehouse catalog: named Parquet tables with versioned overwrite.
+
+Plays the role of the reference's embedded Kùzu database directory
+(``main.py:16``, ``Edits.ipynb c9:8``): S11 introspection
+(``CALL show_tables()``) → :meth:`Warehouse.list_tables`; S12
+create-if-absent DDL → :meth:`Warehouse.create_table`.
+
+Mutations in Spark are table-rewrite jobs, and Spark cannot overwrite a
+path it is currently reading — so each table is a directory of
+immutable version subdirs plus a ``_CURRENT`` pointer file::
+
+    warehouse/links/v00000001/part-*.parquet
+    warehouse/links/v00000002/part-*.parquet
+    warehouse/links/_CURRENT        # contains "v00000002"
+
+Writers produce a new version dir then atomically flip the pointer
+(write temp + ``os.replace``); readers resolve the pointer at plan
+time. This gives snapshot isolation for readers and makes every write
+a safe read-modify-write — the same pattern Delta/Iceberg use with a
+full transaction log; a pointer file is the minimum that preserves the
+reference's single-writer semantics (the Flask app serializes writes
+through one process too). At 100 TB each version write is a distributed
+parquet job; old versions are pruned with :meth:`vacuum`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_POINTER = "_CURRENT"
+
+
+class TableNotFoundError(KeyError):
+    pass
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- S11: catalog introspection -------------------------------------
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, _POINTER))
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.isfile(os.path.join(self.root, name, _POINTER))
+
+    # -- S12: create-if-absent DDL ---------------------------------------
+    def create_table(self, name: str, schema: T.StructType) -> None:
+        """CREATE TABLE IF NOT EXISTS semantics (reference ``main.py:20-24``):
+        registers an empty versioned table with the given schema."""
+        if self.exists(name):
+            return
+        empty = self.spark.createDataFrame([], schema)
+        self.overwrite(name, empty)
+
+    # -- read / write -----------------------------------------------------
+    def _current_version(self, name: str) -> str:
+        ptr = os.path.join(self.root, name, _POINTER)
+        if not os.path.isfile(ptr):
+            raise TableNotFoundError(name)
+        with open(ptr) as f:
+            return f.read().strip()
+
+    def read(self, name: str) -> DataFrame:
+        version = self._current_version(name)
+        return self.spark.read.parquet(os.path.join(self.root, name, version))
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Write a new version dir, then atomically flip ``_CURRENT``."""
+        tdir = os.path.join(self.root, name)
+        os.makedirs(tdir, exist_ok=True)
+        try:
+            cur = int(self._current_version(name)[1:])
+        except TableNotFoundError:
+            cur = 0
+        version = f"v{cur + 1:08d}"
+        df.write.mode("overwrite").parquet(os.path.join(tdir, version))
+        tmp = os.path.join(tdir, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(tdir, _POINTER))
+
+    def drop_table(self, name: str) -> None:
+        tdir = os.path.join(self.root, name)
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)
+
+    def drop_all(self) -> None:
+        """M6 destructive re-init (reference ``c9:11-17`` rmtree)."""
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def vacuum(self, name: str, keep: int = 1) -> None:
+        """Drop all but the newest ``keep`` version dirs."""
+        tdir = os.path.join(self.root, name)
+        current = self._current_version(name)
+        versions = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
+        for v in versions[:-keep] if keep else versions:
+            if v != current:
+                shutil.rmtree(os.path.join(tdir, v))
