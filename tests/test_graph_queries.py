@@ -58,6 +58,14 @@ def test_interconnections_canonical(tiny_graph):
     ]
 
 
+def test_interconnections_canonical_matches_naive_spec(tiny_graph):
+    """The limit-pushdown plan must equal the naive self-join spec."""
+    for lim in (1, 2, 100):
+        fast = Q.interconnections_canonical(tiny_graph, lim).collect()
+        naive = Q.interconnections_canonical_naive(tiny_graph, lim).collect()
+        assert fast == naive
+
+
 def test_interconnections_symmetric_both_orientations(tiny_graph):
     rows = Q.interconnections_symmetric(tiny_graph).collect()
     pairs = {(r.url_1, r.url_2) for r in rows}
