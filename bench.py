@@ -30,6 +30,13 @@ HEADLINE = (
     "g_top_keywords",
     "g_export_edges",
     "g_links_per_category",
+    "d_neardup_jaccard",  # shingle -> minhash -> LSH bands -> verified pairs
+    "d_simhash",
+    "s_cosine_neardup",  # brute-force all-pairs cosine (2k vecs at sf0.1)
+    "s_ann_lsh",
+    "t_quality_score",
+    "mm_byte_histogram",  # the Arrow/pandas-UDF path
+    "e_sessionize",
 )
 
 

@@ -1,0 +1,195 @@
+"""Unit tests for the beyond-reference operators (dedup / similarity /
+text analysis / multimodal / events) on tiny literal DataFrames.
+
+The sf0.01 DuckDB oracle gate (tools/check_oracle.py) checks full-corpus
+equivalence; these pin the *semantics* on hand-checkable inputs.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from webpagesgraphdatabase_spark.operators import (
+    dedup,
+    events as ev,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words entirely unrelated content here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "tiny doc"),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_collapses_and_keeps_min_id(docs):
+    out = {r.keep_id: r.n_copies for r in dedup.dedup_exact(docs).collect()}
+    assert out[0] == 2  # docs 0 and 3 identical, min id kept
+    assert out[1] == 1 and out[2] == 1 and out[4] == 1
+    assert 3 not in out
+
+
+def test_shingles_short_doc_fallback(docs):
+    sh = dedup.shingles(docs).filter(F.col("doc_id") == 4).collect()
+    assert [r.shingle for r in sh] == ["tiny doc"]
+
+
+def test_shingle_count(docs):
+    n = dedup.shingles(docs).filter(F.col("doc_id") == 0).count()
+    assert n == 7  # 9 words -> 7 trigrams, all distinct here
+
+
+def test_lsh_finds_exact_dup_pair(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(docs).collect()}
+    assert (0, 3) in pairs  # identical docs share every band
+
+
+def test_neardup_jaccard_exact_dup_has_full_overlap(docs):
+    rows = {(r.doc_a, r.doc_b): (r.inter, r.uni) for r in
+            dedup.neardup_jaccard(docs).collect()}
+    assert rows[(0, 3)][0] == rows[(0, 3)][1]  # jaccard == 1
+
+
+def test_neardup_jaccard_respects_threshold(docs):
+    # at threshold 1/1 only exact shingle-set matches survive
+    rows = {(r.doc_a, r.doc_b) for r in dedup.neardup_jaccard(docs, 1, 1).collect()}
+    assert rows == {(0, 3)}
+
+
+def test_simhash_identical_docs_equal_64bit(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert out[0] == out[3]
+    assert len(out[0]) == 64 and set(out[0]) <= {"0", "1"}
+    assert out[0] != out[2]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),  # identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),  # orthogonal
+        (3, [0.9, 0.1, 0.0, 0.0], 0),  # close to 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_cosine_neardup_geometry(vecs):
+    pairs = {(r.vec_a, r.vec_b) for r in similarity.cosine_neardup(vecs, 0.95).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_ann_bruteforce_nearest_first(vecs):
+    rows = similarity.ann_bruteforce(vecs, n_queries=1, k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert ranked == [1, 3, 2]  # identical, then close, then orthogonal
+
+
+def test_ann_lsh_same_bucket_for_identical(vecs):
+    b = {r.vec_id: r.bucket for r in similarity.lsh_buckets(vecs).collect()}
+    assert b[0] == b[1]
+    assert len(b[0]) == similarity.N_PLANES
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [(0, "der hund und das brot"), (1, "the cat and the hat"), (2, "xyzzy")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.pred_lang, r.score) for r in textstats.lang_id(docs).collect()}
+    assert out[0] == ("de", 3)
+    assert out[1] == ("en", 3)
+    assert out[2] == ("de", 0)  # all-zero tie -> lexicographically first lang
+
+
+def test_quality_and_token_counts(spark):
+    docs = spark.createDataFrame([(0, "the aa bbbb")], ["doc_id", "text"])
+    q = textstats.quality_score(docs).first()
+    assert q.n_tokens == 3
+    assert q.mean_token_len == pytest.approx(9 / 3)
+    assert q.stopword_ratio == pytest.approx(1 / 3)
+    t = textstats.token_counts(docs).first()
+    assert (t.ws_tokens, t.re_tokens, t.n_chars) == (3, 3, 11)
+
+
+def test_fingerprint_deterministic(docs):
+    a = {r.doc_id: r.fp for r in textstats.fingerprint(docs).collect()}
+    b = {r.doc_id: r.fp for r in textstats.fingerprint(docs).collect()}
+    assert a == b and a[0] == a[3]
+
+
+def test_byte_histogram_counts_total_bytes(spark):
+    docs = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+    rows = multimodal.byte_histogram(docs).collect()
+    assert sum(r.cnt for r in rows) == 3
+    # 'a'=97 -> bin 1, 'b' -> 2, 'c' -> 3
+    assert {(r.bin, r.cnt) for r in rows} == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_frame_sample_stride(spark):
+    docs = spark.createDataFrame([(0, "x" * 200)], ["doc_id", "text"])
+    rows = multimodal.frame_sample(docs).collect()  # 4 frames of 64 -> keep 0, 2
+    assert sorted(r.frame_idx for r in rows) == [0, 2]
+
+
+def test_decode_image_stub_raises_without_codec(spark):
+    docs = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        multimodal.decode_image(docs, fake=False).collect()
+
+
+def test_decode_image_fake_deterministic(spark):
+    docs = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+    r = multimodal.decode_image(docs, fake=True).first()
+    assert 16 <= r.width < 80 and 16 <= r.height < 80 and 1 <= r.channels <= 4
+    assert len(r.features) == 4
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), 7, "click", 1.0, '{"k": 1}'),
+        (2, at(10), 7, "view", 5.0, '{"k": 2}'),
+        (3, at(90), 7, "click", 3.0, '{"k": 3}'),  # 80-min gap -> new session
+        (4, at(0), 8, "click", 2.0, '{"k": 4}'),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def test_sessionize_gap_splits(tiny_events):
+    rows = {(r.user_id, r.session_id): r.n_events for r in
+            ev.sessionize(tiny_events).collect()}
+    assert rows == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
+
+
+def test_top_events_per_user(tiny_events):
+    rows = ev.top_events_per_user(tiny_events, k=2).collect()
+    u7 = [r.event_id for r in sorted(rows, key=lambda r: (r.user_id, r.rank))
+          if r.user_id == 7]
+    assert u7 == [2, 3]  # values 5.0, 3.0
+
+
+def test_props_extract(tiny_events):
+    out = {r.event_id: r.k for r in ev.props_extract(tiny_events).collect()}
+    assert out == {1: 1, 2: 2, 3: 3, 4: 4}

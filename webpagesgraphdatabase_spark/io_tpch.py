@@ -8,6 +8,7 @@ lineitem events documents embeddings — one parquet file per table under
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -26,7 +27,24 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark
+    refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+    floor to microseconds as TIMESTAMP_NTZ — exactly what DuckDB's
+    µs-precision TIMESTAMP does on the same file, so oracle comparisons
+    see identical values (NTZ also sidesteps driver-local-timezone
+    conversion on collect)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV, not `/`: float division of ~1.7e18 ns loses precision
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

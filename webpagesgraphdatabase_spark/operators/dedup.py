@@ -1,0 +1,255 @@
+"""Deduplication operators over the ``documents`` table.
+
+Beyond-reference extension (the reference dedups only by exact URL key:
+``main.py:105-108``); these are the document-level dedup strategies a
+training-data pipeline runs at 100 TB:
+
+- :func:`dedup_exact` — hash-groupBy exact dedup.
+- :func:`minhash_signatures` / :func:`lsh_candidates` — MinHash + LSH
+  banding (shingle → minhash → band → bucket self-join).
+- :func:`neardup_jaccard` — exact n-gram Jaccard verification of the LSH
+  candidate pairs.
+- :func:`simhash` — 64-bit SimHash fingerprints.
+- (embedding-cosine near-dup lives in :mod:`.similarity`.)
+
+Determinism contract: all hashing is ``md5`` over explicit utf-8 strings
+so the DuckDB oracle (registry) reproduces results bit-for-bit; no
+engine-specific hash functions, no floats (Jaccard thresholds compare
+integer intersection/union counts).
+
+Scale notes:
+
+- Shingling/minhashing is embarrassingly parallel (per-row generators,
+  whole-stage codegen; no Python). The only shuffles are the
+  per-(doc, perm) min aggregation (partial-agg pushes below the
+  exchange) and the band-bucket self-join, which is an equi-join on
+  ``(band, band_key)`` — exactly the join LSH exists to make sparse.
+- A pathological bucket (many docs with identical band signature, i.e.
+  true heavy duplication) makes the candidate join quadratic *within
+  that bucket only*; cap with ``max_bucket`` to drop degenerate buckets
+  (standard practice in web-scale dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PERMS = 16
+N_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4, ~0.5 at j~0.55
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens of ``text_col``, empties dropped (F7 analog)."""
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word ``n``-gram shingles per document: (doc_id, shingle).
+
+    Documents shorter than ``n`` words contribute their whole text as a
+    single shingle so every doc has ≥1 shingle (keeps Jaccard defined).
+    """
+    words = tokens_col()
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one surviving ``keep_id`` (min doc_id)
+    per distinct text, with the duplicate count.
+
+    Scale: a single hash-partitioned aggregation on the 32-hex digest —
+    never shuffles the document bodies themselves.
+    """
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """MinHash signatures: (doc_id, perm, minhash).
+
+    Permutation ``i`` is simulated as ``md5(i || '|' || shingle)``; the
+    signature entry is the minimum over the doc's shingles — the
+    standard min-wise independent permutation approximation. All work is
+    generated columns + one partial-aggregated groupBy.
+    """
+    sh = shingles(docs)
+    return (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm"),
+            "shingle",
+        )
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_bands(docs: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH band keys: (doc_id, band, band_key) where band_key hashes the
+    band's minhash rows in perm order."""
+    rows_per_band = n_perms // n_bands
+    sig = minhash_signatures(docs, n_perms)
+    return (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: distinct (doc_a < doc_b) sharing at
+    least one LSH band bucket.
+
+    The self-join key is (band, band_key) — high-entropy, so the join is
+    sparse by construction. ``max_bucket`` drops degenerate buckets
+    (bucket-size cap, the web-scale guard against quadratic blowup on
+    mass-duplicated boilerplate).
+    """
+    bands = lsh_bands(docs, n_perms, n_bands)
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
+        bands = bands.join(
+            sizes.filter(F.col("bsz") <= max_bucket).select("band", "band_key"),
+            ["band", "band_key"],
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def neardup_jaccard(
+    docs: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with exact verification.
+
+    Returns (doc_a, doc_b, inter, uni) for pairs whose shingle-set
+    Jaccard ≥ num/den, compared as ``inter * den >= uni * num`` —
+    integer arithmetic, so Spark and the oracle agree exactly.
+
+    When ``candidates`` is None the LSH candidates are used (the scale
+    path: verification cost is |candidates|, not |docs|²).
+    """
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand = candidates if candidates is not None else lsh_candidates(docs)
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document as a 64-char '0'/'1' string
+    (doc_id, simhash): bit b is the sign of the token-count-weighted sum
+    of ±1 votes, where token t votes by bit b of md5(t).
+
+    Plan shape: the (token → 64 sign bits) table is computed once over
+    the *distinct vocabulary* (tiny) and broadcast; the per-doc
+    aggregation is one groupBy over (doc × vocab-hit × 64) narrow rows.
+    No Python, no UDFs — everything stays in whole-stage codegen.
+    """
+    doc_tokens = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = doc_tokens.select("token").distinct()
+    # bit b of the 64-bit prefix of md5(token), via hex-digit arithmetic
+    # (no engine-specific hex→int conversion: portable to the oracle)
+    bits = vocab.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        F.md5(F.col("token")).alias("h"),
+    ).select(
+        "token",
+        "b",
+        F.expr(
+            "(shiftright(instr('0123456789abcdef',"
+            " substring(h, b div 4 + 1, 1)) - 1,"
+            " cast(b % 4 as int)) & 1) * 2 - 1"
+        ).alias("sign"),
+    )
+    votes = (
+        doc_tokens.join(F.broadcast(bits), "token")
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("cnt") * F.col("sign")).alias("v"))
+    )
+    return (
+        votes.withColumn("bit", F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "bit"))),
+                    lambda s: s["bit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

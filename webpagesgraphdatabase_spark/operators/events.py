@@ -1,0 +1,110 @@
+"""Event-stream analytics over the ``events`` table
+(event_id, ts, user_id, event_type, value, props-JSON).
+
+Beyond-reference extension (the reference has no window functions or
+event-time logic — SURVEY.md §2.9); these are the standard micro-batch
+analytics shapes, each with a DuckDB oracle. The same transformations
+run under Structured Streaming in :mod:`..streaming` — one definition,
+batch-checked here, incremental there.
+
+Scale notes: everything partial-aggregates (map-side combine) and
+shuffles at most once on its natural key (user_id / window start).
+Per-user windows assume no pathological single user; a skewed user is
+an AQE-skew or salt case, same playbook as the graph joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+WINDOW_MINUTES = 5
+
+
+def user_rollup(events: DataFrame) -> DataFrame:
+    """Per-user activity aggregate: (user_id, n_events, n_types,
+    total_value, first_ts, last_ts)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Ranking window: top-k events per user by value:
+    (user_id, rank, event_id, value). Total order via (value desc,
+    event_id asc); Spark plans a partial top-k below the shuffle."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "rank", "event_id", "value")
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    > ``gap_min`` minutes. Classic lag + running-sum-of-boundaries:
+    (user_id, session_id, n_events, session_start, session_end).
+    session_id numbers a user's sessions from 1 in time order."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_bound = events.withColumn(
+        "prev_ts", F.lag("ts").over(order)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.expr(f"prev_ts + INTERVAL {int(gap_min)} MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        with_bound.withColumn("session_id", F.sum("new_session").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def windowed_counts(events: DataFrame, minutes: int = WINDOW_MINUTES) -> DataFrame:
+    """Tumbling event-time window aggregate: (window_start, event_type,
+    n_events, total_value). The batch twin of the streaming query in
+    :mod:`..streaming.jobs` (same ``F.window`` expression there, plus a
+    watermark)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """JSON prop extraction (F3 analog on the events surface): parse the
+    ``props`` JSON string and pull ``k``: (event_id, k). Stays JVM-side
+    via ``get_json_object``."""
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )

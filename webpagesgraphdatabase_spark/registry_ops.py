@@ -1,0 +1,389 @@
+"""Registry section for the beyond-reference operators (SURVEY.md §7
+milestone 5): dedup, similarity search, text analysis, multimodal
+plumbing, event-stream analytics.
+
+Merged into the driver contract by :mod:`.registry`. Every entry has a
+DuckDB oracle that recomputes the operator from first principles (md5
+arithmetic and all) — including the ``mapInPandas`` multimodal stages,
+whose byte-level features the oracle reproduces with string functions
+(the synthetic corpus is pure ASCII, so text chars == payload bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io_tpch import load_table
+from .operators import dedup, events, multimodal, similarity, textstats
+
+COSINE_THRESHOLD = 0.42  # corpus max pair cosine ~0.51 (near-random vectors)
+ANN_QUERIES = 10
+ANN_K = 5
+
+
+def _on(table: str, fn: Callable, *args) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, table), *args)
+
+    return run
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- dedup (documents) ---
+    "d_dedup_exact": _on("documents", dedup.dedup_exact),
+    "d_minhash_signatures": _on("documents", dedup.minhash_signatures),
+    "d_lsh_candidates": _on("documents", dedup.lsh_candidates),
+    "d_neardup_jaccard": _on("documents", dedup.neardup_jaccard),
+    "d_simhash": _on("documents", dedup.simhash),
+    # --- similarity (embeddings) ---
+    "s_cosine_neardup": _on("embeddings", similarity.cosine_neardup, COSINE_THRESHOLD),
+    "s_ann_bruteforce": _on("embeddings", similarity.ann_bruteforce, ANN_QUERIES, ANN_K),
+    "s_ann_lsh": _on("embeddings", similarity.ann_lsh, ANN_QUERIES, ANN_K),
+    # --- text analysis (documents) ---
+    "t_lang_id": _on("documents", textstats.lang_id),
+    "t_quality_score": _on("documents", textstats.quality_score),
+    "t_token_counts": _on("documents", textstats.token_counts),
+    "t_fingerprint": _on("documents", textstats.fingerprint),
+    # --- multimodal plumbing (documents → binary payloads) ---
+    "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
+    "mm_frame_sample": _on("documents", multimodal.frame_sample),
+    "mm_decode_fake": _on("documents", multimodal.decode_image, True),
+    # --- event analytics (events) ---
+    "e_user_rollup": _on("events", events.user_rollup),
+    "e_top_events_per_user": _on("events", events.top_events_per_user),
+    "e_sessionize": _on("events", events.sessionize),
+    "e_windowed_counts": _on("events", events.windowed_counts),
+    "e_props_extract": _on("events", events.props_extract),
+}
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB). Tokenization/shingling/minhash mirror
+# operators/dedup.py exactly — md5 over the same strings.
+# ---------------------------------------------------------------------------
+
+_TOKS = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+)"""
+
+_SHINGLES3 = (
+    _TOKS
+    + r""",
+shingle_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shl
+  FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest(shl) AS shingle FROM shingle_lists)
+)"""
+)
+
+_MINHASH = (
+    _SHINGLES3
+    + r""",
+minhash AS (
+  SELECT doc_id, p.perm, min(md5(p.perm || '|' || shingle)) AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
+  GROUP BY doc_id, p.perm
+)"""
+)
+
+_BANDS = (
+    _MINHASH
+    + r""",
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_key
+  FROM minhash GROUP BY doc_id, perm // 4
+)"""
+)
+
+_CANDS = (
+    _BANDS
+    + r""",
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)"""
+)
+
+_EMB = r"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)"""
+
+_PLANES = r"""
+planes AS (
+  SELECT p.plane, d.d,
+         CASE WHEN strpos('13579bdf', substr(md5(p.plane || '|' || d.d), 32, 1)) > 0
+              THEN 1 ELSE -1 END AS sign
+  FROM (SELECT unnest(generate_series(0, 3)) AS plane) p
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+),
+comps AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+proj AS (
+  SELECT c.vec_id, p.plane, sum(c.val * p.sign) AS proj
+  FROM comps c JOIN planes p ON c.d = p.d
+  GROUP BY c.vec_id, p.plane
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY plane)
+           AS bucket
+  FROM proj GROUP BY vec_id
+)"""
+
+ORACLES: dict[str, str] = {
+    # --- dedup ---
+    "d_dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "d_minhash_signatures": _MINHASH + "\nSELECT doc_id, perm, minhash FROM minhash",
+    "d_lsh_candidates": _CANDS + "\nSELECT doc_a, doc_b FROM cands",
+    "d_neardup_jaccard": _CANDS
+    + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       na.n_sh + nb.n_sh - i.inter AS uni
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.inter * 2 >= (na.n_sh + nb.n_sh - i.inter) * 1
+""",
+    "d_simhash": _TOKS
+    + r""",
+doc_tokens AS (
+  SELECT doc_id, token, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+  GROUP BY doc_id, token
+),
+vocab AS (SELECT DISTINCT token FROM doc_tokens),
+bits AS (
+  SELECT token, bb.b,
+         (((strpos('0123456789abcdef', substr(md5(token), bb.b // 4 + 1, 1)) - 1
+            >> (bb.b % 4)) & 1) * 2 - 1) AS sign
+  FROM vocab CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+),
+votes AS (
+  SELECT doc_id, b, sum(cnt * sign) AS v
+  FROM doc_tokens JOIN bits USING (token)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM votes GROUP BY doc_id
+""",
+    # --- similarity ---
+    "s_cosine_neardup": _EMB
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+""",
+    "s_ann_bruteforce": _EMB
+    + f""",
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {ANN_QUERIES}
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+    "s_ann_lsh": "WITH "
+    + _PLANES.strip()
+    + f""",
+vv AS (
+  SELECT e.vec_id, b.bucket, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+nn AS (SELECT vec_id, bucket, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM vv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+  FROM nn q JOIN nn c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {ANN_QUERIES}
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+    # --- text analysis ---
+    "t_lang_id": _TOKS
+    + r""",
+scored AS (
+  SELECT doc_id, 'de' AS lang,
+         len(list_filter(toks, t -> t IN ('der','und','das','ein','nicht'))) AS score
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 'en',
+         len(list_filter(toks, t -> t IN ('the','a','and','of','fast'))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'es',
+         len(list_filter(toks, t -> t IN ('el','la','los','de','una'))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'fr',
+         len(list_filter(toks, t -> t IN ('le','les','et','une','dans'))) FROM toks
+)
+SELECT doc_id, lang AS pred_lang, score FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+    "t_quality_score": _TOKS
+    + r""",
+stats AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, t -> length(t))) AS sum_len,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS n_stop
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       round(sum_len / n_tokens, 6) AS mean_token_len,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.5
+             + (1.0 - n_stop / n_tokens) * 0.3
+             + least((sum_len / n_tokens) / 10.0, 1.0) * 0.2, 6) AS quality
+FROM stats WHERE n_tokens > 0
+""",
+    "t_token_counts": r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+    "t_fingerprint": _TOKS
+    + r""",
+shingle_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(generate_series(1, len(toks) - 4),
+                                  i -> array_to_string(toks[i:i+4], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shl
+  FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest(shl) AS shingle FROM shingle_lists)
+)
+SELECT doc_id, min(md5(shingle)) AS fp, count(*) AS n_shingles
+FROM shingles GROUP BY doc_id
+""",
+    # --- multimodal (payload bytes == text chars: corpus is pure ASCII) ---
+    "mm_byte_histogram": r"""
+WITH pos AS (
+  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+  FROM documents
+)
+SELECT doc_id, ascii(substr(text, i, 1)) % 16 AS bin, count(*) AS cnt
+FROM pos GROUP BY doc_id, bin
+""",
+    "mm_frame_sample": r"""
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, (length(text) + 63) // 64 - 1)) AS i,
+         text
+  FROM documents
+)
+SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+FROM f WHERE i % 2 = 0
+""",
+    "mm_decode_fake": r"""
+WITH h AS (SELECT doc_id, md5(text) AS x FROM documents),
+b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 2, 1)) - 1 AS b0,
+         (strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 4, 1)) - 1 AS b1,
+         (strpos('0123456789abcdef', substr(x, 5, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 6, 1)) - 1 AS b2,
+         (strpos('0123456789abcdef', substr(x, 7, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 8, 1)) - 1 AS b3
+  FROM h
+)
+SELECT doc_id, 16 + b0 % 64 AS width, 16 + b1 % 64 AS height,
+       1 + b2 % 4 AS channels, [b0, b1, b2, b3] AS features
+FROM b
+""",
+    # --- event analytics ---
+    "e_user_rollup": """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 6) AS total_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+    "e_top_events_per_user": """
+SELECT user_id, rank, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+""",
+    "e_sessionize": """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_id
+""",
+    "e_windowed_counts": """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    "e_props_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+}
