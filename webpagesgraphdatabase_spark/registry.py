@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import registry_ops
+from . import registry_fn, registry_ops
 from .graph import queries as Q
 from .graph.tpch_adapter import GRAPH_ORACLE_CTE, graph_from_tpch
 
@@ -182,6 +182,9 @@ ORDER BY url LIMIT 50
 }
 
 # Beyond-reference operator sections (dedup / similarity / text analysis /
-# multimodal / event analytics) — see registry_ops.py.
+# multimodal / event analytics) — see registry_ops.py — and the scalar
+# function library (F1-F7, UDF fidelity checks) — see registry_fn.py.
 QUERIES.update(registry_ops.QUERIES)
 ORACLES.update(registry_ops.ORACLES)
+QUERIES.update(registry_fn.QUERIES)
+ORACLES.update(registry_fn.ORACLES)

@@ -1,0 +1,203 @@
+"""Registry section for the scalar-function library (SURVEY §2.8).
+
+These queries apply the *real* implementations — including the F1/F2
+pandas UDFs — to synthetic inputs built identically in Spark SQL and
+DuckDB, so the driver's oracle gate checks the UDF ports character for
+character. The F2 oracle regenerates the reference's 19-entry allowlist
+loop (exact case-insensitive OR substring-of-response, first hit wins,
+``main.py:61-64``) as an ordered SQL CASE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import functions as fn
+from .io_tpch import load_table
+
+# --- f_url_normalize: F1 UDF over customer-derived raw URLs --------------
+# raw = 'customer.example/c<k>/' (schemeless + trailing slash); normalized
+# adds https:// and strips the slash. Clean ASCII input → the quote step
+# is the identity, so the oracle is plain string algebra.
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("customer.example/c"), F.col("c_custkey").cast("string"), F.lit("/")
+    )
+    return customer.select(
+        F.col("c_custkey").alias("id"),
+        fn.normalize_url(raw).alias("url"),
+    )
+
+
+_URL_ORACLE = """
+SELECT c_custkey AS id,
+       'https://customer.example/c' || c_custkey AS url
+FROM customer
+"""
+
+# --- f_parse_enrichment: F2 UDF over synthetic LLM responses -------------
+# response = 'Category: <cat> Keywords: <tok1>, <tok2>.' where <cat>
+# cycles allowlist-exact / case-insensitive / miss across doc_ids.
+
+_RESPONSE_SQL = """
+  SELECT doc_id,
+         'Category: ' || CASE WHEN doc_id % 5 = 0 THEN 'News'
+                              WHEN doc_id % 5 = 1 THEN 'database'
+                              ELSE lang END
+         || ' Keywords: ' || toks[1] || ', ' || toks[2] || '.' AS response
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+"""
+
+
+def _response_col():
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    cat = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("News"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("database"))
+        .otherwise(F.col("lang"))
+    )
+    return F.concat(
+        F.lit("Category: "),
+        cat,
+        F.lit(" Keywords: "),
+        F.element_at(toks, 1),
+        F.lit(", "),
+        F.element_at(toks, 2),
+        F.lit("."),
+    )
+
+
+def _q_parse_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = docs.select(
+        "doc_id", fn.parse_enrichment(_response_col()).alias("p")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.category").alias("category"),
+        F.col("p.suggested_category").alias("suggested_category"),
+        F.array_join(F.col("p.keywords"), ", ").alias("keywords"),
+    )
+
+
+def _allowlist_case() -> str:
+    """The reference's allowlist loop as an ordered CASE (first hit wins)."""
+    branches = []
+    for cat in fn.CATEGORY_ALLOWLIST:
+        c = cat.lower().replace("'", "''")
+        out = cat.replace("'", "''")
+        branches.append(
+            f"WHEN lower(suggested) = '{c}' OR contains(lower(response), '{c}')"
+            f" THEN '{out}'"
+        )
+    return "CASE " + " ".join(branches) + " ELSE 'Uncategorized' END"
+
+
+_PARSE_ORACLE = f"""
+WITH resp AS ({_RESPONSE_SQL}),
+extracted AS (
+  SELECT doc_id, response,
+         trim(regexp_extract(response,
+              'Category:\\s*([A-Za-z\\s/]+)(?:\\s*Keywords:|$)', 1)) AS suggested,
+         regexp_extract(response, 'Keywords:\\s*([^.]+)', 1) AS kw_raw
+  FROM resp
+)
+SELECT doc_id,
+       {_allowlist_case()} AS category,
+       suggested AS suggested_category,
+       array_to_string(
+         list_filter(list_transform(string_split(kw_raw, ','), k -> trim(k)),
+                     k -> k <> '')[1:3], ', ') AS keywords
+FROM extracted
+"""
+
+# --- f_fenced_json: F3 fence-strip + schema parse ------------------------
+# A fenced ArticleClassification JSON built from doc fields, then parsed
+# back with from_json (Spark) / json_extract (DuckDB).
+
+
+def _fenced_col():
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    inner = F.to_json(
+        F.struct(
+            F.col("lang").alias("category"),
+            F.slice(toks, 1, 2).alias("keywords"),
+            F.concat(F.lit("Explained for doc "), F.col("doc_id").cast("string")).alias(
+                "category_explanation"
+            ),
+            F.array(F.lit("stub")).alias("keyword_explanations"),
+        )
+    )
+    return F.concat(F.lit("```json\n"), inner, F.lit("\n```"))
+
+
+def _q_fenced_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = docs.select(
+        "doc_id", fn.parse_fenced_json(_fenced_col()).alias("p")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.category").alias("category"),
+        F.array_join(F.col("p.keywords"), "|").alias("keywords"),
+        F.col("p.category_explanation").alias("category_explanation"),
+    )
+
+
+_FENCED_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, lang AS category,
+       toks[1] || '|' || toks[2] AS keywords,
+       'Explained for doc ' || doc_id AS category_explanation
+FROM toks
+"""
+
+# --- f_truncate_trim: F4/F5 over documents -------------------------------
+
+
+def _q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fn.truncate_title(F.col("text")).alias("title_255"),
+        F.substring(F.col("text"), 1, 100).alias("head_100"),
+        F.length(F.trim(F.col("text"))).alias("trimmed_len"),
+    )
+
+
+_TRUNCATE_ORACLE = """
+SELECT doc_id,
+       substr(text, 1, 255) AS title_255,
+       substr(text, 1, 100) AS head_100,
+       length(trim(text)) AS trimmed_len
+FROM documents
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f_url_normalize": _q_url_normalize,
+    "f_parse_enrichment": _q_parse_enrichment,
+    "f_fenced_json": _q_fenced_json,
+    "f_truncate_trim": _q_truncate,
+}
+
+ORACLES: dict[str, str] = {
+    "f_url_normalize": _URL_ORACLE,
+    "f_parse_enrichment": _PARSE_ORACLE,
+    "f_fenced_json": _FENCED_ORACLE,
+    "f_truncate_trim": _TRUNCATE_ORACLE,
+}
