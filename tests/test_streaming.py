@@ -1,0 +1,112 @@
+"""Structured Streaming tests: file source -> watermarked windows and
+stateful sessionization, cross-checked against their batch twins."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from webpagesgraphdatabase_spark.io_tpch import load_table
+from webpagesgraphdatabase_spark.operators import events as ev
+from webpagesgraphdatabase_spark.streaming import (
+    read_event_stream,
+    run_available_now,
+    streaming_sessionize,
+    streaming_windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    """Stage the sf0.001 events as a streaming source dir (µs NTZ ts)."""
+    d = tmp_path_factory.mktemp("stream_src")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(
+        str(d / "drop1")
+    )
+    return str(d / "drop1")
+
+
+def test_streaming_windowed_counts_match_batch_closed_windows(
+    spark, source_dir, tmp_path
+):
+    stream = read_event_stream(spark, source_dir)
+    out = streaming_windowed_counts(stream)
+    run_available_now(out, "win_counts", str(tmp_path / "ckpt"))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    assert got, "stream emitted no closed windows"
+
+    batch = ev.windowed_counts(load_table(spark, SF_DIR, "events"))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    # append mode emits only windows the final watermark closed; every
+    # emitted window must match the batch computation exactly
+    for k, v in got.items():
+        assert want[k] == v
+    # and most windows are closed by end of stream (watermark 10 min)
+    assert len(got) > len(want) * 0.8
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(
+    spark, source_dir, tmp_path
+):
+    stream = read_event_stream(spark, source_dir)
+    out = streaming_sessionize(stream)
+    run_available_now(out, "sessions", str(tmp_path / "ckpt2"))
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in spark.table("sessions").collect()
+    }
+    assert got, "stream emitted no closed sessions"
+
+    batch = ev.sessionize(load_table(spark, SF_DIR, "events"))
+    # the batch twin also reports each user's open tail session; drop it
+    w = batch.groupBy("user_id").agg(F.max("session_id").alias("last_id"))
+    closed = batch.join(w, "user_id").filter(
+        F.col("session_id") < F.col("last_id")
+    )
+    want = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in closed.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_state_across_batches(spark, tmp_path):
+    """Two drops: a session spanning the batch boundary must not split."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(ids_minutes):
+        return [
+            (i, t0 + datetime.timedelta(minutes=m), 1, "click", 1.0, "{}")
+            for i, m in ids_minutes
+        ]
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    src = tmp_path / "src"
+    ddl = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows([(1, 0), (2, 10)]), schema=ddl).write.parquet(
+        str(src / "a")
+    )
+    # 20 min after event 2 (same session), then an 80-min gap closes it
+    spark.createDataFrame(rows([(3, 30), (4, 110)]), schema=ddl).write.parquet(
+        str(src / "b")
+    )
+
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*"))
+    out = streaming_sessionize(stream)
+    run_available_now(out, "span_sessions", str(tmp_path / "ckpt3"))
+    got = [
+        (r.session_id, r.n_events)
+        for r in spark.table("span_sessions").collect()
+    ]
+    # one closed session holding events 1,2,3 (the 4th stays open in state)
+    assert got == [(1, 3)]

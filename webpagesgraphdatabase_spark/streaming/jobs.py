@@ -1,0 +1,169 @@
+"""Streaming jobs: watermarked window counts + stateful sessionization."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+from ..operators.events import SESSION_GAP_MIN, WINDOW_MINUTES
+
+EVENT_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source micro-batch ingestion: each parquet file dropped into
+    ``source_dir`` becomes (part of) a micro-batch. Schema is declared,
+    not inferred — streaming sources require it, and it keeps the
+    nanosecond-timestamp quirk out of the stream (writers to this dir
+    produce µs TIMESTAMP_NTZ, see io_tpch._load_events)."""
+    return spark.readStream.schema(EVENT_DDL).parquet(source_dir)
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    minutes: int = WINDOW_MINUTES,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.events.windowed_counts`:
+    same tumbling-window expression plus a watermark so window state is
+    dropped once event time passes. Append output emits each window
+    exactly once, when it closes."""
+    # watermarks require TIMESTAMP (LTZ); session tz is UTC so the
+    # NTZ->LTZ cast is wall-clock-preserving, and the output start is
+    # cast back to NTZ to match the batch twin's schema
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", IntegerType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
+    ]
+)
+
+# GroupState payload: (next_session_id, open_n, open_start, open_end) with
+# timestamps as epoch-µs longs (state schemas keep to primitive types).
+_SESSION_STATE = StructType(
+    [
+        StructField("next_id", IntegerType()),
+        StructField("open_n", LongType()),
+        StructField("open_start", LongType()),
+        StructField("open_end", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Per-user gap sessionization across micro-batches: closed sessions
+    are emitted; the open tail session is carried in state. Batch-mode
+    semantics twin: operators.events.sessionize."""
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    (user_id,) = key
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    # unit-safe epoch-µs regardless of the Arrow batch's datetime unit
+    ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+
+    if state.exists:
+        next_id, open_n, open_start, open_end = state.get
+    else:
+        next_id, open_n, open_start, open_end = 1, 0, 0, 0
+
+    out = []
+    for t in ts_us:
+        t = int(t)
+        if open_n == 0:
+            open_n, open_start, open_end = 1, t, t
+        elif t - open_end > gap_us:
+            out.append((user_id, next_id, open_n, open_start, open_end))
+            next_id += 1
+            open_n, open_start, open_end = 1, t, t
+        else:
+            open_n += 1
+            open_end = t
+
+    state.update((next_id, open_n, open_start, open_end))
+
+    emitted = pd.DataFrame(
+        out,
+        columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+    )
+    if len(emitted):
+        emitted["session_start"] = pd.to_datetime(emitted["session_start"], unit="us")
+        emitted["session_end"] = pd.to_datetime(emitted["session_end"], unit="us")
+    else:
+        emitted = emitted.astype(
+            {"session_start": "datetime64[us]", "session_end": "datetime64[us]"}
+        )
+    yield emitted
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): emits a
+    session row when a >30-min gap closes it; the open session per user
+    rides in GroupState between micro-batches. session_ids are assigned
+    per user in time order, matching the batch twin for every *closed*
+    session (the batch version also reports the still-open tail)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, table_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently in the source into a memory sink
+    (tests/backfills): one availableNow run, blocking until done."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
