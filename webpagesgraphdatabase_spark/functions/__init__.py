@@ -179,7 +179,8 @@ def parse_fenced_json_py(text: str, keys: tuple[str, ...]) -> dict | None:
         obj = json.loads(stripped)
     except (ValueError, TypeError):
         return None
-    if not all(k in obj for k in keys):
+    # valid JSON scalars/arrays are not row objects (found by hypothesis)
+    if not isinstance(obj, dict) or not all(k in obj for k in keys):
         return None
     return obj
 

@@ -366,3 +366,15 @@ def viz_slice(g: PropertyGraph, limit: int = 50) -> DataFrame:
         .orderBy("url")
         .limit(limit)
     )
+
+
+def duplicate_node_ids(g: PropertyGraph) -> DataFrame:
+    """A4 (``main.py:475-478``): duplicate node-id diagnostic over the
+    typed-id export — empty iff PK discipline held. Aggregate + filter,
+    not the reference's Python set-scan."""
+    return (
+        export_nodes(g)
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )

@@ -88,7 +88,10 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     standard min-wise independent permutation approximation. All work is
     generated columns + one partial-aggregated groupBy.
     """
-    sh = shingles(docs)
+    return minhash_from_shingles(shingles(docs), n_perms)
+
+
+def minhash_from_shingles(sh: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     return (
         sh.select(
             "doc_id",
@@ -107,8 +110,14 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
 def lsh_bands(docs: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS) -> DataFrame:
     """LSH band keys: (doc_id, band, band_key) where band_key hashes the
     band's minhash rows in perm order."""
+    return bands_from_shingles(shingles(docs), n_perms, n_bands)
+
+
+def bands_from_shingles(
+    sh: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
     rows_per_band = n_perms // n_bands
-    sig = minhash_signatures(docs, n_perms)
+    sig = minhash_from_shingles(sh, n_perms)
     return (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -142,7 +151,18 @@ def lsh_candidates(
     (bucket-size cap, the web-scale guard against quadratic blowup on
     mass-duplicated boilerplate).
     """
-    bands = lsh_bands(docs, n_perms, n_bands)
+    return lsh_candidates_from_shingles(
+        shingles(docs), n_perms, n_bands, max_bucket
+    )
+
+
+def lsh_candidates_from_shingles(
+    sh: DataFrame,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    bands = bands_from_shingles(sh, n_perms, n_bands)
     if max_bucket is not None:
         sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
         bands = bands.join(
@@ -181,9 +201,18 @@ def neardup_jaccard(
     When ``candidates`` is None the LSH candidates are used (the scale
     path: verification cost is |candidates|, not |docs|²).
     """
+    # the shingle table feeds the minhash lineage AND both sides of the
+    # intersection join; recomputing it (cheap narrow ops + one distinct)
+    # benchmarks faster here than a persist barrier, which serializes the
+    # otherwise-overlapping stages — at cluster scale, checkpoint it to
+    # the warehouse instead when |docs| makes recompute dominant
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand = candidates if candidates is not None else lsh_candidates(docs)
+    cand = (
+        candidates
+        if candidates is not None
+        else lsh_candidates_from_shingles(sh)
+    )
 
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -56,6 +56,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_point_lookup": _g(Q.point_lookup, LOOKUP_URL),
     "g_sample_links": _g(Q.sample_links),
     "g_viz_slice": _g(Q.viz_slice),
+    "g_duplicate_ids": _g(Q.duplicate_node_ids),
 }
 
 ORACLES: dict[str, str] = {
@@ -178,6 +179,17 @@ ORDER BY md5(url) LIMIT 5
     + """
 SELECT url, title, keywords, suggested_category FROM links
 ORDER BY url LIMIT 50
+""",
+    "g_duplicate_ids": GRAPH_ORACLE_CTE
+    + """
+SELECT id, count(*) AS n FROM (
+  SELECT 'Link:' || url AS id FROM links WHERE title IS NOT NULL
+  UNION ALL
+  SELECT 'Category:' || name FROM categories WHERE name IS NOT NULL
+  UNION ALL
+  SELECT 'Keyword:' || name FROM keywords WHERE name IS NOT NULL
+)
+GROUP BY id HAVING count(*) > 1
 """,
 }
 
