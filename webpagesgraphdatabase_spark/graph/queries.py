@@ -11,7 +11,7 @@ engine-dependent and no oracle could match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .model import PropertyGraph
@@ -88,20 +88,32 @@ def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
        tiny driver-side loop over at most ``limit`` rows — each kept
        keyword contributes ≥1 pair, so ``orderBy().limit()`` bounds it;
        TakeOrdered, no global window);
-    3. re-derive the edges with ``keyword IN (<prefix>)`` — the IN-list
-       predicate pushes through the graph-construction joins down to the
-       dimension scan, so this second job reads almost nothing — then
-       expand pairs only for that prefix, sort, limit.
+    3. within that keyword prefix, push the limit one level further —
+       into the *(category_1, category_2)* structure. Output order is
+       (keyword, cat1, cat2, …) and cat1 is the category of the smaller
+       url, so the exact ordered-pair count cnt(k, A, B) =
+       #{u1<u2, u1∈A, u2∈B} is computed **without expansion** by a
+       running-count window: replicate each edge row per category
+       (|E_k|·|C| narrow rows), cumulative-sum prior edges of category A
+       in url order, and sum those at rows of category B. Take the
+       (keyword, A, B) prefix covering ``limit``;
+    4. expand pairs only for those category pairs — the candidate set is
+       n_A·n_B for the chosen pairs, no longer quadratic in the hot
+       keyword's whole edge list — then sort, limit. The IN-list /
+       equality predicates push down to the stored-table scans.
 
-    Two Spark jobs instead of one (driver-side adaptivity, same idea as
-    AQE): the alternative single-plan form recomputes the |E|-sized
-    edge lineage 4× and was ~6× slower end-to-end at sf0.1.
+    Three bounded driver-side jobs instead of one quadratic plan
+    (driver-side adaptivity, same idea as AQE). At sf0.1 (64 keywords ×
+    ~6.8k links each, one hot keyword ≈ 23M raw pairs) this takes the
+    materialized-graph query from 5.7 s to well under 1 s; the naive
+    single-plan form on the unmaterialized graph was 44 s.
 
     Result is identical to the naive join (cross-checked in tests and by
     the DuckDB oracle, which *is* the naive form).
     """
     edges = _annotated_edges(g)
 
+    # -- phase 1: keyword prefix (algebraic pair counts) ------------------
     per_kc = edges.groupBy("keyword", "category").agg(F.count("*").alias("n"))
     per_k = per_kc.groupBy("keyword").agg(
         ((F.sum("n") * F.sum("n") - F.sum(F.col("n") * F.col("n"))) / 2).alias("pairs")
@@ -116,34 +128,72 @@ def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
         cum += row["pairs"]
         if cum >= limit:
             break
+    if not needed:
+        return interconnections_canonical_naive(g, limit).filter(F.lit(False))
 
-    pruned = (
-        edges.filter(F.col("keyword").isin(needed))
-        if needed
-        else edges.filter(F.lit(False))
+    # the pruned edge set (≲ a few hot keywords) feeds phases 2 and 3
+    # five times over; persist so the upstream lineage (on an
+    # unmaterialized graph: the full construction joins) runs once.
+    # Small by construction — bounded by the keyword prefix, not |E|.
+    kw_edges = edges.filter(F.col("keyword").isin(needed)).persist()
+
+    # -- phase 2: category-pair prefix via running-count windows ----------
+    cats = kw_edges.select("keyword", F.col("category").alias("cat_1")).distinct()
+    replicated = kw_edges.join(cats, "keyword").select(
+        "keyword", "url", "category", "cat_1"
     )
+    w = (
+        Window.partitionBy("keyword", "cat_1")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = replicated.withColumn(
+        "prior",
+        F.coalesce(
+            F.sum(F.when(F.col("category") == F.col("cat_1"), 1).otherwise(0)).over(w),
+            F.lit(0),
+        ),
+    )
+    pair_counts = (
+        prior.filter(F.col("category") != F.col("cat_1"))
+        .groupBy("keyword", "cat_1", F.col("category").alias("cat_2"))
+        .agg(F.sum("prior").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+        .orderBy("keyword", "cat_1", "cat_2")
+        .limit(limit)
+        .collect()
+    )
+    chosen: list[tuple[str, str, str]] = []
+    cum = 0
+    for r in pair_counts:
+        chosen.append((r["keyword"], r["cat_1"], r["cat_2"]))
+        cum += r["cnt"]
+        if cum >= limit:
+            break
+    if not chosen:
+        return interconnections_canonical_naive(g, limit).filter(F.lit(False))
 
-    # Salted self-join: the keyword prefix is typically ONE hot keyword,
-    # so a plain join on `keyword` puts the whole quadratic expansion in
-    # a single task. Salt one side with hash(url) % B and replicate the
-    # other side B ways — every (u1, u2) pair still meets exactly once,
-    # but the work spreads over B tasks. (AQE skew-join can't split a
-    # single-valued key reliably; explicit salting is deterministic.)
-    n_salt = 32
-    e1 = pruned.withColumn("salt", F.pmod(F.hash("url"), F.lit(n_salt))).alias("e1")
-    e2 = pruned.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
-    ).alias("e2")
+    # -- phase 3: expand only the chosen (keyword, cat1, cat2) triples ----
+    spark = edges.sparkSession
+    chosen_df = F.broadcast(
+        spark.createDataFrame(chosen, ["keyword", "cat_1", "cat_2"])
+    )
+    e1 = kw_edges.alias("e1")
+    e2 = kw_edges.alias("e2")
     return (
-        e1.join(
+        chosen_df.join(
+            e1,
+            (F.col("e1.keyword") == chosen_df["keyword"])
+            & (F.col("e1.category") == chosen_df["cat_1"]),
+        )
+        .join(
             e2,
-            (F.col("e1.keyword") == F.col("e2.keyword"))
-            & (F.col("e1.salt") == F.col("e2.salt"))
+            (F.col("e2.keyword") == chosen_df["keyword"])
+            & (F.col("e2.category") == chosen_df["cat_2"])
             & (F.col("e1.url") < F.col("e2.url")),
         )
-        .filter(F.col("e1.category") != F.col("e2.category"))
         .select(
-            F.col("e1.keyword").alias("keyword"),
+            chosen_df["keyword"].alias("keyword"),
             F.col("e1.category").alias("category_1"),
             F.col("e2.category").alias("category_2"),
             F.col("e1.url").alias("url_1"),
