@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import spread
+
 N_PERMS = 16
 N_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4, ~0.5 at j~0.55
 
@@ -59,7 +61,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -244,7 +247,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     No Python, no UDFs — everything stays in whole-stage codegen.
     """
     doc_tokens = (
-        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        spread(docs).select("doc_id", F.explode(tokens_col()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
     )

@@ -43,6 +43,8 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
+from ._util import spread
+
 N_BINS = 16
 FRAME_BYTES = 64
 FRAME_STRIDE = 2
@@ -51,7 +53,7 @@ FRAME_STRIDE = 2
 def payloads(docs: DataFrame) -> DataFrame:
     """documents → multimodal-shaped table:
     (doc_id, payload binary, meta struct<n_bytes, mime>)."""
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.struct(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread
+
 N_PLANES = 4  # 2^4 buckets: sized so sf0.01 buckets hold ~30 vecs (top-k stays filled)
 
 
@@ -85,7 +87,7 @@ def cosine_neardup(emb: DataFrame, threshold: float = 0.42) -> DataFrame:
             ai, ci = np.nonzero(keep)
             yield pd.DataFrame({"vec_a": b_ids[ai], "vec_b": c_ids[ci]})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    return spread(emb.select("vec_id", "embedding")).mapInPandas(
         block, schema="vec_a long, vec_b long"
     )
 
@@ -145,7 +147,7 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     spark = emb.sparkSession
     dim = len(emb.select("embedding").first()["embedding"])
     planes = _plane_signs(spark, n_planes, dim)
-    comps = emb.select(
+    comps = spread(emb).select(
         "vec_id", F.posexplode("embedding").alias("d", "val")
     )
     proj = (
