@@ -174,12 +174,22 @@ def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
         return interconnections_canonical_naive(g, limit).filter(F.lit(False))
 
     # -- phase 3: expand only the chosen (keyword, cat1, cat2) triples ----
+    # Salted: a chosen triple's candidate set is n_A·n_B — bounded by
+    # the limit's coverage here, but a single huge category pair at
+    # cluster scale would land on one task (the join keys are
+    # low-cardinality). Salt e1 by hash(url), replicate e2 per salt:
+    # every (u1, u2) still meets exactly once, work spreads B ways.
+    n_salt = 32
     spark = edges.sparkSession
     chosen_df = F.broadcast(
         spark.createDataFrame(chosen, ["keyword", "cat_1", "cat_2"])
     )
-    e1 = kw_edges.alias("e1")
-    e2 = kw_edges.alias("e2")
+    e1 = kw_edges.withColumn(
+        "salt", F.pmod(F.hash("url"), F.lit(n_salt))
+    ).alias("e1")
+    e2 = kw_edges.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("e2")
     return (
         chosen_df.join(
             e1,
@@ -190,6 +200,7 @@ def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
             e2,
             (F.col("e2.keyword") == chosen_df["keyword"])
             & (F.col("e2.category") == chosen_df["cat_2"])
+            & (F.col("e1.salt") == F.col("e2.salt"))
             & (F.col("e1.url") < F.col("e2.url")),
         )
         .select(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import registry_fn, registry_ops
 from .graph import queries as Q
+from .graph.motif import match as motif_match
 from .graph.tpch_adapter import GRAPH_ORACLE_CTE, graph_from_tpch
 
 LOOKUP_URL = "https://customer.example/1"
@@ -57,6 +58,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_sample_links": _g(Q.sample_links),
     "g_viz_slice": _g(Q.viz_slice),
     "g_duplicate_ids": _g(Q.duplicate_node_ids),
+    "g_motif_two_hop": _g(
+        lambda g: motif_match(
+            g, "(c:Category)<-[:BELONGS_TO]-(l:Link)-[:HAS_KEYWORD]->(k)"
+        )
+    ),
 }
 
 ORACLES: dict[str, str] = {
@@ -190,6 +196,11 @@ SELECT id, count(*) AS n FROM (
   SELECT 'Keyword:' || name FROM keywords WHERE name IS NOT NULL
 )
 GROUP BY id HAVING count(*) > 1
+""",
+    "g_motif_two_hop": GRAPH_ORACLE_CTE
+    + """
+SELECT b.dst_category AS c, hk.dst_keyword AS k, b.src_url AS l
+FROM belongs_to b JOIN has_keyword hk ON b.src_url = hk.src_url
 """,
 }
 
