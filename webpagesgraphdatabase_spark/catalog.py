@@ -25,6 +25,7 @@ parquet job; old versions are pruned with :meth:`vacuum`.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -32,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _POINTER = "_CURRENT"
+_META = "_META.json"
 
 
 class TableNotFoundError(KeyError):
@@ -56,13 +58,47 @@ class Warehouse:
         return os.path.isfile(os.path.join(self.root, name, _POINTER))
 
     # -- S12: create-if-absent DDL ---------------------------------------
-    def create_table(self, name: str, schema: T.StructType) -> None:
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
         """CREATE TABLE IF NOT EXISTS semantics (reference ``main.py:20-24``):
-        registers an empty versioned table with the given schema."""
+        registers an empty versioned table with the given schema.
+
+        ``partition_by`` declares hive-style partition columns recorded in
+        table metadata and applied on every subsequent ``overwrite`` —
+        equality filters on them prune whole directories at plan time
+        (PartitionFilters in ``.explain``), the on-disk analog of an
+        index for the key-dimension scans this engine serves."""
         if self.exists(name):
             return
+        if partition_by:
+            missing = set(partition_by) - set(schema.fieldNames())
+            if missing:
+                raise ValueError(f"partition columns not in schema: {sorted(missing)}")
+            tdir = os.path.join(self.root, name)
+            os.makedirs(tdir, exist_ok=True)
+            # schema recorded too: an empty (or empty-partition) parquet
+            # dir has nothing to infer from, so reads use the declared one
+            with open(os.path.join(tdir, _META), "w") as f:
+                json.dump(
+                    {"partition_by": list(partition_by), "schema": schema.jsonValue()},
+                    f,
+                )
         empty = self.spark.createDataFrame([], schema)
         self.overwrite(name, empty)
+
+    def _meta(self, name: str) -> dict:
+        meta = os.path.join(self.root, name, _META)
+        if not os.path.isfile(meta):
+            return {}
+        with open(meta) as f:
+            return json.load(f)
+
+    def partition_spec(self, name: str) -> tuple[str, ...]:
+        return tuple(self._meta(name).get("partition_by", ()))
 
     # -- read / write -----------------------------------------------------
     def _current_version(self, name: str) -> str:
@@ -74,7 +110,28 @@ class Warehouse:
 
     def read(self, name: str) -> DataFrame:
         version = self._current_version(name)
-        return self.spark.read.parquet(os.path.join(self.root, name, version))
+        path = os.path.join(self.root, name, version)
+        meta = self._meta(name)
+        if "schema" in meta:
+            declared = T.StructType.fromJson(meta["schema"])
+            return self.spark.read.schema(declared).parquet(path)
+        return self.spark.read.parquet(path)
+
+    def list_versions(self, name: str) -> list[int]:
+        """All retained versions of a table, oldest first."""
+        self._current_version(name)  # existence check
+        tdir = os.path.join(self.root, name)
+        return sorted(
+            int(d[1:]) for d in os.listdir(tdir) if d.startswith("v")
+        )
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel: read a specific retained version (every
+        ``overwrite`` keeps the previous snapshot until ``vacuum``)."""
+        path = os.path.join(self.root, name, f"v{version:08d}")
+        if not os.path.isdir(path):
+            raise TableNotFoundError(f"{name}@v{version}")
+        return self.spark.read.parquet(path)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Write a new version dir, then atomically flip ``_CURRENT``."""
@@ -85,7 +142,11 @@ class Warehouse:
         except TableNotFoundError:
             cur = 0
         version = f"v{cur + 1:08d}"
-        df.write.mode("overwrite").parquet(os.path.join(tdir, version))
+        writer = df.write.mode("overwrite")
+        spec = self.partition_spec(name)
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(os.path.join(tdir, version))
         tmp = os.path.join(tdir, _POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(version)

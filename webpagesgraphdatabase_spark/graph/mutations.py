@@ -47,10 +47,18 @@ class GraphStore:
         self.wh = Warehouse(spark, root)
 
     # -- lifecycle ---------------------------------------------------------
+    # belongs_to is hive-partitioned by category: category-scoped
+    # traversals (the symmetric interconnection filter, per-category
+    # exports) prune to one directory; cardinality is bounded (|C| is
+    # small by the data model), so no small-file explosion.
+    PARTITION_SPECS: dict[str, tuple[str, ...]] = {"belongs_to": ("dst_category",)}
+
     def init_schema(self) -> None:
         """S12: CREATE ... IF NOT EXISTS for all five tables."""
         for name, schema in {**NODE_TABLES, **EDGE_TABLES}.items():
-            self.wh.create_table(name, schema)
+            self.wh.create_table(
+                name, schema, partition_by=self.PARTITION_SPECS.get(name, ())
+            )
 
     def reinit(self) -> None:
         """M6: destructive re-init (``c9:11-17``)."""
