@@ -83,30 +83,42 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """MinHash signatures: (doc_id, perm, minhash).
+# Mersenne prime 2^61-1: (h1 + i·h2) stays < 2^61 for h1,h2 < 2^56, i ≤ 15
+# — exact in int64 in any engine.
+MINHASH_P = 2305843009213693951
 
-    Permutation ``i`` is simulated as ``md5(i || '|' || shingle)``; the
-    signature entry is the minimum over the doc's shingles — the
-    standard min-wise independent permutation approximation. All work is
-    generated columns + one partial-aggregated groupBy.
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """MinHash signatures: (doc_id, perm, minhash bigint).
+
+    Permutations are simulated with Kirsch-Mitzenmacher double hashing:
+    one md5 per shingle split into two 56-bit halves (h1, h2); perm i's
+    hash is ``(h1 + i·h2) mod (2^61-1)``. One hash per shingle instead
+    of one per (shingle, perm) — 16× less hashing — and the 16 minima
+    aggregate in a single partial-agg pass (16 min columns, then
+    unpivot), so there is no 16× row explosion and the only shuffle
+    carries |docs| rows. All integer arithmetic, bit-identical in the
+    DuckDB oracle.
     """
     return minhash_from_shingles(shingles(docs), n_perms)
 
 
 def minhash_from_shingles(sh: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    return (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm"),
-            "shingle",
-        )
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    halves = sh.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(shingle), 1, 14), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(shingle), 15, 14), 16, 10) as bigint)").alias("h2"),
+    )
+    mins = halves.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + i * F.col("h2")) % MINHASH_P).alias(f"m{i}")
+            for i in range(n_perms)
+        ]
+    )
+    stack = ", ".join(f"{i}, m{i}" for i in range(n_perms))
+    return mins.select(
+        "doc_id",
+        F.expr(f"stack({n_perms}, {stack}) as (perm, minhash)"),
     )
 
 
@@ -131,7 +143,7 @@ def bands_from_shingles(
                         F.array_sort(
                             F.collect_list(F.struct("perm", "minhash"))
                         ),
-                        lambda s: s["minhash"],
+                        lambda s: s["minhash"].cast("string"),
                     ),
                     "|",
                 )

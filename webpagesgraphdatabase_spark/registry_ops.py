@@ -87,12 +87,21 @@ shingles AS (
 )"""
 )
 
+# Kirsch-Mitzenmacher double hashing, mirroring operators/dedup.py:
+# one md5 per shingle, 56-bit halves, (h1 + i*h2) mod (2^61-1).
 _MINHASH = (
     _SHINGLES3
     + r""",
+halves AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+  FROM shingles
+),
 minhash AS (
-  SELECT doc_id, p.perm, min(md5(p.perm || '|' || shingle)) AS minhash
-  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
+  SELECT doc_id, p.perm,
+         min((h1 + p.perm * h2) % 2305843009213693951) AS minhash
+  FROM halves CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
   GROUP BY doc_id, p.perm
 )"""
 )
@@ -102,7 +111,7 @@ _BANDS = (
     + r""",
 bands AS (
   SELECT doc_id, perm // 4 AS band,
-         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_key
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY perm)) AS band_key
   FROM minhash GROUP BY doc_id, perm // 4
 )"""
 )
