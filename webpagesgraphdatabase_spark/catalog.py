@@ -71,24 +71,29 @@ class Warehouse:
         table metadata and applied on every subsequent ``overwrite`` —
         equality filters on them prune whole directories at plan time
         (PartitionFilters in ``.explain``), the on-disk analog of an
-        index for the key-dimension scans this engine serves."""
+        index for the key-dimension scans this engine serves.
+
+        Pure metadata operation — no Spark job: the schema goes into
+        ``_META.json``, the initial version is an empty directory, and
+        reads resolve the declared schema (DDL should cost milliseconds,
+        not a distributed write of zero rows)."""
         if self.exists(name):
             return
-        if partition_by:
-            missing = set(partition_by) - set(schema.fieldNames())
-            if missing:
-                raise ValueError(f"partition columns not in schema: {sorted(missing)}")
-            tdir = os.path.join(self.root, name)
-            os.makedirs(tdir, exist_ok=True)
-            # schema recorded too: an empty (or empty-partition) parquet
-            # dir has nothing to infer from, so reads use the declared one
-            with open(os.path.join(tdir, _META), "w") as f:
-                json.dump(
-                    {"partition_by": list(partition_by), "schema": schema.jsonValue()},
-                    f,
-                )
-        empty = self.spark.createDataFrame([], schema)
-        self.overwrite(name, empty)
+        missing = set(partition_by) - set(schema.fieldNames())
+        if missing:
+            raise ValueError(f"partition columns not in schema: {sorted(missing)}")
+        tdir = os.path.join(self.root, name)
+        version = "v00000001"
+        os.makedirs(os.path.join(tdir, version), exist_ok=True)
+        with open(os.path.join(tdir, _META), "w") as f:
+            json.dump(
+                {"partition_by": list(partition_by), "schema": schema.jsonValue()},
+                f,
+            )
+        tmp = os.path.join(tdir, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(tdir, _POINTER))
 
     def _meta(self, name: str) -> dict:
         meta = os.path.join(self.root, name, _META)
@@ -131,6 +136,10 @@ class Warehouse:
         path = os.path.join(self.root, name, f"v{version:08d}")
         if not os.path.isdir(path):
             raise TableNotFoundError(f"{name}@v{version}")
+        meta = self._meta(name)
+        if "schema" in meta:
+            declared = T.StructType.fromJson(meta["schema"])
+            return self.spark.read.schema(declared).parquet(path)
         return self.spark.read.parquet(path)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
