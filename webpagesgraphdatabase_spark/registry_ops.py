@@ -59,6 +59,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# --- grouping-sets aggregates (SURVEY §2.4 "absent in reference" rows,
+# demonstrated here): ROLLUP over lineitem, CUBE over events. Sums go
+# through decimal(18,2) — exact, order-independent addition, so the
+# hash matches DuckDB regardless of aggregation order (double sums over
+# 600k rows would differ in the last bits and poison the value hash).
+
+
+def _q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty", "sum_price")
+    )
+
+
+def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select("event_type", "day", "n_events", "sum_value")
+    )
+
+
+QUERIES["a_lineitem_rollup"] = _q_lineitem_rollup
+QUERIES["a_events_cube"] = _q_events_cube
+
+
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB). Tokenization/shingling/minhash mirror
 # operators/dedup.py exactly — md5 over the same strings.
@@ -394,5 +436,19 @@ FROM events GROUP BY 1, 2
     "e_props_extract": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
+""",
+    # --- grouping-sets aggregates ---
+    "a_lineitem_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "a_events_cube": """
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """,
 }
