@@ -138,8 +138,11 @@ def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
     kw_edges = edges.filter(F.col("keyword").isin(needed)).persist()
 
     # -- phase 2: category-pair prefix via running-count windows ----------
-    cats = kw_edges.select("keyword", F.col("category").alias("cat_1")).distinct()
-    replicated = kw_edges.join(cats, "keyword").select(
+    # replicate each edge once per *global* category (tiny dim, broadcast
+    # cross-join — no distinct/shuffle); categories absent from a keyword
+    # just yield cnt=0 rows that the >0 filter drops
+    cats = F.broadcast(g.categories.select(F.col("name").alias("cat_1")))
+    replicated = kw_edges.crossJoin(cats).select(
         "keyword", "url", "category", "cat_1"
     )
     w = (
