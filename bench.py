@@ -51,6 +51,7 @@ TABLE_HEADLINE = (
     "d_simhash",
     "s_cosine_neardup",  # broadcast block-matmul all-pairs cosine
     "s_ann_lsh",
+    "s_ann_ivf",
     "t_quality_score",
     "mm_byte_histogram",  # the Arrow/pandas-UDF path
     "e_sessionize",

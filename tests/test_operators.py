@@ -105,6 +105,24 @@ def test_ann_lsh_same_bucket_for_identical(vecs):
     assert len(b[0]) == similarity.N_PLANES
 
 
+def test_ivf_assign_partitions_corpus(vecs):
+    a = similarity.ivf_assign(vecs, n_centroids=2).collect()
+    assert len(a) == 4  # every vector in exactly one inverted list
+    assert len({r.vec_id for r in a}) == 4
+
+
+def test_ivf_identical_vectors_share_list(vecs):
+    a = {r.vec_id: r.cid for r in similarity.ivf_assign(vecs, n_centroids=2).collect()}
+    assert a[0] == a[1]
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(vecs):
+    # probing every list degrades IVF to exact search
+    ivf = similarity.ann_ivf(vecs, n_queries=2, k=3, n_centroids=2, n_probe=2)
+    bf = similarity.ann_bruteforce(vecs, n_queries=2, k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
 def test_lang_id_markers(spark):
     docs = spark.createDataFrame(
         [(0, "der hund und das brot"), (1, "the cat and the hat"), (2, "xyzzy")],

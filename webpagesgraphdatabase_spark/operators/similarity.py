@@ -9,6 +9,9 @@ nearest neighbor over an embedding column.
 - :func:`ann_bruteforce` — exact cosine top-k for a query set.
 - :func:`ann_lsh` — random-hyperplane LSH buckets; top-k within bucket
   (the scale path: candidate set per query is a bucket, not the corpus).
+- :func:`ann_ivf` — inverted-file index (IVF): deterministic seeded
+  centroids, every vector assigned to its nearest list, queries probe
+  the ``n_probe`` closest lists only (the other classic ANN scale path).
 
 Determinism: hyperplanes are derived from md5 (not RNG) so the DuckDB
 oracle reproduces them; distances are computed in float64 with a fixed
@@ -30,6 +33,8 @@ from pyspark.sql import functions as F
 from ._util import spread
 
 N_PLANES = 4  # 2^4 buckets: sized so sf0.01 buckets hold ~30 vecs (top-k stays filled)
+N_CENTROIDS = 8  # IVF lists: sf0.01 lists hold ~60 vecs (top-k stays filled)
+N_PROBE = 2
 
 
 def _norm(vec_col):
@@ -107,6 +112,117 @@ def ann_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
             (
                 _dot(F.col("q.embedding"), F.col("c.embedding"))
                 / (F.col("q.nrm") * F.col("c.nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Coarse quantizer: the ``n_centroids`` corpus vectors with the
+    smallest ``md5(vec_id)`` — a seeded pseudo-random sample standing in
+    for trained k-means centroids (same index structure, training-free,
+    reproducible in any engine). Returns (cid, cemb, cnrm)."""
+    return (
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            _norm(F.col("embedding")).alias("cnrm"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+    )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Inverted lists: (vec_id, cid) assigning every vector to its
+    highest-cosine centroid (ties → smallest cid).
+
+    Scale shape: the centroid table is tiny and **broadcast**, so
+    assignment is a map-side cross join + argmax — the corpus itself
+    never shuffles; the argmax window partitions on vec_id (unique key,
+    no skew)."""
+    cents = ivf_centroids(emb, n_centroids)
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (
+            _dot(F.col("embedding"), F.col("cemb"))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ann_ivf(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN: (query_id, rank, neighbor_id) — each query scores only
+    the vectors in its ``n_probe`` nearest inverted lists.
+
+    Scale shape: probes (|Q|·n_probe rows) and query vectors are
+    broadcast, so the corpus-side work is one equi-join on ``cid``
+    against the inverted lists — per-query cost O(n_probe · list size ·
+    d), and a list-partitioned layout at rest makes the candidate join
+    shuffle-free. Recall < 1 by design; probing every list
+    (n_probe = n_centroids) recovers exact brute force, which the unit
+    tests assert."""
+    cents = ivf_centroids(emb, n_centroids)
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = v.filter(F.col("vec_id") < n_queries)
+
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        (
+            _dot(F.col("embedding"), F.col("cemb"))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+
+    lists = ivf_assign(emb, n_centroids).join(v, "vec_id")
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qemb"),
+                    F.col("nrm").alias("qnrm"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("qemb"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
             ).alias("cos"),
         )
     )

@@ -41,6 +41,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_cosine_neardup": _on("embeddings", similarity.cosine_neardup, COSINE_THRESHOLD),
     "s_ann_bruteforce": _on("embeddings", similarity.ann_bruteforce, ANN_QUERIES, ANN_K),
     "s_ann_lsh": _on("embeddings", similarity.ann_lsh, ANN_QUERIES, ANN_K),
+    "s_ann_ivf": _on("embeddings", similarity.ann_ivf, ANN_QUERIES, ANN_K),
     # --- text analysis (documents) ---
     "t_lang_id": _on("documents", textstats.lang_id),
     "t_quality_score": _on("documents", textstats.quality_score),
@@ -283,6 +284,45 @@ scored AS (
          list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
   FROM nn q JOIN nn c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < {ANN_QUERIES}
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+    "s_ann_ivf": _EMB
+    + f""",
+cents AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {similarity.N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.e, c.ce) / (x.nrm * c.cnrm) DESC,
+                      c.cid ASC) AS rn
+    FROM n x CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.e, c.ce) / (q.nrm * c.cnrm) DESC,
+                      c.cid ASC) AS rn
+    FROM n q CROSS JOIN cents c WHERE q.vec_id < {ANN_QUERIES}
+  ) WHERE rn <= {similarity.N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS cos
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN n q ON q.vec_id = p.query_id
+  JOIN n x ON x.vec_id = a.vec_id
 )
 SELECT query_id, rank, neighbor_id FROM (
   SELECT query_id, neighbor_id,
