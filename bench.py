@@ -68,9 +68,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
-    # warm the JVM/codegen path once so per-query numbers aren't
-    # dominated by first-job startup
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # warm the JVM once so per-query numbers aren't dominated by
+    # first-job startup: exercise the shuffle-exchange, whole-stage
+    # codegen, noop-sink, and parquet-write paths the timed queries use
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    keys = warm.selectExpr("n_nationkey AS k")
+    _force(
+        warm.join(keys, warm.n_nationkey == keys.k).groupBy("n_regionkey").count()
+    )
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        warm.write.mode("overwrite").parquet(f"{warm_dir}/warm.parquet")
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     timings: dict[str, float] = {}
 

@@ -57,14 +57,18 @@ def _has_keyword(spark: SparkSession, sf_dir: str):
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # Distinct on (custkey int, name) — the url string is built *after*
+    # dedup so the shuffle carries a narrow int key, not a ~30-byte URL
+    # (url is bijective with custkey, so the distinct sets are identical).
     return (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .select(
-            F.concat(F.lit(URL_PREFIX), F.col("o_custkey").cast("string")).alias("src_url"),
-            F.col("p_name").alias("dst_keyword"),
-        )
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_name").alias("dst_keyword"))
         .distinct()
+        .select(
+            F.concat(F.lit(URL_PREFIX), F.col("custkey").cast("string")).alias("src_url"),
+            "dst_keyword",
+        )
     )
 
 
