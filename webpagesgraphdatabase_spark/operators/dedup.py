@@ -216,33 +216,44 @@ def neardup_jaccard(
     When ``candidates`` is None the LSH candidates are used (the scale
     path: verification cost is |candidates|, not |docs|²).
     """
-    # the shingle table feeds the minhash lineage AND both sides of the
-    # intersection join; recomputing it (cheap narrow ops + one distinct)
-    # benchmarks faster here than a persist barrier, which serializes the
-    # otherwise-overlapping stages — at cluster scale, checkpoint it to
-    # the warehouse instead when |docs| makes recompute dominant
+    # the shingle table feeds the minhash lineage AND the verify side;
+    # recomputing it (cheap narrow ops + one distinct) benchmarks faster
+    # here than a persist barrier, which serializes the otherwise-
+    # overlapping stages — at cluster scale, checkpoint it to the
+    # warehouse instead when |docs| makes recompute dominant
     sh = shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = (
         candidates
         if candidates is not None
         else lsh_candidates_from_shingles(sh)
     )
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # Verify via per-doc shingle *arrays*: one groupBy collects each
+    # document's (already-distinct) shingle set, the small candidate
+    # table is broadcast against it, and the intersection runs as
+    # ``array_intersect`` inside codegen. This replaces two wide
+    # shuffles of the exploded shingle table (join on doc_a, then on
+    # (doc_b, shingle)) with one aggregation + two broadcast-sized
+    # joins. AQE picks broadcast for the pair side at runtime; if the
+    # candidate set ever outgrows broadcast (mass boilerplate), it
+    # degrades to a shuffle join of |cand| rows — still never |docs|².
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shl"))
+    paired = (
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("shl").alias("sha"))
+        .join(F.broadcast(cand), "doc_a")
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("shl").alias("shb")),
+            "doc_b",
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        paired.select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            (F.size("sha") + F.size("shb")).alias("sum_sz"),
+        )
+        .withColumn("uni", F.col("sum_sz") - F.col("inter"))
         .filter(F.col("inter") * den >= F.col("uni") * num)
         .select("doc_a", "doc_b", "inter", "uni")
     )
