@@ -264,9 +264,11 @@ def simhash(docs: DataFrame) -> DataFrame:
     (doc_id, simhash): bit b is the sign of the token-count-weighted sum
     of ±1 votes, where token t votes by bit b of md5(t).
 
-    Plan shape: the (token → 64 sign bits) table is computed once over
-    the *distinct vocabulary* (tiny) and broadcast; the per-doc
-    aggregation is one groupBy over (doc × vocab-hit × 64) narrow rows.
+    Plan shape: a (token → array of 64 ±1 signs) map is computed once
+    over the *distinct vocabulary* and broadcast; the per-doc vote is a
+    single partial-aggregatable groupBy with 64 sum columns (the same
+    column-unpivot trick as the MinHash path), so no row explosion ever
+    crosses a shuffle — the exchange carries |docs| rows of 64 ints.
     No Python, no UDFs — everything stays in whole-stage codegen.
     """
     doc_tokens = (
@@ -277,34 +279,27 @@ def simhash(docs: DataFrame) -> DataFrame:
     vocab = doc_tokens.select("token").distinct()
     # bit b of the 64-bit prefix of md5(token), via hex-digit arithmetic
     # (no engine-specific hex→int conversion: portable to the oracle)
-    bits = vocab.select(
+    signs = vocab.select(
         "token",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        F.md5(F.col("token")).alias("h"),
-    ).select(
-        "token",
-        "b",
         F.expr(
-            "(shiftright(instr('0123456789abcdef',"
-            " substring(h, b div 4 + 1, 1)) - 1,"
-            " cast(b % 4 as int)) & 1) * 2 - 1"
-        ).alias("sign"),
+            "transform(sequence(0, 63), b ->"
+            " (shiftright(instr('0123456789abcdef',"
+            " substring(md5(token), b div 4 + 1, 1)) - 1,"
+            " cast(b % 4 as int)) & 1) * 2 - 1)"
+        ).alias("signs"),
     )
-    votes = (
-        doc_tokens.join(F.broadcast(bits), "token")
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.col("cnt") * F.col("sign")).alias("v"))
+    votes = doc_tokens.join(F.broadcast(signs), "token").groupBy("doc_id").agg(
+        *[
+            F.sum(F.element_at("signs", b + 1) * F.col("cnt")).alias(f"v{b}")
+            for b in range(64)
+        ]
     )
-    return (
-        votes.withColumn("bit", F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("b", "bit"))),
-                    lambda s: s["bit"],
-                ),
-                "",
-            ).alias("simhash")
-        )
+    return votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(64)
+            ]
+        ).alias("simhash"),
     )
