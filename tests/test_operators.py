@@ -150,6 +150,50 @@ def test_fingerprint_deterministic(docs):
     assert a == b and a[0] == a[3]
 
 
+def test_rolling_fp_window_count_and_reference_value(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: (r.rolling_fp, r.n_windows) for r in
+            textstats.rolling_fingerprint(docs).collect()}
+    assert rows[0] == rows[2]  # deterministic
+    assert rows[0][1] == 2  # 5 tokens -> 2 windows of 4
+    assert rows[1][1] == 1  # short doc -> single whole-text hash
+
+    # hand-computed Rabin-Karp for the first window (a b c d)
+    import hashlib
+
+    def th(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+
+    h1 = (th("a") * textstats.RK_B3 + th("b") * textstats.RK_B2
+          + th("c") * textstats.RK_B + th("d")) % textstats.RK_P
+    h2 = (th("b") * textstats.RK_B3 + th("c") * textstats.RK_B2
+          + th("d") * textstats.RK_B + th("e")) % textstats.RK_P
+    assert rows[0][0] == min(h1, h2)
+
+
+def test_rolling_fp_shifted_text_shares_window_hash(spark):
+    # the defining rolling property: a shared 4-token run hashes equally
+    # regardless of position
+    docs = spark.createDataFrame(
+        [(0, "p q r s"), (1, "zz p q r s")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.rolling_fp for r in
+            textstats.rolling_fingerprint(docs).collect()}
+    import hashlib
+
+    def th(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+
+    shared = (th("p") * textstats.RK_B3 + th("q") * textstats.RK_B2
+              + th("r") * textstats.RK_B + th("s")) % textstats.RK_P
+    assert rows[0] == shared
+    other = (th("zz") * textstats.RK_B3 + th("p") * textstats.RK_B2
+             + th("q") * textstats.RK_B + th("r")) % textstats.RK_P
+    assert rows[1] == min(shared, other)
+
+
 def test_byte_histogram_counts_total_bytes(spark):
     docs = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
     rows = multimodal.byte_histogram(docs).collect()
@@ -175,6 +219,27 @@ def test_decode_image_fake_deterministic(spark):
     r = multimodal.decode_image(docs, fake=True).first()
     assert 16 <= r.width < 80 and 16 <= r.height < 80 and 1 <= r.channels <= 4
     assert len(r.features) == 4
+
+
+def test_resize_stub_raises_without_codec(spark):
+    docs = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.resize_image(docs, fake=False).collect()
+
+
+def test_resize_fake_fits_box_preserving_aspect(spark):
+    docs = spark.createDataFrame([(0, "abc"), (1, "defg")], ["doc_id", "text"])
+    for r in multimodal.resize_image(docs, fake=True).collect():
+        assert max(r.new_width, r.new_height) <= multimodal.MAX_SIDE
+        assert r.new_width >= 1 and r.new_height >= 1
+        # longest side maps exactly to the box edge
+        assert max(r.new_width, r.new_height) == (
+            max(r.width, r.height) * multimodal.MAX_SIDE // max(r.width, r.height)
+        )
+        d = multimodal.decode_image(docs, fake=True).filter(
+            F.col("doc_id") == r.doc_id
+        ).first()
+        assert (r.width, r.height) == (d.width, d.height)
 
 
 @pytest.fixture(scope="module")

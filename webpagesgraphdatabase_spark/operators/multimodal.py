@@ -188,3 +188,62 @@ def decode_image(docs: DataFrame, fake: bool = False) -> DataFrame:
     return payloads(docs).select("doc_id", "payload").mapInPandas(
         decode, schema=_DECODE_SCHEMA
     )
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+    ]
+)
+
+MAX_SIDE = 32
+
+
+def resize_image(
+    docs: DataFrame, max_side: int = MAX_SIDE, fake: bool = False
+) -> DataFrame:
+    """Image resize stage: scale each (fake-)decoded image to fit in a
+    ``max_side`` box preserving aspect ratio (integer floor arithmetic,
+    min 1 px): (doc_id, width, height, new_width, new_height).
+
+    Real path needs a codec (→ ``NotImplementedError`` in this
+    container); ``fake=True`` derives the source dims from the payload
+    md5 exactly like :func:`decode_image`, so the resize arithmetic and
+    the ``mapInPandas`` plumbing are fully exercised and oracle-checked.
+    Scale notes: identical to decode — payload bytes never shuffle, the
+    output is a 5-int row per image."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires a codec; run with fake=True for "
+                    "the deterministic stand-in (same plumbing, no codec)"
+                )
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "new_width": [],
+                "new_height": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(payload).digest()
+                w, ht = 16 + h[0] % 64, 16 + h[1] % 64
+                longest = max(w, ht)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(ht)
+                rows["new_width"].append(max(1, w * max_side // longest))
+                rows["new_height"].append(max(1, ht * max_side // longest))
+            yield pd.DataFrame(rows)
+
+    return payloads(docs).select("doc_id", "payload").mapInPandas(
+        resize, schema=_RESIZE_SCHEMA
+    )

@@ -112,3 +112,75 @@ def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
         F.min(F.md5(F.col("shingle"))).alias("fp"),
         F.count("*").alias("n_shingles"),
     )
+
+
+# Rabin-Karp parameters. All arithmetic stays exact in int64:
+# token hashes are 28-bit (7 hex chars of md5), powers of B are reduced
+# mod P < 2^31, so every product is < 2^59 and every 4-term sum < 2^61.
+RK_P = 2_147_483_647  # 2^31 - 1 (Mersenne)
+RK_B = 1_000_003
+RK_B2 = RK_B * RK_B % RK_P
+RK_B3 = RK_B2 * RK_B % RK_P
+
+_TH = "cast(conv(substr(md5(token), 1, 7), 16, 10) as bigint)"
+
+
+def rolling_fingerprint(docs: DataFrame, window: int = 4) -> DataFrame:
+    """True rolling-hash fingerprint (Rabin-Karp): polynomial hash
+    ``Σ th_j · B^(w-1-j) mod P`` over every ``window`` consecutive
+    tokens, reported as the per-document minimum (winnowing-style
+    selection) plus the window count: (doc_id, rolling_fp, n_windows).
+
+    ``window`` is fixed at 4 (the polynomial is unrolled into codegen).
+    Documents shorter than the window hash their full token list with
+    correspondingly lower powers, so every doc has exactly
+    ``max(1, n_tokens - 3)`` windows.
+
+    Plan shape: posexplode to (doc_id, pos, th) narrow rows, the window
+    hash via three ``lead`` columns over (doc_id ORDER BY pos) — one
+    shuffle of int rows, partitioned by doc (no skew: partition size =
+    doc length) — then a partial-aggregatable min/count per doc.
+    """
+    if window != 4:
+        raise ValueError("rolling_fingerprint is unrolled for window=4")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col()).alias("pos", "token"),
+        F.size(tokens_col()).alias("n"),
+    ).select("doc_id", "pos", "n", F.expr(_TH).alias("th"))
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    th1, th2, th3 = (F.lead("th", i).over(w) for i in (1, 2, 3))
+    full = (
+        tok.withColumn(
+            "h",
+            (
+                F.col("th") * RK_B3
+                + th1 * RK_B2
+                + th2 * RK_B
+                + th3
+            )
+            % RK_P,
+        )
+        .filter(F.col("pos") <= F.col("n") - 4)
+        .select("doc_id", "h")
+    )
+    # short docs (n < window): one hash over all tokens, powers B^(n-1-pos)
+    short = (
+        tok.filter(F.col("n") < 4)
+        .withColumn(
+            "term",
+            F.col("th")
+            * F.when(F.col("n") - 1 - F.col("pos") == 0, F.lit(1))
+            .when(F.col("n") - 1 - F.col("pos") == 1, F.lit(RK_B))
+            .otherwise(F.lit(RK_B2)),
+        )
+        .groupBy("doc_id")
+        .agg((F.sum("term") % RK_P).alias("h"))
+        .select("doc_id", "h")
+    )
+    return (
+        full.unionByName(short)
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("rolling_fp"), F.count("*").alias("n_windows"))
+    )

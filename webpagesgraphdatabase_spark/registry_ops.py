@@ -47,10 +47,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_quality_score": _on("documents", textstats.quality_score),
     "t_token_counts": _on("documents", textstats.token_counts),
     "t_fingerprint": _on("documents", textstats.fingerprint),
+    "t_rolling_fp": _on("documents", textstats.rolling_fingerprint),
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
     "mm_frame_sample": _on("documents", multimodal.frame_sample),
     "mm_decode_fake": _on("documents", multimodal.decode_image, True),
+    "mm_resize": _on("documents", multimodal.resize_image, multimodal.MAX_SIDE, True),
     # --- event analytics (events) ---
     "e_user_rollup": _on("events", events.user_rollup),
     "e_top_events_per_user": _on("events", events.top_events_per_user),
@@ -397,6 +399,37 @@ shingles AS (
 SELECT doc_id, min(md5(shingle)) AS fp, count(*) AS n_shingles
 FROM shingles GROUP BY doc_id
 """,
+    "t_rolling_fp": _TOKS
+    + f""",
+tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token,
+         len(toks) AS n
+  FROM toks
+),
+th AS (
+  SELECT doc_id, pos, n, ('0x' || substr(md5(token), 1, 7))::BIGINT AS th
+  FROM tok
+),
+fullw AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, pos, n,
+           (th * {textstats.RK_B3} + lead(th, 1) OVER w * {textstats.RK_B2}
+            + lead(th, 2) OVER w * {textstats.RK_B} + lead(th, 3) OVER w)
+             % {textstats.RK_P} AS h
+    FROM th
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE pos <= n - 4
+),
+shortw AS (
+  SELECT doc_id,
+         sum(th * CASE n - 1 - pos WHEN 0 THEN 1 WHEN 1 THEN {textstats.RK_B}
+                  ELSE {textstats.RK_B2} END) % {textstats.RK_P} AS h
+  FROM th WHERE n < 4 GROUP BY doc_id
+)
+SELECT doc_id, min(h) AS rolling_fp, count(*) AS n_windows
+FROM (SELECT * FROM fullw UNION ALL SELECT * FROM shortw)
+GROUP BY doc_id
+""",
     # --- multimodal (payload bytes == text chars: corpus is pure ASCII) ---
     "mm_byte_histogram": r"""
 WITH pos AS (
@@ -432,6 +465,23 @@ b AS (
 SELECT doc_id, 16 + b0 % 64 AS width, 16 + b1 % 64 AS height,
        1 + b2 % 4 AS channels, [b0, b1, b2, b3] AS features
 FROM b
+""",
+    "mm_resize": f"""
+WITH h AS (SELECT doc_id, md5(text) AS x FROM documents),
+dims AS (
+  SELECT doc_id,
+         16 + ((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(x, 2, 1)) - 1) % 64 AS width,
+         16 + ((strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(x, 4, 1)) - 1) % 64 AS height
+  FROM h
+)
+SELECT doc_id, width, height,
+       greatest(1, width * {multimodal.MAX_SIDE} // greatest(width, height))
+         AS new_width,
+       greatest(1, height * {multimodal.MAX_SIDE} // greatest(width, height))
+         AS new_height
+FROM dims
 """,
     # --- event analytics ---
     "e_user_rollup": """
