@@ -13,6 +13,7 @@ from webpagesgraphdatabase_spark.operators import events as ev
 from webpagesgraphdatabase_spark.streaming import (
     read_event_stream,
     run_available_now,
+    streaming_dedup_events,
     streaming_sessionize,
     streaming_windowed_counts,
 )
@@ -78,6 +79,32 @@ def test_streaming_sessionize_matches_batch_closed_sessions(
         for r in closed.collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """The same drop delivered twice (at-least-once source) must come out
+    once: every event_id unique, full batch-distinct row set preserved."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "click", 1.0, "{}")
+        for i in range(5)
+    ]
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = tmp_path / "src"
+    df = spark.createDataFrame(rows, schema=ddl)
+    df.write.parquet(str(src / "a"))
+    df.write.parquet(str(src / "b"))  # redelivery of the same payload
+
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*"))
+    out = streaming_dedup_events(stream)
+    run_available_now(out, "deduped", str(tmp_path / "ckpt_dedup"))
+    got = spark.table("deduped").collect()
+    assert sorted(r.event_id for r in got) == [0, 1, 2, 3, 4]
+    want = {tuple(r) for r in df.collect()}
+    assert {tuple(r) for r in got} == want
 
 
 def test_streaming_sessionize_state_across_batches(spark, tmp_path):

@@ -24,6 +24,7 @@ from .jobs import (
     EVENT_DDL,
     read_event_stream,
     run_available_now,
+    streaming_dedup_events,
     streaming_sessionize,
     streaming_windowed_counts,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "EVENT_DDL",
     "read_event_stream",
     "run_available_now",
+    "streaming_dedup_events",
     "streaming_sessionize",
     "streaming_windowed_counts",
 ]

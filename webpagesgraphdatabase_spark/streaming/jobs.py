@@ -153,6 +153,26 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup_events(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once ingestion dedup: the streaming twin of exact dedup
+    (:func:`..operators.dedup.dedup_exact`'s keep-first semantics, keyed
+    on event_id) via ``dropDuplicatesWithinWatermark`` — re-delivered
+    events arriving within the watermark horizon are dropped, and the
+    dedup state itself is evicted once the watermark passes, so state
+    stays O(events per horizon), not O(stream history). This is the
+    standard at-least-once-source → effectively-exactly-once pattern
+    when the sink can't be made idempotent (the graph-ingest stream in
+    :mod:`.ingest` takes the other route: an idempotent upsert sink)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, checkpoint_dir: str
 ) -> None:
