@@ -104,6 +104,59 @@ QUERIES["a_lineitem_rollup"] = _q_lineitem_rollup
 QUERIES["a_events_cube"] = _q_events_cube
 
 
+def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (sort-based agg;
+    SURVEY §2.4 breadth). Spark's ``percentile`` == ANSI
+    ``percentile_cont``; rounded to 6 dp like the other float aggs."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+def _segment_parts(spark: SparkSession, sf_dir: str, segment: str) -> DataFrame:
+    """Distinct part keys ordered by customers of one market segment.
+    The filter pushes to the customer scan; the orders⋈lineitem join is
+    the co-keyed big join (bucketed at cluster scale)."""
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+
+
+def _q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY §2.6 'absent in reference', demonstrated):
+    parts ordered by BOTH BUILDING and MACHINERY customers."""
+    return _segment_parts(spark, sf_dir, "BUILDING").intersect(
+        _segment_parts(spark, sf_dir, "MACHINERY")
+    )
+
+
+def _q_segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics, ``subtract``): parts ordered by BUILDING
+    customers but never by MACHINERY ones."""
+    return _segment_parts(spark, sf_dir, "BUILDING").subtract(
+        _segment_parts(spark, sf_dir, "MACHINERY")
+    )
+
+
+QUERIES["a_events_quantiles"] = _q_events_quantiles
+QUERIES["u_segment_intersect"] = _q_segment_intersect
+QUERIES["u_segment_except"] = _q_segment_except
+
+
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB). Tokenization/shingling/minhash mirror
 # operators/dedup.py exactly — md5 over the same strings.
@@ -526,6 +579,30 @@ FROM events GROUP BY 1, 2
     "e_props_extract": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
+""",
+    "a_events_quantiles": """
+SELECT event_type, count(*) AS n_events,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
+FROM events GROUP BY event_type
+""",
+    "u_segment_intersect": """
+SELECT DISTINCT l_partkey AS partkey FROM customer
+JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT DISTINCT l_partkey FROM customer
+JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'MACHINERY'
+""",
+    "u_segment_except": """
+SELECT DISTINCT l_partkey AS partkey FROM customer
+JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT DISTINCT l_partkey FROM customer
+JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'MACHINERY'
 """,
     # --- grouping-sets aggregates ---
     "a_lineitem_rollup": """
