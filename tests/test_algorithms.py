@@ -1,0 +1,84 @@
+"""Iterative graph algorithms on hand-checkable graphs (these are the
+rows-only registry entries — unit tests carry the correctness burden)."""
+
+from __future__ import annotations
+
+import pytest
+
+from webpagesgraphdatabase_spark.graph.algorithms import (
+    connected_components,
+    pagerank,
+)
+from webpagesgraphdatabase_spark.graph.model import PropertyGraph
+
+
+def _graph(spark, hk_pairs):
+    """Minimal PropertyGraph with only has_keyword populated."""
+    hk = spark.createDataFrame(hk_pairs, ["src_url", "dst_keyword"])
+    empty = spark.createDataFrame([], "name string")
+    links = spark.createDataFrame([], "url string")
+    return PropertyGraph(
+        links=links,
+        categories=empty,
+        keywords=empty,
+        belongs_to=spark.createDataFrame([], "src_url string, dst_category string"),
+        has_keyword=hk,
+    )
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: one keyword shared by 3 links -> keyword gets the highest rank
+    g = _graph(spark, [("a", "K"), ("b", "K"), ("c", "K")])
+    ranks = {r.node_id: r.rank for r in pagerank(g, iterations=10).collect()}
+    assert ranks["Keyword:K"] > ranks["Link:a"]
+    assert ranks["Link:a"] == ranks["Link:b"] == ranks["Link:c"]
+    # ranks are a probability distribution
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    g = _graph(spark, [("a", "K1"), ("b", "K2")])
+    ranks = {r.node_id: r.rank for r in pagerank(g, iterations=5).collect()}
+    assert len(set(ranks.values())) == 1  # two disjoint symmetric pairs
+
+
+def test_connected_components_two_islands(spark):
+    g = _graph(spark, [("a", "K1"), ("b", "K1"), ("c", "K2")])
+    comp = {r.node_id: r.component for r in connected_components(g).collect()}
+    # island 1: a, b, K1 ; island 2: c, K2 — labels are min ids
+    assert comp["Link:a"] == comp["Link:b"] == comp["Keyword:K1"] == "Keyword:K1"
+    assert comp["Link:c"] == comp["Keyword:K2"] == "Keyword:K2"
+
+
+def test_connected_components_chain_converges(spark):
+    # path graph: a-K1-b-K2-c-K3-d (diameter 6) must collapse to one label
+    g = _graph(
+        spark,
+        [("a", "K1"), ("b", "K1"), ("b", "K2"), ("c", "K2"), ("c", "K3"), ("d", "K3")],
+    )
+    comp = {r.node_id: r.component for r in connected_components(g).collect()}
+    assert len(set(comp.values())) == 1
+    assert set(comp.values()) == {"Keyword:K1"}
+
+
+def test_edge_endpoints_share_component_on_testdata(spark):
+    from webpagesgraphdatabase_spark.graph.algorithms import bipartite_edges
+    from webpagesgraphdatabase_spark.graph.tpch_adapter import graph_from_tpch
+    from pyspark.sql import functions as F
+
+    g = graph_from_tpch(spark, "/root/testdata/sf0.001")
+    labels = connected_components(g)
+    e = bipartite_edges(g)
+    mismatched = (
+        e.join(labels.withColumnRenamed("node_id", "src"), "src")
+        .withColumnRenamed("component", "src_comp")
+        .join(
+            labels.select(
+                F.col("node_id").alias("dst"), F.col("component").alias("dst_comp")
+            ),
+            "dst",
+        )
+        .filter(F.col("src_comp") != F.col("dst_comp"))
+        .count()
+    )
+    assert mismatched == 0

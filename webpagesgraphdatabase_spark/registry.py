@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import registry_fn, registry_ops
 from .graph import queries as Q
+from .graph.algorithms import connected_components, pagerank
 from .graph.motif import match as motif_match
 from .graph.tpch_adapter import GRAPH_ORACLE_CTE, graph_from_tpch
 
@@ -63,6 +64,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             g, "(c:Category)<-[:BELONGS_TO]-(l:Link)-[:HAS_KEYWORD]->(k)"
         )
     ),
+    # iterative algorithms — genuinely non-SQL-expressible, so no oracle
+    # entry (driver records the rows-only check); correctness is pinned
+    # by tests/test_algorithms.py on hand-checkable graphs
+    "g_pagerank": _g(pagerank),
+    "g_components": _g(connected_components),
 }
 
 ORACLES: dict[str, str] = {

@@ -152,7 +152,66 @@ def _q_segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 32
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type —
+    a deterministic, *mergeable* cardinality sketch (the md5 analog of
+    HyperLogLog): estimate = (k-1) / h_k where h_k is the k-th smallest
+    md5(user_id) mapped to (0,1). Deterministic by construction, so
+    unlike HLL it is exactly oracle-checkable; alongside the exact
+    count, the sketch's error is visible in the result itself.
+
+    Scale shape: the (type, user) distinct is partial-aggregatable;
+    the per-type k-smallest is a TakeOrdered-style window over distinct
+    hashes, never the raw events; sketches merge across partitions by
+    keeping the union's k smallest (associative), which is why KMV
+    works as a distributed accumulator.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    hashes = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count("*").alias("k_used"))
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    # h/16^13 from the first 13 hex chars: uniform (0,1) in exact int64
+    frac = F.expr("cast(conv(substr(h_k, 1, 13), 16, 10) as bigint)") / F.lit(
+        float(16**13)
+    )
+    return (
+        kth.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "k_used",
+            F.when(
+                F.col("k_used") < KMV_K, F.col("n_exact").cast("double")
+            )
+            .otherwise(F.round((KMV_K - 1) / frac, 6))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
 QUERIES["a_events_quantiles"] = _q_events_quantiles
+QUERIES["a_kmv_distinct"] = _q_kmv_distinct
 QUERIES["u_segment_intersect"] = _q_segment_intersect
 QUERIES["u_segment_except"] = _q_segment_except
 
@@ -579,6 +638,26 @@ FROM events GROUP BY 1, 2
     "e_props_extract": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
+""",
+    "a_kmv_distinct": f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM d),
+kth AS (
+  SELECT event_type, max(h) AS h_k, count(*) AS k_used FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT k.event_type, e.n_exact, k.k_used,
+       CASE WHEN k.k_used < {KMV_K} THEN CAST(e.n_exact AS DOUBLE)
+            ELSE round({KMV_K - 1} / (('0x' || substr(k.h_k, 1, 13))::BIGINT
+                                      / {float(16**13)}), 6) END AS kmv_estimate
+FROM kth k JOIN exact e ON k.event_type = e.event_type
 """,
     "a_events_quantiles": """
 SELECT event_type, count(*) AS n_events,
