@@ -210,6 +210,42 @@ def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join over all dimension layers: discounted
+    revenue of local supply chains (customer and supplier in the same
+    nation) rolled up by region. Demonstrates the multi-join star plan:
+    both fact tables join co-keyed, every dimension broadcasts, revenue
+    sums in decimal for order-independent exactness."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # operands cast to decimal(18,2); the product keeps natural scale 4
+    # with no rounding anywhere, so the sum is bit-identical (and
+    # string-identical, which the value hash needs) in any engine
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).alias("revenue"),
+        )
+    )
+
+
+QUERIES["a_region_revenue"] = _q_region_revenue
 QUERIES["a_events_quantiles"] = _q_events_quantiles
 QUERIES["a_kmv_distinct"] = _q_kmv_distinct
 QUERIES["u_segment_intersect"] = _q_segment_intersect
@@ -638,6 +674,20 @@ FROM events GROUP BY 1, 2
     "e_props_extract": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
+""",
+    "a_region_revenue": """
+SELECT r_name AS region, count(*) AS n_items,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name
 """,
     "a_kmv_distinct": f"""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
