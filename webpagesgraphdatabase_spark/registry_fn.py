@@ -103,6 +103,11 @@ def _allowlist_case() -> str:
     return "CASE " + " ".join(branches) + " ELSE 'Uncategorized' END"
 
 
+# suggested falls back to 'Uncategorized' exactly like the Python UDF
+# (parse_category_and_keywords_py keeps its initial sentinel when the
+# Category regex misses or the whole response is NULL — e.g. a document
+# with <2 tokens makes the synthetic response NULL); same for the
+# keywords sentinel 'none'.
 _PARSE_ORACLE = f"""
 WITH resp AS ({_RESPONSE_SQL}),
 extracted AS (
@@ -114,10 +119,10 @@ extracted AS (
 )
 SELECT doc_id,
        {_allowlist_case()} AS category,
-       suggested AS suggested_category,
-       array_to_string(
+       coalesce(nullif(suggested, ''), 'Uncategorized') AS suggested_category,
+       coalesce(nullif(array_to_string(
          list_filter(list_transform(string_split(kw_raw, ','), k -> trim(k)),
-                     k -> k <> '')[1:3], ', ') AS keywords
+                     k -> k <> '')[1:3], ', '), ''), 'none') AS keywords
 FROM extracted
 """
 

@@ -1,0 +1,151 @@
+"""Driver-visible correctness gate for the graph WRITE path (M1-M6).
+
+The reference's most-used surface is the mutation API (MERGE nodes/
+relationships, DETACH DELETE, orphan cleanup — ``main.py:312-339,490``,
+``c10:61-91``, ``c12:31-32``); in round 1 it was pinned by pytest only.
+This registry entry runs a deterministic mutation scenario end-to-end in
+a throwaway warehouse and returns the final table counts, which a plain
+SQL oracle recomputes from the same source tables:
+
+1. M6/S12  re-init schema (fresh temp warehouse).
+2. M1      MERGE insert-if-absent: links for customers with
+           ``c_custkey % 3 == 0``; all categories (nations) and
+           keywords (parts).
+3. M2      MERGE+SET upsert: links for even custkeys with a rewritten
+           ``'UPD:'``-prefixed title (evens already present from step 2
+           are replaced; new evens inserted).
+4. M3      MERGE relationships with endpoint MATCH semantics: BELONGS_TO
+           offered for *all* customers (only stored links survive the
+           endpoint check), HAS_KEYWORD for ``custkey % 5 == 0`` via the
+           orders⋈lineitem⋈part join.
+5. M4      DETACH DELETE of the link for custkey 6 (node + both edge
+           types).
+6. M5      orphan cleanup: categories/keywords with no remaining edge.
+
+Every step is a set-based anti-join/union job (no driver row loops); the
+six final counts are collected (bounded: 6 scalars) and returned as a
+1-row DataFrame so the temp warehouse can be deleted before returning.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph.mutations import GraphStore
+from .graph.tpch_adapter import URL_PREFIX
+from .io_tpch import load_table
+
+_RESULT_SCHEMA = (
+    "n_links bigint, n_upd_titles bigint, n_categories bigint, "
+    "n_keywords bigint, n_belongs_to bigint, n_has_keyword bigint"
+)
+
+
+def _q_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    url = F.concat(F.lit(URL_PREFIX), F.col("c_custkey").cast("string"))
+    base = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        url.alias("url"),
+        F.col("c_name").alias("title"),
+        F.col("n_name").alias("cat"),
+        "c_custkey",
+    )
+
+    root = tempfile.mkdtemp(prefix="mutation_gate_")
+    try:
+        store = GraphStore(spark, root)
+        store.init_schema()
+        # M1: insert-if-absent (multiples of 3) + all category/keyword nodes
+        store.merge_links(
+            base.filter(F.col("c_custkey") % 3 == 0).select("url", "title"),
+            update=False,
+        )
+        store.merge_names("categories", nation.select("n_name"))
+        store.merge_names("keywords", part.select("p_name"))
+        # M2: upsert evens with a rewritten title (SET semantics: the
+        # incoming row replaces the stored one for even multiples of 3)
+        store.merge_links(
+            base.filter(F.col("c_custkey") % 2 == 0).select(
+                "url", F.concat(F.lit("UPD:"), F.col("title")).alias("title")
+            ),
+            update=True,
+        )
+        # M3: edges — endpoint MATCH drops rows whose src link is absent
+        store.merge_edges("belongs_to", base.select("url", "cat"))
+        hk = (
+            orders.filter(F.col("o_custkey") % 5 == 0)
+            .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+            .select(
+                F.concat(
+                    F.lit(URL_PREFIX), F.col("o_custkey").cast("string")
+                ).alias("src_url"),
+                F.col("p_name").alias("dst_keyword"),
+            )
+        )
+        store.merge_edges("has_keyword", hk)
+        # M4 + M5
+        store.detach_delete_link(URL_PREFIX + "6")
+        store.cleanup_orphans()
+
+        g = store.graph()
+        row = (
+            g.links.count(),
+            g.links.filter(F.col("title").startswith("UPD:")).count(),
+            g.categories.count(),
+            g.keywords.count(),
+            g.belongs_to.count(),
+            g.has_keyword.count(),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame([row], _RESULT_SCHEMA)
+
+
+# The oracle replays the scenario algebraically: the surviving link set
+# is {k : k%3=0 or k%2=0} \ {6}; updated titles are the surviving evens;
+# belongs_to has one edge per surviving link; has_keyword is the
+# distinct (custkey, part-name) set for custkey%5=0 restricted to
+# surviving links; the orphan cleanup keeps exactly the referenced
+# category/keyword names.
+_MUTATION_ORACLE = """
+WITH s AS (
+  SELECT c_custkey AS k, c_nationkey FROM customer
+  WHERE (c_custkey % 3 = 0 OR c_custkey % 2 = 0) AND c_custkey <> 6
+),
+hk AS (
+  SELECT DISTINCT o_custkey AS k, p_name
+  FROM orders
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE o_custkey % 5 = 0
+    AND (o_custkey % 3 = 0 OR o_custkey % 2 = 0) AND o_custkey <> 6
+)
+SELECT
+  (SELECT count(*) FROM s) AS n_links,
+  (SELECT count(*) FROM s WHERE k % 2 = 0) AS n_upd_titles,
+  (SELECT count(DISTINCT c_nationkey) FROM s) AS n_categories,
+  (SELECT count(DISTINCT p_name) FROM hk) AS n_keywords,
+  (SELECT count(*) FROM s) AS n_belongs_to,
+  (SELECT count(*) FROM hk) AS n_has_keyword
+"""
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "m_mutation_counts": _q_mutation_counts,
+}
+
+ORACLES: dict[str, str] = {
+    "m_mutation_counts": _MUTATION_ORACLE,
+}
