@@ -93,6 +93,27 @@ def test_cosine_neardup_geometry(vecs):
     assert all(2 not in p for p in pairs)
 
 
+def test_cosine_neardup_guard_routes_to_bucketed(vecs):
+    # A corpus above the broadcast budget must take the LSH-bucketed
+    # path (no driver collect). Identical vectors share every bucket,
+    # so the exact-dup pair survives the approximate route.
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_neardup(vecs, 0.95, max_broadcast_rows=2).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_neardup_lsh_bucketed_subset_of_exact(vecs):
+    exact = {(r.vec_a, r.vec_b) for r in similarity.cosine_neardup(vecs, 0.95).collect()}
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.neardup_lsh_bucketed(vecs, 0.95).collect()
+    }
+    assert approx <= exact  # bucketing only ever drops pairs
+
+
 def test_ann_bruteforce_nearest_first(vecs):
     rows = similarity.ann_bruteforce(vecs, n_queries=1, k=3).collect()
     ranked = [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)]

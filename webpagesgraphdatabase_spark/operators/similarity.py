@@ -53,28 +53,55 @@ def _dot(a, b):
     )
 
 
-def cosine_neardup(emb: DataFrame, threshold: float = 0.42) -> DataFrame:
+# Broadcast budget for the exact block-matmul path: above this row
+# count the corpus matrix no longer belongs on the driver, and the
+# bucketed path takes over. The previous broadcast is destroyed when a
+# new one is built, so repeated runs (bench loops) don't leak blocks.
+NEARDUP_BROADCAST_MAX_ROWS = 200_000
+_live_broadcast = None
+
+
+def cosine_neardup(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    max_broadcast_rows: int = NEARDUP_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b) with
     cosine ≥ threshold (default sized to this corpus: max pair cosine
     ~0.51), vec_a < vec_b.
 
-    Brute-force all-pairs, executed as a **broadcast block-matmul**: the
-    corpus matrix (normalized float64) is broadcast once, and each
-    Arrow batch of rows computes ``batch @ corpus.T`` in BLAS — this is
-    ~100× faster than expanding pairs through a join and folding the
-    dot product element-by-element in Catalyst expressions (28 s → <2 s
-    for 2k×2k×64 at sf0.1). Valid whenever one side fits in executor
-    memory (it's the similarity analog of a broadcast join); when the
-    corpus doesn't fit, :func:`ann_lsh` buckets first and this same
-    verify runs per bucket."""
+    Two physical strategies behind one API (the similarity analog of
+    Spark's broadcast-vs-shuffle join choice, decided by a size guard):
+
+    - **corpus ≤ max_broadcast_rows** — exact brute force as a
+      broadcast block-matmul: the corpus matrix (normalized float64) is
+      broadcast once, and each Arrow batch computes ``batch @ corpus.T``
+      in BLAS — ~100× faster than expanding pairs through a join and
+      folding the dot product element-by-element in Catalyst
+      expressions (28 s → <2 s for 2k×2k×64 at sf0.1).
+    - **corpus > max_broadcast_rows** — the corpus would OOM the
+      driver, so the pairs come from :func:`neardup_lsh_bucketed`:
+      hyperplane-LSH buckets, exact cosine verify within each bucket —
+      one shuffle on the bucket key, no driver materialization
+      (approximate: cross-bucket pairs are missed by design).
+
+    The size probe is ``limit(max+1).count()`` so it never scans more
+    than the guard itself allows."""
     import numpy as np
+
+    global _live_broadcast
+    if emb.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+        return neardup_lsh_bucketed(emb, threshold)
 
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
     mat /= np.where(nrm == 0, 1.0, nrm)
+    if _live_broadcast is not None:
+        _live_broadcast.destroy()
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+    _live_broadcast = bc
 
     def block(batches):
         import pandas as pd
@@ -94,6 +121,39 @@ def cosine_neardup(emb: DataFrame, threshold: float = 0.42) -> DataFrame:
 
     return spread(emb.select("vec_id", "embedding")).mapInPandas(
         block, schema="vec_a long, vec_b long"
+    )
+
+
+def neardup_lsh_bucketed(
+    emb: DataFrame, threshold: float = 0.42, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Near-duplicate pairs at corpus scale: LSH-bucket the vectors,
+    then exact-cosine verify *within* each bucket — (vec_a, vec_b),
+    vec_a < vec_b. Candidate generation is an equi-join on the bucket
+    signature (one shuffle, per-bucket local work); nothing is
+    collected to the driver. Approximate by construction: a pair whose
+    vectors land in different buckets is never tested (higher
+    ``n_planes`` → smaller buckets, lower recall — the standard LSH
+    trade)."""
+    buckets = lsh_buckets(emb, n_planes)
+    v = emb.join(buckets, "vec_id").select(
+        "vec_id", "bucket", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            >= threshold
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
     )
 
 
