@@ -121,6 +121,27 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+
+    # round-over-round visibility: attach per-query deltas vs the most
+    # recent recorded BENCH_r*.json (negative = faster this round)
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    if prior:
+        try:
+            with open(os.path.join(here, prior[-1])) as fh:
+                prev = json.load(fh)
+            prev = prev.get("parsed", prev)  # driver wraps the JSON line
+            prev_q = prev.get("queries", {})
+            out["prev_round"] = prior[-1]
+            out["prev_total"] = prev.get("value")
+            out["deltas"] = {
+                k: round(v - prev_q[k], 3) for k, v in timings.items() if k in prev_q
+            }
+        except (OSError, ValueError):
+            pass
+
     print(json.dumps(out))
 
 

@@ -42,6 +42,32 @@ def tiny_graph(spark):
     )
 
 
+@pytest.fixture()
+def multi_category_graph(spark, tiny_graph):
+    """tiny_graph plus a second category membership for u1 — violates
+    the one-category-per-link precondition of the algebraic flagship
+    plan, which must then fall back to the naive spec plan."""
+    extra = spark.createDataFrame([("u1", "CatB")], BELONGS_TO_SCHEMA)
+    return PropertyGraph(
+        links=tiny_graph.links,
+        categories=tiny_graph.categories,
+        keywords=tiny_graph.keywords,
+        belongs_to=tiny_graph.belongs_to.unionByName(extra),
+        has_keyword=tiny_graph.has_keyword,
+    )
+
+
+def test_interconnect_multi_category_falls_back_to_naive(multi_category_graph):
+    got = [tuple(r) for r in Q.interconnections_canonical(multi_category_graph).collect()]
+    want = [
+        tuple(r)
+        for r in Q.interconnections_canonical_naive(multi_category_graph).collect()
+    ]
+    assert got == want
+    # u1 now matches u2's CatB membership across categories via k1
+    assert any(r[3] == "u1" and r[4] == "u2" for r in got)
+
+
 def test_links_with_categories_null_coalesce(tiny_graph):
     rows = {r.url: r for r in Q.links_with_categories(tiny_graph).collect()}
     assert rows["u1"].category == "CatA"

@@ -120,6 +120,34 @@ def test_split_join_keywords_roundtrip(spark):
     assert out[1].j == "none"
 
 
+# --- S7 fetch retry fidelity (reference c4:9-27) -------------------------
+
+
+def test_fetch_stage_retries_transient_and_degrades_permanent(spark):
+    attempts: dict[str, int] = {}
+
+    def flaky(url: str) -> tuple[str, str]:
+        n = attempts.get(url, 0)
+        attempts[url] = n + 1
+        if url.endswith("/transient") and n == 0:
+            raise RuntimeError("flaky once")  # succeeds on attempt 2
+        if url.endswith("/permanent"):
+            raise RuntimeError("always down")
+        return "Title", "c" * 200
+
+    urls = spark.createDataFrame(
+        [("http://x/transient",), ("http://x/permanent",), ("http://x/ok",)],
+        ["url"],
+    ).coalesce(1)
+    out = {r.url: (r.title, r.content) for r in pl.fetch_stage(urls, flaky).collect()}
+    # transient failure retried within the task (c4:10 retries=2)
+    assert out["http://x/transient"] == ("Title", "c" * 200)
+    # exhausted retries degrade to (title=url, content='') (c4:24-26),
+    # never a task failure
+    assert out["http://x/permanent"] == ("http://x/permanent", "")
+    assert out["http://x/ok"] == ("Title", "c" * 200)
+
+
 # --- pipeline end-to-end -------------------------------------------------
 
 

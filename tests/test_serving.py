@@ -75,6 +75,22 @@ def test_export_graph_json_shape(store, metadata_df):
     # every edge endpoint resolves to an exported node
     for e in out["edges"]:
         assert e["from"] in ids and e["to"] in ids
+    assert out["truncated"] is False
+    assert out["node_count"] == len(out["nodes"])
+    assert out["edge_count"] == len(out["edges"])
+
+
+def test_export_graph_json_enforced_cap(store, metadata_df):
+    serving.preload_csv(store, metadata_df)
+    out = serving.export_graph_json(store, max_nodes=2, max_edges=3)
+    assert len(out["nodes"]) == 2 and len(out["edges"]) == 3
+    assert out["truncated"] is True
+    # counts still reflect the full stored graph, not the capped slice
+    assert out["node_count"] > 2 and out["edge_count"] > 3
+    # deterministic slice: the 2 alphabetically-first node ids
+    full = serving.export_graph_json(store)
+    want = sorted(n["id"] for n in full["nodes"])[:2]
+    assert [n["id"] for n in out["nodes"]] == want
 
 
 def test_save_snapshot_csv_roundtrip(store, metadata_df, spark, tmp_path):

@@ -113,6 +113,23 @@ def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
     """
     edges = _annotated_edges(g)
 
+    # Precondition of the algebraic phases: one category per link, so
+    # each (url, keyword) edge row is unique. merge_edges permits
+    # multi-category links, under which the pair algebra counts
+    # same-url cross-category row pairs and phase 2's url ordering has
+    # ties — so probe (one narrow aggregate over belongs_to, per-link
+    # sized ≪ |E|) and fall back to the naive spec plan if violated.
+    multi_category = (
+        g.belongs_to.groupBy("src_url")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+        > 0
+    )
+    if multi_category:
+        return interconnections_canonical_naive(g, limit)
+
     # -- phase 1: keyword prefix (algebraic pair counts) ------------------
     per_kc = edges.groupBy("keyword", "category").agg(F.count("*").alias("n"))
     per_k = per_kc.groupBy("keyword").agg(

@@ -126,9 +126,13 @@ def materialize_graph(spark: SparkSession, sf_dir: str, store) -> None:
 
     link_base = _link_base(spark, sf_dir)
     store.wh.overwrite("links", _links(link_base, hk))
+    # belongs_to is a 2-column projection of link_base, and link_base is
+    # itself a projection of the links table just written — derive it
+    # from the *stored* parquet (a 2-column scan) instead of re-running
+    # the customer⋈nation lineage a second time.
     store.wh.overwrite(
         "belongs_to",
-        link_base.select(
+        store.wh.read("links").select(
             F.col("url").alias("src_url"),
             F.col("suggested_category").alias("dst_category"),
         ),

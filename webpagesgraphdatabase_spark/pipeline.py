@@ -105,9 +105,31 @@ def failing_categorizer(content: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def fetch_stage(urls: DataFrame, fetcher: Callable[[str], tuple[str, str]]) -> DataFrame:
+FETCH_RETRIES = 2  # c4:9 — fetch_webpage_content(url, retries=2)
+
+
+def fetch_stage(
+    urls: DataFrame,
+    fetcher: Callable[[str], tuple[str, str]],
+    retries: int = FETCH_RETRIES,
+) -> DataFrame:
     """c4: url → (url, title, content); executor-side I/O via
-    mapInPandas, reference truncations applied."""
+    mapInPandas, reference truncations applied.
+
+    Retry fidelity (c4:9-27): each url gets ``retries`` attempts; an
+    exception on the last attempt degrades to ``(title=url,
+    content='')`` — the reference's ``return "", url`` — so one bad url
+    never fails the stage/task (which would re-fetch the whole
+    partition on task retry)."""
+
+    def call(url: str) -> tuple[str, str]:
+        for attempt in range(retries):
+            try:
+                return fetcher(url)
+            except Exception:
+                if attempt == retries - 1:
+                    return url, ""  # c4:24-26: (content="", title=url)
+        return url, ""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -115,7 +137,7 @@ def fetch_stage(urls: DataFrame, fetcher: Callable[[str], tuple[str, str]]) -> D
         for pdf in batches:
             titles, contents = [], []
             for url in pdf["url"]:
-                title, content = fetcher(url)
+                title, content = call(url)
                 titles.append((title or url)[:TITLE_TRUNC])
                 contents.append((content or "")[:FETCH_TRUNC])
             yield pd.DataFrame(

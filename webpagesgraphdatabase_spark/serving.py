@@ -29,10 +29,27 @@ from .graph.mutations import GraphStore
 from .graph.queries import export_edges, export_nodes
 
 
-def export_graph_json(store: GraphStore) -> dict:
-    """S9: collect the (bounded; viz-capped upstream if needed) graph as
-    vis-network dicts. Duplicate-id check A4 (``main.py:475-478``) runs
-    as an aggregate, not a Python scan."""
+#: Driver-side collect budget for the viz export. The reference ships
+#: its whole (63-link) graph to the browser; at warehouse scale an
+#: uncapped collect is a driver OOM, so the cap is enforced here — not
+#: "upstream if needed".
+EXPORT_MAX_NODES = 10_000
+EXPORT_MAX_EDGES = 50_000
+
+
+def export_graph_json(
+    store: GraphStore,
+    max_nodes: int = EXPORT_MAX_NODES,
+    max_edges: int = EXPORT_MAX_EDGES,
+) -> dict:
+    """S9: collect the graph as vis-network dicts, bounded by an
+    enforced cap. Nodes/edges beyond the cap are dropped along a
+    *deterministic* total order (sort by id / (src, dst)), and the
+    result says so via ``truncated`` + full ``node_count``/``edge_count``
+    aggregates — the viz stays a bounded driver artifact no matter how
+    big the stored graph is. Duplicate-id check A4 (``main.py:475-478``)
+    runs as an aggregate over the *full* node set, not the capped slice.
+    """
     g = store.graph()
     nodes_df = export_nodes(g)
     edges_df = export_edges(g)
@@ -40,14 +57,24 @@ def export_graph_json(store: GraphStore) -> dict:
         nodes_df.groupBy("id").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
     )
     dup_ids = [r["id"] for r in dup.collect()]
+    node_count = nodes_df.count()
+    edge_count = edges_df.count()
     nodes = [
         {"id": r["id"], "label": r["label"], "group": r["group"]}
-        for r in nodes_df.collect()
+        for r in nodes_df.orderBy("id").limit(max_nodes).collect()
     ]
     edges = [
-        {"from": r["src"], "to": r["dst"]} for r in edges_df.collect()
+        {"from": r["src"], "to": r["dst"]}
+        for r in edges_df.orderBy("src", "dst").limit(max_edges).collect()
     ]
-    return {"nodes": nodes, "edges": edges, "duplicate_ids": dup_ids}
+    return {
+        "nodes": nodes,
+        "edges": edges,
+        "duplicate_ids": dup_ids,
+        "node_count": node_count,
+        "edge_count": edge_count,
+        "truncated": node_count > max_nodes or edge_count > max_edges,
+    }
 
 
 SNAPSHOT_COLUMNS = (
