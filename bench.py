@@ -49,13 +49,26 @@ GRAPH_HEADLINE = {
 TABLE_HEADLINE = (
     "d_neardup_jaccard",  # shingle -> minhash -> LSH bands -> verified pairs
     "d_simhash",
+    "d_dedup_clusters",  # verified pairs -> connected components -> keepers
     "s_cosine_neardup",  # broadcast block-matmul all-pairs cosine
-    "s_ann_lsh",
-    "s_ann_ivf",
     "t_quality_score",
+    "t_stratified_sample",
     "mm_byte_histogram",  # the Arrow/pandas-UDF path
     "e_sessionize",
 )
+
+# ANN variants share one registry row (s_ann_methods) but stay
+# individually timed here so per-query deltas track each strategy
+ANN_HEADLINE = {
+    "s_ann_lsh": lambda emb: _similarity().ann_lsh(emb, 10, 5),
+    "s_ann_ivf": lambda emb: _similarity().ann_ivf(emb, 10, 5),
+}
+
+
+def _similarity():
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    return similarity
 
 
 def _force(df) -> None:
@@ -111,6 +124,10 @@ def main() -> None:
 
         for name in TABLE_HEADLINE:
             timed(name, lambda name=name: _force(registry.QUERIES[name](spark, sf_dir)))
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        for name, fn in ANN_HEADLINE.items():
+            timed(name, lambda fn=fn: _force(fn(emb)))
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 

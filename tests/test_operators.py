@@ -297,3 +297,87 @@ def test_top_events_per_user(tiny_events):
 def test_props_extract(tiny_events):
     out = {r.event_id: r.k for r in ev.props_extract(tiny_events).collect()}
     assert out == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    # A~B and B~C verify, but A-C is never a candidate pair: the
+    # cluster must still merge to {A,B,C} with canon=min id.
+    # Explicit candidates make the test deterministic (LSH band recall
+    # at moderate Jaccard is probabilistic by design; recall is pinned
+    # separately in test_lsh_finds_exact_dup_pair).
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),   # ~0
+        (2, "alpha beta gamma delta epsilon zeta mu iota"),    # ~1
+        (3, "totally unrelated words that share nothing at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = spark.createDataFrame([(0, 1), (1, 2)], ["doc_a", "doc_b"])
+    out = {r.doc_id: (r.canon_id, r.cluster_size)
+           for r in dedup.dedup_clusters(docs, candidates=cand).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
+    assert 3 not in out  # singleton: no verified pair, not listed
+
+
+def test_dedup_clusters_candidate_below_threshold_dropped(spark):
+    # a candidate pair that fails Jaccard verify must not edge-connect
+    rows = [
+        (10, "one two three four five six seven eight"),
+        (11, "one two three four five six seven nine"),
+        (20, "red orange yellow green blue indigo violet pink"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = spark.createDataFrame([(10, 11), (11, 20)], ["doc_a", "doc_b"])
+    out = {r.doc_id: (r.canon_id, r.cluster_size)
+           for r in dedup.dedup_clusters(docs, candidates=cand).collect()}
+    assert out == {10: (10, 2), 11: (10, 2)}
+
+
+def test_dedup_clusters_exact_dups_via_lsh(docs):
+    # exact duplicates share every band, so the default LSH path is
+    # deterministic for them end-to-end
+    out = {r.doc_id: (r.canon_id, r.cluster_size)
+           for r in dedup.dedup_clusters(docs, 1, 1).collect()}
+    assert out[0] == (0, 2) and out[3] == (0, 2)
+
+
+def test_stratified_sample_small_strata_return_all(spark):
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.stratified_sample(docs, "lang", k=50).collect()
+    assert len(out) == 30  # k > stratum sizes: everything sampled
+    assert {r.doc_id for r in out} == set(range(30))
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = sorted(map(tuple, sampling.stratified_sample(docs, "lang", k=5).collect()))
+    b = sorted(map(tuple, sampling.stratified_sample(
+        docs.repartition(7), "lang", k=5).collect()))
+    assert a == b  # layout-independent draw
+    per_lang = {}
+    for doc_id, lang, rank in a:
+        per_lang.setdefault(lang, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_lang.values())
+
+
+def test_stratified_sample_prefilter_matches_full_window(spark):
+    from pyspark.sql import Window
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    rows = [(i, "x") for i in range(500)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = sorted(map(tuple, sampling.stratified_sample(docs, "lang", k=10).collect()))
+    h = sampling._hash_hex("doc_id")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    want = sorted(map(tuple, (
+        docs.withColumn("stratum_rank", F.row_number().over(w))
+        .filter(F.col("stratum_rank") <= 10)
+        .select("doc_id", "lang", "stratum_rank").collect()
+    )))
+    assert got == want

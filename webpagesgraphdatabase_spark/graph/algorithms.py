@@ -79,16 +79,32 @@ def pagerank(
 
 
 def connected_components(g: PropertyGraph, max_iterations: int = 20) -> DataFrame:
-    """Connected components by min-label propagation: (node_id,
+    """Connected components of the Link↔Keyword graph: (node_id,
     component) where ``component`` is the smallest node id in the
-    component — exact and deterministic at any scale.
+    component. Thin wrapper over :func:`components_from_edges` with the
+    type-prefixed bipartite edge list."""
+    fwd = g.has_keyword.select(
+        F.concat(F.lit("Link:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit("Keyword:"), F.col("dst_keyword")).alias("dst"),
+    )
+    return components_from_edges(fwd, max_iterations)
+
+
+def components_from_edges(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components by min-label propagation over any (src, dst)
+    edge DataFrame (ids of any orderable type; pass each undirected edge
+    once — it is mirrored here): (node_id, component) where
+    ``component`` is the smallest node id in the component — exact and
+    deterministic at any scale.
 
     Each superstep every node adopts min(own label, neighbors' labels);
     stops at the fixpoint (checked with one count per superstep, the
     iterative-algorithm analog of AQE's runtime adaptivity). Superstep
-    count is bounded by graph diameter, tiny for this near-bipartite-
-    clique topology."""
-    edges = bipartite_edges(g).persist()
+    count is bounded by graph diameter."""
+    fwd = edges.select("src", "dst")
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     labels = (
         edges.select(F.col("src").alias("node_id"))
         .distinct()

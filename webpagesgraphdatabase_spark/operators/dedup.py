@@ -10,6 +10,8 @@ training-data pipeline runs at 100 TB:
 - :func:`neardup_jaccard` — exact n-gram Jaccard verification of the LSH
   candidate pairs.
 - :func:`simhash` — 64-bit SimHash fingerprints.
+- :func:`dedup_clusters` — verified pairs → connected components →
+  one canonical keeper per near-dup cluster (transitive closure).
 - (embedding-cosine near-dup lives in :mod:`.similarity`.)
 
 Determinism contract: all hashing is ``md5`` over explicit utf-8 strings
@@ -302,4 +304,44 @@ def simhash(docs: DataFrame) -> DataFrame:
                 for b in range(64)
             ]
         ).alias("simhash"),
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy-dedup clustering — the full near-dup dedup shape a
+    training-data pipeline runs (reference has no analog; this composes
+    the pipeline large corpora need): MinHash → LSH candidates → exact
+    Jaccard verify (:func:`neardup_jaccard`) → connected components
+    over the verified pairs → one canonical keeper per cluster.
+
+    Returns (doc_id, canon_id, cluster_size) for every document with at
+    least one verified near-duplicate, where ``canon_id`` is the
+    smallest doc_id in the cluster. The keep-set of a corpus is
+    "every doc not listed here, plus the listed docs with
+    ``doc_id == canon_id``" — transitive closure matters: if A~B and
+    B~C, naive pairwise keep-min would keep both A and C.
+
+    Scale shape: pair generation is the bucketed LSH path (never
+    |docs|²); the component loop's supersteps are joins/groupBys on the
+    verified-pair edge list, which is *far* smaller than the corpus
+    (near-dup clusters only), with per-superstep persist/unpersist
+    lineage control inherited from
+    :func:`..graph.algorithms.components_from_edges`.
+    """
+    from ..graph.algorithms import components_from_edges
+
+    pairs = neardup_jaccard(docs, num, den, candidates)
+    comp = components_from_edges(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component").alias("canon_id"),
+        "cluster_size",
     )

@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .io_tpch import load_table
-from .operators import dedup, events, multimodal, similarity, textstats
+from .operators import dedup, events, multimodal, sampling, similarity, textstats
 
 COSINE_THRESHOLD = 0.42  # corpus max pair cosine ~0.51 (near-random vectors)
 ANN_QUERIES = 10
@@ -46,6 +46,28 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(rfp, "doc_id").select(
         "doc_id", "fp", "n_shingles", "rolling_fp", "n_windows"
     )
+
+
+def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN strategies in one registry row (method, query_id,
+    rank, neighbor_id): exact brute force (the correctness baseline),
+    hyperplane-LSH, and IVF. Each operator runs unchanged; the union
+    keeps all three hash-checked within the ~50-row gate window."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = [
+        ("exact", similarity.ann_bruteforce(emb, ANN_QUERIES, ANN_K)),
+        ("lsh", similarity.ann_lsh(emb, ANN_QUERIES, ANN_K)),
+        ("ivf", similarity.ann_ivf(emb, ANN_QUERIES, ANN_K)),
+    ]
+    out = None
+    for method, df in parts:
+        tagged = df.select(
+            F.lit(method).alias("method"), "query_id", "rank", "neighbor_id"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 def _q_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,16 +100,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_lsh_candidates": _on("documents", dedup.lsh_candidates),
     "d_neardup_jaccard": _on("documents", dedup.neardup_jaccard),
     "d_simhash": _on("documents", dedup.simhash),
+    "d_dedup_clusters": _on("documents", dedup.dedup_clusters),
     # --- similarity (embeddings) ---
     "s_cosine_neardup": _on("embeddings", similarity.cosine_neardup, COSINE_THRESHOLD),
-    "s_ann_bruteforce": _on("embeddings", similarity.ann_bruteforce, ANN_QUERIES, ANN_K),
-    "s_ann_lsh": _on("embeddings", similarity.ann_lsh, ANN_QUERIES, ANN_K),
-    "s_ann_ivf": _on("embeddings", similarity.ann_ivf, ANN_QUERIES, ANN_K),
+    "s_ann_methods": _q_ann_methods,
     # --- text analysis (documents) ---
     "t_lang_id": _on("documents", textstats.lang_id),
     "t_quality_score": _on("documents", textstats.quality_score),
     "t_token_counts": _on("documents", textstats.token_counts),
     "t_fingerprints": _q_fingerprints,
+    "t_stratified_sample": _on("documents", sampling.stratified_sample),
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
     "mm_frame_sample": _on("documents", multimodal.frame_sample),
@@ -791,3 +813,67 @@ FROM events
 GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """,
 }
+
+# The three ANN strategies share one registry row (see _q_ann_methods):
+# each keeps its full standalone SQL, tagged and unioned. DuckDB allows
+# a WITH inside a parenthesized subquery, so the bodies nest unchanged.
+ORACLES["s_ann_methods"] = "\nUNION ALL\n".join(
+    f"SELECT '{method}' AS method, t.* FROM (" + ORACLES.pop(key) + ") t"
+    for method, key in (
+        ("exact", "s_ann_bruteforce"),
+        ("lsh", "s_ann_lsh"),
+        ("ivf", "s_ann_ivf"),
+    )
+)
+
+# Fuzzy-dedup clustering: the d_neardup_jaccard pair SQL extended with a
+# WITH RECURSIVE min-label closure (same walk shape as g_components).
+ORACLES["d_dedup_clusters"] = (
+    _CANDS
+    + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter * 2 >= (na.n_sh + nb.n_sh - i.inter) * 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS node_id FROM edges),
+walk AS (
+  SELECT node_id, node_id AS label FROM cnodes
+  UNION
+  SELECT e.dst AS node_id, w.label
+  FROM walk w JOIN edges e ON e.src = w.node_id
+  WHERE w.label < e.dst
+),
+comp AS (SELECT node_id, min(label) AS canon_id FROM walk GROUP BY node_id),
+csize AS (SELECT canon_id, count(*) AS cluster_size FROM comp GROUP BY canon_id)
+SELECT c.node_id AS doc_id, c.canon_id, s.cluster_size
+FROM comp c JOIN csize s USING (canon_id)
+"""
+).replace("WITH toks", "WITH RECURSIVE toks", 1)
+
+# Deterministic k-per-stratum sample: rank by (md5(id), id) per lang.
+# The Spark side's hash-threshold pre-filter is a physical optimization
+# only — the result set is the plain window below.
+ORACLES["t_stratified_sample"] = """
+SELECT doc_id, lang, stratum_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS stratum_rank
+  FROM documents
+) WHERE stratum_rank <= 20
+"""
