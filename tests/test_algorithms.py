@@ -82,3 +82,28 @@ def test_edge_endpoints_share_component_on_testdata(spark):
         .count()
     )
     assert mismatched == 0
+
+
+def test_components_driver_path_equals_distributed_loop(spark):
+    from webpagesgraphdatabase_spark.graph import algorithms as alg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 7), (3, 1)], ["src", "dst"]
+    )
+    fast = sorted(map(tuple, alg.components_from_edges(edges).collect()))
+    slow = sorted(
+        map(tuple, alg.components_from_edges(edges, driver_max_edges=0).collect())
+    )
+    assert fast == slow
+    assert fast == [
+        (1, 1), (2, 1), (3, 1), (7, 7), (10, 10), (11, 10),
+    ]
+
+
+def test_components_guard_routes_large_graphs_to_loop(spark):
+    from webpagesgraphdatabase_spark.graph import algorithms as alg
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["src", "dst"])
+    out = {r.node_id: r.component
+           for r in alg.components_from_edges(edges, driver_max_edges=2).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}

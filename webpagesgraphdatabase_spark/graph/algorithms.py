@@ -90,18 +90,89 @@ def connected_components(g: PropertyGraph, max_iterations: int = 20) -> DataFram
     return components_from_edges(fwd, max_iterations)
 
 
-def components_from_edges(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _components_union_find(edges: DataFrame, rows: list) -> DataFrame:
+    """Exact union-find over a collected edge list; identical output
+    contract to the distributed loop: (node_id, component=min id in the
+    component), same column types as the input edge endpoints."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    comp_min: dict = {}
+    members: list = []
+    for node in parent:
+        root = find(node)
+        members.append((node, root))
+        m = comp_min.get(root)
+        if m is None or node < m:
+            comp_min[root] = node
+
+    node_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node_id", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(n, comp_min[r]) for n, r in members], schema
+    )
+
+
+#: Edge budget for the driver union-find fast path. Below it, a local
+#: union-find (microseconds) replaces 2·diameter distributed jobs whose
+#: fixed scheduling cost dominates on small graphs — the iterative
+#: analog of the broadcast-join threshold. Above it, the superstep loop
+#: runs; nothing is collected.
+DRIVER_MAX_EDGES = 500_000
+
+
+def components_from_edges(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
+) -> DataFrame:
     """Connected components by min-label propagation over any (src, dst)
     edge DataFrame (ids of any orderable type; pass each undirected edge
     once — it is mirrored here): (node_id, component) where
     ``component`` is the smallest node id in the component — exact and
     deterministic at any scale.
 
-    Each superstep every node adopts min(own label, neighbors' labels);
-    stops at the fixpoint (checked with one count per superstep, the
-    iterative-algorithm analog of AQE's runtime adaptivity). Superstep
-    count is bounded by graph diameter."""
+    Two physical strategies behind one result (chosen by a size probe
+    that costs nothing extra: the probe *is* the fast path's collect,
+    capped at ``driver_max_edges + 1`` rows):
+
+    - **≤ driver_max_edges** — collect the edge list, exact union-find
+      with path compression on the driver, parallelize the labels back.
+      Near-dup pair graphs and test-scale graphs live here; the
+      distributed loop's ~2·diameter jobs of fixed scheduling cost
+      would dominate the actual work.
+    - **larger** — the superstep loop: every node adopts min(own,
+      neighbors') per superstep, fixpoint-checked with one count per
+      superstep (the iterative-algorithm analog of AQE's runtime
+      adaptivity), superstep count bounded by graph diameter.
+    """
     fwd = edges.select("src", "dst")
+    if driver_max_edges is not None:
+        head = fwd.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            return _components_union_find(edges, head)
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
