@@ -381,3 +381,20 @@ def test_stratified_sample_prefilter_matches_full_window(spark):
         .select("doc_id", "lang", "stratum_rank").collect()
     )))
     assert got == want
+
+
+def test_stratified_sample_plan_shape(spark):
+    # mechanical plan evidence: the rank<=k predicate must reach a
+    # map-side WindowGroupLimit (no full-stratum shuffle), and the
+    # hash pre-filter must run inside the broadcast join (codegen, no
+    # extra pass)
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    docs = spark.createDataFrame([(i, "en") for i in range(50)], ["doc_id", "lang"])
+    plan = (
+        sampling.stratified_sample(docs, "lang", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "md5" in plan  # pre-filter folded into the join condition
