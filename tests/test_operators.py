@@ -398,3 +398,26 @@ def test_stratified_sample_plan_shape(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "md5" in plan  # pre-filter folded into the join condition
+
+
+def test_top_terms_linear_idf_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana common common"),
+            (2, "common cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    # N=3; df: apple=1, banana=2, common=3, cherry=1
+    out = {(r.doc_id, r.term_rank): (r.term, r.tf, r.df)
+           for r in textstats.top_terms(docs).collect()}
+    # doc0: apple 2*(3M//1)=6M > banana 1*(3M//2)=1.5M > common 1*(3M//3)=1M
+    assert out[(0, 1)] == ("apple", 2, 1)
+    assert out[(0, 2)] == ("banana", 1, 2)
+    assert out[(0, 3)] == ("common", 1, 3)
+    # doc1: common 2*1M=2M beats banana 1.5M despite higher df
+    assert out[(1, 1)] == ("common", 2, 3)
+    assert out[(1, 2)] == ("banana", 1, 2)
+    # doc2: rare cherry first
+    assert out[(2, 1)] == ("cherry", 1, 1)

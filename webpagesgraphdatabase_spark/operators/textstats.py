@@ -184,3 +184,41 @@ def rolling_fingerprint(docs: DataFrame, window: int = 4) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("h").alias("rolling_fp"), F.count("*").alias("n_windows"))
     )
+
+
+def top_terms(docs: DataFrame, k: int = 3, idf_scale: int = 1_000_000) -> DataFrame:
+    """Per-document salient terms by tf×idf with a *linear* idf:
+    (doc_id, term, tf, df, term_rank), term_rank in 1..k by descending
+    ``tf · floor(N·idf_scale / df)`` (ties → term asc).
+
+    Linear idf (N/df instead of log(N/df)) keeps the score in exact
+    integer arithmetic — bit-identical across engines, where float log
+    would differ in the last ulps between libm implementations and
+    poison the value hash. The ordering it induces is the standard
+    rare-terms-first salience; the log variant differs only for terms
+    whose tf·idf products straddle the log's compression, which the
+    docstring trades for cross-engine exactness.
+
+    Scale shape: explode → partial-agg tf(doc, term) → small df(term)
+    aggregate joined back (broadcast at any realistic vocabulary) → a
+    per-document window whose partitions are single documents' term
+    sets (bounded by doc length, never corpus-skewed).
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.count()
+    # `div` = integral division (DuckDB `//`): exact bigint arithmetic,
+    # no double rounding at quotient boundaries
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.col("tf") * F.expr(f"CAST({n * idf_scale} AS BIGINT) div df"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df", "term_rank")
+    )

@@ -48,6 +48,26 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both per-document text classifications in one row (joined on
+    doc_id): language ID + quality features. Inner join on both sides —
+    empty documents (filtered by quality_score) drop identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.lang_id(docs)
+        .join(textstats.quality_score(docs), "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "score",
+            "n_tokens",
+            "mean_token_len",
+            "stopword_ratio",
+            "quality",
+        )
+    )
+
+
 def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three ANN strategies in one registry row (method, query_id,
     rank, neighbor_id): exact brute force (the correctness baseline),
@@ -105,10 +125,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_cosine_neardup": _on("embeddings", similarity.cosine_neardup, COSINE_THRESHOLD),
     "s_ann_methods": _q_ann_methods,
     # --- text analysis (documents) ---
-    "t_lang_id": _on("documents", textstats.lang_id),
-    "t_quality_score": _on("documents", textstats.quality_score),
+    "t_lang_quality": _q_lang_quality,
     "t_token_counts": _on("documents", textstats.token_counts),
     "t_fingerprints": _q_fingerprints,
+    "t_top_terms": _on("documents", textstats.top_terms),
     "t_stratified_sample": _on("documents", sampling.stratified_sample),
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
@@ -824,6 +844,34 @@ ORACLES["s_ann_methods"] = "\nUNION ALL\n".join(
         ("lsh", "s_ann_lsh"),
         ("ivf", "s_ann_ivf"),
     )
+)
+
+# Per-document text classifications share one row (see _q_lang_quality).
+ORACLES["t_lang_quality"] = (
+    "SELECT l.doc_id, l.pred_lang, l.score, q.n_tokens, q.mean_token_len,\n"
+    "       q.stopword_ratio, q.quality\n"
+    "FROM (" + ORACLES.pop("t_lang_id") + ") l\n"
+    "JOIN (" + ORACLES.pop("t_quality_score") + ") q ON l.doc_id = q.doc_id"
+)
+
+# Salient terms: tf × linear idf in exact integer arithmetic (`//` here,
+# `div` on the Spark side — float log idf would hash-mismatch in the
+# last ulps between libm implementations).
+ORACLES["t_top_terms"] = (
+    _TOKS
+    + r""",
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, tf, df, term_rank FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+           ORDER BY t.tf * ((SELECT n FROM nn) * 1000000 // d.df) DESC,
+                    t.term ASC) AS term_rank
+  FROM tf t JOIN dfq d USING (term)
+) WHERE term_rank <= 3
+"""
 )
 
 # Fuzzy-dedup clustering: the d_neardup_jaccard pair SQL extended with a
