@@ -51,7 +51,8 @@ TABLE_HEADLINE = (
     "d_simhash",
     "d_dedup_clusters",  # verified pairs -> connected components -> keepers
     "s_cosine_neardup",  # broadcast block-matmul all-pairs cosine
-    "t_quality_score",
+    "t_lang_quality",
+    "t_top_terms",
     "t_stratified_sample",
     "mm_byte_histogram",  # the Arrow/pandas-UDF path
     "e_sessionize",
