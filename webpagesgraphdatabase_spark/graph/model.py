@@ -57,6 +57,13 @@ class PropertyGraph:
     keywords: DataFrame
     belongs_to: DataFrame
     has_keyword: DataFrame
+    #: Tri-state constraint witness: True = the one-category-per-link
+    #: invariant is known to hold (verified, or guaranteed by the
+    #: builder's construction), False = known violated, None = unknown —
+    #: consumers that rely on it (the algebraic flagship plan) probe.
+    #: Kept at the graph/store level, where a DBMS would keep a
+    #: constraint, so per-query plans don't re-pay the check.
+    single_category_verified: bool | None = None
 
     def cache(self) -> "PropertyGraph":
         """Cache hot tables for a serving layer (reference re-runs full

@@ -66,13 +66,35 @@ class GraphStore:
         self.init_schema()
 
     def graph(self) -> PropertyGraph:
+        belongs_to = self.wh.read("belongs_to")
         return PropertyGraph(
             links=self.wh.read("links"),
             categories=self.wh.read("categories"),
             keywords=self.wh.read("keywords"),
-            belongs_to=self.wh.read("belongs_to"),
+            belongs_to=belongs_to,
             has_keyword=self.wh.read("has_keyword"),
+            single_category_verified=self._single_category(belongs_to),
         )
+
+    def _single_category(self, belongs_to) -> bool:
+        """One-category-per-link constraint witness, checked once per
+        belongs_to *version* (immutable — every write is a new version,
+        so the memo can never go stale) and cached; downstream plans
+        (the algebraic flagship) then skip their per-query probe."""
+        ver = self.wh.list_versions("belongs_to")[-1]
+        cache = getattr(self, "_single_cat_cache", None)
+        if cache is None:
+            cache = self._single_cat_cache = {}
+        if ver not in cache:
+            cache[ver] = (
+                belongs_to.groupBy("src_url")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+                == 0
+            )
+        return cache[ver]
 
     # -- M1/M2: node upserts -------------------------------------------------
     def merge_nodes(self, table: str, new: DataFrame, key: str, update: bool = False) -> None:

@@ -117,17 +117,22 @@ def interconnections_canonical(g: PropertyGraph, limit: int = 100) -> DataFrame:
     # each (url, keyword) edge row is unique. merge_edges permits
     # multi-category links, under which the pair algebra counts
     # same-url cross-category row pairs and phase 2's url ordering has
-    # ties — so probe (one narrow aggregate over belongs_to, per-link
-    # sized ≪ |E|) and fall back to the naive spec plan if violated.
-    multi_category = (
-        g.belongs_to.groupBy("src_url")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .count()
-        > 0
-    )
-    if multi_category:
+    # ties — fall back to the naive spec plan if violated. The check
+    # consults the graph's constraint witness first (set by builders
+    # that guarantee it, version-cached by GraphStore) and only probes
+    # (one narrow aggregate over belongs_to, per-link sized ≪ |E|)
+    # when the witness is unknown.
+    single = g.single_category_verified
+    if single is None:
+        single = (
+            g.belongs_to.groupBy("src_url")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+            == 0
+        )
+    if not single:
         return interconnections_canonical_naive(g, limit)
 
     # -- phase 1: keyword prefix (algebraic pair counts) ------------------

@@ -110,6 +110,10 @@ def graph_from_tpch(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             F.col("suggested_category").alias("dst_category"),
         ),
         has_keyword=has_keyword,
+        # one category per link by construction: belongs_to projects
+        # customer ⋈ nation on the PK'd nation key — exactly one row
+        # per customer url
+        single_category_verified=True,
     )
 
 
