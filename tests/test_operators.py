@@ -421,3 +421,44 @@ def test_top_terms_linear_idf_ranking(spark):
     assert out[(1, 2)] == ("banana", 1, 2)
     # doc2: rare cherry first
     assert out[(2, 1)] == ("cherry", 1, 1)
+
+
+def test_repetition_counts_and_fracs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "x"), (2, "p q r")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in textstats.repetition(docs).collect()}
+    # doc 0 2-grams: "a b", "b a", "a b", "b c" → "a b" duplicated
+    assert (out[0].n_grams, out[0].dup_grams, out[0].top_cnt) == (4, 2, 2)
+    assert out[0].dup_frac == 0.5 and out[0].top_frac == 0.5
+    # doc shorter than n: whole text is its single gram
+    assert (out[1].n_grams, out[1].dup_grams, out[1].top_cnt) == (1, 0, 1)
+    # no repetition at all
+    assert (out[2].n_grams, out[2].dup_grams, out[2].top_cnt) == (2, 0, 1)
+
+
+def test_contamination_flags_benchmark_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four"),  # benchmark (doc_id % 20 == 0)
+            (1, "one two three four"),  # full shingle overlap → contaminated
+            (2, "alpha beta gamma delta"),  # zero overlap
+            (3, "zero one two three five"),  # partial: 1 of 3 shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.contamination(docs).collect()}
+    assert 0 not in out  # benchmark docs are not scored
+    assert (out[1].n_shingles, out[1].n_hits, out[1].contaminated) == (2, 2, 1)
+    assert (out[2].n_hits, out[2].contaminated) == (0, 0)
+    # 1/3 ≥ 10% → flagged at the default threshold
+    assert (out[3].n_shingles, out[3].n_hits, out[3].contaminated) == (3, 1, 1)
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(0, "one two three four"), (1, "one two three four")],
+        ["doc_id", "text"],
+    )
+    plan = dedup.contamination(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark probe never shuffles the corpus

@@ -261,6 +261,58 @@ def neardup_jaccard(
     )
 
 
+def contamination(
+    docs: DataFrame,
+    n: int = 3,
+    bench_mod: int = 20,
+    num: int = 1,
+    den: int = 10,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    ``n``-gram shingles overlap a held-out benchmark set — the standard
+    pre-training hygiene pass (e.g. GPT-3 appendix C / PaLM §8: n-gram
+    collision against eval sets). Returns, per *candidate* doc,
+    (doc_id, n_shingles, n_hits, contaminated).
+
+    The benchmark here is the deterministic slice ``doc_id % bench_mod
+    == 0`` (stand-in for an eval-set table; any DataFrame of texts
+    works via the same shingle join). ``contaminated`` is an integer
+    flag from the exact ratio test ``n_hits·den ≥ n_shingles·num``
+    (default ≥10% shingle overlap) — integer arithmetic so the DuckDB
+    oracle matches bit-for-bit.
+
+    Scale shape: the benchmark's distinct-shingle set is tiny relative
+    to the corpus (eval sets are MBs against TBs), so the probe is a
+    **broadcast** semi-join on the shingle string — the corpus-side
+    scan streams map-side with no shuffle of document content; the only
+    exchange is the per-doc count rollup. At 100 TB this is the same
+    plan: benchmark shingles broadcast once, corpus scanned once.
+    """
+    sh = shingles(docs, n=n)
+    bench = sh.filter(F.col("doc_id") % bench_mod == 0)
+    cand = sh.filter(F.col("doc_id") % bench_mod != 0)
+    bench_set = F.broadcast(bench.select("shingle").distinct())
+    hits = (
+        cand.join(bench_set, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    sizes = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    joined = sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        (F.col("n_hits") * den >= F.col("n_shingles") * num)
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document as a 64-char '0'/'1' string
     (doc_id, simhash): bit b is the sign of the token-count-weighted sum

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread
 from .dedup import shingles, tokens_col
 
 # marker-token vocabularies for the n-gram/marker language heuristic;
@@ -183,6 +184,53 @@ def rolling_fingerprint(docs: DataFrame, window: int = 4) -> DataFrame:
         full.unionByName(short)
         .groupBy("doc_id")
         .agg(F.min("h").alias("rolling_fp"), F.count("*").alias("n_windows"))
+    )
+
+
+def repetition(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document repetition stats over word ``n``-grams — the
+    Gopher-rules boilerplate signal (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", §A1.1: fraction of text in duplicated n-grams):
+    (doc_id, n_grams, dup_grams, top_cnt, dup_frac, top_frac).
+
+    - ``n_grams``   — total n-gram occurrences in the doc;
+    - ``dup_grams`` — occurrences belonging to an n-gram that appears
+      ≥2× in the same doc;
+    - ``top_cnt``   — occurrences of the doc's most frequent n-gram;
+    - ``dup_frac`` / ``top_frac`` — the two ratios, rounded to 6 dp
+      (filter thresholds belong on the exact integer columns).
+
+    Docs shorter than ``n`` tokens count their whole text as one gram,
+    so every doc has ≥1 gram and the ratios stay defined.
+
+    Scale shape: explode → count per (doc, gram) → per-doc rollup. Both
+    aggregations partial-agg below their exchange; partitions are keyed
+    by doc content, never corpus-skewed. No Python anywhere.
+    """
+    words = tokens_col()
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    occ = spread(docs).select("doc_id", F.explode(grams).alias("gram"))
+    per_gram = occ.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup_grams"
+        ),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        "top_cnt",
+        F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        F.round(F.col("top_cnt") / F.col("n_grams"), 6).alias("top_frac"),
     )
 
 

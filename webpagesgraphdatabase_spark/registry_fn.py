@@ -126,9 +126,11 @@ SELECT doc_id,
 FROM extracted
 """
 
-# --- f_fenced_json: F3 fence-strip + schema parse ------------------------
-# A fenced ArticleClassification JSON built from doc fields, then parsed
-# back with from_json (Spark) / json_extract (DuckDB).
+# --- f_fenced_json: F3 fence-strip + schema parse, plus the F4/F5
+# truncation/trim family in the same documents-grain row (merged to keep
+# the registry inside the driver gate's ~50-row window). A fenced
+# ArticleClassification JSON built from doc fields, then parsed back
+# with from_json (Spark) / json_extract (DuckDB).
 
 
 def _fenced_col():
@@ -149,47 +151,34 @@ def _fenced_col():
 def _q_fenced_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     parsed = docs.select(
-        "doc_id", fn.parse_fenced_json(_fenced_col()).alias("p")
+        "doc_id",
+        "text",
+        fn.parse_fenced_json(_fenced_col()).alias("p"),
     )
     return parsed.select(
         "doc_id",
         F.col("p.category").alias("category"),
         F.array_join(F.col("p.keywords"), "|").alias("keywords"),
         F.col("p.category_explanation").alias("category_explanation"),
-    )
-
-
-_FENCED_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
-  FROM documents
-)
-SELECT doc_id, lang AS category,
-       toks[1] || '|' || toks[2] AS keywords,
-       'Explained for doc ' || doc_id AS category_explanation
-FROM toks
-"""
-
-# --- f_truncate_trim: F4/F5 over documents -------------------------------
-
-
-def _q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
         fn.truncate_title(F.col("text")).alias("title_255"),
         F.substring(F.col("text"), 1, 100).alias("head_100"),
         F.length(F.trim(F.col("text"))).alias("trimmed_len"),
     )
 
 
-_TRUNCATE_ORACLE = """
-SELECT doc_id,
+_FENCED_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, lang AS category,
+       toks[1] || '|' || toks[2] AS keywords,
+       'Explained for doc ' || doc_id AS category_explanation,
        substr(text, 1, 255) AS title_255,
        substr(text, 1, 100) AS head_100,
        length(trim(text)) AS trimmed_len
-FROM documents
+FROM toks
 """
 
 
@@ -197,12 +186,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_url_normalize": _q_url_normalize,
     "f_parse_enrichment": _q_parse_enrichment,
     "f_fenced_json": _q_fenced_json,
-    "f_truncate_trim": _q_truncate,
 }
 
 ORACLES: dict[str, str] = {
     "f_url_normalize": _URL_ORACLE,
     "f_parse_enrichment": _PARSE_ORACLE,
     "f_fenced_json": _FENCED_ORACLE,
-    "f_truncate_trim": _TRUNCATE_ORACLE,
 }

@@ -49,13 +49,16 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both per-document text classifications in one row (joined on
-    doc_id): language ID + quality features. Inner join on both sides —
-    empty documents (filtered by quality_score) drop identically."""
+    """The per-document text classifications in one row (joined on
+    doc_id): language ID + quality features + token counts. Inner join
+    on all sides — empty documents (filtered by quality_score) drop
+    identically. Each operator runs unchanged; the join keeps all three
+    hash-checked within the ~50-row gate window."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         textstats.lang_id(docs)
         .join(textstats.quality_score(docs), "doc_id")
+        .join(textstats.token_counts(docs), "doc_id")
         .select(
             "doc_id",
             "pred_lang",
@@ -64,6 +67,9 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_token_len",
             "stopword_ratio",
             "quality",
+            "ws_tokens",
+            "re_tokens",
+            "n_chars",
         )
     )
 
@@ -121,14 +127,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_neardup_jaccard": _on("documents", dedup.neardup_jaccard),
     "d_simhash": _on("documents", dedup.simhash),
     "d_dedup_clusters": _on("documents", dedup.dedup_clusters),
+    "d_contamination": _on("documents", dedup.contamination),
     # --- similarity (embeddings) ---
     "s_cosine_neardup": _on("embeddings", similarity.cosine_neardup, COSINE_THRESHOLD),
     "s_ann_methods": _q_ann_methods,
     # --- text analysis (documents) ---
     "t_lang_quality": _q_lang_quality,
-    "t_token_counts": _on("documents", textstats.token_counts),
     "t_fingerprints": _q_fingerprints,
     "t_top_terms": _on("documents", textstats.top_terms),
+    "t_repetition": _on("documents", textstats.repetition),
     "t_stratified_sample": _on("documents", sampling.stratified_sample),
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
@@ -849,9 +856,66 @@ ORACLES["s_ann_methods"] = "\nUNION ALL\n".join(
 # Per-document text classifications share one row (see _q_lang_quality).
 ORACLES["t_lang_quality"] = (
     "SELECT l.doc_id, l.pred_lang, l.score, q.n_tokens, q.mean_token_len,\n"
-    "       q.stopword_ratio, q.quality\n"
+    "       q.stopword_ratio, q.quality, c.ws_tokens, c.re_tokens, c.n_chars\n"
     "FROM (" + ORACLES.pop("t_lang_id") + ") l\n"
-    "JOIN (" + ORACLES.pop("t_quality_score") + ") q ON l.doc_id = q.doc_id"
+    "JOIN (" + ORACLES.pop("t_quality_score") + ") q ON l.doc_id = q.doc_id\n"
+    "JOIN (" + ORACLES.pop("t_token_counts") + ") c ON l.doc_id = c.doc_id"
+)
+
+# Within-doc repetition (Gopher boilerplate signal): 2-gram occurrence
+# counts. Sums cast to BIGINT (DuckDB sum → HUGEINT → float64 in pandas,
+# the round-1 hash-fail mode); ratios are double-division + round(6) with
+# the identical expression on the Spark side.
+ORACLES["t_repetition"] = (
+    _TOKS
+    + r""",
+gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS gl
+  FROM toks
+),
+per_gram AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(gl) AS gram FROM gram_lists)
+  GROUP BY doc_id, gram
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams,
+         CAST(max(cnt) AS BIGINT) AS top_cnt
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, n_grams, dup_grams, top_cnt,
+       round(CAST(dup_grams AS DOUBLE) / n_grams, 6) AS dup_frac,
+       round(CAST(top_cnt AS DOUBLE) / n_grams, 6) AS top_frac
+FROM agg
+"""
+)
+
+# Benchmark decontamination: candidate docs' 3-gram shingles probed
+# against the benchmark slice's distinct shingle set; integer ratio
+# test (≥10%) so no floats cross the hash.
+ORACLES["d_contamination"] = (
+    _SHINGLES3
+    + r""",
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+cand AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 20 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM cand WHERE shingle IN (SELECT shingle FROM bench)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 10 >= s.n_shingles * 1 AS INT) AS contaminated
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
 )
 
 # Salient terms: tf × linear idf in exact integer arithmetic (`//` here,
