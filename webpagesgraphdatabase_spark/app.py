@@ -1,0 +1,321 @@
+"""Flask serving shell — the reference app's HTTP surface over the
+Spark engine.
+
+The reference (``main.py:181-507``) is a Flask app whose routes wrap
+Cypher against embedded Kùzu. This module exposes the *same route
+surface and semantics* over the engine's GraphStore, with one
+deliberate difference: responses are JSON (the data surface the brief
+asks for) instead of server-rendered Jinja templates (UI chrome).
+
+Route parity:
+
+========================  ===========================================
+``GET /`` / ``/index``    ``main.py:181-215`` — 10-col link listing
+                          (P9 sentinel defaults) + symmetric flagship
+                          interconnections (J3)
+``POST /add_link``        ``main.py:358-433`` — normalize F1, dup
+                          check J4, fetch S7 (×2 retry, ``c4:9``),
+                          clean+categorize S8, parse F2, MERGE
+                          M1/M3, CSV snapshot S5
+``POST /upload_csv``      ``main.py:217-356`` — extension check F9,
+                          header classification S2 (metadata vs
+                          bare-URL), ``batch_size`` cap O3 (default
+                          5, ``main.py:229``), set-based preload S6
+``GET /graph_data``       ``main.py:435-484`` — capped node/edge JSON
+                          export S9 + duplicate-id diagnostic A4
+``POST /delete_link``     ``main.py:486-498`` — DETACH DELETE M4 +
+                          snapshot
+``GET /instructions``     ``main.py:500-501`` — static usage text
+========================  ===========================================
+
+External effects (webpage fetch, LLM) are injected callables, exactly
+like the pipeline stages — tests and offline deployments pass
+deterministic stubs; a real deployment passes requests/Ollama-backed
+callables. The app itself stays a thin shell: every data operation is
+one engine call, so the N+1 per-row Cypher loops of the reference
+(``main.py:244-339``) become single Spark jobs.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from collections.abc import Callable
+
+from pyspark.sql import functions as F
+
+from . import functions as fn
+from . import pipeline, serving
+from .graph import queries
+from .graph.model import LINK_COLUMNS, LINK_SCHEMA
+from .graph.mutations import GraphStore
+
+#: main.py:229 — default ingestion cap per upload request.
+DEFAULT_BATCH_SIZE = 5
+
+
+def stub_chat_categorizer(content: str) -> str:
+    """Deterministic stand-in for the app's Ollama *chat* call
+    (``main.py:387-396``), which returns plain ``Category: …
+    Keywords: …`` prose (the F2-parser input shape) — unlike the
+    notebook's fenced-JSON calls that :func:`pipeline.stub_categorizer`
+    mimics. Category/keywords derive from the content hash; the
+    category cycles through allowlist entries so parsed results
+    exercise the allowlist hit path."""
+    import hashlib
+
+    h = hashlib.md5(content.encode()).hexdigest()
+    cat = fn.CATEGORY_ALLOWLIST[int(h[:4], 16) % len(fn.CATEGORY_ALLOWLIST)]
+    kws = ", ".join(f"kw{h[i:i + 3]}" for i in range(0, 6, 3))
+    return f"Category: {cat} Keywords: {kws}."
+
+#: main.py:190-196 read-out defaults (P9).
+_INDEX_DEFAULTS = {
+    "suggested_category": "None",
+    "raw_content": "Failed to fetch content",
+    "cleaned_content": "Failed to clean content",
+    "keywords": "none",
+    "category_explanation": "None",
+    "keyword_explanation": "None",
+}
+
+
+def _index_links(store: GraphStore) -> list[dict]:
+    """main.py:185-197: the 10-column 1-hop listing with sentinel
+    defaults applied in the projection (not driver-side loops)."""
+    g = store.graph()
+    joined = g.links.join(
+        g.belongs_to, g.links.url == g.belongs_to.src_url
+    ).join(g.categories, F.col("dst_category") == g.categories.name)
+    cols = [F.col("url"), F.col("title"), F.col("name").alias("category")]
+    cols += [
+        F.coalesce(F.col(c), F.lit(_INDEX_DEFAULTS[c])).alias(c)
+        if c in _INDEX_DEFAULTS
+        else F.col(c)
+        for c in LINK_COLUMNS
+        if c not in ("url", "title")
+    ]
+    return [r.asDict() for r in joined.select(*cols).collect()]
+
+
+def _index_interconnections(store: GraphStore) -> list[dict]:
+    """main.py:199-211: the symmetric flagship, reference key names."""
+    rows = queries.interconnections_symmetric(store.graph()).collect()
+    return [
+        {
+            "link1": r.url_1,
+            "link2": r.url_2,
+            "keyword": r.keyword,
+            "category1": r.category_1,
+            "category2": r.category_2,
+        }
+        for r in rows
+    ]
+
+
+def _enrich_one(
+    store: GraphStore,
+    url: str,
+    fetcher: Callable[[str], tuple[str, str]],
+    cleaner: Callable[[str], str],
+    categorizer: Callable[[str], str],
+) -> dict:
+    """The add_link enrichment flow (``main.py:372-424``) for one URL:
+    fetch (retried ×2, degrade to title=url / sentinel content), clean,
+    categorize, parse F2, then one MERGE per table. Returns the stored
+    row's summary."""
+    title, content = url, ""
+    for attempt in range(pipeline.FETCH_RETRIES):
+        try:
+            title, content = fetcher(url)
+            break
+        except Exception:
+            if attempt == pipeline.FETCH_RETRIES - 1:
+                title, content = url, ""
+    title = (title or url)[: pipeline.TITLE_TRUNC]
+    content = (content or "")[: pipeline.FETCH_TRUNC]
+    if not content:
+        content = "Failed to fetch content"  # main.py:382-384
+
+    try:
+        cleaned = cleaner(content)
+        parsed_clean = fn.parse_fenced_json_py(
+            cleaned, ("garbage_text", "cleaned_content", "unsure_content")
+        )
+        cleaned_content = (
+            (parsed_clean or {}).get("cleaned_content") or content[:1000]
+        )[: pipeline.CLEAN_TRUNC]
+    except Exception:
+        cleaned_content = content[:1000][: pipeline.CLEAN_TRUNC]
+
+    try:
+        raw_response = categorizer(cleaned_content)
+        category, suggested, keywords = fn.parse_category_and_keywords_py(
+            raw_response
+        )
+    except Exception:  # main.py:402-411 fallback
+        raw_response = "Failed to connect to Ollama"
+        category = suggested = fn.UNCATEGORIZED_APP
+        keywords = [fn.SENTINEL_NONE]
+
+    keywords_str = (
+        ", ".join(keywords)
+        if keywords and keywords != [fn.SENTINEL_NONE]
+        else fn.SENTINEL_NONE
+    )
+    spark = store.spark
+    link_row = spark.createDataFrame(
+        [
+            (
+                url,
+                title,
+                raw_response,
+                suggested,
+                content,
+                cleaned_content,
+                keywords_str,
+                None,
+                None,
+            )
+        ],
+        LINK_SCHEMA,  # explicit: the None explanations carry no type to infer
+    )
+    store.merge_links(link_row, update=False)
+    store.merge_names("categories", spark.createDataFrame([(category,)], ["name"]))
+    store.merge_edges(
+        "belongs_to",
+        spark.createDataFrame([(url, category)], ["src_url", "dst_category"]),
+    )
+    real_kws = [k for k in keywords if k != fn.SENTINEL_NONE]
+    if real_kws:
+        store.merge_names(
+            "keywords", spark.createDataFrame([(k,) for k in real_kws], ["name"])
+        )
+        store.merge_edges(
+            "has_keyword",
+            spark.createDataFrame(
+                [(url, k) for k in real_kws], ["src_url", "dst_keyword"]
+            ),
+        )
+    return {
+        "url": url,
+        "title": title,
+        "category": category,
+        "suggested_category": suggested,
+        "keywords": keywords,
+    }
+
+
+def create_app(
+    store: GraphStore,
+    fetcher: Callable[[str], tuple[str, str]] = pipeline.stub_fetcher,
+    cleaner: Callable[[str], str] = pipeline.stub_cleaner,
+    categorizer: Callable[[str], str] = stub_chat_categorizer,
+    snapshot_path: str | None = None,
+):
+    """Build the Flask app over ``store``. ``fetcher``/``cleaner``/
+    ``categorizer`` default to the deterministic stubs (no network in
+    tests or this container); ``snapshot_path`` enables the
+    save-after-write CSV snapshot (``main.py:350,430,493``)."""
+    from flask import Flask, jsonify, request
+
+    app = Flask("webpagesgraphdatabase_spark")
+
+    def _snapshot() -> None:
+        if snapshot_path is not None:
+            serving.save_snapshot_csv(store, snapshot_path)
+
+    @app.route("/", methods=["GET"])
+    @app.route("/index", methods=["GET"])
+    def index():
+        return jsonify(
+            {
+                "links": _index_links(store),
+                "interconnections": _index_interconnections(store),
+            }
+        )
+
+    @app.route("/add_link", methods=["POST"])
+    def add_link():
+        raw = request.form.get("url", "")
+        if not raw.strip():
+            return jsonify({"error": "url required"}), 400
+        url = fn.normalize_url_py(raw)
+        if store.link_exists(url):  # main.py:367-371 (J4)
+            return jsonify({"status": "duplicate", "url": url})
+        added = _enrich_one(store, url, fetcher, cleaner, categorizer)
+        _snapshot()
+        return jsonify({"status": "added", **added})
+
+    @app.route("/upload_csv", methods=["POST"])
+    def upload_csv():
+        file = request.files.get("file")
+        if file is None or not (file.filename or "").endswith(".csv"):
+            return jsonify({"error": "a .csv file is required"}), 400  # F9
+        batch_size = int(request.form.get("batch_size", DEFAULT_BATCH_SIZE))
+        text = file.read().decode("utf-8")
+        reader = csv.DictReader(io.StringIO(text))
+        fields = reader.fieldnames or []
+        rows = list(reader)
+        # main.py:235-241 header classification (S2)
+        if all(c in fields for c in serving.PRELOAD_REQUIRED):
+            df = store.spark.createDataFrame(
+                [[r.get(c) for c in serving.PRELOAD_REQUIRED] for r in rows],
+                list(serving.PRELOAD_REQUIRED),
+            )
+            n = serving.preload_csv(store, df, batch_size=batch_size)
+            _snapshot()
+            return jsonify({"status": "ok", "mode": "metadata", "added": n})
+        if "url" in fields:
+            added, skipped = [], 0
+            for r in rows[:batch_size]:  # O3 cap
+                u = (r.get("url") or "").strip()
+                if not u:
+                    continue
+                u = fn.normalize_url_py(u)
+                if store.link_exists(u):
+                    skipped += 1
+                    continue
+                added.append(
+                    _enrich_one(store, u, fetcher, cleaner, categorizer)["url"]
+                )
+            _snapshot()
+            return jsonify(
+                {
+                    "status": "ok",
+                    "mode": "bare_url",
+                    "added": len(added),
+                    "skipped": skipped,
+                }
+            )
+        return jsonify({"error": "CSV must have url or metadata columns"}), 400
+
+    @app.route("/graph_data", methods=["GET"])
+    def graph_data():
+        try:
+            return jsonify(serving.export_graph_json(store))
+        except Exception as e:  # main.py:482-484: degrade, never 500
+            return jsonify({"nodes": [], "edges": [], "error": str(e)}), 200
+
+    @app.route("/delete_link", methods=["POST"])
+    def delete_link():
+        url = request.form.get("url", "")
+        store.detach_delete_link(url)  # M4
+        _snapshot()
+        return jsonify({"status": "deleted", "url": url})
+
+    @app.route("/instructions", methods=["GET"])
+    def instructions():
+        return jsonify(
+            {
+                "instructions": [
+                    "POST /add_link with form field 'url' to enrich and store one link.",
+                    "POST /upload_csv with a .csv file (bare 'url' column or the "
+                    "7-column metadata format) and optional 'batch_size'.",
+                    "GET /graph_data for the vis-network node/edge JSON.",
+                    "POST /delete_link with form field 'url' to DETACH DELETE.",
+                ]
+            }
+        )
+
+    return app
