@@ -50,9 +50,12 @@ TABLE_HEADLINE = (
     "d_neardup_jaccard",  # shingle -> minhash -> LSH bands -> verified pairs
     "d_simhash",
     "d_dedup_clusters",  # verified pairs -> connected components -> keepers
+    "d_contamination",  # broadcast n-gram probe against the benchmark slice
     "s_cosine_neardup",  # broadcast block-matmul all-pairs cosine
     "t_lang_quality",
     "t_top_terms",
+    "t_repetition",
+    "t_curation",  # the full keep/drop composition (heaviest text line)
     "t_stratified_sample",
     "mm_byte_histogram",  # the Arrow/pandas-UDF path
     "e_sessionize",
@@ -157,6 +160,12 @@ def main() -> None:
             out["deltas"] = {
                 k: round(v - prev_q[k], 3) for k, v in timings.items() if k in prev_q
             }
+            # totals restricted to queries present in BOTH rounds, so
+            # the round-over-round movement is separable from coverage
+            # growth (new headline queries inflate `value`, not this)
+            both = [k for k in timings if k in prev_q]
+            out["comparable_total"] = round(sum(timings[k] for k in both), 3)
+            out["comparable_prev_total"] = round(sum(prev_q[k] for k in both), 3)
         except (OSError, ValueError):
             pass
 

@@ -462,3 +462,40 @@ def test_contamination_broadcasts_benchmark(spark):
     )
     plan = dedup.contamination(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # benchmark probe never shuffles the corpus
+
+
+def test_curation_report_reasons(spark):
+    from webpagesgraphdatabase_spark.operators import curation
+
+    long = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, long),              # benchmark slice (doc_id % 20 == 0); clean
+            (1, long),              # exact dup of 0 (and shingle-contaminated)
+            (2, "tiny"),            # too_short (1 token)
+            (3, "go go go go go"),  # repetitive: every 2-gram is "go go"
+            (4, " ".join(f"v{i}" for i in range(30))),  # clean keeper
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in curation.curation_report(docs).collect()}
+    assert out[0].keep == 1 and out[0].reasons == ""  # benchmark never contaminated
+    assert "exact_dup" in out[1].reasons and "contaminated" in out[1].reasons
+    assert out[1].keep == 0
+    assert out[2].reasons == "too_short"
+    assert out[3].reasons == "repetitive"
+    assert out[4].keep == 1
+
+
+def test_curation_near_dup_keeps_canonical(spark):
+    from webpagesgraphdatabase_spark.operators import curation
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "entirely unrelated words " * 3)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in curation.curation_report(docs).collect()}
+    # 1 and 2 are near-dups: the canonical min-id survives, the other drops
+    assert out[1].keep == 1
+    assert "near_dup" in out[2].reasons

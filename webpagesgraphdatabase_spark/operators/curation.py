@@ -1,0 +1,103 @@
+"""Corpus curation report — the end-to-end keep/drop pass a
+training-data pipeline runs over a raw corpus, composed from the
+individually-oracle-checked operators:
+
+- too short (token count, :func:`..operators.textstats.token_counts`),
+- repetitive (Gopher duplicate-2-gram fraction,
+  :func:`..operators.textstats.repetition`),
+- benchmark-contaminated (n-gram collision probe,
+  :func:`..operators.dedup.contamination`),
+- exact duplicate (content-hash dedup,
+  :func:`..operators.dedup.dedup_exact`),
+- near duplicate (MinHash → LSH → Jaccard verify → connected
+  components, :func:`..operators.dedup.dedup_clusters`).
+
+One row per document: the drop reasons that fired (sorted, stable) and
+the final keep flag. Every threshold is an exact integer ratio and
+every flag is engine-portable, so the whole composition is reproduced
+bit-for-bit by the DuckDB oracle in the registry.
+
+Scale shape: five independent per-doc annotation DataFrames, each with
+the scale-safe plan already audited for its operator (broadcast
+contamination probe, bucketed LSH, partial-agg rollups), joined back
+on ``doc_id`` — co-partitioned single-key equi-joins. Nothing here
+adds a shuffle beyond the component operators' own; the canonical-
+keeper rule (drop only non-canonical cluster members) keeps exactly
+one survivor per duplicate cluster at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, textstats
+
+#: Drop documents with fewer whitespace tokens than this (Gopher's
+#: minimum-word-count gate, scaled to this corpus).
+MIN_TOKENS = 5
+
+#: Drop when dup_grams/n_grams ≥ REP_NUM/REP_DEN — Gopher's
+#: duplicate-2-gram-fraction bound (0.20, Rae et al. 2021 table A1),
+#: compared in integers.
+REP_NUM, REP_DEN = 1, 5
+
+
+def curation_report(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    rep_num: int = REP_NUM,
+    rep_den: int = REP_DEN,
+) -> DataFrame:
+    """(doc_id, n_tokens, reasons, keep): ``reasons`` is the
+    comma-joined, fixed-order list of drop rules that fired
+    (``contaminated,exact_dup,near_dup,repetitive,too_short`` order —
+    alphabetical, so the string is deterministic), ``keep`` is 1 iff
+    none fired.
+
+    Documents in the benchmark slice (``contamination``'s holdout) are
+    never flagged contaminated — they *are* the benchmark. Exact
+    duplicates keep their min-id representative (``keep_id``); near-dup
+    clusters keep their canonical member, exactly the keeper rules of
+    the underlying operators.
+    """
+    tok = textstats.token_counts(docs).select("doc_id", "ws_tokens")
+    rep = textstats.repetition(docs).select("doc_id", "n_grams", "dup_grams")
+    cont = dedup.contamination(docs).select("doc_id", "contaminated")
+    exact = dedup.dedup_exact(docs).select("text_hash", "keep_id")
+    near = dedup.dedup_clusters(docs).select("doc_id", "canon_id")
+
+    ann = (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(tok, "doc_id")
+        .join(rep, "doc_id")
+        .join(cont, "doc_id", "left")
+        .join(exact, "text_hash")
+        .join(near, "doc_id", "left")
+    )
+    flags = ann.select(
+        "doc_id",
+        F.col("ws_tokens").alias("n_tokens"),
+        F.when(F.coalesce(F.col("contaminated"), F.lit(0)) == 1, F.lit("contaminated")).alias("r_cont"),
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup")).alias("r_exact"),
+        F.when(
+            F.col("canon_id").isNotNull() & (F.col("doc_id") != F.col("canon_id")),
+            F.lit("near_dup"),
+        ).alias("r_near"),
+        F.when(
+            F.col("dup_grams") * rep_den >= F.col("n_grams") * rep_num,
+            F.lit("repetitive"),
+        ).alias("r_rep"),
+        F.when(F.col("ws_tokens") < min_tokens, F.lit("too_short")).alias("r_short"),
+    )
+    # concat_ws skips NULLs in both engines — the fired reasons join
+    # into one stable string with no filter step
+    reasons = F.concat_ws(
+        ",", "r_cont", "r_exact", "r_near", "r_rep", "r_short"
+    )
+    return flags.select(
+        "doc_id",
+        "n_tokens",
+        reasons.alias("reasons"),
+        (reasons == "").cast("int").alias("keep"),
+    )

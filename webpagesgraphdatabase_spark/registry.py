@@ -59,11 +59,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             )
         )
     ),
-    "g_orphan_nodes": _g(
+    # both graph integrity diagnostics (J5 orphan anti-joins + A4
+    # duplicate-id check) in one row — merged to keep the registry
+    # inside the driver gate's ~50-row window
+    "g_integrity_checks": _g(
         lambda g: Q.orphan_keywords(g)
-        .select(F.lit("Keyword").alias("kind"), "name")
+        .select(
+            F.lit("orphan").alias("check"),
+            F.lit("Keyword").alias("kind"),
+            "name",
+            F.lit(1).cast("long").alias("n"),
+        )
         .unionByName(
-            Q.orphan_categories(g).select(F.lit("Category").alias("kind"), "name")
+            Q.orphan_categories(g).select(
+                F.lit("orphan").alias("check"),
+                F.lit("Category").alias("kind"),
+                "name",
+                F.lit(1).cast("long").alias("n"),
+            )
+        )
+        .unionByName(
+            Q.duplicate_node_ids(g).select(
+                F.lit("dup_id").alias("check"),
+                F.lit("node").alias("kind"),
+                F.col("id").alias("name"),
+                "n",
+            )
         )
     ),
     "g_export_nodes": _g(Q.export_nodes),
@@ -73,7 +94,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_point_lookup": _g(Q.point_lookup, LOOKUP_URL),
     "g_sample_links": _g(Q.sample_links),
     "g_viz_slice": _g(Q.viz_slice),
-    "g_duplicate_ids": _g(Q.duplicate_node_ids),
     "g_motif_two_hop": _g(
         lambda g: motif_match(
             g, "(c:Category)<-[:BELONGS_TO]-(l:Link)-[:HAS_KEYWORD]->(k)"
@@ -150,13 +170,28 @@ FROM belongs_to GROUP BY dst_category
 UNION ALL
 SELECT NULL AS category, count(*) AS cnt FROM links
 """,
-    "g_orphan_nodes": GRAPH_ORACLE_CTE
+    "g_integrity_checks": GRAPH_ORACLE_CTE
     + """
-SELECT 'Keyword' AS kind, k.name AS name FROM keywords k
+SELECT 'orphan' AS "check", 'Keyword' AS kind, k.name AS name,
+       CAST(1 AS BIGINT) AS n
+FROM keywords k
 WHERE NOT EXISTS (SELECT 1 FROM has_keyword hk WHERE hk.dst_keyword = k.name)
 UNION ALL
-SELECT 'Category' AS kind, c.name AS name FROM categories c
+SELECT 'orphan' AS "check", 'Category' AS kind, c.name AS name,
+       CAST(1 AS BIGINT) AS n
+FROM categories c
 WHERE NOT EXISTS (SELECT 1 FROM belongs_to b WHERE b.dst_category = c.name)
+UNION ALL
+SELECT 'dup_id' AS "check", 'node' AS kind, id AS name, n FROM (
+  SELECT id, count(*) AS n FROM (
+    SELECT 'Link:' || url AS id FROM links WHERE title IS NOT NULL
+    UNION ALL
+    SELECT 'Category:' || name FROM categories WHERE name IS NOT NULL
+    UNION ALL
+    SELECT 'Keyword:' || name FROM keywords WHERE name IS NOT NULL
+  )
+  GROUP BY id HAVING count(*) > 1
+)
 """,
     "g_export_nodes": GRAPH_ORACLE_CTE
     + """
@@ -206,17 +241,6 @@ ORDER BY md5(url) LIMIT 5
     + """
 SELECT url, title, keywords, suggested_category FROM links
 ORDER BY url LIMIT 50
-""",
-    "g_duplicate_ids": GRAPH_ORACLE_CTE
-    + """
-SELECT id, count(*) AS n FROM (
-  SELECT 'Link:' || url AS id FROM links WHERE title IS NOT NULL
-  UNION ALL
-  SELECT 'Category:' || name FROM categories WHERE name IS NOT NULL
-  UNION ALL
-  SELECT 'Keyword:' || name FROM keywords WHERE name IS NOT NULL
-)
-GROUP BY id HAVING count(*) > 1
 """,
     "g_motif_two_hop": GRAPH_ORACLE_CTE
     + """

@@ -16,7 +16,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .io_tpch import load_table
-from .operators import dedup, events, multimodal, sampling, similarity, textstats
+from .operators import (
+    curation,
+    dedup,
+    events,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 
 COSINE_THRESHOLD = 0.42  # corpus max pair cosine ~0.51 (near-random vectors)
 ANN_QUERIES = 10
@@ -136,6 +144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_fingerprints": _q_fingerprints,
     "t_top_terms": _on("documents", textstats.top_terms),
     "t_repetition": _on("documents", textstats.repetition),
+    "t_curation": _on("documents", curation.curation_report),
     "t_stratified_sample": _on("documents", sampling.stratified_sample),
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
@@ -895,6 +904,99 @@ SELECT doc_id, n_grams, dup_grams, top_cnt,
 FROM agg
 """
 )
+
+# Corpus curation report: the keep/drop composition (too_short /
+# repetitive / contaminated / exact_dup / near_dup) rebuilt from the
+# same fragments as its component oracles — token counts, 2-gram
+# repetition, 3-gram contamination probe, md5 exact dedup, and the
+# LSH→Jaccard→WITH RECURSIVE closure from d_dedup_clusters. CASE
+# without ELSE yields NULL and concat_ws skips NULLs in both engines,
+# so the fired-reason string is identical by construction.
+ORACLES["t_curation"] = (
+    _CANDS
+    + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter * 2 >= (na.n_sh + nb.n_sh - i.inter) * 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS node_id FROM edges),
+walk AS (
+  SELECT node_id, node_id AS label FROM cnodes
+  UNION
+  SELECT e.dst AS node_id, w.label
+  FROM walk w JOIN edges e ON e.src = w.node_id
+  WHERE w.label < e.dst
+),
+comp AS (SELECT node_id, min(label) AS canon_id FROM walk GROUP BY node_id),
+gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS gl
+  FROM toks
+),
+per_gram AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(gl) AS gram FROM gram_lists)
+  GROUP BY doc_id, gram
+),
+rep_agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM per_gram GROUP BY doc_id
+),
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+candsh AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 20 <> 0),
+csizes AS (SELECT doc_id, count(*) AS n_shingles FROM candsh GROUP BY doc_id),
+chits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM candsh WHERE shingle IN (SELECT shingle FROM bench)
+  GROUP BY doc_id
+),
+cflag AS (
+  SELECT s.doc_id,
+         CAST(coalesce(h.n_hits, 0) * 10 >= s.n_shingles * 1 AS INT) AS contaminated
+  FROM csizes s LEFT JOIN chits h ON s.doc_id = h.doc_id
+),
+exact AS (SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+          FROM documents GROUP BY md5(text))
+SELECT doc_id, n_tokens, reasons, CAST(reasons = '' AS INT) AS keep FROM (
+  SELECT t.doc_id,
+         len(t.toks) AS n_tokens,
+         concat_ws(',',
+           CASE WHEN coalesce(cf.contaminated, 0) = 1 THEN 'contaminated' END,
+           CASE WHEN t.doc_id <> e.keep_id THEN 'exact_dup' END,
+           CASE WHEN c.canon_id IS NOT NULL AND t.doc_id <> c.canon_id
+                THEN 'near_dup' END,
+           CASE WHEN r.dup_grams * 5 >= r.n_grams * 1 THEN 'repetitive' END,
+           CASE WHEN len(t.toks) < 5 THEN 'too_short' END) AS reasons
+  FROM toks t
+  JOIN documents d ON d.doc_id = t.doc_id
+  JOIN rep_agg r ON r.doc_id = t.doc_id
+  JOIN exact e ON e.text_hash = md5(d.text)
+  LEFT JOIN cflag cf ON cf.doc_id = t.doc_id
+  LEFT JOIN comp c ON c.node_id = t.doc_id
+)
+"""
+).replace("WITH toks", "WITH RECURSIVE toks", 1)
 
 # Benchmark decontamination: candidate docs' 3-gram shingles probed
 # against the benchmark slice's distinct shingle set; integer ratio
