@@ -61,11 +61,16 @@ def curation_report(
     clusters keep their canonical member, exactly the keeper rules of
     the underlying operators.
     """
+    # one shingle definition feeds both shingle consumers (the
+    # contamination probe and the LSH→Jaccard near-dup pass); at
+    # cluster scale, checkpoint this table once instead of re-scanning
+    # the corpus per consumer
+    sh = dedup.shingles(docs)
     tok = textstats.token_counts(docs).select("doc_id", "ws_tokens")
     rep = textstats.repetition(docs).select("doc_id", "n_grams", "dup_grams")
-    cont = dedup.contamination(docs).select("doc_id", "contaminated")
+    cont = dedup.contamination(docs, sh=sh).select("doc_id", "contaminated")
     exact = dedup.dedup_exact(docs).select("text_hash", "keep_id")
-    near = dedup.dedup_clusters(docs).select("doc_id", "canon_id")
+    near = dedup.dedup_clusters(docs, sh=sh).select("doc_id", "canon_id")
 
     ann = (
         docs.select("doc_id", F.md5("text").alias("text_hash"))

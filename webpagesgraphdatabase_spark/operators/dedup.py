@@ -208,6 +208,7 @@ def neardup_jaccard(
     num: int = 1,
     den: int = 2,
     candidates: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs with exact verification.
 
@@ -216,14 +217,19 @@ def neardup_jaccard(
     integer arithmetic, so Spark and the oracle agree exactly.
 
     When ``candidates`` is None the LSH candidates are used (the scale
-    path: verification cost is |candidates|, not |docs|²).
+    path: verification cost is |candidates|, not |docs|²). ``sh`` lets
+    a caller that already built the shingle table (e.g. a curation
+    pass running several shingle consumers) share one definition — at
+    cluster scale, checkpoint that table once instead of re-scanning
+    the corpus per consumer.
     """
     # the shingle table feeds the minhash lineage AND the verify side;
     # recomputing it (cheap narrow ops + one distinct) benchmarks faster
     # here than a persist barrier, which serializes the otherwise-
     # overlapping stages — at cluster scale, checkpoint it to the
     # warehouse instead when |docs| makes recompute dominant
-    sh = shingles(docs)
+    if sh is None:
+        sh = shingles(docs)
     cand = (
         candidates
         if candidates is not None
@@ -267,6 +273,7 @@ def contamination(
     bench_mod: int = 20,
     num: int = 1,
     den: int = 10,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents whose word
     ``n``-gram shingles overlap a held-out benchmark set — the standard
@@ -288,7 +295,8 @@ def contamination(
     exchange is the per-doc count rollup. At 100 TB this is the same
     plan: benchmark shingles broadcast once, corpus scanned once.
     """
-    sh = shingles(docs, n=n)
+    if sh is None:
+        sh = shingles(docs, n=n)
     bench = sh.filter(F.col("doc_id") % bench_mod == 0)
     cand = sh.filter(F.col("doc_id") % bench_mod != 0)
     bench_set = F.broadcast(bench.select("shingle").distinct())
@@ -364,6 +372,7 @@ def dedup_clusters(
     num: int = 1,
     den: int = 2,
     candidates: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup clustering — the full near-dup dedup shape a
     training-data pipeline runs (reference has no analog; this composes
@@ -387,7 +396,7 @@ def dedup_clusters(
     """
     from ..graph.algorithms import components_from_edges
 
-    pairs = neardup_jaccard(docs, num, den, candidates)
+    pairs = neardup_jaccard(docs, num, den, candidates, sh)
     comp = components_from_edges(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
