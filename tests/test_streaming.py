@@ -137,3 +137,46 @@ def test_streaming_sessionize_state_across_batches(spark, tmp_path):
     ]
     # one closed session holding events 1,2,3 (the 4th stays open in state)
     assert got == [(1, 3)]
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    from webpagesgraphdatabase_spark.operators import dedup, textstats
+    from webpagesgraphdatabase_spark.streaming import (
+        benchmark_shingle_set,
+        read_doc_stream,
+        streaming_contamination,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src"
+    docs.write.mode("overwrite").parquet(str(src / "drop1"))
+
+    bench = benchmark_shingle_set(docs)
+    out = streaming_contamination(read_doc_stream(spark, str(src / "drop1")), bench)
+    run_available_now(out, "stream_cont", str(tmp_path / "ckpt_cont"))
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.contaminated)
+        for r in spark.table("stream_cont").collect()
+    }
+    want = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.contaminated)
+        for r in dedup.contamination(docs).collect()
+    }
+    assert got == want and got
+
+
+def test_stateless_textstats_run_on_streams_unchanged(spark, tmp_path):
+    # token_counts is row-local column algebra: the same function
+    # applies to a streaming DataFrame with no twin needed
+    from webpagesgraphdatabase_spark.operators import textstats
+    from webpagesgraphdatabase_spark.streaming import read_doc_stream
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src2"
+    docs.write.mode("overwrite").parquet(str(src / "drop1"))
+
+    out = textstats.token_counts(read_doc_stream(spark, str(src / "drop1")))
+    run_available_now(out, "stream_tok", str(tmp_path / "ckpt_tok"))
+    got = {r.doc_id: r.ws_tokens for r in spark.table("stream_tok").collect()}
+    want = {r.doc_id: r.ws_tokens for r in textstats.token_counts(docs).collect()}
+    assert got == want and got

@@ -48,23 +48,33 @@ def tokens_col(text_col: str = "text"):
     return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word ``n``-gram shingles per document: (doc_id, shingle).
-
-    Documents shorter than ``n`` words contribute their whole text as a
-    single shingle so every doc has ≥1 shingle (keeps Jaccard defined).
-    """
-    words = tokens_col()
-    grams = F.when(
+def shingle_array(n: int = 3, text_col: str = "text"):
+    """Column expression: the word ``n``-gram shingle list of
+    ``text_col`` (whole text as one shingle when shorter than ``n``
+    words). Row-local — usable unchanged on batch *and* streaming
+    DataFrames; :func:`shingles` explodes it into the relational form."""
+    words = tokens_col(text_col)
+    return F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (n - 1)),
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word ``n``-gram shingles per document: (doc_id, shingle).
+
+    Documents shorter than ``n`` words contribute their whole text as a
+    single shingle so every doc has ≥1 shingle (keeps Jaccard defined).
+    """
     return (
         spread(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingle_array(n)).alias("shingle"),
+        )
         .distinct()
     )
 

@@ -12,6 +12,10 @@ queries run incrementally:
 - :func:`streaming_sessionize` — custom stateful operator via
   ``applyInPandasWithState``: per-user gap sessionization with open
   sessions carried in GroupState across micro-batches.
+- :mod:`.hygiene` — streaming corpus hygiene: the contamination probe
+  as a row-local, state-free stream transform (benchmark shingles
+  plan-shipped), and the stateless text stats applied to doc streams
+  unchanged.
 
 Scale notes: state is partitioned by user_id (the natural shuffle key);
 watermarks bound both window state and session state, so state size is
@@ -20,6 +24,12 @@ exactly-once per checkpoint; tests drive everything with availableNow
 and a memory sink.
 """
 
+from .hygiene import (
+    DOC_DDL,
+    benchmark_shingle_set,
+    read_doc_stream,
+    streaming_contamination,
+)
 from .jobs import (
     EVENT_DDL,
     read_event_stream,
@@ -30,9 +40,13 @@ from .jobs import (
 )
 
 __all__ = [
+    "DOC_DDL",
     "EVENT_DDL",
+    "benchmark_shingle_set",
+    "read_doc_stream",
     "read_event_stream",
     "run_available_now",
+    "streaming_contamination",
     "streaming_dedup_events",
     "streaming_sessionize",
     "streaming_windowed_counts",
