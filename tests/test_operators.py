@@ -499,3 +499,53 @@ def test_curation_near_dup_keeps_canonical(spark):
     # 1 and 2 are near-dups: the canonical min-id survives, the other drops
     assert out[1].keep == 1
     assert "near_dup" in out[2].reasons
+
+
+def test_repetition_invariants_on_corpus(spark):
+    # cross-operator consistency on the real table: 2-gram count is
+    # exactly max(1, n_tokens - 1), fractions are proper ratios, and
+    # dup_grams fires iff some gram repeats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = textstats.repetition(docs)
+    tok = textstats.token_counts(docs)
+    bad = (
+        rep.join(tok, "doc_id")
+        .filter(
+            (F.col("n_grams") != F.greatest(F.lit(1), F.col("ws_tokens") - 1))
+            | (F.col("dup_grams") > F.col("n_grams"))
+            | (F.col("top_cnt") < 1)
+            | ((F.col("dup_grams") == 0) != (F.col("top_cnt") == 1))
+            | (F.col("dup_frac") < 0)
+            | (F.col("dup_frac") > 1)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_contamination_invariants_on_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cont = dedup.contamination(docs)
+    assert cont.filter(F.col("n_hits") > F.col("n_shingles")).count() == 0
+    # scored set is exactly the non-benchmark slice
+    assert cont.filter(F.col("doc_id") % 20 == 0).count() == 0
+    assert cont.count() == docs.filter(F.col("doc_id") % 20 != 0).count()
+
+
+def test_curation_consistent_with_component_operators(spark):
+    from webpagesgraphdatabase_spark.operators import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep_docs = {
+        r.doc_id
+        for r in curation.curation_report(docs)
+        .filter(F.col("reasons").contains("near_dup"))
+        .collect()
+    }
+    clus = {
+        r.doc_id
+        for r in dedup.dedup_clusters(docs)
+        .filter(F.col("doc_id") != F.col("canon_id"))
+        .collect()
+    }
+    assert rep_docs == clus  # the report's near_dup rule IS the cluster rule
