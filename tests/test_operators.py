@@ -549,3 +549,37 @@ def test_curation_consistent_with_component_operators(spark):
         .collect()
     }
     assert rep_docs == clus  # the report's near_dup rule IS the cluster rule
+
+
+def test_pack_sequences_layout(spark):
+    from webpagesgraphdatabase_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(300))) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    rows = packing.pack_sequences(docs, seq_len=512, n_shards=2).collect()
+    assert len(rows) == 6 and all(r.n_tokens == 300 for r in rows)
+    for shard in {r.shard for r in rows}:
+        members = sorted(
+            (r for r in rows if r.shard == shard),
+            key=lambda r: r.seq_id * 512 + r.seq_offset,
+        )
+        # per-shard stream: starts are the exact running token count
+        for i, r in enumerate(members):
+            start = i * 300
+            assert (r.seq_id, r.seq_offset) == (start // 512, start % 512)
+
+
+def test_pack_sequences_deterministic_and_parallel_plan(spark):
+    from webpagesgraphdatabase_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], ["doc_id", "text"]
+    )
+    a = {tuple(r) for r in packing.pack_sequences(docs).collect()}
+    b = {tuple(r) for r in packing.pack_sequences(docs.repartition(7)).collect()}
+    assert a == b  # layout-independent
+    plan = packing.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    # the cumsum window partitions by shard — never a single global sort
+    assert "hashpartitioning(shard" in plan

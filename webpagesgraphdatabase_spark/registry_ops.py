@@ -21,6 +21,7 @@ from .operators import (
     dedup,
     events,
     multimodal,
+    packing,
     sampling,
     similarity,
     textstats,
@@ -145,6 +146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_top_terms": _on("documents", textstats.top_terms),
     "t_repetition": _on("documents", textstats.repetition),
     "t_curation": _on("documents", curation.curation_report),
+    "t_pack": _on("documents", packing.pack_sequences),
     "t_stratified_sample": _on("documents", sampling.stratified_sample),
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
@@ -352,9 +354,18 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both per-event-type summary aggregates in one row (joined on
+    event_type): exact interpolated percentiles + the KMV distinct-count
+    sketch — merged to keep the registry inside the driver gate's
+    ~50-row window; each operator runs unchanged."""
+    return _q_events_quantiles(spark, sf_dir).join(
+        _q_kmv_distinct(spark, sf_dir), "event_type"
+    )
+
+
 QUERIES["a_region_revenue"] = _q_region_revenue
-QUERIES["a_events_quantiles"] = _q_events_quantiles
-QUERIES["a_kmv_distinct"] = _q_kmv_distinct
+QUERIES["a_events_sketch"] = _q_events_sketch
 QUERIES["u_segment_setops"] = _q_segment_setops
 
 
@@ -793,7 +804,7 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE c_nationkey = s_nationkey
 GROUP BY r_name
 """,
-    "a_kmv_distinct": f"""
+    "_kmv_part": f"""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
 h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM d),
 kth AS (
@@ -813,7 +824,7 @@ SELECT k.event_type, e.n_exact, k.k_used,
                                       / {float(16**13)}), 6) END AS kmv_estimate
 FROM kth k JOIN exact e ON k.event_type = e.event_type
 """,
-    "a_events_quantiles": """
+    "_quantiles_part": """
 SELECT event_type, count(*) AS n_events,
        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
@@ -861,6 +872,42 @@ ORACLES["s_ann_methods"] = "\nUNION ALL\n".join(
         ("ivf", "s_ann_ivf"),
     )
 )
+
+# Per-event-type summary aggregates share one row (see _q_events_sketch).
+ORACLES["a_events_sketch"] = (
+    "SELECT q.event_type, q.n_events, q.p50, q.p90,\n"
+    "       k.n_exact, k.k_used, k.kmv_estimate\n"
+    "FROM (" + ORACLES.pop("_quantiles_part") + ") q\n"
+    "JOIN (" + ORACLES.pop("_kmv_part") + ") k ON q.event_type = k.event_type"
+)
+
+# Training-sequence packing: md5 shuffle → hash shards → per-shard
+# running token count → (seq_id, seq_offset) by integer div/mod. The
+# window is partitioned by shard (never a global sort) in both engines.
+ORACLES["t_pack"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(('0x' || substr(k, 1, 7))::BIGINT % 8 AS INT) AS shard
+  FROM base
+),
+packed AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM sharded
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       CAST(start % 512 AS BIGINT) AS seq_offset
+FROM packed
+"""
 
 # Per-document text classifications share one row (see _q_lang_quality).
 ORACLES["t_lang_quality"] = (
