@@ -583,3 +583,22 @@ def test_pack_sequences_deterministic_and_parallel_plan(spark):
     plan = packing.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
     # the cumsum window partitions by shard — never a single global sort
     assert "hashpartitioning(shard" in plan
+
+
+def test_mixture_sample_quotas_and_nesting(spark):
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    w = {"en": 0.75, "de": 0.25}
+    m20 = sampling.mixture_sample(docs, w, total=20).collect()
+    by_lang = {}
+    for r in m20:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 15 and len(by_lang["de"]) == 5
+    # nesting: a smaller total is a prefix of the larger draw
+    m8 = {(r.lang, r.doc_id) for r in sampling.mixture_sample(docs, w, total=8).collect()}
+    m20_set = {(r.lang, r.doc_id) for r in m20}
+    assert m8 <= m20_set
+    # unlisted strata draw nothing
+    assert {r.lang for r in m20} == {"en", "de"}

@@ -89,3 +89,39 @@ def stratified_sample(
         .filter(F.col("stratum_rank") <= k)
         .select(id_col, strata_col, "stratum_rank")
     )
+
+
+#: default corpus-mixing recipe (weights sum to 1; strata not listed
+#: draw nothing) — the "data mixture" a training run specifies
+MIX_WEIGHTS: dict[str, float] = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    total: int = 100,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted corpus mixing — the data-mixture primitive: stratum s
+    contributes ``floor(total · weights[s])`` documents, drawn by the
+    same deterministic ``(md5(id), id)`` rank as
+    :func:`stratified_sample` (reused, pre-filter and all), so the
+    mixture is reproducible across runs, engines, and layouts:
+    (id, stratum, stratum_rank, quota).
+
+    Strata missing from ``weights`` contribute nothing; strata smaller
+    than their quota contribute everything they have (the under-filled
+    mixture is visible as rank < quota). Changing ``total`` only ever
+    grows/shrinks each stratum's prefix — nested samples, the property
+    mixture ablations rely on.
+    """
+    weights = MIX_WEIGHTS if weights is None else weights
+    quotas = [(s, int(total * w)) for s, w in sorted(weights.items())]
+    max_k = max((q for _, q in quotas), default=0)
+    ranked = stratified_sample(docs, strata_col, max_k, id_col)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(quotas, [strata_col, "quota"])
+    return ranked.join(F.broadcast(qdf), strata_col).filter(
+        F.col("stratum_rank") <= F.col("quota")
+    ).select(id_col, strata_col, "stratum_rank", "quota")

@@ -128,6 +128,30 @@ def _q_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sampling_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic samplers in one row: uniform k-per-stratum
+    (mode='uniform', quota=k) and the weighted data mixture
+    (mode='weighted', per-lang quotas) — each operator runs unchanged."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    uniform = sampling.stratified_sample(docs).select(
+        F.lit("uniform").alias("mode"),
+        "doc_id",
+        "lang",
+        "stratum_rank",
+        F.lit(20).cast("long").alias("quota"),
+    )
+    weighted = sampling.mixture_sample(docs).select(
+        F.lit("weighted").alias("mode"),
+        "doc_id",
+        "lang",
+        "stratum_rank",
+        F.col("quota").cast("long").alias("quota"),
+    )
+    return uniform.unionByName(weighted)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- dedup (documents) ---
     "d_dedup_exact": _on("documents", dedup.dedup_exact),
@@ -147,7 +171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_repetition": _on("documents", textstats.repetition),
     "t_curation": _on("documents", curation.curation_report),
     "t_pack": _on("documents", packing.pack_sequences),
-    "t_stratified_sample": _on("documents", sampling.stratified_sample),
+    "t_stratified_sample": _q_sampling_modes,
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
     "mm_frame_sample": _on("documents", multimodal.frame_sample),
@@ -1127,14 +1151,22 @@ FROM comp c JOIN csize s USING (canon_id)
 """
 ).replace("WITH toks", "WITH RECURSIVE toks", 1)
 
-# Deterministic k-per-stratum sample: rank by (md5(id), id) per lang.
-# The Spark side's hash-threshold pre-filter is a physical optimization
-# only — the result set is the plain window below.
+# Deterministic sampling, both modes (see _q_sampling_modes): rank by
+# (md5(id), id) per lang; uniform k=20 plus the weighted mixture quotas
+# (MIX_WEIGHTS × total=100). The Spark side's hash-threshold pre-filter
+# is a physical optimization only — the result set is the plain window.
 ORACLES["t_stratified_sample"] = """
-SELECT doc_id, lang, stratum_rank FROM (
+WITH ranked AS (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS stratum_rank
   FROM documents
-) WHERE stratum_rank <= 20
+),
+q(lang, quota) AS (VALUES ('de', 10), ('en', 50), ('es', 15), ('fr', 5), ('zh', 20))
+SELECT 'uniform' AS mode, doc_id, lang, stratum_rank, CAST(20 AS BIGINT) AS quota
+FROM ranked WHERE stratum_rank <= 20
+UNION ALL
+SELECT 'weighted' AS mode, r.doc_id, r.lang, r.stratum_rank,
+       CAST(q.quota AS BIGINT) AS quota
+FROM ranked r JOIN q USING (lang) WHERE r.stratum_rank <= q.quota
 """
