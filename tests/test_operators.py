@@ -602,3 +602,66 @@ def test_mixture_sample_quotas_and_nesting(spark):
     assert m8 <= m20_set
     # unlisted strata draw nothing
     assert {r.lang for r in m20} == {"en", "de"}
+
+
+# --- LSH degenerate-bucket cap (on by default) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def boilerplate(spark):
+    """Mass-duplicated boilerplate plus a small genuine near-dup pair:
+    the shape the bucket cap exists for."""
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(60)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_max_bucket_drops_degenerate_bucket(boilerplate):
+    capped = dedup.lsh_candidates(boilerplate, max_bucket=50)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the 60-doc bucket is dropped entirely ...
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+    # ... while the small genuine near-dup bucket survives
+    assert (100, 101) in pairs
+    # uncapped: the boilerplate bucket contributes its full C(60,2) pairs
+    full = dedup.lsh_candidates(boilerplate, max_bucket=None)
+    assert full.filter("doc_a < 100 AND doc_b < 100").count() == 60 * 59 // 2
+
+
+def test_lsh_dropped_buckets_reports_what_the_cap_removed(boilerplate):
+    sh = dedup.shingles(boilerplate)
+    dropped = dedup.lsh_dropped_buckets(sh, max_bucket=50).collect()
+    # identical docs share every band signature: one dropped bucket per band
+    assert len(dropped) == dedup.N_BANDS
+    assert all(r.bsz == 60 for r in dropped)
+    assert dedup.lsh_dropped_buckets(sh, max_bucket=None).count() == 0
+
+
+def test_lsh_default_cap_bounds_mass_boilerplate(spark):
+    """A >DEFAULT_MAX_BUCKET boilerplate blob completes with a bounded
+    candidate count under the defaults — and the exact-dedup path still
+    collapses it, so the hygiene pipeline loses nothing."""
+    n = dedup.DEFAULT_MAX_BUCKET + 100
+    docs = spark.createDataFrame(
+        [(i, "mass produced boilerplate page footer text") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    assert dedup.lsh_candidates(docs).count() == 0  # dropped, not O(n^2)
+    exact = dedup.dedup_exact(docs).collect()
+    assert len(exact) == 1 and exact[0].keep_id == 0 and exact[0].n_copies == n
+
+
+def test_curation_threads_max_bucket(boilerplate):
+    from webpagesgraphdatabase_spark.operators import curation
+
+    rep = curation.curation_report(boilerplate, max_bucket=50)
+    by_id = {r.doc_id: r.reasons for r in rep.collect()}
+    # boilerplate: exact-dedup'd (min id kept), near_dup never computed
+    # for the dropped bucket
+    assert "exact_dup" in by_id[5] and "near_dup" not in by_id[5]
+    assert "exact_dup" not in by_id[0]
+    # the genuine near-dup pair is still verified and clustered
+    assert "near_dup" in by_id[101] and "near_dup" not in by_id[100]

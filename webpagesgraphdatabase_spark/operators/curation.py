@@ -48,6 +48,7 @@ def curation_report(
     min_tokens: int = MIN_TOKENS,
     rep_num: int = REP_NUM,
     rep_den: int = REP_DEN,
+    max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_id, n_tokens, reasons, keep): ``reasons`` is the
     comma-joined, fixed-order list of drop rules that fired
@@ -70,7 +71,9 @@ def curation_report(
     rep = textstats.repetition(docs).select("doc_id", "n_grams", "dup_grams")
     cont = dedup.contamination(docs, sh=sh).select("doc_id", "contaminated")
     exact = dedup.dedup_exact(docs).select("text_hash", "keep_id")
-    near = dedup.dedup_clusters(docs, sh=sh).select("doc_id", "canon_id")
+    near = dedup.dedup_clusters(docs, sh=sh, max_bucket=max_bucket).select(
+        "doc_id", "canon_id"
+    )
 
     ann = (
         docs.select("doc_id", F.md5("text").alias("text_hash"))

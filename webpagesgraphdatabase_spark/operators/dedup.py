@@ -28,8 +28,10 @@ Scale notes:
   ``(band, band_key)`` — exactly the join LSH exists to make sparse.
 - A pathological bucket (many docs with identical band signature, i.e.
   true heavy duplication) makes the candidate join quadratic *within
-  that bucket only*; cap with ``max_bucket`` to drop degenerate buckets
-  (standard practice in web-scale dedup).
+  that bucket only*; the ``max_bucket`` cap (standard practice in
+  web-scale dedup) drops degenerate buckets and is ON by default
+  (:data:`DEFAULT_MAX_BUCKET`); :func:`lsh_dropped_buckets` makes the
+  drops observable.
 """
 
 from __future__ import annotations
@@ -41,6 +43,19 @@ from ._util import spread
 
 N_PERMS = 16
 N_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4, ~0.5 at j~0.55
+
+#: Default degenerate-bucket cap for the LSH band self-join. A bucket of
+#: b identical band-signatures contributes b·(b-1)/2 candidate pairs, so
+#: mass-duplicated boilerplate (the very thing the corpus dedup targets)
+#: goes quadratic *within its bucket* without a cap. 1000 bounds any
+#: single bucket to ≤500k pairs — large enough that genuine near-dup
+#: neighborhoods (tens of docs) are never dropped, small enough that a
+#: million-copy boilerplate bucket can't produce 5·10¹¹ pairs. Docs in a
+#: dropped bucket are still exact-dup-deduped by :func:`dedup_exact`
+#: (identical texts — the usual cause of degenerate buckets — hash
+#: equal), so the keep/drop pipeline loses no hygiene, only redundant
+#: pair enumeration. Pass ``max_bucket=None`` to disable.
+DEFAULT_MAX_BUCKET = 1000
 
 
 def tokens_col(text_col: str = "text"):
@@ -168,26 +183,46 @@ def lsh_candidates(
     docs: DataFrame,
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: distinct (doc_a < doc_b) sharing at
     least one LSH band bucket.
 
     The self-join key is (band, band_key) — high-entropy, so the join is
-    sparse by construction. ``max_bucket`` drops degenerate buckets
-    (bucket-size cap, the web-scale guard against quadratic blowup on
-    mass-duplicated boilerplate).
+    sparse by construction. ``max_bucket`` (finite by default, see
+    :data:`DEFAULT_MAX_BUCKET`) drops degenerate buckets — the
+    web-scale guard against quadratic blowup on mass-duplicated
+    boilerplate; :func:`lsh_dropped_buckets` reports what the cap
+    dropped.
     """
     return lsh_candidates_from_shingles(
         shingles(docs), n_perms, n_bands, max_bucket
     )
 
 
+def lsh_dropped_buckets(
+    sh: DataFrame,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Audit of the degenerate-bucket cap: (band, band_key, bsz) for
+    every bucket the ``max_bucket`` guard drops from the candidate
+    join. A curation run logs/aggregates this (it is at most a handful
+    of rows — degenerate buckets are rare by construction) so the cap
+    is observable, never silent. Empty when ``max_bucket`` is None."""
+    bands = bands_from_shingles(sh, n_perms, n_bands)
+    sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
+    if max_bucket is None:
+        return sizes.filter(F.lit(False))
+    return sizes.filter(F.col("bsz") > max_bucket)
+
+
 def lsh_candidates_from_shingles(
     sh: DataFrame,
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     bands = bands_from_shingles(sh, n_perms, n_bands)
     if max_bucket is not None:
@@ -219,6 +254,7 @@ def neardup_jaccard(
     den: int = 2,
     candidates: DataFrame | None = None,
     sh: DataFrame | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs with exact verification.
 
@@ -243,7 +279,7 @@ def neardup_jaccard(
     cand = (
         candidates
         if candidates is not None
-        else lsh_candidates_from_shingles(sh)
+        else lsh_candidates_from_shingles(sh, max_bucket=max_bucket)
     )
 
     # Verify via per-doc shingle *arrays*: one groupBy collects each
@@ -383,6 +419,7 @@ def dedup_clusters(
     den: int = 2,
     candidates: DataFrame | None = None,
     sh: DataFrame | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Fuzzy-dedup clustering — the full near-dup dedup shape a
     training-data pipeline runs (reference has no analog; this composes
@@ -406,7 +443,7 @@ def dedup_clusters(
     """
     from ..graph.algorithms import components_from_edges
 
-    pairs = neardup_jaccard(docs, num, den, candidates, sh)
+    pairs = neardup_jaccard(docs, num, den, candidates, sh, max_bucket)
     comp = components_from_edges(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )

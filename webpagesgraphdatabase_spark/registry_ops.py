@@ -450,13 +450,25 @@ bands AS (
 )"""
 )
 
+# Mirrors dedup.DEFAULT_MAX_BUCKET: buckets larger than the cap are
+# dropped from the candidate join on the Spark side, so the oracle
+# reproduces the same guard (no-op on the testdata, whose buckets are
+# far smaller — asserted by tests/test_operators.py's capped fixtures).
 _CANDS = (
     _BANDS
-    + r""",
+    + f""",
+bsizes AS (
+  SELECT band, band_key, count(*) AS bsz FROM bands GROUP BY band, band_key
+),
+kept AS (
+  SELECT b.doc_id, b.band, b.band_key
+  FROM bands b JOIN bsizes s ON b.band = s.band AND b.band_key = s.band_key
+  WHERE s.bsz <= {dedup.DEFAULT_MAX_BUCKET}
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  FROM kept a
+  JOIN kept b ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
 )"""
 )
