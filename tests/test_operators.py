@@ -665,3 +665,48 @@ def test_curation_threads_max_bucket(boilerplate):
     assert "exact_dup" not in by_id[0]
     # the genuine near-dup pair is still verified and clustered
     assert "near_dup" in by_id[101] and "near_dup" not in by_id[100]
+
+
+# --- curation shingle checkpoint/persist -------------------------------
+
+
+def _curation_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy cat today"),
+        (2, "completely different words entirely unrelated content here now"),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "tiny doc"),
+        (20, "benchmark slice text for the contamination holdout rules"),
+        (21, "benchmark slice text for the contamination holdout rules extra"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_curation_checkpoint_single_shingle_scan(spark, tmp_path):
+    from webpagesgraphdatabase_spark.operators import curation
+
+    docs = _curation_docs(spark)
+    base = {tuple(r) for r in curation.curation_report(docs).collect()}
+
+    ckpt = str(tmp_path / "ckpt")
+    rep = curation.curation_report(docs, checkpoint_dir=ckpt)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # the docs fixture is a literal DataFrame, so every parquet FileScan
+    # in the plan is a read of the shingle checkpoint: both live shingle
+    # consumers (contamination + the Jaccard verify) scan it instead of
+    # rebuilding the shingle lineage from the corpus
+    assert plan.count("FileScan parquet") >= 2
+    assert {tuple(r) for r in rep.collect()} == base
+
+
+def test_curation_persist_caches_shingles(spark):
+    from webpagesgraphdatabase_spark.operators import curation
+
+    docs = _curation_docs(spark)
+    base = {tuple(r) for r in curation.curation_report(docs).collect()}
+    rep = curation.curation_report(docs, persist_shingles=True)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert {tuple(r) for r in rep.collect()} == base
+    spark.catalog.clearCache()

@@ -49,6 +49,8 @@ def curation_report(
     rep_num: int = REP_NUM,
     rep_den: int = REP_DEN,
     max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
+    persist_shingles: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, reasons, keep): ``reasons`` is the
     comma-joined, fixed-order list of drop rules that fired
@@ -62,11 +64,24 @@ def curation_report(
     clusters keep their canonical member, exactly the keeper rules of
     the underlying operators.
     """
-    # one shingle definition feeds both shingle consumers (the
-    # contamination probe and the LSH→Jaccard near-dup pass); at
-    # cluster scale, checkpoint this table once instead of re-scanning
-    # the corpus per consumer
+    # One shingle definition feeds both shingle consumers (the
+    # contamination probe and the LSH→Jaccard near-dup pass). By
+    # default the table is shared by *reference* — recompute per
+    # consumer, which benchmarks faster at small SF where the narrow
+    # rebuild is cheaper than a materialization barrier. At cluster
+    # scale the corpus scan dominates, so shingle once:
+    # ``checkpoint_dir`` writes the table to Parquet and re-reads it
+    # (cuts lineage; survives executor loss; both consumers scan the
+    # checkpoint, not ``documents``), while ``persist_shingles`` caches
+    # it in executor memory/disk (same single-computation property,
+    # cache-lifetime bound to the session; caller unpersists).
     sh = dedup.shingles(docs)
+    if checkpoint_dir is not None:
+        path = checkpoint_dir.rstrip("/") + "/curation_shingles.parquet"
+        sh.write.mode("overwrite").parquet(path)
+        sh = docs.sparkSession.read.parquet(path)
+    elif persist_shingles:
+        sh = sh.persist()
     tok = textstats.token_counts(docs).select("doc_id", "ws_tokens")
     rep = textstats.repetition(docs).select("doc_id", "n_grams", "dup_grams")
     cont = dedup.contamination(docs, sh=sh).select("doc_id", "contaminated")
