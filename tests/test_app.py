@@ -46,7 +46,7 @@ def test_index_lists_links_and_interconnections(client):
     _add(client, "one.example/a")
     _add(client, "two.example/b")
     body = client.get("/index").get_json()
-    assert {"links", "interconnections"} <= set(body)
+    assert {"links", "interconnections", "interconnection_counts"} <= set(body)
     assert len(body["links"]) == 2
     row = body["links"][0]
     # the 10-column reference projection with P9 defaults applied
@@ -63,6 +63,65 @@ def test_index_lists_links_and_interconnections(client):
         "keyword_explanation",
     } <= set(row)
     assert row["category_explanation"] == "None"  # add_link omits it (M1 drift)
+
+
+def test_index_interconnections_are_bounded(client, store, monkeypatch):
+    """No public request can trigger an unbounded driver materialization
+    (the reference's one scale-killer, main.py:199-211): the listing is
+    capped at DEFAULT_INDEX_LIMIT even when the client asks for more,
+    honors smaller limits, and the plan is a top-k
+    (TakeOrderedAndProject), never a full-collect of the pair set."""
+    from webpagesgraphdatabase_spark import app as app_mod
+    from webpagesgraphdatabase_spark.graph import queries
+
+    # Build a graph whose symmetric pair set exceeds the cap we'll test:
+    # 2 categories × 6 links each, all sharing one keyword →
+    # 2·6·6 = 72 symmetric cross-category pairs.
+    csv_text = (
+        "url,title,content,category,keyword,"
+        "category_explanation,keyword_explanation\n"
+        + "\n".join(
+            f"b{i}.example/p,T{i},{'z' * 120},"
+            f"{'Database' if i % 2 else 'News'},shared,,"
+            for i in range(12)
+        )
+        + "\n"
+    )
+    client.post(
+        "/upload_csv",
+        data={
+            "file": (io.BytesIO(csv_text.encode()), "links.csv"),
+            "batch_size": "12",
+        },
+        content_type="multipart/form-data",
+    )
+
+    body = client.get("/index?limit=10").get_json()
+    assert len(body["interconnections"]) == 10
+    # limit is clamped to the cap — a huge client limit can't blow it open
+    monkeypatch.setattr(app_mod, "DEFAULT_INDEX_LIMIT", 25)
+    body = client.get("/index?limit=999999").get_json()
+    assert len(body["interconnections"]) == 25
+    # keyword/category filters push into the query (P3/P7 route params)
+    body = client.get("/index?keyword=nope").get_json()
+    assert body["interconnections"] == []
+    # the summary covers the FULL pair set without expansion
+    counts = {
+        (r["category1"], r["category2"]): r["count"]
+        for r in body["interconnection_counts"]
+    }
+    assert counts[("Database", "News")] == 36
+    assert counts[("News", "Database")] == 36
+    # plan shape: sort+limit compiles to a top-k, not a global sort
+    plan = (
+        queries.interconnections_symmetric(store.graph())
+        .orderBy("keyword", "category_1", "category_2", "url_1", "url_2")
+        .limit(25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_upload_csv_metadata_path(client, store):

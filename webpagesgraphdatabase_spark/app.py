@@ -98,9 +98,32 @@ def _index_links(store: GraphStore) -> list[dict]:
     return [r.asDict() for r in joined.select(*cols).collect()]
 
 
-def _index_interconnections(store: GraphStore) -> list[dict]:
-    """main.py:199-211: the symmetric flagship, reference key names."""
-    rows = queries.interconnections_symmetric(store.graph()).collect()
+#: Row bound for the index page's interconnection listing. The
+#: reference (main.py:199-211) renders *every* symmetric pair — fine
+#: for its hand-curated webpage graph, quadratic death at scale (28M
+#: rows at sf0.01; the flagship docstring calls unbounded row-level
+#: materialization wrong at any scale). The bound is always applied;
+#: clients page/narrow with ``keyword`` / ``category`` / ``limit``.
+DEFAULT_INDEX_LIMIT = 1000
+
+
+def _index_interconnections(
+    store: GraphStore,
+    keyword: str | None = None,
+    category: str | None = None,
+    limit: int = DEFAULT_INDEX_LIMIT,
+) -> list[dict]:
+    """main.py:199-211: the symmetric flagship, reference key names —
+    bounded. The sort+limit compiles to TakeOrderedAndProject (per-
+    partition top-k, no global sort), so the driver materializes at
+    most ``limit`` rows no matter how large the pair set is; the
+    total-order sort keys make paging deterministic."""
+    rows = (
+        queries.interconnections_symmetric(store.graph(), keyword, category)
+        .orderBy("keyword", "category_1", "category_2", "url_1", "url_2")
+        .limit(max(1, min(int(limit), DEFAULT_INDEX_LIMIT)))
+        .collect()
+    )
     return [
         {
             "link1": r.url_1,
@@ -109,6 +132,17 @@ def _index_interconnections(store: GraphStore) -> list[dict]:
             "category1": r.category_1,
             "category2": r.category_2,
         }
+        for r in rows
+    ]
+
+
+def _index_pair_counts(store: GraphStore) -> list[dict]:
+    """The scale-honest index summary: symmetric cross-category pair
+    counts from the algebraic plan (graph/queries.py:314) — |C|² rows
+    max, computed without ever expanding pairs."""
+    rows = queries.interconnection_pair_counts(store.graph()).collect()
+    return [
+        {"category1": r.category_1, "category2": r.category_2, "count": r.cnt}
         for r in rows
     ]
 
@@ -228,10 +262,21 @@ def create_app(
     @app.route("/", methods=["GET"])
     @app.route("/index", methods=["GET"])
     def index():
+        keyword = request.args.get("keyword") or None
+        category = request.args.get("category") or None
+        try:
+            limit = int(request.args.get("limit", DEFAULT_INDEX_LIMIT))
+        except ValueError:
+            limit = DEFAULT_INDEX_LIMIT
         return jsonify(
             {
                 "links": _index_links(store),
-                "interconnections": _index_interconnections(store),
+                "interconnections": _index_interconnections(
+                    store, keyword, category, limit
+                ),
+                # Scale-honest summary of the FULL pair set (|C|² rows
+                # max) — what the bounded listing above is a page of.
+                "interconnection_counts": _index_pair_counts(store),
             }
         )
 
