@@ -62,10 +62,16 @@ TABLE_HEADLINE = (
 )
 
 # ANN variants share one registry row (s_ann_methods) but stay
-# individually timed here so per-query deltas track each strategy
+# individually timed here so per-query deltas track each strategy.
+# s_cosine_neardup_bucketed forces the >broadcast-budget fallback
+# (max_broadcast_rows=0) so the at-scale path has a measured number,
+# not just a routing test.
 ANN_HEADLINE = {
     "s_ann_lsh": lambda emb: _similarity().ann_lsh(emb, 10, 5),
     "s_ann_ivf": lambda emb: _similarity().ann_ivf(emb, 10, 5),
+    "s_cosine_neardup_bucketed": lambda emb: _similarity().cosine_neardup(
+        emb, max_broadcast_rows=0
+    ),
 }
 
 
@@ -100,18 +106,24 @@ def main() -> None:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
 
-    def timed(name: str, run, repeats: int = 2) -> None:
-        # best-of-N: the first pass pays plan-specific codegen compile and
-        # any transient box contention; the min is the steady-state number
-        # a warmed cluster serves
-        best = None
+    def timed(name: str, run, repeats: int = 3) -> None:
+        # n>=3, median headline: best-of-2 already caused one
+        # false-regression read (r2 verdict); the median absorbs both the
+        # first-pass codegen-compile pass and a single transient outlier,
+        # while p95 (~max at n=3) keeps the tail visible
+        samples = []
         for _ in range(repeats):
             t0 = time.time()
             run()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        n = len(samples)
+        median = samples[n // 2] if n % 2 else (samples[n // 2 - 1] + samples[n // 2]) / 2
+        p95 = samples[min(n - 1, int(0.95 * n))]
+        timings[name] = round(median, 3)
+        stats[name] = {"median": round(median, 3), "p95": round(p95, 3), "n": n}
 
     wh = tempfile.mkdtemp(prefix="bench_graph_wh_")
     try:
@@ -140,6 +152,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stats": stats,
         "sf": sf,
     }
 

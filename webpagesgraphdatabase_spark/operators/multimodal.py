@@ -1,13 +1,15 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-Beyond-reference extension. The container has no image/audio codecs, so
-the *decode* step is stubbed (clearly-marked ``NotImplementedError``
-unless Pillow/soundfile happen to be importable) — but everything Spark
-cares about is real and tested: the binary column schema, the
-``mapInPandas`` batch shape (pandas DataFrames in/out, iterator API so
-one Python worker streams many Arrow batches), partitioning, and
-deterministic byte-level feature extraction used in place of a codec.
+Beyond-reference extension. PNG payloads decode for real via the
+pure-stdlib decoder in :mod:`.png` (zlib inflate + scanline unfilter);
+other media types (JPEG/audio/video) stay stubbed behind a
+clearly-marked ``NotImplementedError`` since those codecs aren't in the
+container. Everything Spark cares about is real and tested either way:
+the binary column schema, the ``mapInPandas`` batch shape (pandas
+DataFrames in/out, iterator API so one Python worker streams many Arrow
+batches), partitioning, and deterministic byte-level feature extraction
+as the codec-free oracle twin.
 
 The demo payload is the document text utf-8 encoded (the tables carry
 no real media); since the synthetic corpus is pure ASCII, the DuckDB
@@ -151,41 +153,51 @@ _DECODE_SCHEMA = StructType(
 def decode_image(docs: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + feature-extract stage.
 
-    Real path requires Pillow (NOT in this container → the stage raises
-    ``NotImplementedError`` at execution time, schema still checkable).
-    With ``fake=True`` a deterministic stand-in derives pseudo-metadata
-    from the payload md5 — exercising the exact Spark plumbing (schema,
-    Arrow batches, partitioning) the real decoder would use."""
+    Real path: PNG payloads decode with the pure-stdlib decoder in
+    :mod:`.png` (zlib inflate + per-scanline unfilter — no Pillow/codec
+    dependency); ``features`` is the per-channel pixel mean (floored
+    int, one entry per channel). Non-PNG payloads still raise
+    ``NotImplementedError`` (JPEG/audio/video codecs aren't in this
+    container). With ``fake=True`` a deterministic stand-in derives
+    pseudo-metadata from the payload md5 — same Spark plumbing (schema,
+    Arrow batches, partitioning), no codec — and stays the hash-checked
+    oracle row, since the synthetic corpus carries text payloads."""
+    return decode_image_payloads(payloads(docs), fake=fake)
+
+
+def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFrame:
+    """:func:`decode_image` over an already-built (doc_id, payload
+    binary) table — the entry point when the binary column holds real
+    media rather than the documents-table demo encoding."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        try:  # pragma: no cover - codec not installed in this container
-            from PIL import Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
+        from . import png
 
         for pdf in batches:
-            if not fake:
-                if not have_pil:
-                    raise NotImplementedError(
-                        "image decode requires Pillow; run with fake=True for "
-                        "the deterministic stand-in (same plumbing, no codec)"
-                    )
-                raise NotImplementedError("real decode path not wired in this build")
             rows = {"doc_id": [], "width": [], "height": [], "channels": [], "features": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h = hashlib.md5(payload).digest()
+                if fake:
+                    h = hashlib.md5(payload).digest()
+                    w, ht, ch = 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 4
+                    feats = [int(b) for b in h[:4]]
+                elif png.is_png(bytes(payload)):
+                    w, ht, ch, px = png.decode(bytes(payload))
+                    feats = [int(px[:, :, c].mean()) for c in range(ch)]
+                else:
+                    raise NotImplementedError(
+                        "only PNG payloads decode without a codec; run with "
+                        "fake=True for the deterministic stand-in"
+                    )
                 rows["doc_id"].append(doc_id)
-                rows["width"].append(16 + h[0] % 64)
-                rows["height"].append(16 + h[1] % 64)
-                rows["channels"].append(1 + h[2] % 4)
-                rows["features"].append([int(b) for b in h[:4]])
+                rows["width"].append(w)
+                rows["height"].append(ht)
+                rows["channels"].append(ch)
+                rows["features"].append(feats)
             yield pd.DataFrame(rows)
 
-    return payloads(docs).select("doc_id", "payload").mapInPandas(
+    return payload_df.select("doc_id", "payload").mapInPandas(
         decode, schema=_DECODE_SCHEMA
     )
 
@@ -210,22 +222,21 @@ def resize_image(
     ``max_side`` box preserving aspect ratio (integer floor arithmetic,
     min 1 px): (doc_id, width, height, new_width, new_height).
 
-    Real path needs a codec (→ ``NotImplementedError`` in this
-    container); ``fake=True`` derives the source dims from the payload
-    md5 exactly like :func:`decode_image`, so the resize arithmetic and
-    the ``mapInPandas`` plumbing are fully exercised and oracle-checked.
-    Scale notes: identical to decode — payload bytes never shuffle, the
-    output is a 5-int row per image."""
+    Real path: PNG payloads get their dims from an IHDR parse
+    (:func:`.png.parse_ihdr` — header-only, no pixel inflate, so this
+    stage is O(1) per image regardless of payload size); non-PNG
+    payloads raise ``NotImplementedError``. ``fake=True`` derives the
+    source dims from the payload md5 exactly like :func:`decode_image`,
+    so the resize arithmetic and the ``mapInPandas`` plumbing stay
+    oracle-checked on the text corpus. Scale notes: identical to decode
+    — payload bytes never shuffle, the output is a 5-int row per image."""
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        from . import png
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires a codec; run with fake=True for "
-                    "the deterministic stand-in (same plumbing, no codec)"
-                )
             rows = {
                 "doc_id": [],
                 "width": [],
@@ -234,8 +245,16 @@ def resize_image(
                 "new_height": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h = hashlib.md5(payload).digest()
-                w, ht = 16 + h[0] % 64, 16 + h[1] % 64
+                if fake:
+                    h = hashlib.md5(payload).digest()
+                    w, ht = 16 + h[0] % 64, 16 + h[1] % 64
+                elif png.is_png(bytes(payload)):
+                    w, ht, _ = png.parse_ihdr(bytes(payload))
+                else:
+                    raise NotImplementedError(
+                        "only PNG payloads resize without a codec; run with "
+                        "fake=True for the deterministic stand-in"
+                    )
                 longest = max(w, ht)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
