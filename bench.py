@@ -162,13 +162,24 @@ def main() -> None:
     prior = sorted(
         f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
-    if prior:
+    # walk back to the most recent round that actually parsed — a failed
+    # round records {"rc": 1, "parsed": null} (r3 did), which must not
+    # take down this round's output
+    prev = prev_name = None
+    for fname in reversed(prior):
         try:
-            with open(os.path.join(here, prior[-1])) as fh:
-                prev = json.load(fh)
-            prev = prev.get("parsed", prev)  # driver wraps the JSON line
+            with open(os.path.join(here, fname)) as fh:
+                cand = json.load(fh)
+            cand = cand.get("parsed") or (cand if "queries" in cand else None)
+            if cand and cand.get("queries"):
+                prev, prev_name = cand, fname
+                break
+        except (OSError, ValueError):
+            continue
+    if prev is not None:
+        try:
             prev_q = prev.get("queries", {})
-            out["prev_round"] = prior[-1]
+            out["prev_round"] = prev_name
             out["prev_total"] = prev.get("value")
             out["deltas"] = {
                 k: round(v - prev_q[k], 3) for k, v in timings.items() if k in prev_q
@@ -179,7 +190,7 @@ def main() -> None:
             both = [k for k in timings if k in prev_q]
             out["comparable_total"] = round(sum(timings[k] for k in both), 3)
             out["comparable_prev_total"] = round(sum(prev_q[k] for k in both), 3)
-        except (OSError, ValueError):
+        except Exception:  # deltas are advisory — never block the output line
             pass
 
     print(json.dumps(out))

@@ -667,6 +667,26 @@ def test_curation_threads_max_bucket(boilerplate):
     assert "near_dup" in by_id[101] and "near_dup" not in by_id[100]
 
 
+def test_curation_audit_reports_dropped_buckets(boilerplate):
+    from webpagesgraphdatabase_spark.operators import curation
+
+    rep, audit = curation.curation_report_with_audit(boilerplate, max_bucket=50)
+    a = audit.first()
+    # identical docs share every band signature: one dropped bucket per
+    # band, each holding the 60 boilerplate docs
+    assert a.n_dropped_buckets == dedup.N_BANDS
+    assert a.n_dropped_rows == 60 * dedup.N_BANDS
+    assert a.max_bucket == 50
+    # the report half is byte-identical to the plain entry point
+    plain = {tuple(r) for r in curation.curation_report(boilerplate, max_bucket=50).collect()}
+    assert {tuple(r) for r in rep.collect()} == plain
+    # uncapped: nothing dropped, sentinel max_bucket
+    _, audit_off = curation.curation_report_with_audit(boilerplate, max_bucket=None)
+    off = audit_off.first()
+    assert off.n_dropped_buckets == 0 and off.n_dropped_rows == 0
+    assert off.max_bucket == -1
+
+
 # --- curation shingle checkpoint/persist -------------------------------
 
 

@@ -1,0 +1,100 @@
+"""Pluggable-tokenizer tests: exact WordPiece segmentation, regex
+pre-tokenization, and the packing layout-math invariance under a
+different tokenizer (round-2/3 verdict item: real pipelines pack BPE
+tokens, not whitespace words)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webpagesgraphdatabase_spark.operators import packing, textstats, tokenize
+
+VOCAB = ["un", "##aff", "##able", "##ly", "run", "##ning", "the", "dog", "s", "##s"]
+
+
+def _toks(spark, text, tok):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    return df.select(tok("text").alias("t")).first().t
+
+
+def test_whitespace_tokens_drop_empties(spark):
+    assert _toks(spark, "  a  b\tc \n", tokenize.whitespace_tokens) == ["a", "b", "c"]
+
+
+def test_regex_tokens_split_punctuation(spark):
+    assert _toks(spark, "don't stop, ok?", tokenize.regex_tokens) == [
+        "don", "'", "t", "stop", ",", "ok", "?",
+    ]
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    tok = lambda c: tokenize.wordpiece_tokens(VOCAB, c)
+    assert _toks(spark, "unaffable running", tok) == [
+        "un", "##aff", "##able", "run", "##ning",
+    ]
+
+
+def test_wordpiece_unknown_word_is_unk(spark):
+    tok = lambda c: tokenize.wordpiece_tokens(VOCAB, c)
+    assert _toks(spark, "the zzz dogs", tok) == ["the", "[UNK]", "dog", "##s"]
+
+
+def test_wordpiece_lowercases(spark):
+    tok = lambda c: tokenize.wordpiece_tokens(VOCAB, c)
+    assert _toks(spark, "The DOG", tok) == ["the", "dog"]
+
+
+def _layout_invariants(rows, seq_len):
+    """The packing algebra that must hold under ANY tokenizer."""
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.seq_offset < seq_len
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        # reconstruct starts; within a shard the token stream is gapless
+        starts = sorted(r.seq_id * seq_len + r.seq_offset for r in shard_rows)
+        total = 0
+        n_by_start = {
+            r.seq_id * seq_len + r.seq_offset: r.n_tokens for r in shard_rows
+        }
+        for s in starts:
+            assert s == total, "gap or overlap in the packed stream"
+            total += n_by_start[s]
+
+
+def test_pack_layout_invariance_across_tokenizers(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} has, some punct-uated text! " * (1 + i % 5)) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    for tok in (
+        None,  # whitespace default
+        tokenize.regex_tokens,
+        lambda c: tokenize.wordpiece_tokens(VOCAB, c),
+    ):
+        rows = packing.pack_sequences(docs, seq_len=64, tokenizer=tok).collect()
+        assert len(rows) == 40
+        _layout_invariants(rows, 64)
+
+
+def test_pack_shard_is_tokenizer_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    ws = {r.doc_id: r.shard for r in packing.pack_sequences(docs).collect()}
+    rx = {
+        r.doc_id: r.shard
+        for r in packing.pack_sequences(docs, tokenizer=tokenize.regex_tokens).collect()
+    }
+    assert ws == rx
+
+
+def test_token_counts_custom_tokenizer_column(spark):
+    docs = spark.createDataFrame([(1, "unaffable running")], ["doc_id", "text"])
+    out = textstats.token_counts(
+        docs, tokenizer=lambda c: tokenize.wordpiece_tokens(VOCAB, c)
+    ).first()
+    assert out.ws_tokens == 2
+    assert out.custom_tokens == 5  # un ##aff ##able run ##ning
+    # default schema unchanged when no tokenizer is passed
+    assert "custom_tokens" not in textstats.token_counts(docs).columns

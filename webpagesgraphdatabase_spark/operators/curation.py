@@ -43,6 +43,28 @@ MIN_TOKENS = 5
 REP_NUM, REP_DEN = 1, 5
 
 
+def curation_report_with_audit(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    rep_num: int = REP_NUM,
+    rep_den: int = REP_DEN,
+    max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
+    persist_shingles: bool = False,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`curation_report` plus the LSH degenerate-bucket audit as a
+    second DataFrame — (n_dropped_buckets, n_dropped_rows, max_bucket),
+    one row — so the cap that bounds the near-dup candidate join is
+    observable where it's consumed (r3 verdict item 7). The audit scans
+    the same shingle table as the report (including the checkpointed
+    copy when ``checkpoint_dir`` is set), so observing the cap never
+    recomputes the corpus scan."""
+    return _curation(
+        docs, min_tokens, rep_num, rep_den, max_bucket,
+        persist_shingles, checkpoint_dir,
+    )
+
+
 def curation_report(
     docs: DataFrame,
     min_tokens: int = MIN_TOKENS,
@@ -64,6 +86,22 @@ def curation_report(
     clusters keep their canonical member, exactly the keeper rules of
     the underlying operators.
     """
+    report, _ = _curation(
+        docs, min_tokens, rep_num, rep_den, max_bucket,
+        persist_shingles, checkpoint_dir,
+    )
+    return report
+
+
+def _curation(
+    docs: DataFrame,
+    min_tokens: int,
+    rep_num: int,
+    rep_den: int,
+    max_bucket: int | None,
+    persist_shingles: bool,
+    checkpoint_dir: str | None,
+) -> tuple[DataFrame, DataFrame]:
     # One shingle definition feeds both shingle consumers (the
     # contamination probe and the LSH→Jaccard near-dup pass). By
     # default the table is shared by *reference* — recompute per
@@ -118,9 +156,15 @@ def curation_report(
     reasons = F.concat_ws(
         ",", "r_cont", "r_exact", "r_near", "r_rep", "r_short"
     )
-    return flags.select(
+    report = flags.select(
         "doc_id",
         "n_tokens",
         reasons.alias("reasons"),
         (reasons == "").cast("int").alias("keep"),
     )
+    audit = dedup.lsh_dropped_buckets(sh, max_bucket=max_bucket).agg(
+        F.count("*").alias("n_dropped_buckets"),
+        F.coalesce(F.sum("bsz"), F.lit(0)).cast("long").alias("n_dropped_rows"),
+        F.lit(-1 if max_bucket is None else max_bucket).cast("long").alias("max_bucket"),
+    )
+    return report, audit

@@ -59,8 +59,12 @@ DEFAULT_MAX_BUCKET = 1000
 
 
 def tokens_col(text_col: str = "text"):
-    """Whitespace tokens of ``text_col``, empties dropped (F7 analog)."""
-    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    """Whitespace tokens of ``text_col``, empties dropped (F7 analog).
+    Canonical definition lives in :mod:`.tokenize` (the pluggable-
+    tokenizer module); re-exported here for the dedup/shingle callers."""
+    from .tokenize import whitespace_tokens
+
+    return whitespace_tokens(text_col)
 
 
 def shingle_array(n: int = 3, text_col: str = "text"):

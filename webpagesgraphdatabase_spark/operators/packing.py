@@ -28,22 +28,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import tokens_col
+from .tokenize import Tokenizer, whitespace_tokens
 
 SEQ_LEN = 512
 N_SHARDS = 8
 
 
 def pack_sequences(
-    docs: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+    docs: DataFrame,
+    seq_len: int = SEQ_LEN,
+    n_shards: int = N_SHARDS,
+    tokenizer: Tokenizer | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, shard, seq_id, seq_offset): the packed layout
     of the corpus. All arithmetic is exact integers (md5-prefix shard,
     bigint cumsum, ``div``/``mod``) so the DuckDB oracle reproduces the
-    assignment bit-for-bit."""
+    assignment bit-for-bit.
+
+    ``tokenizer`` is any ``(text_col) -> array<string> Column`` factory
+    (see :mod:`.tokenize`); only ``n_tokens = size(tokens)`` feeds the
+    layout, so the shuffle/window shape is tokenizer-independent —
+    whitespace (default) and regex modes stay fully oracle-checkable,
+    a vocab-backed subword tokenizer plugs in without touching the
+    packing algebra."""
+    tokenizer = tokenizer or whitespace_tokens
     base = docs.select(
         "doc_id",
-        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.size(tokenizer("text")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("k"),
     ).withColumn(
         "shard",

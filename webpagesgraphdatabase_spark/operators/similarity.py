@@ -36,6 +36,37 @@ N_PLANES = 4  # 2^4 buckets: sized so sf0.01 buckets hold ~30 vecs (top-k stays 
 N_CENTROIDS = 8  # IVF lists: sf0.01 lists hold ~60 vecs (top-k stays filled)
 N_PROBE = 2
 
+# Auto-sizing targets (ann_lsh/ann_ivf with n_planes/n_centroids=None):
+# LSH aims for ~TARGET_BUCKET vectors per bucket (big enough to fill
+# top-k, small enough that the in-bucket quadratic verify stays local);
+# IVF uses the classic sqrt(N) list count so list size ≈ list count.
+# Both formulas are plain float sqrt/log2 + floor + clamp so the DuckDB
+# oracle computes bit-identical values from count(*) (IEEE doubles in
+# both engines).
+TARGET_BUCKET = 64
+MIN_PLANES, MAX_PLANES = 2, 16
+MIN_CENTROIDS, MAX_CENTROIDS = 4, 256
+
+
+def auto_n_planes(corpus_count: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """floor(log2(N / target_bucket)) clamped to [2, 16] — expected
+    bucket size N / 2^planes lands just above ``target_bucket``."""
+    import math
+
+    if corpus_count <= target_bucket:
+        return MIN_PLANES
+    raw = math.floor(math.log2(corpus_count / float(target_bucket)))
+    return max(MIN_PLANES, min(MAX_PLANES, int(raw)))
+
+
+def auto_n_centroids(corpus_count: int) -> int:
+    """floor(sqrt(N)) clamped to [4, 256] — the standard IVF list-count
+    heuristic (probe cost ≈ list size at sqrt sizing)."""
+    import math
+
+    raw = math.floor(math.sqrt(float(corpus_count)))
+    return max(MIN_CENTROIDS, min(MAX_CENTROIDS, int(raw)))
+
 
 def _norm(vec_col):
     return F.sqrt(
@@ -231,11 +262,13 @@ def ann_ivf(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     n_probe: int = N_PROBE,
 ) -> DataFrame:
     """IVF ANN: (query_id, rank, neighbor_id) — each query scores only
     the vectors in its ``n_probe`` nearest inverted lists.
+    ``n_centroids=None`` auto-sizes to floor(sqrt(N)) from a corpus
+    count probe (see :func:`auto_n_centroids`).
 
     Scale shape: probes (|Q|·n_probe rows) and query vectors are
     broadcast, so the corpus-side work is one equi-join on ``cid``
@@ -244,6 +277,8 @@ def ann_ivf(
     shuffle-free. Recall < 1 by design; probing every list
     (n_probe = n_centroids) recovers exact brute force, which the unit
     tests assert."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
     cents = ivf_centroids(emb, n_centroids)
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     q = v.filter(F.col("vec_id") < n_queries)
@@ -349,13 +384,17 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
 
 
 def ann_lsh(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+    emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int | None = None
 ) -> DataFrame:
     """Bucketed ANN: top-k by cosine *within the query's LSH bucket*:
     (query_id, rank, neighbor_id). The candidate join is an equi-join on
     ``bucket`` — per-query work is O(bucket size · d), the whole point
     of LSH at corpus scale. Recall < 1 by design; the driver oracle
-    checks the same bucketed semantics, not exact-ANN equality."""
+    checks the same bucketed semantics, not exact-ANN equality.
+    ``n_planes=None`` auto-sizes to floor(log2(N / 64)) from a corpus
+    count probe (see :func:`auto_n_planes`)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count())
     buckets = lsh_buckets(emb, n_planes)
     v = emb.join(buckets, "vec_id").select(
         "vec_id", "bucket", "embedding", _norm(F.col("embedding")).alias("nrm")

@@ -90,18 +90,24 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
+def token_counts(docs: DataFrame, tokenizer=None) -> DataFrame:
     """Token counting: whitespace tokens and BPE-ish regex tokens
     (alnum runs + single non-alnum-non-space marks):
-    (doc_id, ws_tokens, re_tokens, n_chars)."""
-    return docs.select(
+    (doc_id, ws_tokens, re_tokens, n_chars).
+
+    Pass a :mod:`.tokenize` tokenizer to append a ``custom_tokens``
+    column counted under it (e.g. WordPiece); the default schema is
+    unchanged so the DuckDB oracle row stays byte-identical."""
+    out = docs.select(
         "doc_id",
         F.size(tokens_col()).alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).alias(
             "re_tokens"
         ),
         F.length("text").alias("n_chars"),
+        *([F.size(tokenizer("text")).alias("custom_tokens")] if tokenizer else []),
     )
+    return out
 
 
 def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:

@@ -1,0 +1,106 @@
+"""Pluggable tokenizers for packing and token counting.
+
+A *tokenizer* here is any callable ``(text_col: str) -> Column`` whose
+result is an ``array<string>`` of tokens — the layout math downstream
+(:func:`.packing.pack_sequences`, :func:`.textstats.token_counts`) only
+ever takes ``F.size`` of it, so swapping tokenizers can never change the
+packing algebra, only the token counts feeding it.
+
+Three implementations, in ascending fidelity / descending speed:
+
+- :func:`whitespace_tokens` — split on whitespace. The default and the
+  DuckDB-oracle mode (both engines agree exactly).
+- :func:`regex_tokens` — BPE-ish pre-tokenization (alnum runs + single
+  punctuation marks), still pure JVM codegen
+  (``regexp_extract_all``) and still exactly reproducible in DuckDB.
+- :func:`wordpiece_tokens` — greedy longest-match subword segmentation
+  over a broadcast vocabulary (the BERT-WordPiece algorithm, with
+  ``##``-continuation pieces). This is the "real tokenizer" shape: a
+  driver-broadcast vocab dict + an Arrow-batched pandas UDF. At cluster
+  scale the vocab (~30k pieces, a few MB) broadcasts once per executor
+  and the UDF streams Arrow batches — the same plumbing an HF tokenizer
+  would use, no per-row Python round trips.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Tokenizer = Callable[[str], Column]
+
+#: BPE-ish pre-tokenizer: alnum runs, or one non-alnum-non-space mark.
+BPE_SPLIT_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens, empties dropped (the default / oracle mode)."""
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def regex_tokens(text_col: str = "text", pattern: str = BPE_SPLIT_RE) -> Column:
+    """BPE-style pre-tokenization as a codegen expression; DuckDB
+    reproduces it with its own ``regexp_extract_all``."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+
+
+def wordpiece_tokens(
+    vocab: Iterable[str],
+    text_col: str = "text",
+    unk: str = "[UNK]",
+    max_word_chars: int = 64,
+) -> Column:
+    """Greedy longest-match WordPiece over a broadcast vocabulary.
+
+    Words (whitespace-split, lowercased) are segmented left-to-right:
+    the longest vocab prefix is taken, then the remainder is matched
+    against ``##``-prefixed continuation pieces; a word with no match
+    (or longer than ``max_word_chars``) becomes ``unk``. Deterministic
+    given the vocab, so tests can pin exact outputs.
+
+    The vocab is captured in the UDF closure — Spark ships it once per
+    executor with the task broadcast, the standard pattern for
+    dictionary-backed tokenizers.
+    """
+    vocab_set = frozenset(vocab)
+
+    @F.pandas_udf("array<string>")
+    def _wp(texts):
+        import pandas as pd
+
+        def seg_word(word: str) -> list[str]:
+            if not word:
+                return []
+            if len(word) > max_word_chars:
+                return [unk]
+            pieces, start, n = [], 0, len(word)
+            while start < n:
+                end = n
+                piece = None
+                while end > start:
+                    cand = word[start:end]
+                    if start > 0:
+                        cand = "##" + cand
+                    if cand in vocab_set:
+                        piece = cand
+                        break
+                    end -= 1
+                if piece is None:
+                    return [unk]
+                pieces.append(piece)
+                start = end
+            return pieces
+
+        def seg_text(text) -> list[str]:
+            if text is None:
+                return []
+            out: list[str] = []
+            for w in text.lower().split():
+                out.extend(seg_word(w))
+            return out
+
+        return pd.Series([seg_text(t) for t in texts])
+
+    return _wp(F.col(text_col))

@@ -83,11 +83,37 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under BOTH oracle-expressible tokenizers in one
+    row (joined on doc_id): whitespace (default) and the BPE-ish regex
+    pre-tokenizer. The shard column is tokenizer-independent (md5 of
+    doc_id), so the join pins that swapping tokenizers changes only the
+    token counts and the derived layout — never the shuffle shape."""
+    from pyspark.sql import functions as F
+
+    from .operators import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = packing.pack_sequences(docs)
+    rx = packing.pack_sequences(docs, tokenizer=tokenize.regex_tokens).select(
+        "doc_id",
+        F.col("n_tokens").alias("re_n_tokens"),
+        F.col("seq_id").alias("re_seq_id"),
+        F.col("seq_offset").alias("re_seq_offset"),
+    )
+    return ws.join(rx, "doc_id")
+
+
 def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three ANN strategies in one registry row (method, query_id,
-    rank, neighbor_id): exact brute force (the correctness baseline),
-    hyperplane-LSH, and IVF. Each operator runs unchanged; the union
-    keeps all three hash-checked within the ~50-row gate window."""
+    rank, neighbor_id, recall_hits): exact brute force (the correctness
+    baseline), hyperplane-LSH, and IVF — LSH planes and IVF lists
+    auto-sized from the corpus count (floor(log2(N/64)) / floor(sqrt(N)),
+    reproduced in the oracle from count(*)). ``recall_hits`` is the
+    recall@k diagnostic: per (method, query), how many of that method's
+    top-k are in the exact top-k (= ANN_K for the exact rows). Each
+    operator runs unchanged; the union keeps all three hash-checked
+    within the ~50-row gate window."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -102,7 +128,42 @@ def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(method).alias("method"), "query_id", "rank", "neighbor_id"
         )
         out = tagged if out is None else out.unionByName(tagged)
-    return out
+
+    # fresh plan (not parts[0][1]) so the hits join isn't an ambiguous
+    # self-join on shared attribute ids
+    exact = similarity.ann_bruteforce(emb, ANN_QUERIES, ANN_K).select(
+        "query_id", F.col("neighbor_id").alias("exact_nid")
+    )
+    hits = (
+        out.withColumnRenamed("query_id", "u_qid")
+        .withColumnRenamed("method", "u_method")
+        .join(
+            exact,
+            (F.col("u_qid") == F.col("query_id"))
+            & (F.col("neighbor_id") == F.col("exact_nid")),
+        )
+        .groupBy("u_method", "u_qid")
+        .agg(F.count("*").alias("recall_hits"))
+        .select(
+            F.col("u_method").alias("h_method"),
+            F.col("u_qid").alias("h_qid"),
+            "recall_hits",
+        )
+    )
+    return (
+        out.join(
+            hits,
+            (F.col("method") == F.col("h_method")) & (F.col("query_id") == F.col("h_qid")),
+            "left",
+        )
+        .select(
+            "method",
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.coalesce(F.col("recall_hits"), F.lit(0)).cast("long").alias("recall_hits"),
+        )
+    )
 
 
 def _q_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_top_terms": _on("documents", textstats.top_terms),
     "t_repetition": _on("documents", textstats.repetition),
     "t_curation": _on("documents", curation.curation_report),
-    "t_pack": _on("documents", packing.pack_sequences),
+    "t_pack": _q_pack_modes,
     "t_stratified_sample": _q_sampling_modes,
     # --- multimodal plumbing (documents → binary payloads) ---
     "mm_byte_histogram": _on("documents", multimodal.byte_histogram),
@@ -479,12 +540,21 @@ WITH v AS (
 ),
 n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)"""
 
+# LSH plane count mirrors similarity.auto_n_planes: floor(log2(N/64))
+# clamped to [2, 16], computed from count(*) so both engines derive the
+# identical integer (IEEE-double log2/floor in both).
 _PLANES = r"""
+sizing AS (
+  SELECT GREATEST(2, LEAST(16,
+           CAST(floor(log2(count(*) / 64.0)) AS INT))) AS np
+  FROM embeddings
+),
 planes AS (
   SELECT p.plane, d.d,
          CASE WHEN strpos('13579bdf', substr(md5(p.plane || '|' || d.d), 32, 1)) > 0
               THEN 1 ELSE -1 END AS sign
-  FROM (SELECT unnest(generate_series(0, 3)) AS plane) p
+  FROM (SELECT unnest(generate_series(0, (SELECT np - 1 FROM sizing)))
+          AS plane) p
   CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
 ),
 comps AS (
@@ -595,11 +665,19 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM scored
 ) WHERE rank <= {ANN_K}
 """,
+    # centroid count mirrors similarity.auto_n_centroids:
+    # floor(sqrt(N)) clamped to [4, 256], from count(*)
     "s_ann_ivf": _EMB
     + f""",
+csizing AS (
+  SELECT GREATEST(4, LEAST(256,
+           CAST(floor(sqrt(count(*))) AS INT))) AS nc
+  FROM embeddings
+),
 cents AS (
   SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {similarity.N_CENTROIDS}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT (SELECT nc FROM csizing)
 ),
 assign AS (
   SELECT vec_id, cid FROM (
@@ -900,7 +978,7 @@ GROUP BY CUBE (event_type, CAST(ts AS DATE))
 # The three ANN strategies share one registry row (see _q_ann_methods):
 # each keeps its full standalone SQL, tagged and unioned. DuckDB allows
 # a WITH inside a parenthesized subquery, so the bodies nest unchanged.
-ORACLES["s_ann_methods"] = "\nUNION ALL\n".join(
+_ANN_UNION = "\nUNION ALL\n".join(
     f"SELECT '{method}' AS method, t.* FROM (" + ORACLES.pop(key) + ") t"
     for method, key in (
         ("exact", "s_ann_bruteforce"),
@@ -908,6 +986,20 @@ ORACLES["s_ann_methods"] = "\nUNION ALL\n".join(
         ("ivf", "s_ann_ivf"),
     )
 )
+# recall@k diagnostic: per (method, query), how many of the method's
+# top-k appear in the exact top-k (= k for the exact rows themselves)
+ORACLES["s_ann_methods"] = f"""
+WITH u AS ({_ANN_UNION}),
+ex AS (SELECT query_id, neighbor_id FROM u WHERE method = 'exact'),
+h AS (
+  SELECT u.method, u.query_id, CAST(count(*) AS BIGINT) AS recall_hits
+  FROM u JOIN ex ON u.query_id = ex.query_id AND u.neighbor_id = ex.neighbor_id
+  GROUP BY u.method, u.query_id
+)
+SELECT u.method, u.query_id, u.rank, u.neighbor_id,
+       COALESCE(h.recall_hits, 0) AS recall_hits
+FROM u LEFT JOIN h ON u.method = h.method AND u.query_id = h.query_id
+"""
 
 # Per-event-type summary aggregates share one row (see _q_events_sketch).
 ORACLES["a_events_sketch"] = (
@@ -925,23 +1017,30 @@ WITH base AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
                               t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS re_n_tokens,
          md5(CAST(doc_id AS VARCHAR)) AS k
   FROM documents
 ),
 sharded AS (
-  SELECT doc_id, n_tokens, k,
+  SELECT doc_id, n_tokens, re_n_tokens, k,
          CAST(('0x' || substr(k, 1, 7))::BIGINT % 8 AS INT) AS shard
   FROM base
 ),
 packed AS (
-  SELECT doc_id, n_tokens, shard,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  SELECT doc_id, n_tokens, re_n_tokens, shard,
+         sum(n_tokens) OVER w - n_tokens AS start,
+         sum(re_n_tokens) OVER w - re_n_tokens AS re_start
   FROM sharded
+  WINDOW w AS (PARTITION BY shard ORDER BY k, doc_id
+               ROWS UNBOUNDED PRECEDING)
 )
 SELECT doc_id, n_tokens, shard,
        CAST(start // 512 AS BIGINT) AS seq_id,
-       CAST(start % 512 AS BIGINT) AS seq_offset
+       CAST(start % 512 AS BIGINT) AS seq_offset,
+       re_n_tokens,
+       CAST(re_start // 512 AS BIGINT) AS re_seq_id,
+       CAST(re_start % 512 AS BIGINT) AS re_seq_offset
 FROM packed
 """
 
