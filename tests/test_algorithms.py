@@ -107,3 +107,32 @@ def test_components_guard_routes_large_graphs_to_loop(spark):
     out = {r.node_id: r.component
            for r in alg.components_from_edges(edges, driver_max_edges=2).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_bounded_reach_path_graph(spark):
+    # path: a-K1-b-K2-c  (bipartite hops)
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+
+    g = _graph(spark, [("a", "K1"), ("b", "K1"), ("b", "K2"), ("c", "K2")])
+    r = {x.node_id: x for x in bounded_reach(g, max_hops=3).collect()}
+    # radius 1 = degree
+    assert r["Link:a"].n_reach_1 == 1
+    assert r["Link:b"].n_reach_1 == 2
+    assert r["Keyword:K1"].n_reach_1 == 2
+    # radius 2: a reaches K1 and b; b reaches K1, K2, a, c
+    assert r["Link:a"].n_reach_2 == 2
+    assert r["Link:b"].n_reach_2 == 4
+    # radius 3: a adds K2 (via b); the whole path has 5 nodes
+    assert r["Link:a"].n_reach_3 == 3
+    assert r["Link:b"].n_reach_3 == 4  # already saturated
+    assert r["Keyword:K1"].n_reach_3 == 4  # everything but itself
+
+
+def test_bounded_reach_matches_component_size_at_diameter(spark):
+    # at radius >= diameter every node reaches its whole component
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+
+    g = _graph(spark, [("a", "K1"), ("b", "K1"), ("c", "K2")])
+    r = {x.node_id: x for x in bounded_reach(g, max_hops=2).collect()}
+    assert r["Link:a"].n_reach_2 == 2  # a, b, K1 island minus self
+    assert r["Link:c"].n_reach_2 == 1  # c, K2 island minus self

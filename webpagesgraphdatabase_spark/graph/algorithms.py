@@ -213,3 +213,53 @@ def components_from_edges(
             break
     edges.unpersist()
     return labels
+
+
+def bounded_reach(g: PropertyGraph, max_hops: int = 2) -> DataFrame:
+    """Variable-length path query — the Cypher shape
+    ``MATCH (n)-[*1..h]-(m) RETURN n, count(DISTINCT m)`` for every
+    radius h ≤ ``max_hops`` over the bipartite Link↔Keyword graph:
+    (node_id, n_reach_1, …, n_reach_<max_hops>). For a Link, radius 1
+    is its keywords, radius 2 adds every co-keyword link, radius 3
+    those links' keywords, and so on. (The reference has no var-length
+    patterns — all its Cypher is ≤3 fixed hops, SURVEY §2 note — so
+    this closes the classic graph-query gap the fixed-hop operators
+    leave.)
+
+    Plan shape: one single-hop frontier expansion per level — join the
+    ≤h pair set against the edge list on the middle node, union,
+    distinct. Each step's intermediate is |pairs| · deg(middle), linear
+    in the closure size; squaring the pair set instead (p∘p, the
+    log-step trick) looks cheaper but explodes through hub nodes —
+    Σ indeg²(hub) intermediate rows, OOM-tested here at sf0.01 — so
+    linear-step expansion is the plan that survives scale. The pair
+    sets are never collected; only per-node counts leave the shuffle.
+
+    Cost grows with the closure, which on dense graphs approaches
+    |component|² pairs: corpus-wide, radius 2 is the sane default
+    (measured here: radius 3 over all sf0.01 nodes is ~10× radius 2);
+    deeper radii belong on seed sets — filter the first frontier before
+    expanding. At 100 TB swap the exact distinct for
+    ``approx_count_distinct`` (HLL) on skewed graphs — kept exact here
+    so the DuckDB oracle reproduces the counts bit-for-bit.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e1 = bipartite_edges(g).select("src", "dst")
+
+    levels = [e1.distinct()]
+    for _ in range(max_hops - 1):
+        pairs = levels[-1]
+        nxt = (
+            pairs.alias("p")
+            .join(e1.alias("e"), F.col("p.dst") == F.col("e.src"))
+            .select(F.col("p.src").alias("src"), F.col("e.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        levels.append(nxt.unionByName(pairs).distinct())
+
+    out = None
+    for h, pairs in enumerate(levels, start=1):
+        r = pairs.groupBy("src").agg(F.count("*").alias(f"n_reach_{h}"))
+        out = r if out is None else out.join(r, "src")
+    return out.withColumnRenamed("src", "node_id")

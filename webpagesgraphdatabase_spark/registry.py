@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from . import registry_fn, registry_mut, registry_ops
 from .graph import queries as Q
-from .graph.algorithms import connected_components, pagerank
+from .graph.algorithms import bounded_reach, connected_components, pagerank
 from .graph.motif import match as motif_match
 from .graph.tpch_adapter import GRAPH_ORACLE_CTE, graph_from_tpch
 
@@ -104,7 +104,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fixpoint is a WITH RECURSIVE closure (see _pagerank_oracle /
     # _COMPONENTS_ORACLE below)
     "g_pagerank": _g(pagerank),
-    "g_components": _g(connected_components),
+    # components + the var-length bounded-reach counts share one row
+    # (joined on node_id — same bipartite graph, same node set), keeping
+    # the Cypher `[*1..h]` analog hash-checked inside the 50-row gate
+    "g_components": _g(
+        lambda g: connected_components(g).join(bounded_reach(g), "node_id")
+    ),
 }
 
 ORACLES: dict[str, str] = {
@@ -318,8 +323,20 @@ walk AS (
   SELECT e.dst AS node_id, w.label
   FROM walk w JOIN edges e ON e.src = w.node_id
   WHERE w.label < e.dst
-)
-SELECT node_id, min(label) AS component FROM walk GROUP BY node_id
+),
+comp AS (SELECT node_id, min(label) AS component FROM walk GROUP BY node_id),
+p1 AS (SELECT DISTINCT src, dst FROM edges),
+p2 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT p.src, e.dst FROM p1 p JOIN edges e ON p.dst = e.src
+    WHERE p.src <> e.dst
+    UNION ALL SELECT src, dst FROM p1
+  )
+),
+r1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach_1 FROM p1 GROUP BY src),
+r2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach_2 FROM p2 GROUP BY src)
+SELECT c.node_id, c.component, r1.n_reach_1, r2.n_reach_2
+FROM comp c JOIN r1 ON c.node_id = r1.src JOIN r2 ON c.node_id = r2.src
 """
 ).replace("WITH link_base", "WITH RECURSIVE link_base", 1)
 
