@@ -177,3 +177,36 @@ def test_graph_data_and_delete_roundtrip(client, store):
 
 def test_instructions_static(client):
     assert client.get("/instructions").status_code == 200
+
+
+def test_index_html_mode_renders_tables(client):
+    _add(client, "html-a.example/x")
+    r = client.get("/?format=html")
+    assert r.status_code == 200
+    assert r.content_type.startswith("text/html")
+    page = r.get_data(as_text=True)
+    # the reference template's structural blocks (index.html:49-118):
+    # add-link form, CSV upload form, 10-column links table,
+    # interconnections table — plus the pair-count summary
+    assert 'action="/add_link"' in page and 'action="/upload_csv"' in page
+    for header in ("URL", "Title", "Category", "Suggested Category",
+                   "Keywords", "Raw Content", "Shared Keyword",
+                   "Pair Counts"):
+        assert header in page
+    assert "https://html-a.example/x" in page
+    # per-row delete form, as in the reference listing
+    assert 'action="/delete_link"' in page
+
+
+def test_index_accept_header_negotiates_html(client):
+    r = client.get("/", headers={"Accept": "text/html"})
+    assert r.content_type.startswith("text/html")
+    # JSON stays the default without the header
+    assert client.get("/").content_type.startswith("application/json")
+
+
+def test_instructions_html_mode(client):
+    r = client.get("/instructions?format=html")
+    assert r.content_type.startswith("text/html")
+    assert "/add_link" in r.get_data(as_text=True)
+    assert client.get("/instructions").get_json()["instructions"]

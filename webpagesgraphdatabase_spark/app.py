@@ -3,9 +3,12 @@ Spark engine.
 
 The reference (``main.py:181-507``) is a Flask app whose routes wrap
 Cypher against embedded Kùzu. This module exposes the *same route
-surface and semantics* over the engine's GraphStore, with one
-deliberate difference: responses are JSON (the data surface the brief
-asks for) instead of server-rendered Jinja templates (UI chrome).
+surface and semantics* over the engine's GraphStore. JSON is the
+default response (the data surface); the reference's server-rendered
+presentation (``templates/index.html``, ``templates/instructions.html``)
+is available by content negotiation — ``?format=html`` or an
+``Accept: text/html`` header — from the same route handlers and the
+same bounded queries.
 
 Route parity:
 
@@ -240,6 +243,107 @@ def _enrich_one(
     }
 
 
+# Server-rendered presentation of the index data — the reference's
+# templates/index.html:49-118 structure (add-link form, CSV-upload
+# form, links table in the same 10-column order, interconnections
+# table) re-expressed as original markup. Rendered only on request
+# (?format=html or Accept: text/html); JSON stays the default data
+# surface. The interconnections block also surfaces the pair-count
+# summary, which the reference page (unbounded listing) cannot.
+_INDEX_TEMPLATE = """<!DOCTYPE html>
+<html>
+<head>
+  <title>WebpagesGraphDatabase (Spark)</title>
+  <style>
+    body { font-family: sans-serif; margin: 1.5rem; }
+    table { border-collapse: collapse; margin-top: 1rem; }
+    th, td { border: 1px solid #ccc; padding: 4px 8px; text-align: left; }
+    th { background: #f0f0f0; }
+    td { max-width: 18rem; overflow: hidden; text-overflow: ellipsis;
+         white-space: nowrap; }
+    form { margin: .5rem 0; }
+  </style>
+</head>
+<body>
+  <h1>Webpages Graph</h1>
+  <p><a href="/instructions?format=html">Instructions</a></p>
+  <h2>Add Link</h2>
+  <form method="POST" action="/add_link">
+    <input type="text" name="url" required>
+    <button type="submit">Add Link</button>
+  </form>
+  <h2>Upload CSV</h2>
+  <form method="POST" action="/upload_csv" enctype="multipart/form-data">
+    <input type="file" name="file" accept=".csv" required>
+    <label>Batch size
+      <input type="number" name="batch_size" value="{{ batch_size }}" min="1">
+    </label>
+    <button type="submit">Upload CSV</button>
+  </form>
+  <h2>Links ({{ links | length }})</h2>
+  <table>
+    <tr>
+      <th>Action</th><th>URL</th><th>Title</th><th>Category</th>
+      <th>Raw Category</th><th>Suggested Category</th><th>Keywords</th>
+      <th>Category Explanation</th><th>Keyword Explanation</th>
+      <th>Raw Content</th>
+    </tr>
+    {% for l in links %}
+    <tr>
+      <td>
+        <form method="POST" action="/delete_link">
+          <input type="hidden" name="url" value="{{ l.url }}">
+          <button type="submit">Delete</button>
+        </form>
+      </td>
+      <td title="{{ l.url }}">{{ l.url }}</td>
+      <td title="{{ l.title }}">{{ l.title }}</td>
+      <td>{{ l.category }}</td>
+      <td>{{ l.raw_category }}</td>
+      <td>{{ l.suggested_category }}</td>
+      <td>{{ l.keywords }}</td>
+      <td>{{ l.category_explanation }}</td>
+      <td>{{ l.keyword_explanation }}</td>
+      <td>{{ l.raw_content }}</td>
+    </tr>
+    {% endfor %}
+  </table>
+  <h2>Interconnected Links ({{ interconnections | length }} shown)</h2>
+  <table>
+    <tr><th>Link 1</th><th>Link 2</th><th>Shared Keyword</th>
+        <th>Category 1</th><th>Category 2</th></tr>
+    {% for c in interconnections %}
+    <tr>
+      <td>{{ c.link1 }}</td><td>{{ c.link2 }}</td><td>{{ c.keyword }}</td>
+      <td>{{ c.category1 }}</td><td>{{ c.category2 }}</td>
+    </tr>
+    {% endfor %}
+  </table>
+  <h2>Cross-category Pair Counts</h2>
+  <table>
+    <tr><th>Category 1</th><th>Category 2</th><th>Pairs</th></tr>
+    {% for c in interconnection_counts %}
+    <tr><td>{{ c.category1 }}</td><td>{{ c.category2 }}</td>
+        <td>{{ c.count }}</td></tr>
+    {% endfor %}
+  </table>
+</body>
+</html>"""
+
+_INSTRUCTIONS_TEMPLATE = """<!DOCTYPE html>
+<html>
+<head><title>Instructions</title></head>
+<body>
+  <h1>Instructions</h1>
+  <ul>
+  {% for line in instructions %}<li>{{ line }}</li>
+  {% endfor %}
+  </ul>
+  <p><a href="/?format=html">Back</a></p>
+</body>
+</html>"""
+
+
 def create_app(
     store: GraphStore,
     fetcher: Callable[[str], tuple[str, str]] = pipeline.stub_fetcher,
@@ -251,13 +355,21 @@ def create_app(
     ``categorizer`` default to the deterministic stubs (no network in
     tests or this container); ``snapshot_path`` enables the
     save-after-write CSV snapshot (``main.py:350,430,493``)."""
-    from flask import Flask, jsonify, request
+    from flask import Flask, jsonify, render_template_string, request
 
     app = Flask("webpagesgraphdatabase_spark")
 
     def _snapshot() -> None:
         if snapshot_path is not None:
             serving.save_snapshot_csv(store, snapshot_path)
+
+    def _wants_html() -> bool:
+        if request.args.get("format") == "html":
+            return True
+        accept = request.accept_mimetypes
+        return bool(accept) and accept.best_match(
+            ["text/html", "application/json"]
+        ) == "text/html"
 
     @app.route("/", methods=["GET"])
     @app.route("/index", methods=["GET"])
@@ -268,17 +380,20 @@ def create_app(
             limit = int(request.args.get("limit", DEFAULT_INDEX_LIMIT))
         except ValueError:
             limit = DEFAULT_INDEX_LIMIT
-        return jsonify(
-            {
-                "links": _index_links(store),
-                "interconnections": _index_interconnections(
-                    store, keyword, category, limit
-                ),
-                # Scale-honest summary of the FULL pair set (|C|² rows
-                # max) — what the bounded listing above is a page of.
-                "interconnection_counts": _index_pair_counts(store),
-            }
-        )
+        data = {
+            "links": _index_links(store),
+            "interconnections": _index_interconnections(
+                store, keyword, category, limit
+            ),
+            # Scale-honest summary of the FULL pair set (|C|² rows
+            # max) — what the bounded listing above is a page of.
+            "interconnection_counts": _index_pair_counts(store),
+        }
+        if _wants_html():  # templates/index.html presentation parity
+            return render_template_string(
+                _INDEX_TEMPLATE, batch_size=DEFAULT_BATCH_SIZE, **data
+            )
+        return jsonify(data)
 
     @app.route("/add_link", methods=["POST"])
     def add_link():
@@ -351,16 +466,15 @@ def create_app(
 
     @app.route("/instructions", methods=["GET"])
     def instructions():
-        return jsonify(
-            {
-                "instructions": [
-                    "POST /add_link with form field 'url' to enrich and store one link.",
-                    "POST /upload_csv with a .csv file (bare 'url' column or the "
-                    "7-column metadata format) and optional 'batch_size'.",
-                    "GET /graph_data for the vis-network node/edge JSON.",
-                    "POST /delete_link with form field 'url' to DETACH DELETE.",
-                ]
-            }
-        )
+        lines = [
+            "POST /add_link with form field 'url' to enrich and store one link.",
+            "POST /upload_csv with a .csv file (bare 'url' column or the "
+            "7-column metadata format) and optional 'batch_size'.",
+            "GET /graph_data for the vis-network node/edge JSON.",
+            "POST /delete_link with form field 'url' to DETACH DELETE.",
+        ]
+        if _wants_html():  # templates/instructions.html parity
+            return render_template_string(_INSTRUCTIONS_TEMPLATE, instructions=lines)
+        return jsonify({"instructions": lines})
 
     return app
