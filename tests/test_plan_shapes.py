@@ -1,0 +1,75 @@
+"""Plan-shape assertions for the round-4 operators: the scale claims in
+the docstrings (pure codegen, no Python UDF, window not join, no
+cartesian product) pinned against the optimized plan so a regression
+shows up as a test failure, not a 100× slowdown at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webpagesgraphdatabase_spark.operators import dedup, packing, tokenize
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, n=50):
+    return spark.createDataFrame(
+        [(i, f"some text number {i} with words repeated {i % 7} times") for i in range(n)],
+        ["doc_id", "text"],
+    )
+
+
+def test_regex_tokens_stays_jvm_side(spark):
+    # the BPE-ish pre-tokenizer must not introduce a Python worker
+    df = _docs(spark).select(F.size(tokenize.regex_tokens()).alias("n"))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_regex_mode_stays_jvm_side(spark):
+    df = packing.pack_sequences(_docs(spark), tokenizer=tokenize.regex_tokens)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the window partitions on shard — never a single global sort
+    assert "Window" in plan and "shard" in plan
+
+
+def test_wordpiece_mode_is_arrow_batched(spark):
+    tok = lambda c: tokenize.wordpiece_tokens(["some", "##text"], c)
+    df = packing.pack_sequences(_docs(spark), tokenizer=tok)
+    plan = _plan(df)
+    # vectorized Arrow transfer, not row-at-a-time pickling
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_bucket_guard_is_window_not_join(spark):
+    sh = dedup.shingles(_docs(spark))
+    df = dedup.lsh_candidates_from_shingles(sh, max_bucket=100)
+    plan = _plan(df)
+    assert "Window" in plan
+    # exactly one self-join for the candidate pairs; the guard itself
+    # must not add a second join of the bands against bucket sizes
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
+
+
+def test_bounded_reach_has_no_cartesian(spark):
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+    from webpagesgraphdatabase_spark.graph.model import PropertyGraph
+
+    hk = spark.createDataFrame(
+        [("a", "K1"), ("b", "K1"), ("b", "K2")], ["src_url", "dst_keyword"]
+    )
+    empty = spark.createDataFrame([], "name string")
+    g = PropertyGraph(
+        links=spark.createDataFrame([], "url string"),
+        categories=empty,
+        keywords=empty,
+        belongs_to=spark.createDataFrame([], "src_url string, dst_category string"),
+        has_keyword=hk,
+    )
+    plan = _plan(bounded_reach(g, max_hops=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

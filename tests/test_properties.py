@@ -82,3 +82,60 @@ def test_parser_keyword_cap(junk):
 def test_fenced_json_parse_never_raises(text):
     out = fn.parse_fenced_json_py(text, ("a",))
     assert out is None or isinstance(out, dict)
+
+
+# --- PNG codec: hypothesis round-trip (pure Python, no Spark) ----------
+
+import numpy as np
+from hypothesis import HealthCheck
+
+
+@given(
+    st.integers(min_value=1, max_value=12),   # height
+    st.integers(min_value=1, max_value=12),   # width
+    st.sampled_from([1, 2, 3, 4]),            # channels
+    st.sampled_from([0, 1, 2, 3, 4]),         # filter type
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+)
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_png_roundtrip_property(h, w, ch, ftype, seed):
+    from webpagesgraphdatabase_spark.operators import png
+
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    blob = png.encode(pixels, filter_type=ftype)
+    rw, rh, rch, out = png.decode(blob)
+    assert (rw, rh, rch) == (w, h, ch)
+    assert np.array_equal(out, pixels)
+    assert png.parse_ihdr(blob) == (w, h, ch)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_png_is_png_never_accepts_non_signature(blob):
+    from webpagesgraphdatabase_spark.operators import png
+
+    if not blob.startswith(png.PNG_SIGNATURE):
+        assert not png.is_png(blob)
+
+
+# --- WordPiece segmentation invariants (pure Python core) --------------
+
+_WP_VOCAB = frozenset(["a", "b", "ab", "##a", "##b", "##ab", "cd", "##cd"])
+
+
+@given(st.text(alphabet="ab", min_size=0, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_wordpiece_covers_word_exactly(word):
+    from webpagesgraphdatabase_spark.operators.tokenize import segment_wordpiece
+
+    pieces = segment_wordpiece(word, _WP_VOCAB)
+    if pieces == ["[UNK]"]:
+        return
+    # pieces reassemble the word: strip ## continuations and concat
+    rebuilt = "".join(p[2:] if p.startswith("##") else p for p in pieces)
+    assert rebuilt == word
+    # only the first piece lacks the continuation prefix
+    assert all(p.startswith("##") for p in pieces[1:])
+    if pieces:
+        assert not pieces[0].startswith("##")

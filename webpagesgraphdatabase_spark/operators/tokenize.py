@@ -46,6 +46,38 @@ def regex_tokens(text_col: str = "text", pattern: str = BPE_SPLIT_RE) -> Column:
     return F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
 
 
+def segment_wordpiece(
+    word: str,
+    vocab_set: frozenset[str],
+    unk: str = "[UNK]",
+    max_word_chars: int = 64,
+) -> list[str]:
+    """Greedy longest-match WordPiece segmentation of one word — the
+    pure core of :func:`wordpiece_tokens`, exposed for direct
+    (property-based) testing. A word with no full segmentation, or
+    longer than ``max_word_chars``, becomes ``[unk]``."""
+    if not word:
+        return []
+    if len(word) > max_word_chars:
+        return [unk]
+    pieces, start, n = [], 0, len(word)
+    while start < n:
+        end, piece = n, None
+        while end > start:
+            cand = word[start:end]
+            if start > 0:
+                cand = "##" + cand
+            if cand in vocab_set:
+                piece = cand
+                break
+            end -= 1
+        if piece is None:
+            return [unk]
+        pieces.append(piece)
+        start = end
+    return pieces
+
+
 def wordpiece_tokens(
     vocab: Iterable[str],
     text_col: str = "text",
@@ -70,35 +102,12 @@ def wordpiece_tokens(
     def _wp(texts):
         import pandas as pd
 
-        def seg_word(word: str) -> list[str]:
-            if not word:
-                return []
-            if len(word) > max_word_chars:
-                return [unk]
-            pieces, start, n = [], 0, len(word)
-            while start < n:
-                end = n
-                piece = None
-                while end > start:
-                    cand = word[start:end]
-                    if start > 0:
-                        cand = "##" + cand
-                    if cand in vocab_set:
-                        piece = cand
-                        break
-                    end -= 1
-                if piece is None:
-                    return [unk]
-                pieces.append(piece)
-                start = end
-            return pieces
-
         def seg_text(text) -> list[str]:
             if text is None:
                 return []
             out: list[str] = []
             for w in text.lower().split():
-                out.extend(seg_word(w))
+                out.extend(segment_wordpiece(w, vocab_set, unk, max_word_chars))
             return out
 
         return pd.Series([seg_text(t) for t in texts])
