@@ -136,3 +136,17 @@ def test_bounded_reach_matches_component_size_at_diameter(spark):
     r = {x.node_id: x for x in bounded_reach(g, max_hops=2).collect()}
     assert r["Link:a"].n_reach_2 == 2  # a, b, K1 island minus self
     assert r["Link:c"].n_reach_2 == 1  # c, K2 island minus self
+
+
+def test_bounded_reach_approx_mode_matches_exact_on_small_graph(spark):
+    # HLL is exact at small cardinalities, so the sketch mode must
+    # reproduce the exact counts on the hand-checkable path graph
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+
+    g = _graph(spark, [("a", "K1"), ("b", "K1"), ("b", "K2"), ("c", "K2")])
+    exact = {r.node_id: (r.n_reach_1, r.n_reach_2) for r in bounded_reach(g).collect()}
+    approx = {
+        r.node_id: (r.n_reach_1, r.n_reach_2)
+        for r in bounded_reach(g, exact=False).collect()
+    }
+    assert exact == approx

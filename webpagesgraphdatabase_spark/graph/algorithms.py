@@ -215,7 +215,9 @@ def components_from_edges(
     return labels
 
 
-def bounded_reach(g: PropertyGraph, max_hops: int = 2) -> DataFrame:
+def bounded_reach(
+    g: PropertyGraph, max_hops: int = 2, exact: bool = True
+) -> DataFrame:
     """Variable-length path query — the Cypher shape
     ``MATCH (n)-[*1..h]-(m) RETURN n, count(DISTINCT m)`` for every
     radius h ≤ ``max_hops`` over the bipartite Link↔Keyword graph:
@@ -239,9 +241,18 @@ def bounded_reach(g: PropertyGraph, max_hops: int = 2) -> DataFrame:
     |component|² pairs: corpus-wide, radius 2 is the sane default
     (measured here: radius 3 over all sf0.01 nodes is ~10× radius 2);
     deeper radii belong on seed sets — filter the first frontier before
-    expanding. At 100 TB swap the exact distinct for
-    ``approx_count_distinct`` (HLL) on skewed graphs — kept exact here
-    so the DuckDB oracle reproduces the counts bit-for-bit.
+    expanding.
+
+    ``exact=False`` is the 100 TB counting mode: per-radius counts come
+    from ``approx_count_distinct`` (HyperLogLog++, partial-aggregatable
+    sketch — no exact distinct-count shuffle per radius, robust to
+    celebrity-node skew since a hot node's count is one sketch, not a
+    hash-set of its whole neighborhood). The frontier dedup between
+    levels stays exact either way — it bounds expansion growth and is
+    keyed by (src, dst), which hash-partitions evenly. The default
+    stays exact so the DuckDB oracle reproduces the counts
+    bit-for-bit; HLL is exact on small neighborhoods, so the unit test
+    pins approx ≡ exact on the hand-checkable graph.
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
@@ -258,8 +269,9 @@ def bounded_reach(g: PropertyGraph, max_hops: int = 2) -> DataFrame:
         )
         levels.append(nxt.unionByName(pairs).distinct())
 
+    count_fn = F.count if exact else (lambda c: F.approx_count_distinct("dst"))
     out = None
     for h, pairs in enumerate(levels, start=1):
-        r = pairs.groupBy("src").agg(F.count("*").alias(f"n_reach_{h}"))
+        r = pairs.groupBy("src").agg(count_fn("*").alias(f"n_reach_{h}"))
         out = r if out is None else out.join(r, "src")
     return out.withColumnRenamed("src", "node_id")
