@@ -730,3 +730,33 @@ def test_curation_persist_caches_shingles(spark):
     assert "InMemoryTableScan" in plan
     assert {tuple(r) for r in rep.collect()} == base
     spark.catalog.clearCache()
+
+
+def test_ann_lsh_multi_table_recall_is_monotone(spark):
+    """Multi-table LSH is the recall lever: more independent tables can
+    only add candidates, so recall@k vs exact never decreases — and the
+    1-table run must equal the oracle-checked default exactly."""
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 10, 5).collect()
+    }
+    one = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh(emb, 10, 5, n_tables=1).collect()
+    }
+    default = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh(emb, 10, 5).collect()
+    }
+    assert one == default
+    recalls = []
+    for nt in (1, 3):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_lsh(emb, 10, 5, n_tables=nt).collect()
+        }
+        recalls.append(len(got & exact))
+    assert recalls[1] >= recalls[0]

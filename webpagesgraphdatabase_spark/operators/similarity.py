@@ -68,6 +68,18 @@ def auto_n_centroids(corpus_count: int) -> int:
     return max(MIN_CENTROIDS, min(MAX_CENTROIDS, int(raw)))
 
 
+def auto_n_probe(n_centroids: int) -> int:
+    """floor(sqrt(lists)) clamped to [2, 32]. A constant probe count
+    collapses recall as the list count grows (probing 2 of 157 lists
+    scans ~1% of the corpus); sqrt keeps the probed fraction shrinking
+    slowly while per-query work stays O(sqrt(lists) · list size) =
+    O(N^{3/4}) at sqrt list sizing."""
+    import math
+
+    raw = math.floor(math.sqrt(float(n_centroids)))
+    return max(2, min(32, int(raw)))
+
+
 def _norm(vec_col):
     return F.sqrt(
         F.aggregate(
@@ -263,12 +275,13 @@ def ann_ivf(
     n_queries: int = 10,
     k: int = 5,
     n_centroids: int | None = None,
-    n_probe: int = N_PROBE,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """IVF ANN: (query_id, rank, neighbor_id) — each query scores only
     the vectors in its ``n_probe`` nearest inverted lists.
     ``n_centroids=None`` auto-sizes to floor(sqrt(N)) from a corpus
-    count probe (see :func:`auto_n_centroids`).
+    count probe (see :func:`auto_n_centroids`); ``n_probe=None``
+    auto-sizes to floor(sqrt(lists)) (see :func:`auto_n_probe`).
 
     Scale shape: probes (|Q|·n_probe rows) and query vectors are
     broadcast, so the corpus-side work is one equi-join on ``cid``
@@ -279,6 +292,8 @@ def ann_ivf(
     tests assert."""
     if n_centroids is None:
         n_centroids = auto_n_centroids(emb.count())
+    if n_probe is None:
+        n_probe = auto_n_probe(n_centroids)
     cents = ivf_centroids(emb, n_centroids)
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     q = v.filter(F.col("vec_id") < n_queries)
@@ -331,9 +346,17 @@ def ann_ivf(
     )
 
 
-def _plane_signs(spark, n_planes: int, dim: int) -> DataFrame:
+def _plane_signs(spark, n_planes: int, dim: int, table: int = 0) -> DataFrame:
     """Deterministic pseudo-random hyperplane signs (plane, d, sign∈{-1,1})
-    from bit 0 of md5(plane || '|' || d) — reproducible in any engine."""
+    from bit 0 of md5(plane || '|' || d) — reproducible in any engine.
+    ``table > 0`` salts the hash (``t<table>|plane|d``) so each LSH
+    table draws an independent plane set; table 0 keeps the unsalted
+    seed, preserving the oracle-checked bucketing."""
+    seed = (
+        "concat(cast(plane as string), '|', cast(d as string))"
+        if table == 0
+        else f"concat('t{table}|', cast(plane as string), '|', cast(d as string))"
+    )
     return (
         spark.range(n_planes)
         .select(F.col("id").alias("plane"))
@@ -342,9 +365,7 @@ def _plane_signs(spark, n_planes: int, dim: int) -> DataFrame:
             "plane",
             "d",
             F.expr(
-                "(instr('13579bdf',"
-                " substring(md5(concat(cast(plane as string), '|',"
-                " cast(d as string))), 32, 1)) > 0)"
+                f"(instr('13579bdf', substring(md5({seed}), 32, 1)) > 0)"
             ).cast("int")
             .alias("bit"),
         )
@@ -352,12 +373,15 @@ def _plane_signs(spark, n_planes: int, dim: int) -> DataFrame:
     )
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = N_PLANES, table: int = 0
+) -> DataFrame:
     """Random-hyperplane LSH: (vec_id, bucket) where bucket is the
-    n_planes-char '0'/'1' signature (sign of v·h per plane)."""
+    n_planes-char '0'/'1' signature (sign of v·h per plane).
+    ``table`` selects an independent plane set (multi-table LSH)."""
     spark = emb.sparkSession
     dim = len(emb.select("embedding").first()["embedding"])
-    planes = _plane_signs(spark, n_planes, dim)
+    planes = _plane_signs(spark, n_planes, dim, table)
     comps = spread(emb).select(
         "vec_id", F.posexplode("embedding").alias("d", "val")
     )
@@ -384,35 +408,71 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
 
 
 def ann_lsh(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int | None = None
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: top-k by cosine *within the query's LSH bucket*:
+    """Bucketed ANN: top-k by cosine *within the query's LSH bucket(s)*:
     (query_id, rank, neighbor_id). The candidate join is an equi-join on
     ``bucket`` — per-query work is O(bucket size · d), the whole point
     of LSH at corpus scale. Recall < 1 by design; the driver oracle
     checks the same bucketed semantics, not exact-ANN equality.
     ``n_planes=None`` auto-sizes to floor(log2(N / 64)) from a corpus
-    count probe (see :func:`auto_n_planes`)."""
+    count probe (see :func:`auto_n_planes`).
+
+    ``n_tables > 1`` is the classic recall lever: each table hashes
+    with an independent plane set, candidates are the distinct union of
+    per-table bucket mates, and each pair is cosine-scored once. Work
+    scales linearly in tables while recall approaches 1 exponentially
+    (a true neighbor must miss every table to be missed). The default
+    1-table behavior is byte-identical to the oracle-checked row."""
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
-    buckets = lsh_buckets(emb, n_planes)
-    v = emb.join(buckets, "vec_id").select(
-        "vec_id", "bucket", "embedding", _norm(F.col("embedding")).alias("nrm")
+    v = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    q = v.filter(F.col("vec_id") < n_queries).alias("q")
-    c = v.alias("c")
-    scored = (
-        q.join(
+    cand = None
+    for t in range(n_tables):
+        buckets = lsh_buckets(emb, n_planes, table=t)
+        q = buckets.filter(F.col("vec_id") < n_queries).alias("q")
+        c = buckets.alias("c")
+        pairs = q.join(
             c,
             (F.col("q.bucket") == F.col("c.bucket"))
             & (F.col("q.vec_id") != F.col("c.vec_id")),
-        )
-        .select(
+        ).select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if n_tables > 1:
+        cand = cand.distinct()
+
+    scored = (
+        cand.join(
+            v.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qemb"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cemb"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
             (
-                _dot(F.col("q.embedding"), F.col("c.embedding"))
-                / (F.col("q.nrm") * F.col("c.nrm"))
+                _dot(F.col("qemb"), F.col("cemb"))
+                / (F.col("qnrm") * F.col("cnrm"))
             ).alias("cos"),
         )
     )

@@ -670,9 +670,12 @@ SELECT query_id, rank, neighbor_id FROM (
     "s_ann_ivf": _EMB
     + f""",
 csizing AS (
-  SELECT GREATEST(4, LEAST(256,
-           CAST(floor(sqrt(count(*))) AS INT))) AS nc
-  FROM embeddings
+  SELECT nc, GREATEST(2, LEAST(32, CAST(floor(sqrt(nc)) AS INT))) AS nprobe
+  FROM (
+    SELECT GREATEST(4, LEAST(256,
+             CAST(floor(sqrt(count(*))) AS INT))) AS nc
+    FROM embeddings
+  )
 ),
 cents AS (
   SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
@@ -695,7 +698,7 @@ probes AS (
              ORDER BY list_dot_product(q.e, c.ce) / (q.nrm * c.cnrm) DESC,
                       c.cid ASC) AS rn
     FROM n q CROSS JOIN cents c WHERE q.vec_id < {ANN_QUERIES}
-  ) WHERE rn <= {similarity.N_PROBE}
+  ) WHERE rn <= (SELECT nprobe FROM csizing)
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
