@@ -8,10 +8,18 @@ nearest neighbor over an embedding column.
   (brute force, the correctness baseline).
 - :func:`ann_bruteforce` — exact cosine top-k for a query set.
 - :func:`ann_lsh` — random-hyperplane LSH buckets; top-k within bucket
-  (the scale path: candidate set per query is a bucket, not the corpus).
+  (the scale path: candidate set per query is a bucket, not the
+  corpus). ``n_tables`` unions independently-hashed bucket sets — the
+  classic recall lever at linear cost.
 - :func:`ann_ivf` — inverted-file index (IVF): deterministic seeded
   centroids, every vector assigned to its nearest list, queries probe
   the ``n_probe`` closest lists only (the other classic ANN scale path).
+
+Index parameters auto-size from a corpus-count probe by default —
+floor(log2(N/64)) LSH planes, floor(sqrt(N)) IVF lists,
+floor(sqrt(lists)) probes — with the identical integer math reproduced
+by the DuckDB oracle from ``count(*)``; pass explicit values to
+override.
 
 Determinism: hyperplanes are derived from md5 (not RNG) so the DuckDB
 oracle reproduces them; distances are computed in float64 with a fixed
@@ -34,7 +42,6 @@ from ._util import spread
 
 N_PLANES = 4  # 2^4 buckets: sized so sf0.01 buckets hold ~30 vecs (top-k stays filled)
 N_CENTROIDS = 8  # IVF lists: sf0.01 lists hold ~60 vecs (top-k stays filled)
-N_PROBE = 2
 
 # Auto-sizing targets (ann_lsh/ann_ivf with n_planes/n_centroids=None):
 # LSH aims for ~TARGET_BUCKET vectors per bucket (big enough to fill
