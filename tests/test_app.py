@@ -205,6 +205,20 @@ def test_index_accept_header_negotiates_html(client):
     assert client.get("/").content_type.startswith("application/json")
 
 
+def test_index_wildcard_accept_stays_json(client):
+    # curl / python-requests send Accept: */* by default — API clients
+    # must keep getting JSON; only an explicit html preference flips.
+    for accept in ("*/*", "application/json", "application/json, */*"):
+        r = client.get("/", headers={"Accept": accept})
+        assert r.content_type.startswith("application/json"), accept
+    # browser-style header: html explicitly preferred over json
+    r = client.get(
+        "/",
+        headers={"Accept": "text/html,application/xhtml+xml,*/*;q=0.8"},
+    )
+    assert r.content_type.startswith("text/html")
+
+
 def test_instructions_html_mode(client):
     r = client.get("/instructions?format=html")
     assert r.content_type.startswith("text/html")

@@ -88,6 +88,33 @@ def test_truncated_idat_raises():
         png.decode(blob[:-20])
 
 
+def test_decompression_bomb_is_bounded():
+    """A PNG whose IDAT inflates far past the size the IHDR declares
+    must fail with PngError — the bounded inflate stops at expected+1
+    bytes instead of materializing the bomb."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # declares 2x2 grayscale (expected = 2*(1+2) = 6 bytes) but the
+    # IDAT stream inflates to ~10 MB from a few hundred input bytes
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)
+    blob = (
+        png.PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(png.PngError, match="expected"):
+        png.decode(blob)
+
+
 def test_spark_decodes_real_png_payloads(spark):
     """End-to-end: binary PNG payloads through the mapInPandas decode
     stage — real dims + per-channel mean features, no stand-in."""

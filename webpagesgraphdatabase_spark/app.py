@@ -366,10 +366,12 @@ def create_app(
     def _wants_html() -> bool:
         if request.args.get("format") == "html":
             return True
+        # JSON stays the default: only an EXPLICIT html preference wins.
+        # `Accept: */*` (curl/requests default) must not flip API clients
+        # to HTML, so compare qualities instead of best_match, whose tie
+        # break would pick whichever type is listed first.
         accept = request.accept_mimetypes
-        return bool(accept) and accept.best_match(
-            ["text/html", "application/json"]
-        ) == "text/html"
+        return accept["text/html"] > accept["application/json"]
 
     @app.route("/", methods=["GET"])
     @app.route("/index", methods=["GET"])

@@ -55,10 +55,12 @@ def curation_report_with_audit(
     """:func:`curation_report` plus the LSH degenerate-bucket audit as a
     second DataFrame — (n_dropped_buckets, n_dropped_rows, max_bucket),
     one row — so the cap that bounds the near-dup candidate join is
-    observable where it's consumed (r3 verdict item 7). The audit scans
-    the same shingle table as the report (including the checkpointed
-    copy when ``checkpoint_dir`` is set), so observing the cap never
-    recomputes the corpus scan."""
+    observable where it's consumed (r3 verdict item 7). The audit is
+    built over the same shingle table as the report, but by default the
+    sharing is by plan reference only — evaluating the audit re-scans
+    and re-shingles the corpus. Set ``persist_shingles=True`` (or
+    ``checkpoint_dir``) to materialize the shingle table once so
+    observing the cap adds no second corpus scan."""
     return _curation(
         docs, min_tokens, rep_num, rep_den, max_bucket,
         persist_shingles, checkpoint_dir,

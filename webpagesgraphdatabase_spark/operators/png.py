@@ -114,16 +114,22 @@ def decode(payload: bytes):
     if not idat:
         raise PngError("no IDAT data")
 
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise PngError(f"IDAT inflate failed: {exc}") from exc
-
     bpp = spp  # bytes per pixel (depth 8)
     stride = width * spp
-    if len(raw) != height * (1 + stride):
+    expected = height * (1 + stride)
+    # Bounded inflate: the IHDR already tells us the exact decompressed
+    # size, so cap the output at expected+1 — a crafted decompression
+    # bomb (tiny IDAT, huge inflate ratio) cannot allocate past the
+    # declared geometry inside the mapInPandas worker.
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise PngError(f"IDAT inflate failed: {exc}") from exc
+    if len(raw) != expected or d.unconsumed_tail:
         raise PngError(
-            f"decompressed size {len(raw)} != expected {height * (1 + stride)}"
+            f"decompressed size {len(raw)}{'+' if d.unconsumed_tail else ''}"
+            f" != expected {expected}"
         )
 
     out = np.zeros((height, stride), dtype=np.uint8)
