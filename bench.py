@@ -65,14 +65,30 @@ TABLE_HEADLINE = (
 # individually timed here so per-query deltas track each strategy.
 # s_cosine_neardup_bucketed forces the >broadcast-budget fallback
 # (max_broadcast_rows=0) so the at-scale path has a measured number,
-# not just a routing test.
+# not just a routing test. s_ann_ivf_trained is the Lloyd-trained
+# quantizer (r4 verdict item 1): same probe cost, higher recall.
+# Auto-sizing probes (corpus count / dim) are passed in precomputed —
+# the serving-layer contract — so timings measure the query, not the
+# sizing jobs.
 ANN_HEADLINE = {
-    "s_ann_lsh": lambda emb: _similarity().ann_lsh(emb, 10, 5),
-    "s_ann_ivf": lambda emb: _similarity().ann_ivf(emb, 10, 5),
-    "s_cosine_neardup_bucketed": lambda emb: _similarity().cosine_neardup(
+    "s_ann_lsh": lambda emb, n, d: _similarity().ann_lsh(
+        emb, 10, 5, corpus_count=n, dim=d
+    ),
+    "s_ann_ivf": lambda emb, n, d: _similarity().ann_ivf(
+        emb, 10, 5, corpus_count=n
+    ),
+    "s_ann_ivf_trained": lambda emb, n, d: _similarity().ann_ivf(
+        emb, 10, 5, trained=True, corpus_count=n
+    ),
+    "s_cosine_neardup_bucketed": lambda emb, n, d: _similarity().cosine_neardup(
         emb, max_broadcast_rows=0
     ),
 }
+
+# recall@5 vs exact brute force for the approximate ANN strategies —
+# a latency-only bench would make a recall-losing "speedup" invisible
+# (r4 verdict item 2). Computed once per strategy, not per timing rep.
+ANN_RECALL = ("s_ann_lsh", "s_ann_ivf", "s_ann_ivf_trained")
 
 
 def _similarity():
@@ -83,6 +99,26 @@ def _similarity():
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def ann_recalls(emb, n_emb: int, emb_dim: int) -> dict[str, float]:
+    """recall@5 vs exact brute force for each ``ANN_RECALL`` strategy
+    (fraction of the exact top-5 pairs the strategy returned, over 10
+    queries). Importable so tests can assert recall floors on the same
+    code path the bench records."""
+    sim = _similarity()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_bruteforce(emb, 10, 5).collect()
+    }
+    out = {}
+    for name in ANN_RECALL:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ANN_HEADLINE[name](emb, n_emb, emb_dim).collect()
+        }
+        out[name] = round(len(got & exact) / len(exact), 3)
+    return out
 
 
 def main() -> None:
@@ -141,9 +177,25 @@ def main() -> None:
         for name in TABLE_HEADLINE:
             timed(name, lambda name=name: _force(registry.QUERIES[name](spark, sf_dir)))
 
+        # the superstep components loop only routes above 500k edges, so
+        # no sf0.1 run exercises it naturally; driver_max_edges=0 forces
+        # the at-scale path so it has a measured number (r4 item 8)
+        from webpagesgraphdatabase_spark.io_tpch import load_table
+        from webpagesgraphdatabase_spark.operators import dedup
+
+        docs = load_table(spark, sf_dir, "documents")
+        timed(
+            "d_dedup_clusters_superstep",
+            lambda: _force(dedup.dedup_clusters(docs, driver_max_edges=0)),
+        )
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_emb = emb.count()
+        emb_dim = len(emb.select("embedding").first()["embedding"])
         for name, fn in ANN_HEADLINE.items():
-            timed(name, lambda fn=fn: _force(fn(emb)))
+            timed(name, lambda fn=fn: _force(fn(emb, n_emb, emb_dim)))
+
+        recalls = ann_recalls(emb, n_emb, emb_dim)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -153,6 +205,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "stats": stats,
+        "recall": recalls,
         "sf": sf,
     }
 

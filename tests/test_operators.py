@@ -144,6 +144,109 @@ def test_ann_ivf_full_probe_equals_bruteforce(vecs):
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
 
 
+def test_kmeans_zero_iters_equals_seeded_sample(vecs):
+    trained = similarity.kmeans_centroids(vecs, n_centroids=2, n_iters=0)
+    sampled = similarity.ivf_centroids(vecs, n_centroids=2)
+    assert sorted(
+        (r.cid, [round(x, 6) for x in r.cemb]) for r in trained.collect()
+    ) == sorted(
+        (r.cid, [round(float(x), 6) for x in r.cemb]) for r in sampled.collect()
+    )
+
+
+def test_kmeans_centroids_converge_to_blob_directions(spark):
+    # two well-separated blobs; after Lloyd steps each blob direction is
+    # captured by some centroid (cosine ≈ 1), wherever the seeds started
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.1, -0.1]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [-0.1, 1.1]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    cents = similarity.kmeans_centroids(emb, n_centroids=2, n_iters=3).collect()
+    assert len(cents) == 2
+
+    def cos(c, d):
+        nc = math.hypot(*c)
+        return (c[0] * d[0] + c[1] * d[1]) / nc
+
+    for direction in ([1.0, 0.0], [0.0, 1.0]):
+        assert max(cos([float(x) for x in r.cemb], direction) for r in cents) > 0.99
+
+
+def test_ann_ivf_trained_recall_at_least_sampled(spark):
+    """The round-5 headline claim: Lloyd-trained centroids never lose
+    recall vs the seeded sample at the same auto-sized probe cost.
+    sf0.01 is the gate's scale (measured 0.60 trained vs 0.54 sampled
+    there; on sf0.001's vectors the auto-sized 22-list/4-probe index is
+    recall-noise-bound and training doesn't separate)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 10, 5).collect()
+    }
+    n = emb.count()
+    sampled = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivf(emb, 10, 5, corpus_count=n).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivf(
+            emb, 10, 5, trained=True, corpus_count=n
+        ).collect()
+    }
+    assert len(trained & exact) >= len(sampled & exact)
+    assert len(trained & exact) > 0
+
+
+def test_dedup_clusters_superstep_path_same_result(docs):
+    """The bench's forced-superstep variant (driver_max_edges=0) must
+    produce exactly the union-find fast path's clusters — the two
+    physical strategies share one logical result."""
+    fast = sorted(map(tuple, dedup.dedup_clusters(docs).collect()))
+    slow = sorted(
+        map(tuple, dedup.dedup_clusters(docs, driver_max_edges=0).collect())
+    )
+    assert slow == fast
+
+
+def test_bench_recall_floors(spark):
+    """The bench's recall@5 sidecar (r4 verdict item 2) with floors: a
+    latency win that craters recall must fail loudly. Floors sit well
+    under the measured sf0.01 values (lsh 0.32, ivf 0.54, trained 0.60)
+    so auto-sizing tweaks don't flake the gate, while a collapse to
+    near-zero recall still fails."""
+    import bench
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    d = len(emb.select("embedding").first()["embedding"])
+    rec = bench.ann_recalls(emb, n, d)
+    assert rec["s_ann_lsh"] >= 0.2
+    assert rec["s_ann_ivf"] >= 0.4
+    assert rec["s_ann_ivf_trained"] >= rec["s_ann_ivf"]
+
+
+def test_ann_probe_jobs_skipped_with_precomputed_sizes(vecs, monkeypatch):
+    """With corpus_count/dim supplied, plan construction triggers no
+    eager count()/first() probe job (ADVICE r4: one probe per serving
+    session, not per call)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # pragma: no cover - fires only on regression
+        raise AssertionError("eager probe job ran despite precomputed sizes")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
+    # building the plans must not probe; execution is not part of this test
+    similarity.ann_lsh(vecs, 2, 3, corpus_count=4, dim=4)
+    similarity.ann_ivf(vecs, 2, 3, corpus_count=4)
+
+
 def test_lang_id_markers(spark):
     docs = spark.createDataFrame(
         [(0, "der hund und das brot"), (1, "the cat and the hat"), (2, "xyzzy")],

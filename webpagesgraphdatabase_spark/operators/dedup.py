@@ -429,6 +429,7 @@ def dedup_clusters(
     candidates: DataFrame | None = None,
     sh: DataFrame | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup clustering — the full near-dup dedup shape a
     training-data pipeline runs (reference has no analog; this composes
@@ -442,6 +443,9 @@ def dedup_clusters(
     "every doc not listed here, plus the listed docs with
     ``doc_id == canon_id``" — transitive closure matters: if A~B and
     B~C, naive pairwise keep-min would keep both A and C.
+    ``driver_max_edges`` overrides the components union-find/superstep
+    routing threshold (0 forces the distributed superstep loop — the
+    path a >500k-pair corpus takes; None keeps the default).
 
     Scale shape: pair generation is the bucketed LSH path (never
     |docs|²); the component loop's supersteps are joins/groupBys on the
@@ -450,11 +454,14 @@ def dedup_clusters(
     lineage control inherited from
     :func:`..graph.algorithms.components_from_edges`.
     """
-    from ..graph.algorithms import components_from_edges
+    from ..graph.algorithms import DRIVER_MAX_EDGES, components_from_edges
 
     pairs = neardup_jaccard(docs, num, den, candidates, sh, max_bucket)
     comp = components_from_edges(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        driver_max_edges=(
+            DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+        ),
     )
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "component").select(

@@ -251,16 +251,76 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
-    """Inverted lists: (vec_id, cid) assigning every vector to its
-    highest-cosine centroid (ties → smallest cid).
+def kmeans_centroids(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, n_iters: int = 3
+) -> DataFrame:
+    """Trained coarse quantizer: Lloyd's k-means as DataFrame
+    supersteps, seeded from :func:`ivf_centroids` (so ``n_iters=0``
+    degrades to the sampled centroids). Returns (cid, cemb, cnrm) —
+    the same shape :func:`ivf_assign` consumes.
 
-    Scale shape: the centroid table is tiny and **broadcast**, so
-    assignment is a map-side cross join + argmax — the corpus itself
-    never shuffles; the argmax window partitions on vec_id (unique key,
-    no skew)."""
-    cents = ivf_centroids(emb, n_centroids)
+    Each iteration is assign + update:
+
+    - **assign** — the centroid table (≤ ``MAX_CENTROIDS`` rows by
+      construction) is **broadcast**; assignment is a map-side cross
+      join + argmax, the corpus never shuffles (same plan as
+      :func:`ivf_assign`).
+    - **update** — spherical k-means (Dhillon & Modha 2001): the new
+      centroid is the per-list elementwise mean of the members' *unit*
+      vectors (cosine assignment is scale-invariant, so normalizing
+      before averaging keeps high-norm members from dominating the
+      direction). ``posexplode`` the embeddings and ``groupBy(cid, d)``
+      average — the shuffle after map-side partial aggregation is
+      |lists|·dim rows regardless of corpus size, then the ≤256-row
+      reassembly (collect_list over d) is trivial.
+
+    Lineage control reuses the persist-per-superstep pattern from
+    ``graph/algorithms.py`` (pagerank): each iteration's centroid table
+    is persisted and materialized, the previous one unpersisted, so
+    iteration i+1's jobs don't recompute iterations 1..i.
+
+    Trained centroids are *not* bit-deterministic across partitionings
+    (float summation order in the mean), which is why the oracle-checked
+    registry row keeps the seeded-sample quantizer; this is the
+    recall-quality mode (``ann_ivf(trained=True)``)."""
+    cents = ivf_centroids(emb, n_centroids).persist()
+    cents.count()
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    for _ in range(n_iters):
+        assigned = _argmax_assign(v, cents)
+        means = (
+            v.join(assigned, "vec_id")
+            .select("cid", "nrm", F.posexplode("embedding").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.avg(F.col("val").cast("double") / F.col("nrm")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cemb")
+            )
+        )
+        # a list that lost all members keeps its previous centroid
+        new_cents = (
+            cents.join(means, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new_cemb"), F.col("cemb")).alias("cemb"),
+            )
+            .select("cid", "cemb", _norm(F.col("cemb")).alias("cnrm"))
+            .persist()
+        )
+        new_cents.count()
+        cents.unpersist()
+        cents = new_cents
+    return cents
+
+
+def _argmax_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest-centroid assignment of ``v`` (vec_id,
+    embedding, nrm) against broadcast ``cents`` (cid, cemb, cnrm);
+    ties → smallest cid."""
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
@@ -277,18 +337,48 @@ def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Inverted lists: (vec_id, cid) assigning every vector to its
+    highest-cosine centroid (ties → smallest cid). ``cents`` overrides
+    the quantizer (e.g. :func:`kmeans_centroids`); default is the
+    seeded sample.
+
+    Scale shape: the centroid table is tiny and **broadcast**, so
+    assignment is a map-side cross join + argmax — the corpus itself
+    never shuffles; the argmax window partitions on vec_id (unique key,
+    no skew)."""
+    if cents is None:
+        cents = ivf_centroids(emb, n_centroids)
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    return _argmax_assign(v, cents)
+
+
 def ann_ivf(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
     n_centroids: int | None = None,
     n_probe: int | None = None,
+    trained: bool = False,
+    n_iters: int = 3,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF ANN: (query_id, rank, neighbor_id) — each query scores only
     the vectors in its ``n_probe`` nearest inverted lists.
     ``n_centroids=None`` auto-sizes to floor(sqrt(N)) from a corpus
     count probe (see :func:`auto_n_centroids`); ``n_probe=None``
-    auto-sizes to floor(sqrt(lists)) (see :func:`auto_n_probe`).
+    auto-sizes to floor(sqrt(lists)) (see :func:`auto_n_probe`). Pass
+    ``corpus_count`` to skip the probe job — a serving layer should
+    count once per corpus, not per call.
+
+    ``trained=True`` swaps the seeded-sample quantizer for
+    :func:`kmeans_centroids` (``n_iters`` Lloyd supersteps from the
+    same seed): better-centered lists raise recall at the identical
+    probe cost. Default False keeps the oracle-reproducible quantizer.
 
     Scale shape: probes (|Q|·n_probe rows) and query vectors are
     broadcast, so the corpus-side work is one equi-join on ``cid``
@@ -298,10 +388,16 @@ def ann_ivf(
     (n_probe = n_centroids) recovers exact brute force, which the unit
     tests assert."""
     if n_centroids is None:
-        n_centroids = auto_n_centroids(emb.count())
+        n_centroids = auto_n_centroids(
+            emb.count() if corpus_count is None else corpus_count
+        )
     if n_probe is None:
         n_probe = auto_n_probe(n_centroids)
-    cents = ivf_centroids(emb, n_centroids)
+    cents = (
+        kmeans_centroids(emb, n_centroids, n_iters)
+        if trained
+        else ivf_centroids(emb, n_centroids)
+    )
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     q = v.filter(F.col("vec_id") < n_queries)
 
@@ -320,7 +416,7 @@ def ann_ivf(
         .select("query_id", "cid")
     )
 
-    lists = ivf_assign(emb, n_centroids).join(v, "vec_id")
+    lists = ivf_assign(emb, n_centroids, cents=cents).join(v, "vec_id")
     scored = (
         lists.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -381,13 +477,19 @@ def _plane_signs(spark, n_planes: int, dim: int, table: int = 0) -> DataFrame:
 
 
 def lsh_buckets(
-    emb: DataFrame, n_planes: int = N_PLANES, table: int = 0
+    emb: DataFrame,
+    n_planes: int = N_PLANES,
+    table: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: (vec_id, bucket) where bucket is the
     n_planes-char '0'/'1' signature (sign of v·h per plane).
-    ``table`` selects an independent plane set (multi-table LSH)."""
+    ``table`` selects an independent plane set (multi-table LSH).
+    ``dim`` skips the first-row probe job when the caller already knows
+    the embedding width."""
     spark = emb.sparkSession
-    dim = len(emb.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
     planes = _plane_signs(spark, n_planes, dim, table)
     comps = spread(emb).select(
         "vec_id", F.posexplode("embedding").alias("d", "val")
@@ -420,6 +522,8 @@ def ann_lsh(
     k: int = 5,
     n_planes: int | None = None,
     n_tables: int = 1,
+    corpus_count: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: top-k by cosine *within the query's LSH bucket(s)*:
     (query_id, rank, neighbor_id). The candidate join is an equi-join on
@@ -434,15 +538,22 @@ def ann_lsh(
     per-table bucket mates, and each pair is cosine-scored once. Work
     scales linearly in tables while recall approaches 1 exponentially
     (a true neighbor must miss every table to be missed). The default
-    1-table behavior is byte-identical to the oracle-checked row."""
+    1-table behavior is byte-identical to the oracle-checked row.
+
+    ``corpus_count``/``dim`` skip the eager count/first-row probe jobs
+    — pass them from a serving layer that counted the corpus once."""
     if n_planes is None:
-        n_planes = auto_n_planes(emb.count())
+        n_planes = auto_n_planes(
+            emb.count() if corpus_count is None else corpus_count
+        )
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
     v = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     cand = None
     for t in range(n_tables):
-        buckets = lsh_buckets(emb, n_planes, table=t)
+        buckets = lsh_buckets(emb, n_planes, table=t, dim=dim)
         q = buckets.filter(F.col("vec_id") < n_queries).alias("q")
         c = buckets.alias("c")
         pairs = q.join(

@@ -117,10 +117,15 @@ def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # one corpus probe for both auto-sized methods (the oracle derives
+    # the same integers from count(*)); without this each method would
+    # re-run its own count()/first() sizing jobs
+    n = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
     parts = [
         ("exact", similarity.ann_bruteforce(emb, ANN_QUERIES, ANN_K)),
-        ("lsh", similarity.ann_lsh(emb, ANN_QUERIES, ANN_K)),
-        ("ivf", similarity.ann_ivf(emb, ANN_QUERIES, ANN_K)),
+        ("lsh", similarity.ann_lsh(emb, ANN_QUERIES, ANN_K, corpus_count=n, dim=dim)),
+        ("ivf", similarity.ann_ivf(emb, ANN_QUERIES, ANN_K, corpus_count=n)),
     ]
     out = None
     for method, df in parts:
