@@ -139,3 +139,21 @@ def test_wordpiece_covers_word_exactly(word):
     assert all(p.startswith("##") for p in pieces[1:])
     if pieces:
         assert not pieces[0].startswith("##")
+
+
+# --- BPE merge invariants (pure Python core) ---------------------------
+
+_BPE_RANKS = {("a", "b"): 0, ("ab", "a"): 1, ("b", "a"): 2, ("ab", "ab"): 3}
+
+
+@given(st.text(alphabet="ab", min_size=0, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_bpe_tokens_always_reassemble_word(word):
+    """BPE has no UNK: whatever the merges table, the output pieces
+    concatenate back to the input exactly, and no adjacent output pair
+    is still ranked (the loop ran to fixpoint)."""
+    from webpagesgraphdatabase_spark.operators.tokenize import merge_word_bpe
+
+    pieces = merge_word_bpe(word, _BPE_RANKS)
+    assert "".join(pieces) == word
+    assert all((x, y) not in _BPE_RANKS for x, y in zip(pieces, pieces[1:]))

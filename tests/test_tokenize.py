@@ -11,6 +11,10 @@ from webpagesgraphdatabase_spark.operators import packing, textstats, tokenize
 
 VOCAB = ["un", "##aff", "##able", "##ly", "run", "##ning", "the", "dog", "s", "##s"]
 
+# ordered merges (rank = position), the merges.txt shape: "lo" before
+# "low", so "lower" -> lo+w+e+r -> low+e+r -> low+er
+MERGES = [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"), ("t", "h"), ("th", "e")]
+
 
 def _toks(spark, text, tok):
     df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
@@ -44,6 +48,38 @@ def test_wordpiece_lowercases(spark):
     assert _toks(spark, "The DOG", tok) == ["the", "dog"]
 
 
+def test_bpe_merges_by_rank(spark):
+    tok = lambda c: tokenize.bpe_tokens(MERGES, c)
+    # "lower" fully merges through ranks 0,1,2,3; "the" through 4,5;
+    # "lox": lo merges (rank 0), x has no ranked pair partner
+    assert _toks(spark, "lower the lox", tok) == ["lower", "the", "lo", "x"]
+
+
+def test_bpe_unseen_chars_survive_as_singletons(spark):
+    tok = lambda c: tokenize.bpe_tokens(MERGES, c)
+    assert _toks(spark, "zq", tok) == ["z", "q"]
+
+
+def test_bpe_rank_order_decides_ambiguity():
+    # "abc" with {ab: r0, bc: r1}: lower rank wins the overlap
+    assert tokenize.merge_word_bpe("abc", {("a", "b"): 0, ("b", "c"): 1}) == ["ab", "c"]
+    assert tokenize.merge_word_bpe("abc", {("a", "b"): 1, ("b", "c"): 0}) == ["a", "bc"]
+
+
+def test_bpe_merges_every_occurrence_per_step():
+    assert tokenize.merge_word_bpe("aaaa", {("a", "a"): 0}) == ["aa", "aa"]
+
+
+def test_bpe_lowercases_and_splits_punctuation(spark):
+    tok = lambda c: tokenize.bpe_tokens(MERGES, c)
+    assert _toks(spark, "LOWER, the!", tok) == ["lower", ",", "the", "!"]
+
+
+def test_bpe_overlong_word_left_unmerged():
+    out = tokenize.merge_word_bpe("ab" * 40, {("a", "b"): 0}, max_word_chars=64)
+    assert out == list("ab" * 40)
+
+
 def _layout_invariants(rows, seq_len):
     """The packing algebra that must hold under ANY tokenizer."""
     by_shard: dict[int, list] = {}
@@ -71,6 +107,7 @@ def test_pack_layout_invariance_across_tokenizers(spark):
         None,  # whitespace default
         tokenize.regex_tokens,
         lambda c: tokenize.wordpiece_tokens(VOCAB, c),
+        lambda c: tokenize.bpe_tokens(MERGES, c),
     ):
         rows = packing.pack_sequences(docs, seq_len=64, tokenizer=tok).collect()
         assert len(rows) == 40

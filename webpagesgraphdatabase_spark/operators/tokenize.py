@@ -20,6 +20,12 @@ Three implementations, in ascending fidelity / descending speed:
   scale the vocab (~30k pieces, a few MB) broadcasts once per executor
   and the UDF streams Arrow batches — the same plumbing an HF tokenizer
   would use, no per-row Python round trips.
+- :func:`bpe_tokens` — byte-pair encoding by merge rank (Sennrich et
+  al. 2016; the GPT-family vocabulary shape). Words pre-tokenized with
+  :data:`BPE_SPLIT_RE` start as character sequences; the lowest-ranked
+  adjacent pair present is merged repeatedly until none remains in the
+  merges table. Same broadcast-dict + Arrow-batched UDF plumbing as
+  WordPiece.
 """
 
 from __future__ import annotations
@@ -113,3 +119,88 @@ def wordpiece_tokens(
         return pd.Series([seg_text(t) for t in texts])
 
     return _wp(F.col(text_col))
+
+
+def merge_word_bpe(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    max_word_chars: int = 64,
+) -> list[str]:
+    """BPE-merge one pre-token by rank — the pure core of
+    :func:`bpe_tokens`, exposed for direct (property-based) testing.
+
+    The word starts as its character sequence; each step merges *every*
+    occurrence of the adjacent pair with the lowest rank in ``ranks``,
+    until no adjacent pair is ranked. Characters never seen in any merge
+    simply survive as single-char tokens (BPE has no UNK: the base
+    alphabet is always representable). Over-long words are left
+    unmerged (cost guard, mirroring WordPiece's ``max_word_chars``)."""
+    if not word:
+        return []
+    parts = list(word)
+    if len(parts) > max_word_chars:
+        return parts
+    while len(parts) > 1:
+        best_rank, best_pair = None, None
+        for pair in zip(parts, parts[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        merged: list[str] = []
+        i = 0
+        while i < len(parts):
+            if (
+                i + 1 < len(parts)
+                and (parts[i], parts[i + 1]) == best_pair
+            ):
+                merged.append(parts[i] + parts[i + 1])
+                i += 2
+            else:
+                merged.append(parts[i])
+                i += 1
+        parts = merged
+    return parts
+
+
+def bpe_tokens(
+    merges: Iterable[tuple[str, str]],
+    text_col: str = "text",
+    pattern: str = BPE_SPLIT_RE,
+    max_word_chars: int = 64,
+) -> Column:
+    """Byte-pair encoding by merge rank over a broadcast merges table —
+    the GPT-family tokenizer shape (Sennrich et al. 2016 trainable
+    merges, applied greedily lowest-rank-first at encode time).
+
+    ``merges`` is the *ordered* merge list (rank = position, as in a
+    ``merges.txt``); text is lowercased and pre-tokenized with
+    ``pattern`` (the same BPE pre-split :func:`regex_tokens` uses), and
+    each pre-token is merged independently via :func:`merge_word_bpe`.
+
+    The ranks dict rides the UDF closure — shipped once per executor
+    with the task broadcast, applied over Arrow batches; identical
+    plumbing to :func:`wordpiece_tokens`, so everything downstream
+    (packing layout, token counts) is tokenizer-swap-safe by the same
+    invariance tests."""
+    import re as _re
+
+    ranks = {tuple(pair): i for i, pair in enumerate(merges)}
+    rx = _re.compile(pattern)
+
+    @F.pandas_udf("array<string>")
+    def _bpe(texts):
+        import pandas as pd
+
+        def seg_text(text) -> list[str]:
+            if text is None:
+                return []
+            out: list[str] = []
+            for w in rx.findall(text.lower()):
+                out.extend(merge_word_bpe(w, ranks, max_word_chars))
+            return out
+
+        return pd.Series([seg_text(t) for t in texts])
+
+    return _bpe(F.col(text_col))
