@@ -2,10 +2,11 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 Beyond-reference extension. PNG payloads decode for real via the
-pure-stdlib decoder in :mod:`.png` (zlib inflate + scanline unfilter);
-other media types (JPEG/audio/video) stay stubbed behind a
-clearly-marked ``NotImplementedError`` since those codecs aren't in the
-container. Everything Spark cares about is real and tested either way:
+pure-stdlib decoder in :mod:`.png` (zlib inflate + scanline unfilter),
+and JPEG headers parse for real via :mod:`.jpeg` (SOF marker walk —
+dims-only, which is all resize needs); JPEG *pixel* decode and
+audio/video stay stubbed behind a clearly-marked
+``NotImplementedError`` since those codecs aren't in the container. Everything Spark cares about is real and tested either way:
 the binary column schema, the ``mapInPandas`` batch shape (pandas
 DataFrames in/out, iterator API so one Python worker streams many Arrow
 batches), partitioning, and deterministic byte-level feature extraction
@@ -223,18 +224,27 @@ def resize_image(
     min 1 px): (doc_id, width, height, new_width, new_height).
 
     Real path: PNG payloads get their dims from an IHDR parse
-    (:func:`.png.parse_ihdr` — header-only, no pixel inflate, so this
-    stage is O(1) per image regardless of payload size); non-PNG
-    payloads raise ``NotImplementedError``. ``fake=True`` derives the
+    (:func:`.png.parse_ihdr`) and JPEG payloads from an SOF marker walk
+    (:func:`.jpeg.parse_dims`) — both header-only, no pixel decode, so
+    this stage is O(header) per image regardless of payload size; other
+    media raise ``NotImplementedError``. ``fake=True`` derives the
     source dims from the payload md5 exactly like :func:`decode_image`,
     so the resize arithmetic and the ``mapInPandas`` plumbing stay
     oracle-checked on the text corpus. Scale notes: identical to decode
     — payload bytes never shuffle, the output is a 5-int row per image."""
+    return resize_image_payloads(payloads(docs), max_side, fake)
+
+
+def resize_image_payloads(
+    payload_df: DataFrame, max_side: int = MAX_SIDE, fake: bool = False
+) -> DataFrame:
+    """:func:`resize_image` over an already-built (doc_id, payload
+    binary) table — the entry point for real media columns."""
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from . import png
+        from . import jpeg, png
 
         for pdf in batches:
             rows = {
@@ -250,10 +260,12 @@ def resize_image(
                     w, ht = 16 + h[0] % 64, 16 + h[1] % 64
                 elif png.is_png(bytes(payload)):
                     w, ht, _ = png.parse_ihdr(bytes(payload))
+                elif jpeg.is_jpeg(bytes(payload)):
+                    w, ht, _ = jpeg.parse_dims(bytes(payload))
                 else:
                     raise NotImplementedError(
-                        "only PNG payloads resize without a codec; run with "
-                        "fake=True for the deterministic stand-in"
+                        "only PNG/JPEG headers parse without a codec; run "
+                        "with fake=True for the deterministic stand-in"
                     )
                 longest = max(w, ht)
                 rows["doc_id"].append(doc_id)
@@ -263,6 +275,6 @@ def resize_image(
                 rows["new_height"].append(max(1, ht * max_side // longest))
             yield pd.DataFrame(rows)
 
-    return payloads(docs).select("doc_id", "payload").mapInPandas(
+    return payload_df.select("doc_id", "payload").mapInPandas(
         resize, schema=_RESIZE_SCHEMA
     )
