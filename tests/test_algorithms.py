@@ -138,6 +138,24 @@ def test_bounded_reach_matches_component_size_at_diameter(spark):
     assert r["Link:c"].n_reach_2 == 1  # c, K2 island minus self
 
 
+def test_bounded_reach_seeded_equals_filtered_full_run(spark):
+    # the documented scale discipline is now expressible: seeded reach
+    # must equal the same nodes' rows from the corpus-wide run
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+
+    g = _graph(spark, [("a", "K1"), ("b", "K1"), ("b", "K2"), ("c", "K2")])
+    seeds = spark.createDataFrame(
+        [("Link:a",), ("Keyword:K1",)], ["node_id"]
+    )
+    seeded = sorted(map(tuple, bounded_reach(g, 3, seeds=seeds).collect()))
+    full = sorted(
+        tuple(r)
+        for r in bounded_reach(g, 3).collect()
+        if r.node_id in {"Link:a", "Keyword:K1"}
+    )
+    assert seeded == full and len(seeded) == 2
+
+
 def test_bounded_reach_approx_mode_matches_exact_on_small_graph(spark):
     # HLL is exact at small cardinalities, so the sketch mode must
     # reproduce the exact counts on the hand-checkable path graph

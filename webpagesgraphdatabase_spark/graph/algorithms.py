@@ -216,7 +216,10 @@ def components_from_edges(
 
 
 def bounded_reach(
-    g: PropertyGraph, max_hops: int = 2, exact: bool = True
+    g: PropertyGraph,
+    max_hops: int = 2,
+    exact: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Variable-length path query — the Cypher shape
     ``MATCH (n)-[*1..h]-(m) RETURN n, count(DISTINCT m)`` for every
@@ -240,8 +243,13 @@ def bounded_reach(
     Cost grows with the closure, which on dense graphs approaches
     |component|² pairs: corpus-wide, radius 2 is the sane default
     (measured here: radius 3 over all sf0.01 nodes is ~10× radius 2);
-    deeper radii belong on seed sets — filter the first frontier before
-    expanding.
+    deeper radii belong on seed sets — pass ``seeds`` (a DataFrame with
+    a ``node_id`` column) and only those sources expand: the first
+    frontier is semi-joined down *before* any expansion, so every later
+    level's pair set is the seeds' closure, not the graph's. Seeded
+    counts are identical to the same nodes' rows in a full run (the
+    expansion never depends on other sources' pairs), which the unit
+    test pins.
 
     ``exact=False`` is the 100 TB counting mode: per-radius counts come
     from ``approx_count_distinct`` (HyperLogLog++, partial-aggregatable
@@ -258,7 +266,12 @@ def bounded_reach(
         raise ValueError("max_hops must be >= 1")
     e1 = bipartite_edges(g).select("src", "dst")
 
-    levels = [e1.distinct()]
+    first = e1
+    if seeds is not None:
+        first = e1.join(
+            seeds.select(F.col("node_id").alias("src")), "src", "left_semi"
+        )
+    levels = [first.distinct()]
     for _ in range(max_hops - 1):
         pairs = levels[-1]
         nxt = (
