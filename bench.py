@@ -195,6 +195,23 @@ def main() -> None:
         for name, fn in ANN_HEADLINE.items():
             timed(name, lambda fn=fn: _force(fn(emb, n_emb, emb_dim)))
 
+        # the serving path: index built once (timed separately, like
+        # graph_load), then queries run against the at-rest lists with
+        # partition pruning — s_ann_ivf measures the build-per-call
+        # plan, this measures what a serving layer actually pays
+        sim = _similarity()
+        ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+        try:
+            t0 = time.time()
+            sim.build_ivf_index(emb, f"{ivf_dir}/ivf", corpus_count=n_emb)
+            timings["s_ann_ivf_index_build"] = round(time.time() - t0, 3)
+            timed(
+                "s_ann_ivf_indexed",
+                lambda: _force(sim.ann_ivf_from_index(spark, f"{ivf_dir}/ivf")),
+            )
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
+
         recalls = ann_recalls(emb, n_emb, emb_dim)
     finally:
         shutil.rmtree(wh, ignore_errors=True)

@@ -214,6 +214,46 @@ def test_dedup_clusters_superstep_path_same_result(docs):
     assert slow == fast
 
 
+def test_ivf_index_at_rest_matches_recompute(spark, tmp_path):
+    """build_ivf_index + ann_ivf_from_index ≡ ann_ivf: same centroids,
+    same probes, same top-k — the at-rest layout changes where the
+    candidates come from, never what they are."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    path = similarity.build_ivf_index(emb, str(tmp_path / "ivf"), corpus_count=n)
+    from_index = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    recompute = sorted(
+        map(tuple, similarity.ann_ivf(emb, 10, 5, corpus_count=n).collect())
+    )
+    assert from_index == recompute and len(from_index) == 50
+
+
+def test_ivf_index_scan_prunes_to_probed_lists(spark, tmp_path):
+    """The candidate scan must read only the probed lists' partitions:
+    the cid isin filter shows up as a PartitionFilters entry on the
+    parquet scan, not a post-scan Filter over a full read."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = similarity.build_ivf_index(emb, str(tmp_path / "ivf"), corpus_count=500)
+    df = similarity.ann_ivf_from_index(spark, path, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the candidate FileScan carries the probed-cid INSET as a partition
+    # filter (the location path is display-truncated, so match on the
+    # filter itself)
+    assert "PartitionFilters: [cid" in plan, plan
+
+
+def test_ivf_index_trained_mode_builds_and_queries(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = similarity.build_ivf_index(
+        emb, str(tmp_path / "ivf_t"), trained=True, n_iters=1, corpus_count=500
+    )
+    rows = similarity.ann_ivf_from_index(spark, path, k=5).collect()
+    assert len(rows) == 50
+    assert {r.query_id for r in rows} == set(range(10))
+
+
 def test_bench_recall_floors(spark):
     """The bench's recall@5 sidecar (r4 verdict item 2) with floors: a
     latency win that craters recall must fail loudly. Floors sit well

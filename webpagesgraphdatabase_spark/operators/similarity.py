@@ -14,6 +14,12 @@ nearest neighbor over an embedding column.
 - :func:`ann_ivf` — inverted-file index (IVF): deterministic seeded
   centroids, every vector assigned to its nearest list, queries probe
   the ``n_probe`` closest lists only (the other classic ANN scale path).
+- :func:`build_ivf_index` / :func:`ann_ivf_from_index` — the IVF index
+  *at rest*: centroids + assignments persisted once as Parquet with the
+  lists laid out ``partitionBy(cid)``, so a query's candidate scan
+  reads only its probed lists' files (partition pruning — the layout
+  :func:`ann_ivf`'s docstring promises, materialized). At 100 TB the
+  index is built once per corpus version and every query amortizes it.
 
 Index parameters auto-size from a corpus-count probe by default —
 floor(log2(N/64)) LSH planes, floor(sqrt(N)) IVF lists,
@@ -430,6 +436,136 @@ def ann_ivf(
             ),
             "query_id",
         )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("qemb"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    trained: bool = False,
+    n_iters: int = 3,
+    corpus_count: int | None = None,
+) -> str:
+    """Materialize the IVF index at rest under ``path``:
+
+    - ``centroids.parquet`` — (cid, cemb, cnrm), ≤ ``MAX_CENTROIDS``
+      rows;
+    - ``lists.parquet`` — (vec_id, embedding, nrm) **partitioned by
+      cid**, so each inverted list is its own file set and a query
+      touches only its probed lists on disk.
+
+    Build cost is one assignment pass (plus Lloyd supersteps when
+    ``trained``); at corpus scale this runs once per corpus version and
+    every subsequent query amortizes it — the recompute-per-call
+    :func:`ann_ivf` is the index-build plan *and* the ad-hoc query
+    plan, this is the serving plan. The partitioned write shuffles on
+    ``cid``; list sizes are ~sqrt(N) at auto sizing so partitions stay
+    balanced, and a skewed list is still bounded by its true member
+    count."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(
+            emb.count() if corpus_count is None else corpus_count
+        )
+    cents = (
+        kmeans_centroids(emb, n_centroids, n_iters)
+        if trained
+        else ivf_centroids(emb, n_centroids)
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    # read the written centroids back so the assignment below and any
+    # later query use byte-identical centroid values (float64 arrays
+    # round-trip parquet exactly; this guards against recompute drift)
+    stored = emb.sparkSession.read.parquet(f"{path}/centroids.parquet")
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    (
+        v.join(_argmax_assign(v, stored), "vec_id")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists.parquet")
+    )
+    return path
+
+
+def ann_ivf_from_index(
+    spark,
+    path: str,
+    queries: DataFrame | None = None,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF ANN over a :func:`build_ivf_index` layout: (query_id, rank,
+    neighbor_id) — same semantics as :func:`ann_ivf` with the same
+    centroids, but candidates come from the *stored* lists.
+
+    ``queries`` is any (vec_id, embedding) DataFrame; default is the
+    stored corpus's ``vec_id < n_queries`` rows (matching
+    :func:`ann_ivf`). The probed cids are collected to the driver
+    (≤ |Q|·n_probe ints — bounded small) and applied as an ``isin``
+    partition filter, so the list scan prunes to the probed lists' files
+    at planning time — ``PartitionFilters`` in the explain, no full-index
+    read, which is the entire point of the at-rest layout. Self-matches
+    are excluded by ``vec_id != query_id`` like :func:`ann_ivf`."""
+    cents = spark.read.parquet(f"{path}/centroids.parquet")
+    lists = spark.read.parquet(f"{path}/lists.parquet")
+    if n_probe is None:
+        n_probe = auto_n_probe(cents.count())
+    if queries is None:
+        queries = lists.filter(F.col("vec_id") < n_queries).select(
+            "vec_id", "embedding"
+        )
+    q = queries.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        (
+            _dot(F.col("embedding"), F.col("cemb"))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    probe_rows = probes.collect()  # bounded: |Q| · n_probe (query ids + cids)
+    probed_cids = sorted({r.cid for r in probe_rows})
+
+    qb = F.broadcast(
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    pairs = spark.createDataFrame(probe_rows, "query_id long, cid long")
+    scored = (
+        lists.filter(F.col("cid").isin(probed_cids))  # partition pruning
+        .join(F.broadcast(pairs), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(qb, "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
