@@ -196,6 +196,10 @@ def test_index_html_mode_renders_tables(client):
     assert "https://html-a.example/x" in page
     # per-row delete form, as in the reference listing
     assert 'action="/delete_link"' in page
+    # graph canvas block (reference index.html graph tab parity):
+    # vis-network over /graph_data, with an offline fallback summary
+    assert 'id="network"' in page
+    assert "/graph_data" in page and "vis-network" in page
 
 
 def test_index_accept_header_negotiates_html(client):

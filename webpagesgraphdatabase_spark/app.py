@@ -327,6 +327,32 @@ _INDEX_TEMPLATE = """<!DOCTYPE html>
         <td>{{ c.count }}</td></tr>
     {% endfor %}
   </table>
+  <h2>Graph Visualization</h2>
+  <div id="network" style="height: 480px; border: 1px solid #ccc;"></div>
+  <div id="graph-error"></div>
+  <script src="https://unpkg.com/vis-network/standalone/umd/vis-network.min.js"></script>
+  <script>
+    // render /graph_data (capped node/edge JSON) as a vis-network
+    // canvas; degrade to a text summary when the library CDN or the
+    // endpoint is unavailable (offline parity with the JSON surface)
+    fetch('/graph_data').then(function (r) { return r.json(); }).then(function (data) {
+      var err = document.getElementById('graph-error');
+      if (data.error) { err.textContent = 'Graph failed to load: ' + data.error; return; }
+      if (typeof vis === 'undefined') {
+        err.textContent = 'vis-network unavailable; ' +
+          (data.nodes || []).length + ' nodes / ' +
+          (data.edges || []).length + ' edges at /graph_data';
+        return;
+      }
+      new vis.Network(
+        document.getElementById('network'),
+        { nodes: new vis.DataSet(data.nodes), edges: new vis.DataSet(data.edges) },
+        { nodes: { shape: 'dot', size: 12 }, physics: { stabilization: true } }
+      );
+    }).catch(function (e) {
+      document.getElementById('graph-error').textContent = 'Graph failed to load: ' + e;
+    });
+  </script>
 </body>
 </html>"""
 
