@@ -65,20 +65,23 @@ TABLE_HEADLINE = (
 # individually timed here so per-query deltas track each strategy.
 # s_cosine_neardup_bucketed forces the >broadcast-budget fallback
 # (max_broadcast_rows=0) so the at-scale path has a measured number,
-# not just a routing test. s_ann_ivf_trained is the Lloyd-trained
-# quantizer (r4 verdict item 1): same probe cost, higher recall.
+# not just a routing test. s_ann_lsh_multi is the 4-table recall
+# lever (4× candidate work for the union of 4 independent bucketings).
 # Auto-sizing probes (corpus count / dim) are passed in precomputed —
 # the serving-layer contract — so timings measure the query, not the
-# sizing jobs.
+# sizing jobs. The Lloyd-trained quantizer is timed on the amortized
+# serving path (index built once as s_ann_ivf_trained_build, queries
+# as s_ann_ivf_trained_indexed) — training per ad-hoc call is not a
+# shape anyone ships.
 ANN_HEADLINE = {
     "s_ann_lsh": lambda emb, n, d: _similarity().ann_lsh(
         emb, 10, 5, corpus_count=n, dim=d
     ),
+    "s_ann_lsh_multi": lambda emb, n, d: _similarity().ann_lsh(
+        emb, 10, 5, n_tables=4, corpus_count=n, dim=d
+    ),
     "s_ann_ivf": lambda emb, n, d: _similarity().ann_ivf(
         emb, 10, 5, corpus_count=n
-    ),
-    "s_ann_ivf_trained": lambda emb, n, d: _similarity().ann_ivf(
-        emb, 10, 5, trained=True, corpus_count=n
     ),
     "s_cosine_neardup_bucketed": lambda emb, n, d: _similarity().cosine_neardup(
         emb, max_broadcast_rows=0
@@ -88,7 +91,27 @@ ANN_HEADLINE = {
 # recall@5 vs exact brute force for the approximate ANN strategies —
 # a latency-only bench would make a recall-losing "speedup" invisible
 # (r4 verdict item 2). Computed once per strategy, not per timing rep.
-ANN_RECALL = ("s_ann_lsh", "s_ann_ivf", "s_ann_ivf_trained")
+# s_ann_ivf_trained is recall-only here (same result set as the
+# trained index path, which carries its timing): on this corpus the
+# embeddings are isotropic (cos sim mean≈0, std≈0.125 across random
+# pairs — measured), so k-means has little cluster structure to find
+# and the trained gain over sampled centroids is intrinsically small;
+# the clustered-data unit test pins that training wins big when
+# structure exists.
+ANN_RECALL = {
+    "s_ann_lsh": lambda emb, n, d: _similarity().ann_lsh(
+        emb, 10, 5, corpus_count=n, dim=d
+    ),
+    "s_ann_lsh_multi": lambda emb, n, d: _similarity().ann_lsh(
+        emb, 10, 5, n_tables=4, corpus_count=n, dim=d
+    ),
+    "s_ann_ivf": lambda emb, n, d: _similarity().ann_ivf(
+        emb, 10, 5, corpus_count=n
+    ),
+    "s_ann_ivf_trained": lambda emb, n, d: _similarity().ann_ivf(
+        emb, 10, 5, trained=True, corpus_count=n
+    ),
+}
 
 
 def _similarity():
@@ -112,13 +135,48 @@ def ann_recalls(emb, n_emb: int, emb_dim: int) -> dict[str, float]:
         for r in sim.ann_bruteforce(emb, 10, 5).collect()
     }
     out = {}
-    for name in ANN_RECALL:
+    for name, fn in ANN_RECALL.items():
         got = {
             (r.query_id, r.neighbor_id)
-            for r in ANN_HEADLINE[name](emb, n_emb, emb_dim).collect()
+            for r in fn(emb, n_emb, emb_dim).collect()
         }
         out[name] = round(len(got & exact) / len(exact), 3)
     return out
+
+
+def machine_calibration(spark) -> dict[str, float]:
+    """Fixed data-independent jobs (median of 3) that measure *this
+    machine's* Spark throughput, so round-over-round query deltas can
+    be read against hardware/VM drift instead of assumed to be code:
+    the same bench on a half-speed host reads ~2× everywhere, and the
+    calibration doubles with it. ``cpu`` is a pure codegen scan
+    (range + xxhash64 + sum, no exchange); ``shuffle`` adds a 100k-key
+    hash aggregate exchange. Nominal a few hundred ms each."""
+    from pyspark.sql import functions as F
+
+    def med3(run) -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            run()
+            samples.append(time.time() - t0)
+        return round(sorted(samples)[1], 3)
+
+    cpu = med3(
+        lambda: spark.range(100_000_000)
+        # mask before summing: a raw sum of 100M random longs overflows
+        # under ANSI arithmetic; 100M · 2^16 stays far inside int64
+        .select(F.sum(F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))))
+        .collect()
+    )
+    shuffle = med3(
+        lambda: spark.range(20_000_000)
+        .groupBy((F.col("id") % 100_000).alias("k"))
+        .count()
+        .select(F.sum("count"))
+        .collect()
+    )
+    return {"cpu": cpu, "shuffle": shuffle}
 
 
 def main() -> None:
@@ -209,10 +267,25 @@ def main() -> None:
                 "s_ann_ivf_indexed",
                 lambda: _force(sim.ann_ivf_from_index(spark, f"{ivf_dir}/ivf")),
             )
+            # the Lloyd-trained quantizer on the same serving shape:
+            # training cost lands in the one-time build (as it does in
+            # production), queries pay identical probe cost to untrained
+            t0 = time.time()
+            sim.build_ivf_index(
+                emb, f"{ivf_dir}/ivf_t", trained=True, corpus_count=n_emb
+            )
+            timings["s_ann_ivf_trained_build"] = round(time.time() - t0, 3)
+            timed(
+                "s_ann_ivf_trained_indexed",
+                lambda: _force(
+                    sim.ann_ivf_from_index(spark, f"{ivf_dir}/ivf_t")
+                ),
+            )
         finally:
             shutil.rmtree(ivf_dir, ignore_errors=True)
 
         recalls = ann_recalls(emb, n_emb, emb_dim)
+        calibration = machine_calibration(spark)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -223,6 +296,7 @@ def main() -> None:
         "queries": timings,
         "stats": stats,
         "recall": recalls,
+        "calibration": calibration,
         "sf": sf,
     }
 

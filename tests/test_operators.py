@@ -203,6 +203,54 @@ def test_ann_ivf_trained_recall_at_least_sampled(spark):
     assert len(trained & exact) > 0
 
 
+def test_ann_ivf_trained_wins_big_on_clustered_data(spark):
+    """On *clustered* embeddings the Lloyd-trained quantizer must beat
+    sampled centroids decisively — this pins that the small trained gain
+    on the testdata corpus is a property of its isotropic vectors
+    (cosine mean ≈ 0 between random pairs, no cluster structure for
+    k-means to find), not of the training machinery. 16 overlapping
+    cluster directions (noise 0.2 — wide enough that Voronoi boundaries
+    cut through neighborhoods), 25 members each, interleaved ids so the
+    40 queries span every cluster; sampled *point* centroids sit at
+    arbitrary in-cluster positions whose boundaries split true
+    neighborhoods across lists, while 3 Lloyd steps settle boundaries
+    into the gaps (measured at this seed: 0.655 sampled vs 0.915
+    trained; margins pinned well inside that gap)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dirs = rng.normal(size=(16, 16))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for _ in range(25):
+        for ci in range(16):
+            v = dirs[ci] + 0.2 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 40, 5).collect()
+    }
+
+    def recall(trained: bool) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_ivf(
+                emb, 40, 5, n_centroids=16, n_probe=1,
+                trained=trained, corpus_count=400,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_sampled, r_trained = recall(False), recall(True)
+    assert r_trained >= 0.85
+    assert r_trained >= r_sampled + 0.15
+
+
 def test_dedup_clusters_superstep_path_same_result(docs):
     """The bench's forced-superstep variant (driver_max_edges=0) must
     produce exactly the union-find fast path's clusters — the two
@@ -269,6 +317,9 @@ def test_bench_recall_floors(spark):
     assert rec["s_ann_lsh"] >= 0.2
     assert rec["s_ann_ivf"] >= 0.4
     assert rec["s_ann_ivf_trained"] >= rec["s_ann_ivf"]
+    # 4 independent tables: a true neighbor must miss every one of them
+    # to be missed, so the union's recall must clear the single table
+    assert rec["s_ann_lsh_multi"] >= rec["s_ann_lsh"] + 0.2
 
 
 def test_ann_probe_jobs_skipped_with_precomputed_sizes(vecs, monkeypatch):

@@ -3,9 +3,10 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 
 Beyond-reference extension. PNG payloads decode for real via the
 pure-stdlib decoder in :mod:`.png` (zlib inflate + scanline unfilter),
-and JPEG headers parse for real via :mod:`.jpeg` (SOF marker walk —
-dims-only, which is all resize needs); JPEG *pixel* decode and
-audio/video stay stubbed behind a clearly-marked
+JPEG headers parse for real via :mod:`.jpeg` (SOF marker walk —
+dims-only, which is all resize needs), and WAV audio decodes for real
+via the RIFF/PCM parser in :mod:`.wav`; JPEG *pixel* decode and
+compressed audio/video stay stubbed behind a clearly-marked
 ``NotImplementedError`` since those codecs aren't in the container. Everything Spark cares about is real and tested either way:
 the binary column schema, the ``mapInPandas`` batch shape (pandas
 DataFrames in/out, iterator API so one Python worker streams many Arrow
@@ -200,6 +201,84 @@ def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFram
 
     return payload_df.select("doc_id", "payload").mapInPandas(
         decode, schema=_DECODE_SCHEMA
+    )
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("rms", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+_FAKE_RATES = (8000, 16000, 22050, 44100)
+
+
+def decode_audio(docs: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode + feature-extract stage: (doc_id, n_channels,
+    sample_rate, n_frames, rms, zero_crossings).
+
+    Real path: WAV payloads decode with the pure-stdlib RIFF/PCM parser
+    in :mod:`.wav` (no codec dependency); ``rms`` is floored to an
+    integer so the row stays hashable cross-engine. Non-WAV payloads
+    raise ``NotImplementedError`` (MP3/AAC/… codecs aren't in this
+    container — the same honest boundary decode_image draws at
+    non-PNG). ``fake=True`` derives deterministic pseudo-features from
+    the payload md5 (bytes 4-9, disjoint from the image twin's 0-3) —
+    same Spark plumbing, no codec — and is the hash-checked oracle row
+    on the text corpus."""
+    return decode_audio_payloads(payloads(docs), fake=fake)
+
+
+def decode_audio_payloads(payload_df: DataFrame, fake: bool = False) -> DataFrame:
+    """:func:`decode_audio` over an already-built (doc_id, payload
+    binary) table — the entry point for real audio columns."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from . import wav
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_channels": [],
+                "sample_rate": [],
+                "n_frames": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if fake:
+                    h = hashlib.md5(payload).digest()
+                    ch = 1 + h[4] % 2
+                    rate = _FAKE_RATES[h[5] % 4]
+                    n_frames = 256 + 16 * h[6]
+                    rms, crossings = int(h[7]), 4 * int(h[8])
+                elif wav.is_wav(bytes(payload)):
+                    ch, rate, samples = wav.decode(bytes(payload))
+                    n_frames = samples.shape[0]
+                    r, crossings = wav.features(samples)
+                    rms = int(r)
+                else:
+                    raise NotImplementedError(
+                        "only WAV payloads decode without a codec; run "
+                        "with fake=True for the deterministic stand-in"
+                    )
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(n_frames)
+                rows["rms"].append(rms)
+                rows["zero_crossings"].append(crossings)
+            yield pd.DataFrame(rows)
+
+    return payload_df.select("doc_id", "payload").mapInPandas(
+        decode, schema=_AUDIO_SCHEMA
     )
 
 

@@ -1,0 +1,113 @@
+"""Pure-stdlib WAV (RIFF/PCM) parsing — the audio leg of the
+multimodal suite, mirroring :mod:`.png` for images.
+
+Clean-room implementation of the public RIFF/WAVE container format
+(chunk walk with even-byte padding, ``fmt `` fields per the WAVEFORMAT
+spec, PCM ``data`` payload) — no codec library, no port of anything.
+The property tests round-trip against the *independent* stdlib
+``wave`` writer/reader, so two separate implementations must agree on
+every generated file.
+
+Supports integer PCM (format tag 1) at 8/16/32 bits — 8-bit is
+unsigned per the spec and is centered to signed on decode so all
+widths come back zero-centered. Compressed formats (μ-law, ADPCM,
+float) raise :class:`WavError` with the tag, the honest boundary the
+image side draws at non-PNG codecs.
+
+Scale note: parsing runs inside ``mapInPandas`` workers on payload
+bytes that are already local to the task — no shuffle, no driver
+participation; a corrupt file fails its own row's task with a readable
+error naming the offset.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WavError(ValueError):
+    """Malformed or unsupported WAV payload."""
+
+
+def is_wav(b: bytes) -> bool:
+    """RIFF container with a WAVE form type."""
+    return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+def _chunks(b: bytes):
+    """Yield (chunk_id, start, size) walking the RIFF body; chunks are
+    word-aligned (odd sizes carry a pad byte that is not data)."""
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (size,) = struct.unpack_from("<I", b, off + 4)
+        start = off + 8
+        if start + size > len(b):
+            raise WavError(
+                f"chunk {cid!r} at offset {off} overruns payload "
+                f"({start + size} > {len(b)})"
+            )
+        yield cid, start, size
+        off = start + size + (size & 1)
+
+
+def parse_fmt(b: bytes) -> tuple[int, int, int, int]:
+    """(format_tag, n_channels, sample_rate, bits_per_sample) from the
+    ``fmt `` chunk — header-only, O(1) in payload size."""
+    if not is_wav(b):
+        raise WavError("not a RIFF/WAVE payload")
+    for cid, start, size in _chunks(b):
+        if cid == b"fmt ":
+            if size < 16:
+                raise WavError(f"fmt chunk too short ({size} < 16)")
+            tag, ch, rate, _byte_rate, _align, bits = struct.unpack_from(
+                "<HHIIHH", b, start
+            )
+            return tag, ch, rate, bits
+    raise WavError("no fmt chunk")
+
+
+def decode(b: bytes) -> tuple[int, int, np.ndarray]:
+    """(n_channels, sample_rate, samples) — ``samples`` is an int32
+    array of shape (n_frames, n_channels), zero-centered for every
+    supported width (8-bit PCM is stored unsigned and shifted here)."""
+    tag, ch, rate, bits = parse_fmt(b)
+    if tag != 1:
+        raise WavError(f"unsupported format tag {tag} (only PCM=1)")
+    if bits not in (8, 16, 32):
+        raise WavError(f"unsupported bit depth {bits}")
+    if ch < 1:
+        raise WavError(f"bad channel count {ch}")
+    data = None
+    for cid, start, size in _chunks(b):
+        if cid == b"data":
+            data = b[start : start + size]
+            break
+    if data is None:
+        raise WavError("no data chunk")
+    width = bits // 8
+    n_frames = len(data) // (width * ch)
+    data = data[: n_frames * width * ch]
+    if bits == 8:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    else:
+        arr = np.frombuffer(data, dtype="<i4").astype(np.int32)
+    return ch, rate, arr.reshape(n_frames, ch)
+
+
+def features(samples: np.ndarray) -> tuple[float, int]:
+    """(rms, zero_crossings) over channel 0 — the light-weight audio
+    quality signals a curation pass filters on (silence ≈ rms 0,
+    clipped noise ≈ high rms; crossings ≈ coarse pitch/noisiness)."""
+    if samples.size == 0:
+        return 0.0, 0
+    c0 = samples[:, 0].astype(np.float64)
+    rms = float(np.sqrt(np.mean(c0 * c0)))
+    signs = np.sign(c0)
+    nz = signs[signs != 0]
+    crossings = int(np.count_nonzero(nz[1:] != nz[:-1]))
+    return rms, crossings

@@ -59,15 +59,24 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text classifications in one row (joined on
-    doc_id): language ID + quality features + token counts. Inner join
-    on all sides — empty documents (filtered by quality_score) drop
-    identically. Each operator runs unchanged; the join keeps all three
-    hash-checked within the ~50-row gate window."""
+    doc_id): language ID + quality features + token counts + PII scrub.
+    Inner join on all sides — empty documents (filtered by
+    quality_score) drop identically. Each operator runs unchanged; the
+    join keeps all four hash-checked within the ~50-row gate window.
+
+    The PII leg plants deterministic doc_id-derived PII (the synthetic
+    corpus has none naturally — see :func:`..operators.pii.plant_pii`),
+    then scans and redacts it; the oracle plants the identical suffix
+    and recomputes counts + redaction with RE2."""
+    from .operators import pii
+
     docs = load_table(spark, sf_dir, "documents")
+    pii_cols = pii.pii_scrub(pii.plant_pii(docs), "text_pii")
     return (
         textstats.lang_id(docs)
         .join(textstats.quality_score(docs), "doc_id")
         .join(textstats.token_counts(docs), "doc_id")
+        .join(pii_cols, "doc_id")
         .select(
             "doc_id",
             "pred_lang",
@@ -79,6 +88,11 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ws_tokens",
             "re_tokens",
             "n_chars",
+            "n_email",
+            "n_ip",
+            "n_phone",
+            "n_id",
+            "clean_text",
         )
     )
 
@@ -172,10 +186,12 @@ def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake-decode metadata + resize arithmetic joined on doc_id. The
-    array<int> features column is serialized to a '|'-joined string:
-    the driver's canonicalizer cannot sort/hash list cells
-    (CORRECTNESS_r01 mm_decode_fake err)."""
+    """Fake-decode image metadata + resize arithmetic + fake-decode
+    audio features joined on doc_id (the three mapInPandas media twins
+    share one gate row; their real codecs — png/jpeg/wav — are
+    unit+property-tested). The array<int> features column is serialized
+    to a '|'-joined string: the driver's canonicalizer cannot sort/hash
+    list cells (CORRECTNESS_r01 mm_decode_fake err)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -183,14 +199,28 @@ def _q_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = multimodal.resize_image(docs, multimodal.MAX_SIDE, True).select(
         "doc_id", "new_width", "new_height"
     )
-    return dec.join(rs, "doc_id").select(
-        "doc_id",
-        "width",
-        "height",
-        "channels",
-        F.array_join(F.col("features").cast("array<string>"), "|").alias("features"),
-        "new_width",
-        "new_height",
+    au = multimodal.decode_audio(docs, True).select(
+        "doc_id", "n_channels", "sample_rate", "n_frames", "rms", "zero_crossings"
+    )
+    return (
+        dec.join(rs, "doc_id")
+        .join(au, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "channels",
+            F.array_join(F.col("features").cast("array<string>"), "|").alias(
+                "features"
+            ),
+            "new_width",
+            "new_height",
+            "n_channels",
+            "sample_rate",
+            "n_frames",
+            "rms",
+            "zero_crossings",
+        )
     )
 
 
@@ -849,11 +879,21 @@ b AS (
          (strpos('0123456789abcdef', substr(x, 5, 1)) - 1) * 16
            + strpos('0123456789abcdef', substr(x, 6, 1)) - 1 AS b2,
          (strpos('0123456789abcdef', substr(x, 7, 1)) - 1) * 16
-           + strpos('0123456789abcdef', substr(x, 8, 1)) - 1 AS b3
+           + strpos('0123456789abcdef', substr(x, 8, 1)) - 1 AS b3,
+         (strpos('0123456789abcdef', substr(x, 9, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 10, 1)) - 1 AS b4,
+         (strpos('0123456789abcdef', substr(x, 11, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 12, 1)) - 1 AS b5,
+         (strpos('0123456789abcdef', substr(x, 13, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 14, 1)) - 1 AS b6,
+         (strpos('0123456789abcdef', substr(x, 15, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 16, 1)) - 1 AS b7,
+         (strpos('0123456789abcdef', substr(x, 17, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(x, 18, 1)) - 1 AS b8
   FROM h
 ),
 dims AS (
-  SELECT doc_id, b0, b1, b2, b3,
+  SELECT doc_id, b0, b1, b2, b3, b4, b5, b6, b7, b8,
          16 + b0 % 64 AS width, 16 + b1 % 64 AS height
   FROM b
 )
@@ -862,7 +902,13 @@ SELECT doc_id, width, height, 1 + b2 % 4 AS channels,
        greatest(1, width * {multimodal.MAX_SIDE} // greatest(width, height))
          AS new_width,
        greatest(1, height * {multimodal.MAX_SIDE} // greatest(width, height))
-         AS new_height
+         AS new_height,
+       1 + b4 % 2 AS n_channels,
+       CASE b5 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+       256 + 16 * b6 AS n_frames,
+       b7 AS rms,
+       4 * b8 AS zero_crossings
 FROM dims
 """,
     # --- event analytics ---
@@ -1052,13 +1098,55 @@ SELECT doc_id, n_tokens, shard,
 FROM packed
 """
 
+# PII scrub fragment (see operators/pii.py): deterministic planted
+# suffix, RE2 recount + redaction in PII_RULES order (emails first).
+# Patterns are string-duplicated from PII_RULES rather than
+# interpolated so a pattern edit that breaks Java/RE2 portability
+# fails the gate instead of silently following along.
+_PII_PART = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com node 10.0.'
+              || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 ref 123-45-6789 call +1415555'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') AS text_pii
+  FROM documents
+)
+, s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text_pii,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(text_pii,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM planted
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+         regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t2, '\+\d{7,15}')) AS n_phone,
+         regexp_replace(t2, '\+\d{7,15}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       len(regexp_extract_all(t3, '\b\d{3}-\d{2}-\d{4}\b')) AS n_id,
+       regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS clean_text
+FROM s3
+"""
+
 # Per-document text classifications share one row (see _q_lang_quality).
 ORACLES["t_lang_quality"] = (
     "SELECT l.doc_id, l.pred_lang, l.score, q.n_tokens, q.mean_token_len,\n"
-    "       q.stopword_ratio, q.quality, c.ws_tokens, c.re_tokens, c.n_chars\n"
+    "       q.stopword_ratio, q.quality, c.ws_tokens, c.re_tokens, c.n_chars,\n"
+    "       p.n_email, p.n_ip, p.n_phone, p.n_id, p.clean_text\n"
     "FROM (" + ORACLES.pop("t_lang_id") + ") l\n"
     "JOIN (" + ORACLES.pop("t_quality_score") + ") q ON l.doc_id = q.doc_id\n"
-    "JOIN (" + ORACLES.pop("t_token_counts") + ") c ON l.doc_id = c.doc_id"
+    "JOIN (" + ORACLES.pop("t_token_counts") + ") c ON l.doc_id = c.doc_id\n"
+    "JOIN (" + _PII_PART + ") p ON l.doc_id = p.doc_id"
 )
 
 # Within-doc repetition (Gopher boilerplate signal): 2-gram occurrence
