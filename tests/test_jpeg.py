@@ -106,3 +106,91 @@ def test_spark_resize_mixed_png_jpeg_payloads(spark):
     out = {r.doc_id: r for r in multimodal.resize_image_payloads(pdf).collect()}
     assert (out[1].width, out[1].height) == (10, 50)
     assert (out[2].width, out[2].height) == (60, 30)
+
+
+# --- baseline codec (encode is the decoder's in-repo adversary) -----
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+ONES = [1] * 64
+
+
+def _rand_img(h, w, ch, seed):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return rng.randint(0, 256, size=shape, dtype=np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_unit_quant_near_lossless(h, w, ch, seed):
+    """All-ones quant tables leave only DCT float rounding (plus the
+    color transform's for RGB): error must stay within ±1 (gray) / ±2
+    (RGB) on arbitrary noise images of arbitrary non-aligned dims."""
+    img = _rand_img(h, w, ch, seed)
+    blob = jpeg.encode(img, quant_luma=ONES, quant_chroma=ONES)
+    gw, gh, gch, out = jpeg.decode(blob)
+    assert (gw, gh, gch) == (w, h, ch)
+    err = np.abs(out.reshape(h, w, ch).astype(int) - img.reshape(h, w, ch).astype(int))
+    assert err.max() <= (1 if ch == 1 else 2)
+
+
+def test_annexk_tables_bounded_loss_on_smooth_image():
+    yy, xx = np.mgrid[0:33, 0:47]
+    smooth = ((yy * 2 + xx) % 180 + 30).astype(np.uint8)
+    img = np.stack([smooth] * 3, axis=2)
+    _, _, _, out = jpeg.decode(jpeg.encode(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_subsampled_chroma_roundtrip():
+    # constant-chroma image: 4:2:0 box filter + nearest upsample is
+    # lossless on chroma, so error stays at luma-rounding scale
+    base = _rand_img(24, 40, 1, seed=3)[:, :]
+    img = np.stack([base] * 3, axis=2)
+    blob = jpeg.encode(img, quant_luma=ONES, quant_chroma=ONES, subsample=True)
+    w, h, ch, out = jpeg.decode(blob)
+    assert (w, h, ch) == (40, 24, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    assert jpeg.parse_dims(blob) == (40, 24, 3)
+
+
+def test_restart_intervals_roundtrip():
+    img = _rand_img(40, 56, 1, seed=4)  # 5x7 MCUs, RST every 3
+    blob = jpeg.encode(img, quant_luma=ONES, quant_chroma=ONES, restart_interval=3)
+    assert b"\xff\xd0" in blob  # RST0 actually emitted
+    _, _, _, out = jpeg.decode(blob)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_decode_progressive_raises_cleanly():
+    blob = make_jpeg(8, 8, sof=0xC2)
+    with pytest.raises(jpeg.JpegError, match="SOF2"):
+        jpeg.decode(blob)
+
+
+def test_decode_missing_table_raises():
+    img = _rand_img(8, 8, 1, seed=5)
+    blob = jpeg.encode(img)
+    # strip the DHT segments: decoder must name the missing table
+    i = blob.index(b"\xff\xc4")
+    j = blob.index(b"\xff\xda")
+    with pytest.raises(jpeg.JpegError, match="missing table"):
+        jpeg.decode(blob[:i] + blob[j:])
+
+
+def test_spark_decode_image_real_jpeg_path(spark):
+    img = _rand_img(16, 24, 3, seed=6)
+    blob = jpeg.encode(img, quant_luma=ONES, quant_chroma=ONES)
+    pdf = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, payload binary")
+    row = multimodal.decode_image_payloads(pdf).collect()[0]
+    assert (row.width, row.height, row.channels) == (24, 16, 3)
+    for c in range(3):
+        assert abs(row.features[c] - int(img[:, :, c].mean())) <= 2

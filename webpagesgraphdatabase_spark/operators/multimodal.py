@@ -3,10 +3,11 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 
 Beyond-reference extension. PNG payloads decode for real via the
 pure-stdlib decoder in :mod:`.png` (zlib inflate + scanline unfilter),
-JPEG headers parse for real via :mod:`.jpeg` (SOF marker walk —
-dims-only, which is all resize needs), and WAV audio decodes for real
-via the RIFF/PCM parser in :mod:`.wav`; JPEG *pixel* decode and
-compressed audio/video stay stubbed behind a clearly-marked
+baseline JPEG decodes for real via the clean-room T.81 codec in
+:mod:`.jpeg` (Huffman entropy decode, IDCT, 4:2:0 upsample — plus the
+header-only dims walk resize uses), and WAV audio decodes for real via
+the RIFF/PCM parser in :mod:`.wav`; progressive JPEG and compressed
+audio/video stay stubbed behind a clearly-marked
 ``NotImplementedError`` since those codecs aren't in the container. Everything Spark cares about is real and tested either way:
 the binary column schema, the ``mapInPandas`` batch shape (pandas
 DataFrames in/out, iterator API so one Python worker streams many Arrow
@@ -156,14 +157,16 @@ def decode_image(docs: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + feature-extract stage.
 
     Real path: PNG payloads decode with the pure-stdlib decoder in
-    :mod:`.png` (zlib inflate + per-scanline unfilter — no Pillow/codec
-    dependency); ``features`` is the per-channel pixel mean (floored
-    int, one entry per channel). Non-PNG payloads still raise
-    ``NotImplementedError`` (JPEG/audio/video codecs aren't in this
-    container). With ``fake=True`` a deterministic stand-in derives
-    pseudo-metadata from the payload md5 — same Spark plumbing (schema,
-    Arrow batches, partitioning), no codec — and stays the hash-checked
-    oracle row, since the synthetic corpus carries text payloads."""
+    :mod:`.png` (zlib inflate + per-scanline unfilter) and baseline
+    JPEG payloads with the clean-room T.81 decoder in :mod:`.jpeg`
+    (Huffman entropy decode + IDCT) — no Pillow/codec dependency;
+    ``features`` is the per-channel pixel mean (floored int, one entry
+    per channel). Other media still raise ``NotImplementedError``
+    (GIF/video codecs aren't in this container). With ``fake=True`` a
+    deterministic stand-in derives pseudo-metadata from the payload md5
+    — same Spark plumbing (schema, Arrow batches, partitioning), no
+    codec — and stays the hash-checked oracle row, since the synthetic
+    corpus carries text payloads."""
     return decode_image_payloads(payloads(docs), fake=fake)
 
 
@@ -175,7 +178,7 @@ def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFram
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from . import png
+        from . import jpeg, png
 
         for pdf in batches:
             rows = {"doc_id": [], "width": [], "height": [], "channels": [], "features": []}
@@ -187,10 +190,13 @@ def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFram
                 elif png.is_png(bytes(payload)):
                     w, ht, ch, px = png.decode(bytes(payload))
                     feats = [int(px[:, :, c].mean()) for c in range(ch)]
+                elif jpeg.is_jpeg(bytes(payload)):
+                    w, ht, ch, px = jpeg.decode(bytes(payload))
+                    feats = [int(px[:, :, c].mean()) for c in range(ch)]
                 else:
                     raise NotImplementedError(
-                        "only PNG payloads decode without a codec; run with "
-                        "fake=True for the deterministic stand-in"
+                        "only PNG/JPEG payloads decode without a codec; run "
+                        "with fake=True for the deterministic stand-in"
                     )
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
