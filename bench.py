@@ -246,6 +246,15 @@ def main() -> None:
             "d_dedup_clusters_superstep",
             lambda: _force(dedup.dedup_clusters(docs, driver_max_edges=0)),
         )
+        # the production hash family: xxhash64 candidate generation
+        # (native JVM hash) vs the md5 the oracle rows keep for
+        # cross-engine bit-reproducibility — the headline
+        # d_neardup_jaccard is the md5 path, this is what a real
+        # corpus run would use
+        timed(
+            "d_neardup_jaccard_fast",
+            lambda: _force(dedup.neardup_jaccard(docs, hasher="xxhash64")),
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_emb = emb.count()

@@ -55,6 +55,37 @@ def test_lsh_finds_exact_dup_pair(docs):
     assert (0, 3) in pairs  # identical docs share every band
 
 
+def test_xxhash64_fast_path_finds_exact_dups_too(docs):
+    """The production hasher must behave like md5 where behavior is
+    deterministic: identical texts hash to identical signatures, so the
+    exact-dup pair is a candidate under either family, and the
+    verified output matches on this corpus (all near-dups here are
+    strong enough that both hash families' bands catch them)."""
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidates_from_shingles(
+            dedup.shingles(docs), hasher="xxhash64"
+        ).collect()
+    }
+    assert (0, 3) in fast
+    verified_fast = sorted(
+        map(tuple, dedup.neardup_jaccard(docs, hasher="xxhash64").collect())
+    )
+    verified_md5 = sorted(map(tuple, dedup.neardup_jaccard(docs).collect()))
+    assert verified_fast == verified_md5
+
+
+def test_xxhash64_unknown_hasher_rejected(docs):
+    with pytest.raises(ValueError, match="unknown hasher"):
+        dedup.minhash_from_shingles(dedup.shingles(docs), hasher="sha9").collect()
+
+
+def test_dedup_clusters_fast_hasher_same_clusters(docs):
+    fast = sorted(map(tuple, dedup.dedup_clusters(docs, hasher="xxhash64").collect()))
+    slow = sorted(map(tuple, dedup.dedup_clusters(docs).collect()))
+    assert fast == slow
+
+
 def test_neardup_jaccard_exact_dup_has_full_overlap(docs):
     rows = {(r.doc_a, r.doc_b): (r.inter, r.uni) for r in
             dedup.neardup_jaccard(docs).collect()}

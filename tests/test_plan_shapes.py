@@ -73,3 +73,23 @@ def test_bounded_reach_has_no_cartesian(spark):
     plan = _plan(bounded_reach(g, max_hops=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_is_pure_codegen_no_shuffle(spark):
+    # the PII scrub claims "pure map stage": no Python worker, no
+    # exchange — it must fuse into whatever reads the text
+    from webpagesgraphdatabase_spark.operators import pii
+
+    df = pii.pii_scrub(_docs(spark))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_pii_scan_and_redact_are_shuffle_free_too(spark):
+    from webpagesgraphdatabase_spark.operators import pii
+
+    for df in (pii.pii_scan(_docs(spark)), pii.pii_redact(_docs(spark))):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan

@@ -14,10 +14,13 @@ training-data pipeline runs at 100 TB:
   one canonical keeper per near-dup cluster (transitive closure).
 - (embedding-cosine near-dup lives in :mod:`.similarity`.)
 
-Determinism contract: all hashing is ``md5`` over explicit utf-8 strings
-so the DuckDB oracle (registry) reproduces results bit-for-bit; no
-engine-specific hash functions, no floats (Jaccard thresholds compare
-integer intersection/union counts).
+Determinism contract: default hashing is ``md5`` over explicit utf-8
+strings so the DuckDB oracle (registry) reproduces results bit-for-bit;
+no floats (Jaccard thresholds compare integer intersection/union
+counts). Every MinHash/LSH entry point also takes ``hasher="xxhash64"``
+— Spark's native hash as the production fast path (the md5 → hex →
+decimal conversion is a real CPU tax at corpus scale); verification
+stays exact either way, and the oracle-checked rows keep md5.
 
 Scale notes:
 
@@ -134,12 +137,47 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     return minhash_from_shingles(shingles(docs), n_perms)
 
 
-def minhash_from_shingles(sh: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    halves = sh.select(
-        "doc_id",
-        F.expr("cast(conv(substr(md5(shingle), 1, 14), 16, 10) as bigint)").alias("h1"),
-        F.expr("cast(conv(substr(md5(shingle), 15, 14), 16, 10) as bigint)").alias("h2"),
-    )
+#: 56-bit mask keeping (h1 + 15·h2) < 2^61 — exact int64 in any engine
+_H56 = (1 << 56) - 1
+
+
+def _shingle_halves(sh: DataFrame, hasher: str) -> DataFrame:
+    """(doc_id, h1, h2) 56-bit hash halves per shingle.
+
+    ``hasher="md5"`` (default everywhere) is the cross-engine
+    determinism contract: the DuckDB oracle reproduces it digit for
+    digit. ``hasher="xxhash64"`` is the production fast path — Spark's
+    native 64-bit hash (one JVM intrinsic vs md5's full digest + hex →
+    decimal conversion), with h2 drawn from a second seed column. At
+    100 TB the hash is a real fraction of the shingle scan's CPU; the
+    candidate *quality* is equivalent (any well-mixed hash family
+    works for Kirsch-Mitzenmacher), only bit-reproducibility in
+    non-Spark engines is lost — which is exactly what the oracle row
+    keeps md5 for. Identical texts map to identical signatures under
+    either hasher, so exact duplicates are always candidates."""
+    if hasher == "md5":
+        return sh.select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(shingle), 1, 14), 16, 10) as bigint)"
+            ).alias("h1"),
+            F.expr(
+                "cast(conv(substr(md5(shingle), 15, 14), 16, 10) as bigint)"
+            ).alias("h2"),
+        )
+    if hasher == "xxhash64":
+        return sh.select(
+            "doc_id",
+            F.xxhash64("shingle").bitwiseAND(F.lit(_H56)).alias("h1"),
+            F.xxhash64("shingle", F.lit(1)).bitwiseAND(F.lit(_H56)).alias("h2"),
+        )
+    raise ValueError(f"unknown hasher {hasher!r} (md5 | xxhash64)")
+
+
+def minhash_from_shingles(
+    sh: DataFrame, n_perms: int = N_PERMS, hasher: str = "md5"
+) -> DataFrame:
+    halves = _shingle_halves(sh, hasher)
     mins = halves.groupBy("doc_id").agg(
         *[
             F.min((F.col("h1") + i * F.col("h2")) % MINHASH_P).alias(f"m{i}")
@@ -160,26 +198,27 @@ def lsh_bands(docs: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS) -
 
 
 def bands_from_shingles(
-    sh: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+    sh: DataFrame,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    hasher: str = "md5",
 ) -> DataFrame:
     rows_per_band = n_perms // n_bands
-    sig = minhash_from_shingles(sh, n_perms)
+    sig = minhash_from_shingles(sh, n_perms, hasher)
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+            lambda s: s["minhash"].cast("string"),
+        ),
+        "|",
+    )
+    band_key = (
+        F.md5(joined) if hasher == "md5" else F.xxhash64(joined).cast("string")
+    )
     return (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
-        )
+        .agg(band_key.alias("band_key"))
     )
 
 
@@ -227,8 +266,9 @@ def lsh_candidates_from_shingles(
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hasher: str = "md5",
 ) -> DataFrame:
-    bands = bands_from_shingles(sh, n_perms, n_bands)
+    bands = bands_from_shingles(sh, n_perms, n_bands, hasher)
     if max_bucket is not None:
         # bucket-size guard as a window count over (band, band_key):
         # one shuffle on the same key the candidate self-join uses,
@@ -264,6 +304,7 @@ def neardup_jaccard(
     candidates: DataFrame | None = None,
     sh: DataFrame | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hasher: str = "md5",
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs with exact verification.
 
@@ -276,7 +317,10 @@ def neardup_jaccard(
     a caller that already built the shingle table (e.g. a curation
     pass running several shingle consumers) share one definition — at
     cluster scale, checkpoint that table once instead of re-scanning
-    the corpus per consumer.
+    the corpus per consumer. ``hasher`` selects the candidate
+    generation's hash family (see :func:`_shingle_halves`) — the
+    *verification* is exact set arithmetic either way, so the hash only
+    moves recall at the candidate stage, never precision.
     """
     # the shingle table feeds the minhash lineage AND the verify side;
     # recomputing it (cheap narrow ops + one distinct) benchmarks faster
@@ -288,7 +332,7 @@ def neardup_jaccard(
     cand = (
         candidates
         if candidates is not None
-        else lsh_candidates_from_shingles(sh, max_bucket=max_bucket)
+        else lsh_candidates_from_shingles(sh, max_bucket=max_bucket, hasher=hasher)
     )
 
     # Verify via per-doc shingle *arrays*: one groupBy collects each
@@ -430,6 +474,7 @@ def dedup_clusters(
     sh: DataFrame | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     driver_max_edges: int | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Fuzzy-dedup clustering — the full near-dup dedup shape a
     training-data pipeline runs (reference has no analog; this composes
@@ -456,7 +501,7 @@ def dedup_clusters(
     """
     from ..graph.algorithms import DRIVER_MAX_EDGES, components_from_edges
 
-    pairs = neardup_jaccard(docs, num, den, candidates, sh, max_bucket)
+    pairs = neardup_jaccard(docs, num, den, candidates, sh, max_bucket, hasher)
     comp = components_from_edges(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         driver_max_edges=(
