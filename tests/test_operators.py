@@ -985,3 +985,17 @@ def test_ann_lsh_multi_table_recall_is_monotone(spark):
         }
         recalls.append(len(got & exact))
     assert recalls[1] >= recalls[0]
+
+
+def test_curation_fast_hasher_same_report(docs):
+    """Curation with the production hash family: identical keep/drop
+    report on a corpus whose near-dups are strong (both hash families'
+    bands catch them), pinning that the hasher knob only touches
+    candidate generation, never the report semantics."""
+    from webpagesgraphdatabase_spark.operators import curation
+
+    fast = sorted(
+        map(tuple, curation.curation_report(docs, hasher="xxhash64").collect())
+    )
+    slow = sorted(map(tuple, curation.curation_report(docs).collect()))
+    assert fast == slow

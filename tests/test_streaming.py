@@ -180,3 +180,23 @@ def test_stateless_textstats_run_on_streams_unchanged(spark, tmp_path):
     got = {r.doc_id: r.ws_tokens for r in spark.table("stream_tok").collect()}
     want = {r.doc_id: r.ws_tokens for r in textstats.token_counts(docs).collect()}
     assert got == want and got
+
+
+def test_stateless_pii_scrub_runs_on_streams_unchanged(spark, tmp_path):
+    # the PII scrub is a pure projection (no shuffle, no state), so the
+    # identical operator runs on a stream — the shape a raw-zone ingest
+    # pipeline scrubs in-flight
+    from webpagesgraphdatabase_spark.operators import pii
+    from webpagesgraphdatabase_spark.streaming import read_doc_stream
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src3"
+    docs.write.mode("overwrite").parquet(str(src / "drop1"))
+
+    out = pii.pii_scrub(pii.plant_pii(read_doc_stream(spark, str(src / "drop1"))), "text_pii")
+    run_available_now(out, "stream_pii", str(tmp_path / "ckpt_pii"))
+    got = sorted(map(tuple, spark.table("stream_pii").collect()))
+    want = sorted(
+        map(tuple, pii.pii_scrub(pii.plant_pii(docs), "text_pii").collect())
+    )
+    assert got == want and got

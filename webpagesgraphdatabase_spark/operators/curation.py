@@ -51,6 +51,7 @@ def curation_report_with_audit(
     max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
     persist_shingles: bool = False,
     checkpoint_dir: str | None = None,
+    hasher: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`curation_report` plus the LSH degenerate-bucket audit as a
     second DataFrame — (n_dropped_buckets, n_dropped_rows, max_bucket),
@@ -63,7 +64,7 @@ def curation_report_with_audit(
     observing the cap adds no second corpus scan."""
     return _curation(
         docs, min_tokens, rep_num, rep_den, max_bucket,
-        persist_shingles, checkpoint_dir,
+        persist_shingles, checkpoint_dir, hasher,
     )
 
 
@@ -75,6 +76,7 @@ def curation_report(
     max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
     persist_shingles: bool = False,
     checkpoint_dir: str | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """(doc_id, n_tokens, reasons, keep): ``reasons`` is the
     comma-joined, fixed-order list of drop rules that fired
@@ -90,7 +92,7 @@ def curation_report(
     """
     report, _ = _curation(
         docs, min_tokens, rep_num, rep_den, max_bucket,
-        persist_shingles, checkpoint_dir,
+        persist_shingles, checkpoint_dir, hasher,
     )
     return report
 
@@ -103,6 +105,7 @@ def _curation(
     max_bucket: int | None,
     persist_shingles: bool,
     checkpoint_dir: str | None,
+    hasher: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     # One shingle definition feeds both shingle consumers (the
     # contamination probe and the LSH→Jaccard near-dup pass). By
@@ -126,9 +129,9 @@ def _curation(
     rep = textstats.repetition(docs).select("doc_id", "n_grams", "dup_grams")
     cont = dedup.contamination(docs, sh=sh).select("doc_id", "contaminated")
     exact = dedup.dedup_exact(docs).select("text_hash", "keep_id")
-    near = dedup.dedup_clusters(docs, sh=sh, max_bucket=max_bucket).select(
-        "doc_id", "canon_id"
-    )
+    near = dedup.dedup_clusters(
+        docs, sh=sh, max_bucket=max_bucket, hasher=hasher
+    ).select("doc_id", "canon_id")
 
     ann = (
         docs.select("doc_id", F.md5("text").alias("text_hash"))
@@ -164,7 +167,9 @@ def _curation(
         reasons.alias("reasons"),
         (reasons == "").cast("int").alias("keep"),
     )
-    audit = dedup.lsh_dropped_buckets(sh, max_bucket=max_bucket).agg(
+    audit = dedup.lsh_dropped_buckets(
+        sh, max_bucket=max_bucket, hasher=hasher
+    ).agg(
         F.count("*").alias("n_dropped_buckets"),
         F.coalesce(F.sum("bsz"), F.lit(0)).cast("long").alias("n_dropped_rows"),
         F.lit(-1 if max_bucket is None else max_bucket).cast("long").alias("max_bucket"),

@@ -248,13 +248,14 @@ def lsh_dropped_buckets(
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Audit of the degenerate-bucket cap: (band, band_key, bsz) for
     every bucket the ``max_bucket`` guard drops from the candidate
     join. A curation run logs/aggregates this (it is at most a handful
     of rows — degenerate buckets are rare by construction) so the cap
     is observable, never silent. Empty when ``max_bucket`` is None."""
-    bands = bands_from_shingles(sh, n_perms, n_bands)
+    bands = bands_from_shingles(sh, n_perms, n_bands, hasher)
     sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
     if max_bucket is None:
         return sizes.filter(F.lit(False))
