@@ -5,9 +5,10 @@ Beyond-reference extension. PNG payloads decode for real via the
 pure-stdlib decoder in :mod:`.png` (zlib inflate + scanline unfilter),
 baseline JPEG decodes for real via the clean-room T.81 codec in
 :mod:`.jpeg` (Huffman entropy decode, IDCT, 4:2:0 upsample — plus the
-header-only dims walk resize uses), and WAV audio decodes for real via
-the RIFF/PCM parser in :mod:`.wav`; progressive JPEG and compressed
-audio/video stay stubbed behind a clearly-marked
+header-only dims walk resize uses), GIF decodes for real via the LZW
+codec in :mod:`.gif` (interlace-aware, first frame), and WAV audio
+decodes for real via the RIFF/PCM parser in :mod:`.wav`; progressive
+JPEG and compressed audio/video stay stubbed behind a clearly-marked
 ``NotImplementedError`` since those codecs aren't in the container. Everything Spark cares about is real and tested either way:
 the binary column schema, the ``mapInPandas`` batch shape (pandas
 DataFrames in/out, iterator API so one Python worker streams many Arrow
@@ -178,7 +179,7 @@ def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFram
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from . import jpeg, png
+        from . import gif, jpeg, png
 
         for pdf in batches:
             rows = {"doc_id": [], "width": [], "height": [], "channels": [], "features": []}
@@ -193,10 +194,13 @@ def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFram
                 elif jpeg.is_jpeg(bytes(payload)):
                     w, ht, ch, px = jpeg.decode(bytes(payload))
                     feats = [int(px[:, :, c].mean()) for c in range(ch)]
+                elif gif.is_gif(bytes(payload)):
+                    w, ht, ch, px = gif.decode(bytes(payload))
+                    feats = [int(px[:, :, c].mean()) for c in range(ch)]
                 else:
                     raise NotImplementedError(
-                        "only PNG/JPEG payloads decode without a codec; run "
-                        "with fake=True for the deterministic stand-in"
+                        "only PNG/JPEG/GIF payloads decode without a codec; "
+                        "run with fake=True for the deterministic stand-in"
                     )
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
@@ -329,7 +333,7 @@ def resize_image_payloads(
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from . import jpeg, png
+        from . import gif, jpeg, png
 
         for pdf in batches:
             rows = {
@@ -347,10 +351,12 @@ def resize_image_payloads(
                     w, ht, _ = png.parse_ihdr(bytes(payload))
                 elif jpeg.is_jpeg(bytes(payload)):
                     w, ht, _ = jpeg.parse_dims(bytes(payload))
+                elif gif.is_gif(bytes(payload)):
+                    w, ht = gif.parse_dims(bytes(payload))
                 else:
                     raise NotImplementedError(
-                        "only PNG/JPEG headers parse without a codec; run "
-                        "with fake=True for the deterministic stand-in"
+                        "only PNG/JPEG/GIF headers parse without a codec; "
+                        "run with fake=True for the deterministic stand-in"
                     )
                 longest = max(w, ht)
                 rows["doc_id"].append(doc_id)
