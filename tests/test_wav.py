@@ -147,3 +147,30 @@ def test_decode_audio_fake_twin_matches_md5_derivation(spark):
         assert r.sample_rate == (8000, 16000, 22050, 44100)[h[5] % 4]
         assert r.n_frames == 256 + 16 * h[6]
         assert (r.rms, r.zero_crossings) == (h[7], 4 * h[8])
+
+
+def test_spectral_centroid_of_pure_tone():
+    # 440 Hz tone, 400 samples at 8 kHz: period exactly 22 bins, so the
+    # spectrum is a single line and the centroid reads the tone exactly
+    t = np.arange(400)
+    tone = (1000 * np.sin(2 * np.pi * 440 * t / 8000)).reshape(-1, 1)
+    centroid, roll = wav.spectral_features(tone.astype(np.int32), 8000)
+    assert abs(centroid - 440.0) < 1.0
+    assert abs(roll - 440.0) < 21.0  # rolloff lands on the line's bin
+
+
+def test_spectral_centroid_orders_low_vs_high_tones():
+    t = np.arange(800)
+    low = (1000 * np.sin(2 * np.pi * 200 * t / 8000)).reshape(-1, 1)
+    high = (1000 * np.sin(2 * np.pi * 3000 * t / 8000)).reshape(-1, 1)
+    c_low, _ = wav.spectral_features(low.astype(np.int32), 8000)
+    c_high, _ = wav.spectral_features(high.astype(np.int32), 8000)
+    assert c_low < 300 < 2500 < c_high
+
+
+def test_spectral_features_silence_and_empty():
+    assert wav.spectral_features(np.zeros((64, 1), dtype=np.int32), 8000) == (0.0, 0.0)
+    assert wav.spectral_features(np.zeros((0, 1), dtype=np.int32), 8000) == (0.0, 0.0)
+    # constant DC offset is not pitch
+    dc = np.full((64, 1), 500, dtype=np.int32)
+    assert wav.spectral_features(dc, 8000) == (0.0, 0.0)

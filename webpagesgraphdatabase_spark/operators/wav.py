@@ -99,6 +99,33 @@ def decode(b: bytes) -> tuple[int, int, np.ndarray]:
     return ch, rate, arr.reshape(n_frames, ch)
 
 
+def spectral_features(
+    samples: np.ndarray, rate: int, rolloff: float = 0.85
+) -> tuple[float, float]:
+    """(spectral_centroid_hz, rolloff_hz) over channel 0 — the
+    frequency-domain curation signals (speech sits low, hiss/noise
+    pushes the centroid up; rolloff bounds the band holding ``rolloff``
+    of the energy). One numpy rfft over the whole channel; the DC bin
+    is excluded so silence and constant offset read centroid 0.
+    Weighting is *power* (|X|²), not magnitude — a pure tone's centroid
+    then reads the tone frequency even with quantization noise spread
+    across the band (noise power is ~1e-7 of the line's, where its
+    magnitude would bias a flat-weighted mean by whole hertz)."""
+    if samples.size == 0:
+        return 0.0, 0.0
+    c0 = samples[:, 0].astype(np.float64)
+    mag = np.abs(np.fft.rfft(c0)) ** 2
+    mag[0] = 0.0  # DC carries no pitch information
+    total = mag.sum()
+    if total == 0.0:
+        return 0.0, 0.0
+    freqs = np.fft.rfftfreq(len(c0), d=1.0 / rate)
+    centroid = float((freqs * mag).sum() / total)
+    cum = np.cumsum(mag)
+    roll_idx = int(np.searchsorted(cum, rolloff * total))
+    return centroid, float(freqs[min(roll_idx, len(freqs) - 1)])
+
+
 def features(samples: np.ndarray) -> tuple[float, int]:
     """(rms, zero_crossings) over channel 0 — the light-weight audio
     quality signals a curation pass filters on (silence ≈ rms 0,
