@@ -999,3 +999,36 @@ def test_curation_fast_hasher_same_report(docs):
     )
     slow = sorted(map(tuple, curation.curation_report(docs).collect()))
     assert fast == slow
+
+
+def test_ivf_index_append_equals_full_rebuild_with_same_centroids(spark, tmp_path):
+    """Append-mode ingest: build on the first half, append the second;
+    queries over the incrementally-built index must equal queries over
+    an index holding everything (same frozen centroids either way,
+    since both derive from the first half's seeded sample)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(first, inc, n_centroids=8)
+    similarity.ivf_index_append(second, inc)
+
+    full = str(tmp_path / "ivf_full")
+    similarity.build_ivf_index(first, full, n_centroids=8)
+    # rewrite the full index's lists from everything, same stored centroids
+    stored = spark.read.parquet(f"{full}/centroids.parquet")
+    v = emb.select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    (
+        v.join(similarity._argmax_assign(v, stored), "vec_id")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{full}/lists.parquet")
+    )
+
+    got = sorted(map(tuple, similarity.ann_ivf_from_index(spark, inc, k=5).collect()))
+    want = sorted(map(tuple, similarity.ann_ivf_from_index(spark, full, k=5).collect()))
+    assert got == want and got

@@ -88,11 +88,43 @@ def test_truncated_chunk_raises_with_offset():
         wav.decode(blob[:50])
 
 
-def test_non_pcm_format_tag_rejected():
+def test_unsupported_format_tag_rejected():
     blob = bytearray(_stdlib_wav_bytes(np.zeros((4, 1), dtype=np.int64), 8000, 2))
     i = blob.index(b"fmt ") + 8
-    struct.pack_into("<H", blob, i, 7)  # μ-law tag
-    with pytest.raises(wav.WavError, match="format tag 7"):
+    struct.pack_into("<H", blob, i, 2)  # ADPCM tag
+    with pytest.raises(wav.WavError, match="format tag 2"):
+        wav.decode(bytes(blob))
+
+
+def _g711_wav(payload: bytes, tag: int, rate: int = 8000) -> bytes:
+    """Hand-built single-channel G.711 WAV (the stdlib writer only
+    emits PCM): RIFF + fmt(tag, 8-bit) + data."""
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + body
+
+
+@pytest.mark.parametrize("tag", [6, 7])
+def test_g711_expansion_matches_stdlib_audioop(tag):
+    # audioop (independent C implementation of the same G.711 tables)
+    # must agree byte-for-byte on every code point
+    audioop = pytest.importorskip("audioop")
+    all_codes = bytes(range(256))
+    ch, rate, got = wav.decode(_g711_wav(all_codes, tag))
+    assert (ch, rate) == (1, 8000)
+    fn = audioop.alaw2lin if tag == 6 else audioop.ulaw2lin
+    want = np.frombuffer(fn(all_codes, 2), dtype="<i2").astype(np.int32)
+    assert got[:, 0].tolist() == want.tolist()
+
+
+def test_g711_wrong_bit_depth_rejected():
+    blob = bytearray(_g711_wav(bytes(8), 7))
+    i = blob.index(b"fmt ") + 8 + 14  # bits_per_sample field
+    struct.pack_into("<H", blob, i, 16)
+    with pytest.raises(wav.WavError, match="8-bit"):
         wav.decode(bytes(blob))
 
 

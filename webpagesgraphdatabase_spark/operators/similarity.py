@@ -504,6 +504,35 @@ def build_ivf_index(
     return path
 
 
+def ivf_index_append(emb: DataFrame, path: str) -> str:
+    """Incrementally add vectors to a :func:`build_ivf_index` layout:
+    assign the new batch against the *stored* centroids (broadcast
+    argmax — the corpus at rest is never read) and append to the
+    partitioned lists.
+
+    This is the serving-grade ingest shape: a corpus that grows by
+    batches pays one assignment pass per batch, never a rebuild. The
+    quantizer is intentionally frozen — centroids drift only on an
+    explicit rebuild, so recall degrades gracefully (and measurably,
+    via the recall sidecar) as the distribution shifts, instead of the
+    index silently changing under queries. Append-mode ``partitionBy``
+    writes add files to each touched list's directory; existing list
+    files are untouched, so concurrent readers stay consistent.
+
+    Callers own vec_id uniqueness across batches (as with any upsertless
+    append sink)."""
+    stored = emb.sparkSession.read.parquet(f"{path}/centroids.parquet")
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    (
+        v.join(_argmax_assign(v, stored), "vec_id")
+        .repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists.parquet")
+    )
+    return path
+
+
 def ann_ivf_from_index(
     spark,
     path: str,

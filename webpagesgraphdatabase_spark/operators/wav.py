@@ -10,9 +10,12 @@ every generated file.
 
 Supports integer PCM (format tag 1) at 8/16/32 bits — 8-bit is
 unsigned per the spec and is centered to signed on decode so all
-widths come back zero-centered. Compressed formats (μ-law, ADPCM,
-float) raise :class:`WavError` with the tag, the honest boundary the
-image side draws at non-PNG codecs.
+widths come back zero-centered — plus G.711 A-law/μ-law companding
+(tags 6/7, the telephony shapes), expanded via the spec formulas and
+property-tested against the independent stdlib ``audioop``
+expander. Other formats (ADPCM, IEEE float) raise :class:`WavError`
+with the tag, the honest boundary the image side draws at
+unsupported codecs.
 
 Scale note: parsing runs inside ``mapInPandas`` workers on payload
 bytes that are already local to the task — no shuffle, no driver
@@ -69,15 +72,55 @@ def parse_fmt(b: bytes) -> tuple[int, int, int, int]:
     raise WavError("no fmt chunk")
 
 
+def _ulaw_table() -> np.ndarray:
+    """G.711 μ-law byte → linear int16, from the public spec's
+    expansion (bias 0x84, 3-bit segment, 4-bit mantissa)."""
+    out = np.empty(256, dtype=np.int32)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte → linear int16 (0x55 toggle, segmented)."""
+    out = np.empty(256, dtype=np.int32)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
+_ULAW = _ulaw_table()
+_ALAW = _alaw_table()
+
+
 def decode(b: bytes) -> tuple[int, int, np.ndarray]:
     """(n_channels, sample_rate, samples) — ``samples`` is an int32
     array of shape (n_frames, n_channels), zero-centered for every
-    supported width (8-bit PCM is stored unsigned and shifted here)."""
+    supported format: integer PCM at 8/16/32 bits (8-bit is stored
+    unsigned and shifted here) and G.711 A-law/μ-law companding
+    (format tags 6/7, the telephony WAV shapes) expanded to 13/14-bit
+    linear via the spec formulas."""
     tag, ch, rate, bits = parse_fmt(b)
-    if tag != 1:
-        raise WavError(f"unsupported format tag {tag} (only PCM=1)")
-    if bits not in (8, 16, 32):
+    if tag not in (1, 6, 7):
+        raise WavError(
+            f"unsupported format tag {tag} (PCM=1, A-law=6, μ-law=7)"
+        )
+    if tag == 1 and bits not in (8, 16, 32):
         raise WavError(f"unsupported bit depth {bits}")
+    if tag in (6, 7) and bits != 8:
+        raise WavError(f"G.711 wants 8-bit samples, got {bits}")
     if ch < 1:
         raise WavError(f"bad channel count {ch}")
     data = None
@@ -90,7 +133,11 @@ def decode(b: bytes) -> tuple[int, int, np.ndarray]:
     width = bits // 8
     n_frames = len(data) // (width * ch)
     data = data[: n_frames * width * ch]
-    if bits == 8:
+    if tag == 7:
+        arr = _ULAW[np.frombuffer(data, dtype=np.uint8)]
+    elif tag == 6:
+        arr = _ALAW[np.frombuffer(data, dtype=np.uint8)]
+    elif bits == 8:
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
     elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2").astype(np.int32)
