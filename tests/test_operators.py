@@ -1032,3 +1032,35 @@ def test_ivf_index_append_equals_full_rebuild_with_same_centroids(spark, tmp_pat
     got = sorted(map(tuple, similarity.ann_ivf_from_index(spark, inc, k=5).collect()))
     want = sorted(map(tuple, similarity.ann_ivf_from_index(spark, full, k=5).collect()))
     assert got == want and got
+
+
+def test_trigram_score_hand_computed(spark):
+    """Corpus: aaa appears 3×, aab/xyz/yzq once each, total 6. Per-occ
+    scores floor(1e9·cnt/6); doc means floor again; <3-char docs 0."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "aaab"), (2, "xyzq"), (3, "ab")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_tri, r.tri_score) for r in
+           textstats.trigram_score(docs).collect()}
+    assert got == {
+        0: (2, 500_000_000),   # aaa, aaa
+        1: (2, 333_333_333),   # (500000000 + 166666666) // 2
+        2: (2, 166_666_666),   # two singleton trigrams
+        3: (0, 0),             # too short for any trigram
+    }
+
+
+def test_trigram_score_ranks_fluent_over_noise(spark):
+    # many docs sharing common trigrams vs one mojibake doc: the noise
+    # doc must score strictly lowest — the curation use of the signal
+    rows = [(i, "the cat sat on the mat") for i in range(5)]
+    rows.append((99, "zq8#k!vw0&xj"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.tri_score for r in textstats.trigram_score(docs).collect()}
+    assert got[99] < min(got[i] for i in range(5))
+
+
+def test_trigram_model_join_is_broadcast(spark):
+    docs = spark.createDataFrame([(0, "abcdef")], ["doc_id", "text"])
+    plan = textstats.trigram_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

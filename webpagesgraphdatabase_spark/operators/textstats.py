@@ -276,3 +276,75 @@ def top_terms(docs: DataFrame, k: int = 3, idf_scale: int = 1_000_000) -> DataFr
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "term", "tf", "df", "term_rank")
     )
+
+
+#: fixed-point scale for the trigram frequency score — large enough
+#: that floor division keeps ~9 significant digits, small enough that
+#: scale · max(cnt) stays far inside int64 at any real corpus size
+TRIGRAM_SCALE = 1_000_000_000
+
+
+def char_trigrams_col(text_col: str = "text"):
+    """Column: the character-trigram list of ``text_col`` (empty when
+    shorter than 3 chars — guarded, since ``sequence(1, 0)`` would
+    count *down* rather than produce an empty range)."""
+    t = F.col(text_col)
+    return F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substring(t, i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_score(docs: DataFrame, scale: int = TRIGRAM_SCALE) -> DataFrame:
+    """Corpus-trained character-trigram frequency score — the
+    LM-quality curation signal shape (CCNet scores documents with a
+    KenLM n-gram model; this is the same train-on-corpus / score-per-doc
+    architecture with the model reduced to unigram-of-trigrams so the
+    arithmetic stays *exact*): (doc_id, n_tri, tri_score).
+
+    ``tri_score`` is the per-document mean of
+    ``floor(scale · count(trigram) / total_trigrams)`` over the doc's
+    trigram occurrences, floored again — all integer division, so the
+    DuckDB oracle reproduces it bit-for-bit (the same reason
+    :func:`top_terms` uses linear idf instead of log). High score =
+    built from common trigrams (fluent for the corpus's languages);
+    near-zero = rare-trigram noise (mojibake, binary spill, wrong
+    charset). Docs with no trigrams (< 3 chars) score 0.
+
+    Scale shape: explode to one row per trigram occurrence (bounded by
+    corpus character count), partial-agg count per trigram (the "model"
+    — vocab-bounded, ≤ |charset|³ rows, broadcast back), then a per-doc
+    partial-agg mean. Two shuffles, both on high-cardinality keys; the
+    model join is broadcast at any realistic charset."""
+    occ = spread(docs).select(
+        "doc_id", F.explode(char_trigrams_col()).alias("tri")
+    )
+    model = occ.groupBy("tri").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        occ.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(f"cast({scale} as bigint) * cnt div total").alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"),
+        F.expr("sum(s) div count(*)").alias("tri_score"),
+    )
+    return (
+        spread(docs)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.coalesce(F.col("tri_score"), F.lit(0))
+            .cast("long")
+            .alias("tri_score"),
+        )
+    )

@@ -77,6 +77,7 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(textstats.quality_score(docs), "doc_id")
         .join(textstats.token_counts(docs), "doc_id")
         .join(pii_cols, "doc_id")
+        .join(textstats.trigram_score(docs), "doc_id")
         .select(
             "doc_id",
             "pred_lang",
@@ -93,6 +94,8 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phone",
             "n_id",
             "clean_text",
+            "n_tri",
+            "tri_score",
         )
     )
 
@@ -1138,15 +1141,44 @@ SELECT doc_id, n_email, n_ip, n_phone,
 FROM s3
 """
 
+# Corpus-trained char-trigram frequency score (see textstats.trigram_score):
+# the trigram "model" is counted corpus-wide, each occurrence scores
+# floor(scale·cnt/total), the doc mean floors again — all integer
+# division, identical expressions both engines.
+_TRIGRAM_PART = r"""
+WITH occ AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(length(text) - 2, 0)),
+           i -> substr(text, i, 3))) AS tri
+  FROM documents WHERE length(text) >= 3
+),
+model AS (SELECT tri, count(*) AS cnt FROM occ GROUP BY tri),
+tot AS (SELECT sum(cnt) AS total FROM model),
+scored AS (
+  SELECT occ.doc_id, (1000000000 * model.cnt) // tot.total AS s
+  FROM occ JOIN model ON occ.tri = model.tri CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tri, sum(s) // count(*) AS tri_score
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(COALESCE(p.tri_score, 0) AS BIGINT) AS tri_score
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
 # Per-document text classifications share one row (see _q_lang_quality).
 ORACLES["t_lang_quality"] = (
     "SELECT l.doc_id, l.pred_lang, l.score, q.n_tokens, q.mean_token_len,\n"
     "       q.stopword_ratio, q.quality, c.ws_tokens, c.re_tokens, c.n_chars,\n"
-    "       p.n_email, p.n_ip, p.n_phone, p.n_id, p.clean_text\n"
+    "       p.n_email, p.n_ip, p.n_phone, p.n_id, p.clean_text,\n"
+    "       t.n_tri, t.tri_score\n"
     "FROM (" + ORACLES.pop("t_lang_id") + ") l\n"
     "JOIN (" + ORACLES.pop("t_quality_score") + ") q ON l.doc_id = q.doc_id\n"
     "JOIN (" + ORACLES.pop("t_token_counts") + ") c ON l.doc_id = c.doc_id\n"
-    "JOIN (" + _PII_PART + ") p ON l.doc_id = p.doc_id"
+    "JOIN (" + _PII_PART + ") p ON l.doc_id = p.doc_id\n"
+    "JOIN (" + _TRIGRAM_PART + ") t ON l.doc_id = t.doc_id"
 )
 
 # Within-doc repetition (Gopher boilerplate signal): 2-gram occurrence
