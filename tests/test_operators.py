@@ -1064,3 +1064,44 @@ def test_trigram_model_join_is_broadcast(spark):
     docs = spark.createDataFrame([(0, "abcdef")], ["doc_id", "text"])
     plan = textstats.trigram_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_strict_prior_semantics(spark):
+    """Hand-checkable as-of: equal-timestamp references are excluded
+    (strict), keys without any prior reference carry nulls."""
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    probe = spark.createDataFrame(
+        [(1, 10, T(5)), (2, 10, T(10)), (3, 10, T(10)), (4, 20, T(7)), (5, 30, T(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ref = spark.createDataFrame(
+        [(10, T(3), 100, 1.5), (10, T(10), 101, 2.5), (20, T(7), 102, 3.5)],
+        "user_id long, ts timestamp, ref_id long, ref_value double",
+    )
+    got = {r.event_id: (r.ref_id, r.ref_value) for r in ev.asof_join(probe, ref).collect()}
+    assert got == {
+        1: (100, 1.5),   # ts 5 → latest prior ref at ts 3
+        2: (100, 1.5),   # ts 10 → the ts-10 ref is NOT prior (strict)
+        3: (100, 1.5),
+        4: (None, None),  # user 20's only ref is same-instant
+        5: (None, None),  # user 30 has no refs
+    }
+
+
+def test_asof_join_plan_is_one_shuffle_no_range_join(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    probe = spark.createDataFrame(
+        [(1, 10, T(5))], "event_id long, user_id long, ts timestamp"
+    )
+    ref = spark.createDataFrame(
+        [(10, T(3), 1, 0.5)], "user_id long, ts timestamp, ref_id long, ref_value double"
+    )
+    plan = ev.asof_join(probe, ref)._jdf.queryExecution().executedPlan().toString()
+    # the union trick: a window over the key, never a join of any kind
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node

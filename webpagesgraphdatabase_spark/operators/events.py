@@ -108,3 +108,71 @@ def props_extract(events: DataFrame) -> DataFrame:
         "event_id",
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
     )
+
+
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    ref_cols: tuple[str, ...] = ("ref_id", "ref_value"),
+) -> DataFrame:
+    """As-of join: every probe row annotated with the columns of the
+    *latest strictly-prior* reference row for its ``by`` key —
+    (all probe columns) + ``ref_cols`` (null when no prior ref exists).
+
+    Spark has no ASOF JOIN operator; the naive encodings are a range
+    join (quadratic blowup per key) or a per-key ``collect`` loop.
+    This is the scale-correct union trick instead: tag both streams,
+    union on (by, ts), and carry the reference columns forward with
+    ``last(ignorenulls)`` over an ordered per-key window — one shuffle
+    on ``by``, linear in |probe| + |ref|, no pair materialization.
+    At equal timestamps the probe sorts *before* the reference row
+    (strict semantics: a same-instant reference does not count, and a
+    probe row that is itself in the reference stream never matches
+    itself). Callers wanting ≤ semantics sort the reference first.
+
+    ``ref`` must be unique per (by, ts) — dedupe upstream (e.g.
+    ``max_by`` on an id) or the carried row is engine-dependent.
+
+    Scale shape: the window partitions on the join key (same key any
+    equi-join would shuffle on; skew = one hot user's events, bounded
+    by that user's row count) and never compares pairs — the plan a
+    1000-executor run wants, and the same shape DuckDB's native
+    ``ASOF JOIN`` optimizes to, which the registry row uses as the
+    cross-engine oracle."""
+    probe_side = probe.withColumn("_side", F.lit(0))
+    for c in ref_cols:
+        probe_side = probe_side.withColumn(c, F.lit(None).cast(ref.schema[c].dataType))
+    ref_side = ref.select(
+        by, ts, F.lit(1).alias("_side"), *ref_cols
+    )
+    missing = [c for c in probe.columns if c not in (by, ts)]
+    for c in missing:
+        ref_side = ref_side.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+    unioned = probe_side.select(
+        by, ts, "_side", *ref_cols, *missing
+    ).unionByName(ref_side.select(by, ts, "_side", *ref_cols, *missing))
+
+    # probe (0) before ref (1) at equal ts → the frame up to the current
+    # probe row contains only strictly-earlier reference rows
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        by,
+        ts,
+        "_side",
+        *missing,
+        *[
+            F.last(F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in ref_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 0).select(
+        by, ts, *missing, *ref_cols
+    )

@@ -227,6 +227,35 @@ def _q_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_props_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + as-of join in one per-event row: each
+    event's parsed ``k`` plus the id/value of the user's latest
+    *strictly-prior* click (null when none). The reference stream is
+    deduped to one click per (user_id, ts) by max event_id so the
+    carried row is engine-deterministic; the oracle recomputes with
+    DuckDB's native ASOF LEFT JOIN — two independent as-of
+    implementations (union+window here, sort-probe there) must agree
+    on every event."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("ref_id"),
+            F.expr("max_by(value, event_id)").alias("ref_value"),
+        )
+    )
+    probe = ev.select("event_id", "user_id", "ts")
+    asof = events.asof_join(probe, ref).select(
+        "event_id",
+        F.col("ref_id").alias("asof_click_id"),
+        F.col("ref_value").alias("asof_click_value"),
+    )
+    return events.props_extract(ev).join(asof, "event_id")
+
+
 def _q_sampling_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both deterministic samplers in one row: uniform k-per-stratum
     (mode='uniform', quota=k) and the weighted data mixture
@@ -280,7 +309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_top_events_per_user": _on("events", events.top_events_per_user),
     "e_sessionize": _on("events", events.sessionize),
     "e_windowed_counts": _on("events", events.windowed_counts),
-    "e_props_extract": _on("events", events.props_extract),
+    "e_props_extract": lambda spark, sf_dir: _q_props_asof(spark, sf_dir),
 }
 
 
@@ -957,9 +986,21 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2
 """,
+    # props + as-of (see _q_props_asof): DuckDB's *native* ASOF JOIN is
+    # the oracle for the Spark union+window implementation — strict
+    # (>) semantics, reference deduped identically on both sides.
     "e_props_extract": """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-FROM events
+WITH ref AS (
+  SELECT user_id, ts, max(event_id) AS ref_id,
+         arg_max(value, event_id) AS ref_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT e.event_id,
+       CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS k,
+       r.ref_id AS asof_click_id,
+       r.ref_value AS asof_click_value
+FROM events e
+ASOF LEFT JOIN ref r ON e.user_id = r.user_id AND e.ts > r.ts
 """,
     "a_region_revenue": """
 SELECT r_name AS region, count(*) AS n_items,
