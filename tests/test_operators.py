@@ -1105,3 +1105,79 @@ def test_asof_join_plan_is_one_shuffle_no_range_join(spark):
     assert "Window" in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan, node
+
+
+def test_range_join_containment_hand_checked(spark):
+    """Points land in exactly the intervals containing them, boundaries
+    inclusive, and an interval spanning many buckets matches a point
+    exactly once (the single-bucket-per-point guarantee)."""
+    import datetime as dt
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    pts = spark.createDataFrame(
+        [(1, T(1, 30)), (2, T(5)), (3, T(23))], "pid long, ts timestamp"
+    )
+    ivals = spark.createDataFrame(
+        [
+            (10, T(1), T(2)),        # contains p1 only
+            (11, T(1, 30), T(5)),    # boundary-inclusive both ends: p1, p2
+            (12, T(0), T(23)),       # spans 24 buckets: all three, once each
+        ],
+        "iid long, session_start timestamp, session_end timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in ev.range_join(pts, ivals, "ts").collect()
+    )
+    assert got == [(1, 10), (1, 11), (1, 12), (2, 11), (2, 12), (3, 12)]
+
+
+def test_range_join_equals_naive_inequality_join(spark):
+    """Property: the bucketized rewrite equals the naive inequality
+    join on random data across bucket sizes (incl. buckets much
+    smaller and much larger than the intervals)."""
+    import datetime as dt
+    import random
+
+    rnd = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=rnd.randrange(86400))) for i in range(60)],
+        "pid long, ts timestamp",
+    )
+    rows = []
+    for i in range(40):
+        s = rnd.randrange(86400)
+        rows.append(
+            (i, base + dt.timedelta(seconds=s),
+             base + dt.timedelta(seconds=s + rnd.randrange(1, 14400)))
+        )
+    ivals = spark.createDataFrame(
+        rows, "iid long, session_start timestamp, session_end timestamp"
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivals,
+            (F.col("session_start") <= F.col("ts"))
+            & (F.col("ts") <= F.col("session_end")),
+        ).collect()
+    )
+    for bucket in (60, 3600, 86400 * 2):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in ev.range_join(pts, ivals, "ts", bucket_seconds=bucket).collect()
+        )
+        assert got == naive, bucket
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    import datetime as dt
+
+    T = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, T)], "pid long, ts timestamp")
+    ivals = spark.createDataFrame(
+        [(1, T, T)], "iid long, session_start timestamp, session_end timestamp"
+    )
+    plan = ev.range_join(pts, ivals)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -176,3 +176,52 @@ def asof_join(
     return carried.filter(F.col("_side") == 0).select(
         by, ts, *missing, *ref_cols
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join without the quadratic blowup:
+    every (point row, interval row) pair with
+    ``start_col ≤ point_col ≤ end_col``, all columns of both sides.
+
+    Spark plans a raw inequality join as broadcast-nested-loop (or a
+    cartesian product) — |points|·|intervals| comparisons. This is the
+    classic interval-bucketing rewrite instead: each interval explodes
+    to the epoch buckets it overlaps, each point hashes to its single
+    bucket, the join becomes an *equi-join on bucket* and the exact
+    containment predicate runs as a post-join filter. A point lives in
+    exactly one bucket, so no pair ever duplicates. Cost is one
+    hash-partitioned equi-join of |points| + Σ(interval spans /
+    bucket) rows — pick ``bucket_seconds`` near the typical interval
+    length so most intervals explode to 1-2 buckets and each bucket's
+    population stays small; at 100 TB this is the difference between
+    a shuffle join and a cluster-killing nested loop. The DuckDB
+    oracle runs the plain inequality join (its IEJoin handles ranges
+    natively), so the rewrite is hash-checked equivalent."""
+    b = int(bucket_seconds)
+    ivals = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(point_col)) / b).cast("long")
+    )
+    return (
+        pts.join(ivals, "_bkt")
+        .filter(
+            (F.col(start_col) <= F.col(point_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bkt")
+    )

@@ -227,6 +227,33 @@ def _q_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window counts + concurrent-session annotation in one
+    row: each (window_start, event_type) aggregate carries
+    ``n_active_sessions`` — how many gap-sessions' [start, end]
+    intervals contain the window boundary. The interval containment
+    runs through :func:`..operators.events.range_join` (bucketized
+    equi-join rewrite); the oracle recomputes it as DuckDB's plain
+    inequality join, so the rewrite is hash-checked equivalent."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    wc = events.windowed_counts(ev)
+    sess = events.sessionize(ev).select("session_start", "session_end")
+    pts = wc.select("window_start").distinct()
+    act = (
+        events.range_join(
+            pts, sess, "window_start", "session_start", "session_end"
+        )
+        .groupBy("window_start")
+        .agg(F.count("*").alias("n_active_sessions"))
+    )
+    return wc.join(act, "window_start", "left").withColumn(
+        "n_active_sessions",
+        F.coalesce(F.col("n_active_sessions"), F.lit(0)).cast("long"),
+    )
+
+
 def _q_props_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction + as-of join in one per-event row: each
     event's parsed ``k`` plus the id/value of the user's latest
@@ -308,7 +335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_user_rollup": _on("events", events.user_rollup),
     "e_top_events_per_user": _on("events", events.top_events_per_user),
     "e_sessionize": _on("events", events.sessionize),
-    "e_windowed_counts": _on("events", events.windowed_counts),
+    "e_windowed_counts": lambda spark, sf_dir: _q_windowed_active(spark, sf_dir),
     "e_props_extract": lambda spark, sf_dir: _q_props_asof(spark, sf_dir),
 }
 
@@ -981,10 +1008,44 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM numbered GROUP BY user_id, session_id
 """,
+    # windows + concurrent sessions (see _q_windowed_active): the
+    # Spark side's bucketized range_join rewrite is checked against
+    # this plain inequality join (DuckDB IEJoin handles it natively).
     "e_windowed_counts": """
-SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 6) AS total_value
-FROM events GROUP BY 1, 2
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM marked
+),
+sess AS (
+  SELECT min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_id
+),
+wc AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+),
+act AS (
+  SELECT w.window_start, count(*) AS n_active_sessions
+  FROM (SELECT DISTINCT window_start FROM wc) w
+  JOIN sess s ON s.session_start <= w.window_start
+             AND w.window_start <= s.session_end
+  GROUP BY 1
+)
+SELECT wc.window_start, wc.event_type, wc.n_events, wc.total_value,
+       CAST(COALESCE(act.n_active_sessions, 0) AS BIGINT) AS n_active_sessions
+FROM wc LEFT JOIN act ON wc.window_start = act.window_start
 """,
     # props + as-of (see _q_props_asof): DuckDB's *native* ASOF JOIN is
     # the oracle for the Spark union+window implementation — strict
