@@ -1181,3 +1181,59 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
     )
     plan = ev.range_join(pts, ivals)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_multi_resolution_rollup_derived_equals_direct(spark):
+    """The re-aggregation property: every coarse level (derived from
+    the finest aggregates, never from raw events) must equal the same
+    rollup computed directly from the raw stream."""
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+
+    events_df = load_table(spark, "/root/testdata/sf0.001", "events")
+    rolled = ev.multi_resolution_rollup(events_df, (5, 60, 1440))
+    for m in (5, 60, 1440):
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in rolled.filter(F.col("resolution_min") == m).collect()
+        }
+        direct = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in ev.windowed_counts(events_df, minutes=m).collect()
+        }
+        assert set(got) == set(direct), m
+        for k in got:
+            assert got[k][0] == direct[k][0], (m, k)
+            assert abs(got[k][1] - direct[k][1]) < 1e-6, (m, k)
+
+
+def test_multi_resolution_rollup_rejects_non_nesting(spark):
+    events_df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with pytest.raises(ValueError, match="not a multiple"):
+        ev.multi_resolution_rollup(events_df, (5, 7))
+
+
+def test_multi_resolution_rollup_scans_raw_once(spark):
+    """The materialized fine level must make the union read raw parquet
+    exactly once — without it Spark recomputes each branch and the raw
+    source is scanned once per resolution (measured: 3 scans)."""
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+
+    events_df = load_table(spark, "/root/testdata/sf0.001", "events")
+    spark.catalog.clearCache()  # other rollup tests may have persisted
+    # with no cache: the unmaterialized union recomputes each branch —
+    # three raw scans, the shape to avoid
+    unmat = ev.multi_resolution_rollup(events_df, materialize=False)
+    unplan = unmat._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in unplan
+    assert unplan.count("Scan parquet") == 3
+    try:
+        rolled = ev.multi_resolution_rollup(events_df)
+        plan = rolled._jdf.queryExecution().executedPlan().toString()
+        # every level reads the cached fine table (the parquet lineage
+        # printed inside InMemoryTableScan is the cache-miss fallback,
+        # not a separate scan; the cache is populated exactly once)
+        assert plan.count("InMemoryTableScan") == 3
+    finally:
+        spark.catalog.clearCache()

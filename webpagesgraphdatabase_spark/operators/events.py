@@ -225,3 +225,80 @@ def range_join(
         )
         .drop("_bkt")
     )
+
+
+def multi_resolution_rollup(
+    events: DataFrame,
+    minutes: tuple[int, ...] = (5, 60, 1440),
+    materialize: bool = True,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: tumbling rollups at every
+    resolution in ``minutes``, as one union-tagged table
+    (resolution_min, window_start, event_type, n_events, total_value).
+
+    The raw stream is scanned **once**, at the finest resolution; every
+    coarser level re-aggregates the level below it (counts sum, sums
+    sum — the re-aggregation property TimescaleDB/Druid rollups rely
+    on). At 100 TB that is the difference between one corpus scan and
+    |resolutions| of them: the 5-minute table is ~10⁻³ the raw rows,
+    so the hourly and daily levels cost almost nothing.
+
+    ``materialize=True`` persists the finest-level table — without it
+    Spark's union recomputes each branch's lineage and the raw source
+    is scanned once *per resolution* (measured: 3 parquet scans, no
+    exchange reuse), which silently defeats the whole point; real
+    hypertables materialize the fine level for the same reason. The
+    plan test pins exactly one raw scan. Callers unpersist via
+    ``df.unpersist()`` on the returned frame's base when done (or let
+    the cache age out). Coarser resolutions must be integer multiples
+    of the finest so bucket boundaries nest exactly; the unit tests
+    pin derived ≡ computed-directly-from-raw per resolution."""
+    finest = minutes[0]
+    for m in minutes[1:]:
+        if m % finest != 0:
+            raise ValueError(
+                f"resolution {m} is not a multiple of the finest {finest}"
+            )
+    base = (
+        events.groupBy(
+            F.window("ts", f"{finest} minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    if materialize:
+        base = base.persist()
+    levels = [base.withColumn("resolution_min", F.lit(finest))]
+    for m in minutes[1:]:
+        levels.append(
+            base.groupBy(
+                F.window("window_start", f"{m} minutes").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .withColumn("resolution_min", F.lit(m))
+        )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.select(
+        "resolution_min",
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 6).alias("total_value"),
+    )
