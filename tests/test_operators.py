@@ -1237,3 +1237,69 @@ def test_multi_resolution_rollup_scans_raw_once(spark):
         assert plan.count("InMemoryTableScan") == 3
     finally:
         spark.catalog.clearCache()
+
+
+def test_kmv_pair_overlap_exact_branch_is_exact(spark):
+    """Unions under k hashes take the exact branch: union_est is the
+    true union size and inter_est the true intersection."""
+    from webpagesgraphdatabase_spark.operators import sketches
+
+    rows = (
+        [("A", m) for m in range(10)]
+        + [("B", m) for m in range(5, 15)]     # |A∩B| = 5, |A∪B| = 15
+        + [("C", m) for m in range(100, 110)]  # disjoint from both
+    )
+    df = spark.createDataFrame(rows, ["seg", "member"])
+    got = {
+        (r.key_a, r.key_b): (r.k_used, r.common, r.union_est, r.inter_est)
+        for r in sketches.kmv_pair_overlap(df, "seg", "member", k=32).collect()
+    }
+    assert got[("A", "B")] == (15, 5, 15.0, 5.0)
+    assert got[("A", "C")][1] == 0 and got[("A", "C")][3] == 0.0
+    assert got[("B", "C")][1] == 0 and got[("B", "C")][3] == 0.0
+
+
+def test_kmv_pair_overlap_identical_sets_estimate_full_overlap(spark):
+    from webpagesgraphdatabase_spark.operators import sketches
+
+    rows = [(s, m) for s in ("X", "Y") for m in range(500)]  # identical, > k
+    df = spark.createDataFrame(rows, ["seg", "member"])
+    r = sketches.kmv_pair_overlap(df, "seg", "member", k=32).collect()[0]
+    # every union-sketch hash is in both sides → inter_est == union_est,
+    # and the estimate is in the right ballpark of the true 500
+    assert r.common == r.k_used == 32
+    assert r.inter_est == r.union_est
+    assert 250 < r.union_est < 1000
+
+
+def test_kmv_sketch_estimate_quality_on_testdata(spark):
+    """On the real events table the sketch estimate must land within
+    the theory's ~3/sqrt(k) relative-error envelope of the exact
+    answer (k=32 → ~53%; generous bound, deterministic data)."""
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+    from webpagesgraphdatabase_spark.operators import sketches
+
+    ev_df = load_table(spark, "/root/testdata/sf0.01", "events")
+    du = ev_df.select("event_type", "user_id").distinct()
+    exact = {
+        (r.a, r.b): r.n
+        for r in du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("a"), F.col("y.event_type").alias("b")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in sketches.kmv_pair_overlap(ev_df, "event_type", "user_id").collect():
+        true_inter = exact.get((r.key_a, r.key_b), 0)
+        assert abs(r.inter_est - true_inter) <= max(10, 0.55 * true_inter), (
+            r.key_a,
+            r.key_b,
+            r.inter_est,
+            true_inter,
+        )

@@ -1,0 +1,110 @@
+"""Mergeable distinct-count sketches and their set operations —
+theta-sketch-style audience-overlap estimation (Dasgupta et al. 2016,
+"Theta-Sketch Framework") built on the deterministic md5 KMV sketch
+the registry already oracle-checks.
+
+"How many users did both A and B" over billions of rows is the
+canonical sketch-set-operation workload: exact answers need a
+|users|-scale distinct per pair, sketches need k minima per side.
+Everything here is md5 arithmetic, so unlike library HLL/theta
+implementations the DuckDB oracle reproduces every estimate digit for
+digit — the sketch's *error* is visible next to the exact answer in
+the hash-checked row itself.
+
+Scale shape: the only corpus-wide work is one distinct over
+(key, member) with partial aggregation; sketches are k rows per key
+(k=32 default) and every set operation runs on k-sized inputs —
+pairs cost O(|keys|² · k), independent of corpus size. KMV minima
+merge by keeping the union's k smallest (associative, commutative),
+which is what makes the sketch a distributed accumulator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_K = 32
+
+#: md5-hex prefix mapped to (0, 1): 13 hex chars fit int64 exactly
+_FRAC = "cast(conv(substr({col}, 1, 13), 16, 10) as bigint) / {den}"
+
+
+def _frac(col: str):
+    return F.expr(_FRAC.format(col=col, den=float(16**13)))
+
+
+def kmv_mins(
+    df: DataFrame, key: str, member: str, k: int = KMV_K
+) -> DataFrame:
+    """The KMV sketch itself: (key, h) — the ``k`` smallest
+    md5(member) per key over the distinct (key, member) pairs."""
+    hashes = (
+        df.select(key, member)
+        .distinct()
+        .select(key, F.md5(F.col(member).cast("string")).alias("h"))
+    )
+    w = Window.partitionBy(key).orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(key, "h")
+    )
+
+
+def kmv_pair_overlap(
+    df: DataFrame, key: str, member: str, k: int = KMV_K
+) -> DataFrame:
+    """Theta-style set operations for every unordered key pair:
+    (key_a, key_b, k_used, common, union_est, inter_est).
+
+    Per pair, the union sketch is the ``k`` smallest of the two
+    sketches' merged distinct minima; ``union_est`` is the standard
+    KMV estimator (k_used-1)/h_k — exact when the union has fewer
+    than ``k`` hashes (then every member hash is present). ``common``
+    counts union-sketch hashes seen in *both* sides;
+    ``inter_est = round(common · union_est / k_used, 6)`` — the
+    theta-sketch intersection estimator, which degrades to the exact
+    intersection in the exact branch. All arithmetic is the md5 hex →
+    int64 mapping the oracle mirrors."""
+    mins = kmv_mins(df, key, member, k)
+    keys = mins.select(F.col(key).alias("ka")).distinct()
+    pairs = keys.crossJoin(
+        mins.select(F.col(key).alias("kb")).distinct()
+    ).filter(F.col("ka") < F.col("kb"))
+
+    a_side = pairs.join(
+        mins.select(F.col(key).alias("ka"), "h"), "ka"
+    ).select("ka", "kb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    b_side = pairs.join(
+        mins.select(F.col(key).alias("kb"), "h"), "kb"
+    ).select("ka", "kb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    per_hash = (
+        a_side.unionByName(b_side)
+        .groupBy("ka", "kb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ka", "kb").orderBy("h")
+    union_sketch = per_hash.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = union_sketch.groupBy("ka", "kb").agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("h_k"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+        ).alias("common"),
+    )
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(F.round((k - 1) / _frac("h_k"), 6))
+    return agg.select(
+        F.col("ka").alias("key_a"),
+        F.col("kb").alias("key_b"),
+        "k_used",
+        "common",
+        union_est.alias("union_est"),
+        F.round(
+            F.col("common") * union_est / F.col("k_used"), 6
+        ).alias("inter_est"),
+    )

@@ -534,12 +534,71 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both per-event-type summary aggregates in one row (joined on
-    event_type): exact interpolated percentiles + the KMV distinct-count
-    sketch — merged to keep the registry inside the driver gate's
-    ~50-row window; each operator runs unchanged."""
-    return _q_events_quantiles(spark, sf_dir).join(
-        _q_kmv_distinct(spark, sf_dir), "event_type"
+    """Per-event-type summary aggregates in one row (joined on
+    event_type): exact interpolated percentiles + the KMV
+    distinct-count sketch + the theta-style sketched audience overlap
+    (:func:`..operators.sketches.kmv_pair_overlap`) — each type
+    carries its highest-estimated-overlap partner with the sketched
+    union/intersection estimates and the exact intersection beside
+    them, so the sketch's error is hash-checked in the row itself.
+    Merged to stay inside the driver gate's ~50-row window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    ov = sketches.kmv_pair_overlap(ev, "event_type", "user_id", KMV_K)
+    sym = ov.select(
+        F.col("key_a").alias("event_type"),
+        F.col("key_b").alias("partner"),
+        "union_est",
+        "inter_est",
+    ).unionByName(
+        ov.select(
+            F.col("key_b").alias("event_type"),
+            F.col("key_a").alias("partner"),
+            "union_est",
+            "inter_est",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("inter_est").desc(), F.col("partner").asc()
+    )
+    best = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("partner").alias("top_overlap_partner"),
+            F.col("union_est").alias("ov_union_est"),
+            F.col("inter_est").alias("ov_inter_est"),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact_pairs = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("b.event_type").alias("top_overlap_partner"),
+        )
+        .agg(F.count("*").alias("ov_inter_exact"))
+    )
+    best_exact = best.join(
+        exact_pairs, ["event_type", "top_overlap_partner"], "left"
+    ).withColumn(
+        "ov_inter_exact",
+        F.coalesce(F.col("ov_inter_exact"), F.lit(0)).cast("long"),
+    )
+    return (
+        _q_events_quantiles(spark, sf_dir)
+        .join(_q_kmv_distinct(spark, sf_dir), "event_type")
+        .join(best_exact, "event_type")
     )
 
 
@@ -1097,6 +1156,81 @@ SELECT k.event_type, e.n_exact, k.k_used,
                                       / {float(16**13)}), 6) END AS kmv_estimate
 FROM kth k JOIN exact e ON k.event_type = e.event_type
 """,
+    # theta-style sketched overlap (see operators/sketches.py): per
+    # type, the highest-inter_est partner with sketch estimates and
+    # the exact intersection beside them — identical md5 arithmetic.
+    "_overlap_part": f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+hh AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+mins AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hh) WHERE rn <= {KMV_K}
+),
+ks AS (SELECT DISTINCT event_type FROM mins),
+pairs AS (
+  SELECT a.event_type AS ka, b.event_type AS kb
+  FROM ks a, ks b WHERE a.event_type < b.event_type
+),
+per_hash AS (
+  SELECT ka, kb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.ka, p.kb, m.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN mins m ON m.event_type = p.ka
+    UNION ALL
+    SELECT p.ka, p.kb, m.h, 0, 1
+    FROM pairs p JOIN mins m ON m.event_type = p.kb
+  ) GROUP BY ka, kb, h
+),
+us AS (
+  SELECT * FROM (
+    SELECT ka, kb, h, in_a, in_b,
+           row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS rn
+    FROM per_hash) WHERE rn <= {KMV_K}
+),
+agg AS (
+  SELECT ka, kb, count(*) AS k_used, max(h) AS h_k,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS common
+  FROM us GROUP BY ka, kb
+),
+est AS (
+  SELECT ka, kb, common, k_used,
+         CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+              ELSE round({KMV_K - 1} / (('0x' || substr(h_k, 1, 13))::BIGINT
+                                        / {float(16**13)}), 6) END AS union_est
+  FROM agg
+),
+est2 AS (
+  SELECT ka, kb, union_est,
+         round(common * union_est / k_used, 6) AS inter_est
+  FROM est
+),
+sym AS (
+  SELECT ka AS event_type, kb AS partner, union_est, inter_est FROM est2
+  UNION ALL
+  SELECT kb, ka, union_est, inter_est FROM est2
+),
+best AS (
+  SELECT * FROM (
+    SELECT event_type, partner, union_est, inter_est,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY inter_est DESC, partner ASC) AS rn
+    FROM sym) WHERE rn = 1
+),
+exact_pairs AS (
+  SELECT a.event_type, b.event_type AS partner,
+         CAST(count(*) AS BIGINT) AS inter_exact
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT best.event_type, best.partner AS top_overlap_partner,
+       best.union_est AS ov_union_est, best.inter_est AS ov_inter_est,
+       CAST(COALESCE(x.inter_exact, 0) AS BIGINT) AS ov_inter_exact
+FROM best LEFT JOIN exact_pairs x
+  ON best.event_type = x.event_type AND best.partner = x.partner
+""",
     "_quantiles_part": """
 SELECT event_type, count(*) AS n_events,
        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
@@ -1163,9 +1297,12 @@ FROM u LEFT JOIN h ON u.method = h.method AND u.query_id = h.query_id
 # Per-event-type summary aggregates share one row (see _q_events_sketch).
 ORACLES["a_events_sketch"] = (
     "SELECT q.event_type, q.n_events, q.p50, q.p90,\n"
-    "       k.n_exact, k.k_used, k.kmv_estimate\n"
+    "       k.n_exact, k.k_used, k.kmv_estimate,\n"
+    "       o.top_overlap_partner, o.ov_union_est, o.ov_inter_est,\n"
+    "       o.ov_inter_exact\n"
     "FROM (" + ORACLES.pop("_quantiles_part") + ") q\n"
-    "JOIN (" + ORACLES.pop("_kmv_part") + ") k ON q.event_type = k.event_type"
+    "JOIN (" + ORACLES.pop("_kmv_part") + ") k ON q.event_type = k.event_type\n"
+    "JOIN (" + ORACLES.pop("_overlap_part") + ") o ON q.event_type = o.event_type"
 )
 
 # Training-sequence packing: md5 shuffle → hash shards → per-shard
