@@ -1303,3 +1303,61 @@ def test_kmv_sketch_estimate_quality_on_testdata(spark):
             r.inter_est,
             true_inter,
         )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_drops_repeated_segments_keeps_first(spark):
+    """Chunk mode with tiny segments: a 2-token segment repeated across
+    docs survives only at its first (doc_id, seg_idx) occurrence, and
+    each doc's clean text preserves original segment order."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # segs: "a b","c d","e f"
+            (1, "x y a b"),              # "x y" kept, "a b" dropped (seen in doc 0)
+            (2, "a b x y"),              # both segs already seen
+            (3, ""),                     # empty text -> 0 segs
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup(df, mode="chunk", seg_tokens=2).collect()
+    }
+    assert (out[0].n_segs, out[0].n_dropped, out[0].clean_text) == (3, 0, "a b c d e f")
+    assert (out[1].n_segs, out[1].n_dropped, out[1].clean_text) == (2, 1, "x y")
+    assert (out[2].n_segs, out[2].n_dropped, out[2].clean_text) == (2, 2, "")
+    assert (out[3].n_segs, out[3].n_dropped, out[3].clean_text) == (0, 0, "")
+
+
+def test_paragraph_dedup_newline_mode(spark):
+    """Newline mode: repeated boilerplate lines dedup across docs;
+    blank lines are not segments; ragged final chunks are fine."""
+    df = spark.createDataFrame(
+        [
+            (0, "header boilerplate\nunique alpha text\n\nfooter boilerplate"),
+            (1, "header boilerplate\nunique beta text\nfooter boilerplate"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup(df, mode="newline").collect()
+    }
+    assert (out[0].n_segs, out[0].n_dropped) == (3, 0)
+    assert out[1].n_segs == 3 and out[1].n_dropped == 2
+    assert out[1].clean_text == "unique beta text"
+
+
+def test_doc_segments_ragged_tail(spark):
+    """A doc whose token count is not a multiple of seg_tokens gets a
+    shorter final segment, never padding or loss."""
+    df = spark.createDataFrame([(7, "a b c d e")], "doc_id long, text string")
+    segs = sorted(
+        (r.seg_idx, r.seg)
+        for r in dedup.doc_segments(df, mode="chunk", seg_tokens=2).collect()
+    )
+    assert segs == [(0, "a b"), (1, "c d"), (2, "e")]

@@ -515,3 +515,115 @@ def dedup_clusters(
         F.col("component").alias("canon_id"),
         "cluster_size",
     )
+
+
+#: Default segment width (in whitespace tokens) for the chunk mode of
+#: :func:`doc_segments`. Roughly a sentence of web text; small enough
+#: that boilerplate repeats align on segment boundaries often, large
+#: enough that segments rarely collide by accident.
+SEG_TOKENS = 10
+
+
+def doc_segments(
+    docs: DataFrame,
+    mode: str = "chunk",
+    seg_tokens: int = SEG_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document segment table (doc_id, seg_idx, seg) — the unit of
+    CCNet/RefinedWeb-style *paragraph-level* dedup.
+
+    ``mode="newline"`` splits on line breaks (the real-web shape, where
+    boilerplate headers/footers/navbars repeat verbatim across pages —
+    CCNet, Wenzek et al. 2019 §4.1 dedups exactly these). The synthetic
+    corpus has no newlines, so ``mode="chunk"`` (default here and in the
+    gate row) segments into fixed ``seg_tokens``-token windows instead:
+    same operator shape, oracle-expressible in any engine.
+
+    Scale: segmentation is a pure per-row codegen expression (sequence +
+    slice + array_join, or split) — zero shuffle; the explode is the
+    only row expansion and is linear in corpus tokens.
+    """
+    if mode == "newline":
+        segl = F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda t: F.trim(t)),
+            lambda t: t != "",
+        )
+    elif mode == "chunk":
+        toks = tokens_col(text_col)
+        n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+        segl = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_segs),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - F.lit(1)) * seg_tokens + 1, seg_tokens), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:  # pragma: no cover - guarded by tests
+        raise ValueError(f"unknown segment mode: {mode!r}")
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(segl).alias("seg_idx", "seg"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    mode: str = "chunk",
+    seg_tokens: int = SEG_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide paragraph/segment dedup (CCNet-style boilerplate
+    removal; reference has no analog — it stores whole pages:
+    ``main.py:105-118``): every segment that already occurred in an
+    earlier document position is dropped, the first occurrence (ordered
+    by (doc_id, seg_idx)) is kept, and each document's surviving
+    segments are reassembled in order.
+
+    Returns one row per input document: (doc_id, n_segs, n_dropped,
+    clean_text) — documents whose text segments were *all* seen before
+    come back with ``clean_text = ''`` (the keep/drop decision is the
+    caller's; CCNet drops them). Documents with empty text get
+    ``n_segs = 0``.
+
+    Scale shape: one shuffle partitions segments by the segment text
+    (the first-occurrence window — key cardinality is the distinct
+    segment count, near-uniform by construction since identical
+    boilerplate hashes to one partition but its copies are exactly what
+    the window ranks); one shuffle re-groups by doc_id for reassembly.
+    Segment text rides the shuffle once — at 100 TB swap the carried
+    column for ``xxhash64(seg)`` + a join back to first occurrences if
+    segments are long (same plan shape, smaller shuffle payload).
+    """
+    segs = doc_segments(docs, mode, seg_tokens, text_col, id_col)
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    flagged = segs.withColumn("rn", F.row_number().over(w))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segs"), F.lit(0)).alias("n_segs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

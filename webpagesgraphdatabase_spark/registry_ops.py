@@ -307,9 +307,28 @@ def _q_sampling_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniform.unionByName(weighted)
 
 
+def _q_dedup_exact_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whole-document dedup joined with CCNet-style paragraph-level
+    dedup in one row per distinct text (keyed by the exact-dedup keeper):
+    both operators run unchanged over the full corpus; the segment-level
+    columns (n_segs / n_dropped / clean text after boilerplate removal)
+    are hash-checked alongside the exact-dup counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dedup.dedup_exact(docs)
+    para = dedup.paragraph_dedup(docs)
+    return ex.join(para, ex.keep_id == para.doc_id).select(
+        "text_hash",
+        "keep_id",
+        "n_copies",
+        "n_segs",
+        "n_dropped",
+        para.clean_text.alias("clean_text_pd"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- dedup (documents) ---
-    "d_dedup_exact": _on("documents", dedup.dedup_exact),
+    "d_dedup_exact": _q_dedup_exact_paragraph,
     "d_minhash_signatures": _on("documents", dedup.minhash_signatures),
     "d_lsh_candidates": _on("documents", dedup.lsh_candidates),
     "d_neardup_jaccard": _on("documents", dedup.neardup_jaccard),
@@ -729,9 +748,41 @@ buckets AS (
 
 ORACLES: dict[str, str] = {
     # --- dedup ---
-    "d_dedup_exact": """
-SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY md5(text)
+    "d_dedup_exact": _TOKS
+    + r""",
+ex AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+),
+seg_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_transform(generate_series(1, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+             i -> array_to_string(list_slice(toks, (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' '))
+         ELSE [] END AS segl
+  FROM toks
+),
+segd AS (
+  SELECT doc_id, generate_subscripts(segl, 1) - 1 AS seg_idx, unnest(segl) AS seg
+  FROM seg_lists
+),
+flagged AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segd
+),
+perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_segs,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT ex.text_hash, ex.keep_id, ex.n_copies,
+       COALESCE(p.n_segs, 0) AS n_segs,
+       COALESCE(p.n_dropped, 0) AS n_dropped,
+       COALESCE(p.clean_text, '') AS clean_text_pd
+FROM ex LEFT JOIN perdoc p ON p.doc_id = ex.keep_id
 """,
     "d_minhash_signatures": _MINHASH + "\nSELECT doc_id, perm, minhash FROM minhash",
     "d_lsh_candidates": _CANDS + "\nSELECT doc_a, doc_b FROM cands",
