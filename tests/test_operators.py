@@ -1361,3 +1361,74 @@ def test_doc_segments_ragged_tail(spark):
         for r in dedup.doc_segments(df, mode="chunk", seg_tokens=2).collect()
     )
     assert segs == [(0, "a b"), (1, "c d"), (2, "e")]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster-bucketed embedding near-dup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_within_cluster_keep_smallest(spark):
+    """Two well-separated clusters with explicit centroids: in-cluster
+    near-dups point at the smallest in-cluster id; singletons keep."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.14]),   # near-dup of 0 (same cluster)
+            (2, [0.0, 1.0]),
+            (3, [0.1, 0.995]),   # near-dup of 2 (other cluster)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "cid long, cemb array<float>",
+    ).selectExpr(
+        "cid", "cemb", "sqrt(aggregate(cemb, 0.0D, (a, x) -> a + x * x)) AS cnrm"
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(emb, threshold=0.9, cents=cents).collect()
+    }
+    assert (out[0].cluster_id, out[0].dup_of, out[0].keep) == (0, -1, 1)
+    assert (out[1].cluster_id, out[1].dup_of, out[1].keep) == (0, 0, 0)
+    assert (out[2].cluster_id, out[2].dup_of, out[2].keep) == (2, -1, 1)
+    assert (out[3].cluster_id, out[3].dup_of, out[3].keep) == (2, 2, 0)
+
+
+def test_semantic_dedup_misses_cross_cluster_pairs(spark):
+    """The documented recall trade: a near-dup pair split across
+    clusters is NOT flagged (both keep), while brute-force cosine
+    (cosine_neardup) does find it."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [1.0, -0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.2]), (11, [1.0, -0.2])],
+        "cid long, cemb array<float>",
+    ).selectExpr(
+        "cid", "cemb", "sqrt(aggregate(cemb, 0.0D, (a, x) -> a + x * x)) AS cnrm"
+    )
+    sd = {r.vec_id: r for r in similarity.semantic_dedup(emb, 0.9, cents=cents).collect()}
+    assert sd[0].cluster_id != sd[1].cluster_id
+    assert sd[0].keep == 1 and sd[1].keep == 1
+    bf = similarity.cosine_neardup(emb, 0.9).collect()
+    assert [(r.vec_a, r.vec_b) for r in bf] == [(0, 1)]
+
+
+def test_semantic_dedup_auto_sizing_runs_on_corpus(spark):
+    """Default quantizer path (auto-sized seeded sample) on the real
+    table: every vector gets exactly one verdict, keepers ∪ dups
+    partition the corpus, and dup_of is always a smaller same-cluster id."""
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    out = similarity.semantic_dedup(emb, corpus_count=n)
+    rows = out.collect()
+    assert len(rows) == n
+    for r in rows:
+        assert (r.keep == 1) == (r.dup_of == -1)
+        if r.dup_of != -1:
+            assert r.dup_of < r.vec_id

@@ -767,3 +767,80 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    n_centroids: int | None = None,
+    corpus_count: int | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §3): cluster the
+    corpus with the coarse quantizer, compare vectors *within* each
+    cluster only, and keep one representative per ε-ball — the
+    embedding-space dedup a 100 TB multimodal corpus runs because
+    all-pairs cosine is |corpus|².
+
+    Returns one row per vector: (vec_id, cluster_id, dup_of, keep) —
+    ``dup_of`` is the smallest same-cluster vec_id with cosine ≥
+    ``threshold`` (−1 if none), ``keep`` is 1 for the greedy
+    keep-smallest-id survivor set (the paper keeps one per ε-ball; id
+    order makes the choice deterministic engine-independently).
+
+    Quantizer: ``cents`` overrides (pass :func:`kmeans_centroids` for
+    trained clusters — better ball purity, float-nondeterministic, so
+    the oracle row keeps the seeded sample); default is
+    :func:`ivf_centroids` auto-sized by :func:`auto_n_centroids`
+    (``corpus_count`` skips the count probe, same knob as
+    :func:`ann_ivf`).
+
+    Scale shape: assignment is the broadcast argmax (corpus never
+    shuffles); the candidate join is an equi-join on ``cid`` — cost
+    Σ|cluster|², i.e. ~|corpus|²/n_centroids at sqrt sizing, the
+    SemDeDup design point. A pathological mega-cluster is the same
+    failure LSH's ``max_bucket`` guards; with trained centroids cluster
+    sizes track true density, and raising ``n_centroids`` shrinks the
+    quadratic term directly. Cross-cluster near-dups are missed by
+    construction (the paper's recall trade)."""
+    if cents is None:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(
+                corpus_count if corpus_count is not None else emb.count()
+            )
+        cents = ivf_centroids(emb, n_centroids)
+    assign = ivf_assign(emb, cents=cents)
+    v = (
+        emb.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            >= threshold
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        v.select("vec_id", "cluster_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -326,6 +326,35 @@ def _q_dedup_exact_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive cosine near-dup pairs AND SemDeDup's cluster-bucketed
+    per-vector verdicts in one tagged union: ``part='pair'`` rows are
+    :func:`similarity.cosine_neardup`'s exact pair output unchanged
+    (bit-identical to the pre-r5 row); ``part='semdedup'`` rows carry
+    one verdict per vector (cluster id, smallest same-cluster near-dup,
+    keep flag) — so the gate checks both the exhaustive baseline and
+    the scale path, and their disagreement (cross-cluster pairs
+    SemDeDup misses) is visible in the same row."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_neardup(emb, COSINE_THRESHOLD).select(
+        F.lit("pair").alias("part"),
+        F.col("vec_a").alias("a_id"),
+        F.col("vec_b").alias("b_id"),
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.lit(-1).alias("keep"),
+    )
+    sd = similarity.semantic_dedup(emb, COSINE_THRESHOLD).select(
+        F.lit("semdedup").alias("part"),
+        F.col("vec_id").alias("a_id"),
+        F.col("dup_of").alias("b_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "keep",
+    )
+    return pairs.unionByName(sd)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- dedup (documents) ---
     "d_dedup_exact": _q_dedup_exact_paragraph,
@@ -336,7 +365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_clusters": _on("documents", dedup.dedup_clusters),
     "d_contamination": _on("documents", dedup.contamination),
     # --- similarity (embeddings) ---
-    "s_cosine_neardup": _on("embeddings", similarity.cosine_neardup, COSINE_THRESHOLD),
+    "s_cosine_neardup": _q_cosine_semdedup,
     "s_ann_methods": _q_ann_methods,
     # --- text analysis (documents) ---
     "t_lang_quality": _q_lang_quality,
@@ -828,10 +857,49 @@ FROM votes GROUP BY doc_id
 """,
     # --- similarity ---
     "s_cosine_neardup": _EMB
-    + f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    + f""",
+csizing AS (
+  SELECT GREATEST(4, LEAST(256, CAST(floor(sqrt(count(*))) AS INT))) AS nc
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT (SELECT nc FROM csizing)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.e, c.ce) / (x.nrm * c.cnrm) DESC,
+                      c.cid ASC) AS rn
+    FROM n x CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+),
+sd_dup AS (
+  SELECT bb.vec_id, min(aa.vec_id) AS dup_of
+  FROM n aa
+  JOIN assign ia ON ia.vec_id = aa.vec_id
+  JOIN n bb ON aa.vec_id < bb.vec_id
+  JOIN assign ib ON ib.vec_id = bb.vec_id AND ib.cid = ia.cid
+  WHERE list_dot_product(aa.e, bb.e) / (aa.nrm * bb.nrm) >= {COSINE_THRESHOLD}
+  GROUP BY bb.vec_id
+)
+SELECT 'pair' AS part, vec_a AS a_id, vec_b AS b_id,
+       CAST(-1 AS BIGINT) AS cluster_id, CAST(-1 AS INT) AS keep
+FROM pairs
+UNION ALL
+SELECT 'semdedup', n.vec_id, COALESCE(s.dup_of, -1),
+       CAST(a.cid AS BIGINT),
+       CAST(CASE WHEN s.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+FROM n
+JOIN assign a ON a.vec_id = n.vec_id
+LEFT JOIN sd_dup s ON s.vec_id = n.vec_id
 """,
     "s_ann_bruteforce": _EMB
     + f""",
