@@ -1,0 +1,208 @@
+"""Cypher front-end tests: the reference's verbatim query strings
+(``dockerapp/app/main.py``) executed through ``cypher()`` /
+``cypher_write()`` must agree with the hand-written DataFrame layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webpagesgraphdatabase_spark.graph import queries as Q
+from webpagesgraphdatabase_spark.graph.cypher import (
+    CypherSyntaxError,
+    cypher,
+    cypher_write,
+)
+from webpagesgraphdatabase_spark.graph.model import PropertyGraph
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    links = spark.createDataFrame(
+        [
+            ("a", "ta", None, "X", None, None, "none", None, None),
+            ("b", "tb", None, "Y", None, None, "none", None, None),
+            ("c", None, None, "Y", None, None, "none", None, None),
+        ],
+        "url string, title string, raw_category string, suggested_category string,"
+        "raw_content string, cleaned_content string, keywords string,"
+        "category_explanation string, keyword_explanation string",
+    )
+    categories = spark.createDataFrame([("X",), ("Y",)], ["name"])
+    keywords = spark.createDataFrame([("k1",), ("k2",)], ["name"])
+    belongs_to = spark.createDataFrame(
+        [("a", "X"), ("b", "Y"), ("c", "Y")], ["src_url", "dst_category"]
+    )
+    has_keyword = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2"), ("c", "k1")],
+        ["src_url", "dst_keyword"],
+    )
+    return PropertyGraph(links, categories, keywords, belongs_to, has_keyword)
+
+
+def test_reference_flagship_verbatim(g):
+    """main.py:199-204 pasted unchanged: the multi-pattern interconnection
+    with WHERE, against the query layer's symmetric variant."""
+    df = cypher(
+        g,
+        """
+            MATCH (l1:Link)-[:HAS_KEYWORD]->(k:Keyword)<-[:HAS_KEYWORD]-(l2:Link),
+                  (l1)-[:BELONGS_TO]->(c1:Category), (l2)-[:BELONGS_TO]->(c2:Category)
+            WHERE l1.url <> l2.url AND c1.name <> c2.name
+            RETURN l1.url, l2.url, k.name, c1.name, c2.name
+        """,
+    )
+    assert df.columns == ["l1.url", "l2.url", "k.name", "c1.name", "c2.name"]
+    got = {tuple(r) for r in df.collect()}
+    want = {
+        (r.url_1, r.url_2, r.keyword, r.category_1, r.category_2)
+        for r in Q.interconnections_symmetric(g).collect()
+    }
+    assert got == want and got  # non-empty on the fixture
+
+
+def test_reference_one_hop_projection(g):
+    """main.py:461: 1-hop BELONGS_TO with null guards."""
+    rows = {
+        tuple(r)
+        for r in cypher(
+            g,
+            "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) "
+            "WHERE l.url IS NOT NULL AND c.name IS NOT NULL RETURN l.url, c.name",
+        ).collect()
+    }
+    assert rows == {("a", "X"), ("b", "Y"), ("c", "Y")}
+
+
+def test_point_lookup_with_param(g):
+    rows = cypher(
+        g,
+        "MATCH (l:Link {url: $url}) RETURN l.url, l.title",
+        {"url": "a"},
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", "ta")]
+
+
+def test_count_aggregate(g):
+    """main.py:25: MATCH (l:Link) RETURN COUNT(l) AS cnt."""
+    rows = cypher(g, "MATCH (l:Link) RETURN COUNT(l) AS cnt").collect()
+    assert rows[0].cnt == 3
+
+
+def test_where_is_not_null_on_link_prop(g):
+    """main.py:439: title-null guard joins the Link property table."""
+    rows = {
+        tuple(r)
+        for r in cypher(
+            g, "MATCH (l:Link) WHERE l.title IS NOT NULL RETURN l.url, l.title"
+        ).collect()
+    }
+    assert rows == {("a", "ta"), ("b", "tb")}
+
+
+def test_implicit_grouping_count_per_category(g):
+    rows = {
+        (r["c.name"], r.n)
+        for r in cypher(
+            g,
+            "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) RETURN c.name, COUNT(l) AS n",
+        ).collect()
+    }
+    assert rows == {("X", 1), ("Y", 2)}
+
+
+def test_distinct_order_limit(g):
+    rows = cypher(
+        g,
+        "MATCH (l:Link)-[:HAS_KEYWORD]->(k:Keyword) "
+        "RETURN DISTINCT k.name ORDER BY k.name DESC LIMIT 1",
+    ).collect()
+    assert [r["k.name"] for r in rows] == ["k2"]
+
+
+def test_matches_motif_layer_plan_free_of_nested_loops(g):
+    """The compiled pattern is equi-joins only — no cartesian /
+    broadcast-nested-loop nodes in the physical plan."""
+    df = cypher(
+        g,
+        "MATCH (l1:Link)-[:HAS_KEYWORD]->(k:Keyword)<-[:HAS_KEYWORD]-(l2:Link) "
+        "WHERE l1.url <> l2.url RETURN l1.url, l2.url, k.name",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_syntax_errors(g):
+    for bad in (
+        "MATCH (l:Link) RETURN l.url EXTRA",
+        "MATCH (l:Link)-[:NO_SUCH]->(c:Category) RETURN l.url",
+        "MATCH (l:Link {url: $missing}) RETURN l.url",
+        "MATCH (c:Category) RETURN c.title",
+        "FOO (l:Link)",
+    ):
+        with pytest.raises(CypherSyntaxError):
+            cypher(g, bad, {})
+
+
+def test_write_surface_reference_sequence(spark, store):
+    """main.py:28-34 pasted shape-for-shape: MERGE nodes, MERGE rels,
+    then main.py:490's DETACH DELETE — against the GraphStore."""
+    cypher_write(
+        store,
+        "MERGE (:Link {url: 'https://kuzudb.com', title: 'K', raw_category: 'Database', "
+        "suggested_category: 'Database', raw_content: 'g', cleaned_content: 'g', "
+        "keywords: 'graph database', category_explanation: 'None', "
+        "keyword_explanation: 'None'})",
+    )
+    cypher_write(store, "MERGE (:Category {name: 'Database'})")
+    cypher_write(store, "MERGE (:Keyword {name: 'graph database'})")
+    cypher_write(
+        store,
+        "MATCH (l:Link {url: 'https://kuzudb.com'}), (c:Category {name: 'Database'}) "
+        "MERGE (l)-[:BELONGS_TO]->(c)",
+    )
+    cypher_write(
+        store,
+        "MATCH (l:Link {url: $url}), (k:Keyword {name: $name}) "
+        "MERGE (l)-[:HAS_KEYWORD]->(k)",
+        {"url": "https://kuzudb.com", "name": "graph database"},
+    )
+    g2 = store.graph()
+    assert g2.links.count() == 1
+    assert g2.belongs_to.count() == 1 and g2.has_keyword.count() == 1
+    # read it back through the same front end
+    rows = cypher(
+        g2,
+        "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) RETURN l.url, c.name",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("https://kuzudb.com", "Database")]
+
+    cypher_write(
+        store,
+        "MATCH (l:Link {url: $url}) DETACH DELETE l",
+        {"url": "https://kuzudb.com"},
+    )
+    g3 = store.graph()
+    assert g3.links.count() == 0
+    assert g3.belongs_to.count() == 0 and g3.has_keyword.count() == 0
+
+
+def test_write_merge_is_insert_if_absent(spark, store):
+    cypher_write(store, "MERGE (:Category {name: 'A'})")
+    cypher_write(store, "MERGE (:Category {name: 'A'})")
+    assert store.graph().categories.count() == 1
+
+
+def test_registry_row_equivalence_distinct_categories(g):
+    """The Cypher-routed registry row ≡ the hand-written query layer."""
+    via_cypher = {
+        r.category
+        for r in cypher(
+            g,
+            "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) "
+            "RETURN DISTINCT c.name AS category",
+        ).collect()
+    }
+    direct = {r.category for r in Q.distinct_categories(g).collect()}
+    assert via_cypher == direct == {"X", "Y"}

@@ -1,0 +1,596 @@
+"""Cypher front end for :class:`PropertyGraph` — the reference's query
+language, compiled to Catalyst join trees.
+
+The reference's entire application surface is Cypher strings against
+embedded Kùzu (``dockerapp/app/main.py:25-490``). :mod:`.motif` already
+gives the *pattern* shape; this module adds the full read-statement
+grammar those strings use — multi-pattern MATCH with inline property
+maps, ``$param`` substitution, WHERE, RETURN (projections, aliases,
+DISTINCT, COUNT), ORDER BY, LIMIT — plus the three write shapes (MERGE
+node, MATCH+MERGE relationship, MATCH+DETACH DELETE), so a reference
+user can paste their queries unchanged:
+
+    cypher(g, "MATCH (l:Link {url: $url}) RETURN l.url", {"url": u})
+    cypher_write(store, "MERGE (:Category {name: $name})", {"name": n})
+
+Scope (everything the reference executes, verified against every
+``conn.execute`` call in ``main.py``): non-recursive chain patterns over
+Link/Category/Keyword with BELONGS_TO/HAS_KEYWORD, conjunctive WHERE
+with ``=``/``<>``/``<``/``>``/``<=``/``>=``/``IS [NOT] NULL``,
+property-map equality, parameters, implicit-grouping COUNT. Not a full
+openCypher engine: no OPTIONAL MATCH, no variable-length paths in this
+front end (``algorithms.bounded_reach`` covers ``[*1..h]`` semantics),
+no expressions in RETURN beyond properties and COUNT.
+
+Execution model: ZERO new machinery — patterns compile to the same
+equi-join trees :mod:`.motif` builds (Catalyst broadcasts the Category/
+Keyword dims, pushes predicates into scans), property access joins the
+node table on its key, WHERE/RETURN become ``filter``/``select``/
+``groupBy``. The translator is parse-time only; at 100 TB the plan is
+byte-identical to the hand-written DataFrame version (test-pinned).
+
+Output column names follow Kùzu: ``l.url`` stays ``l.url`` unless
+``AS`` renames it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .model import PropertyGraph
+from .motif import NODE_KEY, REL_ENDPOINTS, MotifSyntaxError
+
+
+class CypherSyntaxError(MotifSyntaxError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+_WS = re.compile(r"\s+")
+_IDENT = re.compile(r"[A-Za-z_]\w*")
+_NODE_OPEN = re.compile(r"\(\s*")
+_LABEL = re.compile(r":\s*(Link|Category|Keyword)")
+_REL_FWD = re.compile(r"-\s*\[\s*:\s*(\w+)\s*\]\s*->")
+_REL_BWD = re.compile(r"<-\s*\[\s*:\s*(\w+)\s*\]\s*-")
+_NUMBER = re.compile(r"-?\d+(\.\d+)?")
+_STRING = re.compile(r"'((?:[^'\\]|\\.)*)'")
+_PARAM = re.compile(r"\$(\w+)")
+_CMP = re.compile(r"(<>|<=|>=|=|<|>)")
+
+
+@dataclass
+class _Node:
+    var: str
+    label: str | None
+    props: dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class _Hop:
+    src_var: str
+    rel: str
+    dst_var: str
+    forward: bool
+
+
+class _P:
+    """Cursor over the statement text."""
+
+    def __init__(self, text: str, params: dict | None):
+        self.text = text
+        self.pos = 0
+        self.params = params or {}
+        self._anon = 0
+
+    def skip_ws(self) -> None:
+        m = _WS.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+
+    def at_end(self) -> bool:
+        self.skip_ws()
+        return self.pos >= len(self.text)
+
+    def peek_kw(self, kw: str) -> bool:
+        self.skip_ws()
+        return self.text[self.pos : self.pos + len(kw)].upper() == kw and not _IDENT.match(
+            self.text, self.pos + len(kw)
+        )
+
+    def take_kw(self, kw: str) -> bool:
+        if self.peek_kw(kw):
+            self.pos += len(kw)
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.take_kw(kw):
+            raise CypherSyntaxError(f"expected {kw} at: {self.text[self.pos:][:40]!r}")
+
+    def take(self, regex: re.Pattern):
+        self.skip_ws()
+        m = regex.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+        return m
+
+    def expect(self, regex: re.Pattern, what: str):
+        m = self.take(regex)
+        if not m:
+            raise CypherSyntaxError(
+                f"expected {what} at: {self.text[self.pos:][:40]!r}"
+            )
+        return m
+
+    def take_char(self, ch: str) -> bool:
+        self.skip_ws()
+        if self.pos < len(self.text) and self.text[self.pos] == ch:
+            self.pos += 1
+            return True
+        return False
+
+    def anon(self) -> str:
+        self._anon += 1
+        return f"__anon{self._anon}"
+
+    # -- values -----------------------------------------------------------
+
+    def value(self):
+        m = self.take(_PARAM)
+        if m:
+            name = m.group(1)
+            if name not in self.params:
+                raise CypherSyntaxError(f"missing parameter ${name}")
+            return self.params[name]
+        m = self.take(_STRING)
+        if m:
+            return m.group(1).replace("\\'", "'")
+        m = self.take(_NUMBER)
+        if m:
+            return float(m.group(0)) if m.group(1) else int(m.group(0))
+        if self.take_kw("NULL"):
+            return None
+        raise CypherSyntaxError(f"expected value at: {self.text[self.pos:][:40]!r}")
+
+    # -- patterns ---------------------------------------------------------
+
+    def node(self) -> _Node:
+        self.expect(_NODE_OPEN, "'('")
+        m = self.take(_IDENT)
+        var = m.group(0) if m else self.anon()
+        lm = self.take(_LABEL)
+        label = lm.group(1) if lm else None
+        props: dict[str, object] = {}
+        if self.take_char("{"):
+            while True:
+                key = self.expect(_IDENT, "property name").group(0)
+                if not self.take_char(":"):
+                    raise CypherSyntaxError("expected ':' in property map")
+                props[key] = self.value()
+                if not self.take_char(","):
+                    break
+            if not self.take_char("}"):
+                raise CypherSyntaxError("expected '}' closing property map")
+        if not self.take_char(")"):
+            raise CypherSyntaxError(
+                f"expected ')' at: {self.text[self.pos:][:40]!r}"
+            )
+        return _Node(var, label, props)
+
+    def chain(self) -> tuple[list[_Node], list[_Hop]]:
+        nodes = [self.node()]
+        hops: list[_Hop] = []
+        while True:
+            self.skip_ws()
+            fm = self.take(_REL_FWD)
+            if fm:
+                rel, forward = fm.group(1), True
+            else:
+                bm = self.take(_REL_BWD)
+                if not bm:
+                    break
+                rel, forward = bm.group(1), False
+            if rel not in REL_ENDPOINTS:
+                raise CypherSyntaxError(f"unknown relationship type {rel}")
+            nxt = self.node()
+            hops.append(_Hop(nodes[-1].var, rel, nxt.var, forward))
+            nodes.append(nxt)
+        return nodes, hops
+
+    def patterns(self) -> tuple[list[_Node], list[_Hop], list[list[str]]]:
+        """All comma-separated chains; returns (nodes, hops, chain var
+        groups in order)."""
+        all_nodes: list[_Node] = []
+        all_hops: list[_Hop] = []
+        groups: list[list[str]] = []
+        while True:
+            nodes, hops = self.chain()
+            all_nodes.extend(nodes)
+            all_hops.extend(hops)
+            groups.append([n.var for n in nodes])
+            if not self.take_char(","):
+                break
+        return all_nodes, all_hops, groups
+
+
+# --------------------------------------------------------------------------
+# semantic analysis shared by read + write paths
+# --------------------------------------------------------------------------
+
+
+def _labels_of(nodes: list[_Node], hops: list[_Hop]) -> dict[str, str]:
+    labels: dict[str, str] = {}
+
+    def bind(var: str, label: str) -> None:
+        if labels.get(var, label) != label:
+            raise CypherSyntaxError(
+                f"variable {var!r}: conflicting labels {labels[var]} / {label}"
+            )
+        labels[var] = label
+
+    for n in nodes:
+        if n.label:
+            bind(n.var, n.label)
+    for h in hops:
+        src_l, dst_l = REL_ENDPOINTS[h.rel]
+        if h.forward:
+            bind(h.src_var, src_l), bind(h.dst_var, dst_l)
+        else:
+            bind(h.src_var, dst_l), bind(h.dst_var, src_l)
+    for n in nodes:
+        if n.var not in labels:
+            raise CypherSyntaxError(f"variable {n.var!r} has no label")
+    return labels
+
+
+# --------------------------------------------------------------------------
+# read statements
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Cmp:
+    left: tuple  # ("prop", var, prop) | ("lit", value)
+    op: str  # = <> < > <= >= isnull notnull
+    right: tuple | None
+
+
+def _operand(p: _P) -> tuple:
+    save = p.pos
+    m = p.take(_IDENT)
+    if m and p.take_char("."):
+        prop = p.expect(_IDENT, "property name").group(0)
+        return ("prop", m.group(0), prop)
+    p.pos = save
+    return ("lit", p.value())
+
+
+def _where(p: _P) -> list[_Cmp]:
+    out = []
+    while True:
+        left = _operand(p)
+        if p.take_kw("IS"):
+            neg = p.take_kw("NOT")
+            p.expect_kw("NULL")
+            out.append(_Cmp(left, "notnull" if neg else "isnull", None))
+        else:
+            op = p.expect(_CMP, "comparison operator").group(1)
+            out.append(_Cmp(left, op, _operand(p)))
+        if not p.take_kw("AND"):
+            break
+    return out
+
+
+class _Frame:
+    """The evolving DataFrame + bookkeeping: which vars are bound (key
+    column = var name) and which (var, prop) Link columns are joined in
+    (column name ``__{var}__{prop}``)."""
+
+    def __init__(self, g: PropertyGraph, labels: dict[str, str]):
+        self.g = g
+        self.labels = labels
+        self.df: DataFrame | None = None
+        self.joined_props: set[str] = set()
+
+    def prop_col(self, var: str, prop: str) -> Column:
+        label = self.labels[var]
+        if label in ("Category", "Keyword"):
+            if prop != "name":
+                raise CypherSyntaxError(f"{label} has no property {prop!r}")
+            return F.col(var)
+        if prop == "url":
+            return F.col(var)
+        self._ensure_link_props(var)
+        return F.col(f"__{var}__{prop}")
+
+    def _ensure_link_props(self, var: str) -> None:
+        if var in self.joined_props:
+            return
+        props = self.g.links.select(
+            *[F.col(c).alias(f"__{var}__{c}") for c in self.g.links.columns]
+        )
+        self.df = self.df.join(
+            props, F.col(var) == F.col(f"__{var}__url"), "left"
+        ).drop(f"__{var}__url")
+        self.joined_props.add(var)
+
+
+def _compile_match(g: PropertyGraph, nodes, hops, groups) -> _Frame:
+    labels = _labels_of(nodes, hops)
+    fr = _Frame(g, labels)
+    node_tables = {"Link": g.links, "Category": g.categories, "Keyword": g.keywords}
+    edge_tables = {"BELONGS_TO": g.belongs_to, "HAS_KEYWORD": g.has_keyword}
+
+    bound: set[str] = set()
+    hop_ix = 0
+    hops_by_chain: list[list[_Hop]] = []
+    it = iter(hops)
+    for grp in groups:
+        hops_by_chain.append([next(it) for _ in range(len(grp) - 1)])
+
+    for grp, chain_hops in zip(groups, hops_by_chain):
+        anchor = grp[0]
+        if anchor not in bound:
+            lbl = labels[anchor]
+            start = node_tables[lbl].select(F.col(NODE_KEY[lbl]).alias(anchor))
+            fr.df = start if fr.df is None else fr.df.crossJoin(start)
+            bound.add(anchor)
+        for h in chain_hops:
+            hop_ix += 1
+            et = edge_tables[h.rel]
+            link_end, other_end = (
+                (h.src_var, h.dst_var) if h.forward else (h.dst_var, h.src_var)
+            )
+            edges = et.select(
+                F.col("src_url").alias(f"__s{hop_ix}"),
+                F.col(et.columns[1]).alias(f"__d{hop_ix}"),
+            )
+            # join on whichever endpoint is already bound (chain order
+            # guarantees src_var is; multi-chain anchors may bind dst)
+            if h.src_var in bound:
+                known, kcol = h.src_var, (
+                    f"__s{hop_ix}" if h.src_var == link_end else f"__d{hop_ix}"
+                )
+                new = h.dst_var
+            else:
+                known, kcol = h.dst_var, (
+                    f"__s{hop_ix}" if h.dst_var == link_end else f"__d{hop_ix}"
+                )
+                new = h.src_var
+            ncol = f"__d{hop_ix}" if kcol == f"__s{hop_ix}" else f"__s{hop_ix}"
+            fr.df = fr.df.join(edges, F.col(known) == F.col(kcol))
+            if new in bound:
+                fr.df = fr.df.filter(F.col(new) == F.col(ncol))
+            else:
+                fr.df = fr.df.withColumn(new, F.col(ncol))
+                bound.add(new)
+            fr.df = fr.df.drop(f"__s{hop_ix}", f"__d{hop_ix}")
+
+    # inline property maps -> equality filters. NOTE: prop_col may join
+    # the Link property table into fr.df, so it must run before the
+    # .filter method is bound to (the old) fr.df.
+    for n in nodes:
+        for k, v in n.props.items():
+            cond = fr.prop_col(n.var, k) == F.lit(v)
+            fr.df = fr.df.filter(cond)
+    return fr
+
+
+def _cmp_to_column(fr: _Frame, c: _Cmp) -> Column:
+    def side(t) -> Column:
+        if t[0] == "prop":
+            return fr.prop_col(t[1], t[2])
+        return F.lit(t[1])
+
+    left = side(c.left)
+    if c.op == "isnull":
+        return left.isNull()
+    if c.op == "notnull":
+        return left.isNotNull()
+    right = side(c.right)
+    return {
+        "=": left == right,
+        "<>": left != right,
+        "<": left < right,
+        ">": left > right,
+        "<=": left <= right,
+        ">=": left >= right,
+    }[c.op]
+
+
+def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFrame:
+    """Execute a read-only Cypher statement (MATCH … [WHERE …] RETURN …
+    [ORDER BY …] [LIMIT n]) against the graph. See module docstring for
+    the supported subset; raises :class:`CypherSyntaxError` outside it."""
+    p = _P(query, params)
+    p.expect_kw("MATCH")
+    nodes, hops, groups = p.patterns()
+    fr = _compile_match(g, nodes, hops, groups)
+
+    where: list[_Cmp] = []
+    if p.take_kw("WHERE"):
+        where = _where(p)
+    for c in where:
+        cond = _cmp_to_column(fr, c)  # may join Link props into fr.df first
+        fr.df = fr.df.filter(cond)
+
+    p.expect_kw("RETURN")
+    distinct = p.take_kw("DISTINCT")
+
+    # RETURN items: var.prop [AS a] | COUNT(var|*) [AS a] | var [AS a]
+    items: list[tuple[str, Column]] = []
+    counts: list[tuple[str, Column]] = []
+    order_names: list[str] = []
+    while True:
+        if p.take_kw("COUNT"):
+            if not p.take_char("("):
+                raise CypherSyntaxError("expected '(' after COUNT")
+            if p.take_char("*"):
+                col = F.count(F.lit(1))
+                name = "COUNT(*)"
+            else:
+                v = p.expect(_IDENT, "variable").group(0)
+                col = F.count(F.col(v))
+                name = f"COUNT({v})"
+            if not p.take_char(")"):
+                raise CypherSyntaxError("expected ')' closing COUNT")
+            if p.take_kw("AS"):
+                name = p.expect(_IDENT, "alias").group(0)
+            counts.append((name, col))
+            order_names.append(name)
+        else:
+            v = p.expect(_IDENT, "variable").group(0)
+            if p.take_char("."):
+                prop = p.expect(_IDENT, "property name").group(0)
+                col, name = fr.prop_col(v, prop), f"{v}.{prop}"
+            else:
+                col, name = F.col(v), v
+            if p.take_kw("AS"):
+                name = p.expect(_IDENT, "alias").group(0)
+            items.append((name, col))
+            order_names.append(name)
+        if not p.take_char(","):
+            break
+
+    if counts:
+        keys = [col.alias(name) for name, col in items]
+        aggs = [col.alias(name) for name, col in counts]
+        out = (
+            fr.df.groupBy(*keys).agg(*aggs)
+            if keys
+            else fr.df.agg(*aggs)
+        )
+        out = out.select(*[F.col(f"`{n}`") for n in order_names])
+    else:
+        out = fr.df.select(*[col.alias(name) for name, col in items])
+        if distinct:
+            out = out.distinct()
+
+    if p.take_kw("ORDER"):
+        p.expect_kw("BY")
+        order_cols = []
+        out_names = set(out.columns)
+        while True:
+            save = p.pos
+            v = p.expect(_IDENT, "order key").group(0)
+            if p.take_char("."):
+                prop = p.expect(_IDENT, "property name").group(0)
+                name = f"{v}.{prop}"
+            else:
+                name = v
+            if name not in out_names:
+                p.pos = save
+                raise CypherSyntaxError(
+                    f"ORDER BY key {name!r} must appear in RETURN"
+                )
+            c = F.col(f"`{name}`")
+            if p.take_kw("DESC"):
+                c = c.desc()
+            else:
+                p.take_kw("ASC")
+            order_cols.append(c)
+            if not p.take_char(","):
+                break
+        out = out.orderBy(*order_cols)
+
+    if p.take_kw("LIMIT"):
+        n = p.expect(_NUMBER, "limit count").group(0)
+        out = out.limit(int(n))
+
+    if not p.at_end():
+        raise CypherSyntaxError(f"trailing input: {p.text[p.pos:][:40]!r}")
+    return out
+
+
+# --------------------------------------------------------------------------
+# write statements (the reference's three shapes)
+# --------------------------------------------------------------------------
+
+_LABEL_TABLE = {"Link": "links", "Category": "categories", "Keyword": "keywords"}
+_REL_TABLE = {"BELONGS_TO": "belongs_to", "HAS_KEYWORD": "has_keyword"}
+
+
+def cypher_write(store, query: str, params: dict | None = None) -> None:
+    """Execute a write statement against a :class:`GraphStore`:
+
+    - ``MERGE (:Label {props})`` — node insert-if-absent (M1)
+    - ``MATCH (a:…{…}), (b:…{…}) MERGE (a)-[:REL]->(b)`` — relationship
+      merge between two point-matched nodes (M3; endpoint existence is
+      enforced by :meth:`GraphStore.merge_edges`, J6)
+    - ``MATCH (l:Link {url: $url}) DETACH DELETE l`` — M4
+
+    Matches the reference's exact write surface (``main.py:28-34,
+    120-144, 313-337, 398-425, 490``); anything else raises."""
+    from .model import LINK_COLUMNS
+
+    p = _P(query, params)
+    if p.take_kw("MERGE"):
+        n = p.node()
+        if not p.at_end():
+            raise CypherSyntaxError("MERGE supports a single node pattern")
+        if not n.label:
+            raise CypherSyntaxError("MERGE node needs a label")
+        if n.label == "Link":
+            row = {c: n.props.get(c) for c in LINK_COLUMNS}
+            if row["url"] is None:
+                raise CypherSyntaxError("MERGE (:Link …) requires url")
+            df = store.spark.createDataFrame([tuple(row[c] for c in LINK_COLUMNS)],
+                                             list(LINK_COLUMNS))
+            store.merge_links(df, update=False)
+        else:
+            name = n.props.get("name")
+            if name is None:
+                raise CypherSyntaxError(f"MERGE (:{n.label} …) requires name")
+            df = store.spark.createDataFrame([(name,)], ["name"])
+            store.merge_names(_LABEL_TABLE[n.label], df)
+        return
+
+    p.expect_kw("MATCH")
+    nodes, hops, _groups = p.patterns()
+    if hops:
+        raise CypherSyntaxError("write MATCH patterns must be bare nodes")
+    by_var = {n.var: n for n in nodes}
+
+    if p.take_kw("MERGE"):
+        # (a)-[:REL]->(b)
+        mnodes, mhops = p.chain()
+        if len(mhops) != 1 or not p.at_end():
+            raise CypherSyntaxError("MERGE supports exactly one relationship hop")
+        h = mhops[0]
+        src, dst = (h.src_var, h.dst_var) if h.forward else (h.dst_var, h.src_var)
+        for v in (src, dst):
+            if v not in by_var:
+                raise CypherSyntaxError(f"MERGE references unmatched variable {v!r}")
+        src_key = by_var[src].props.get("url")
+        dst_key = by_var[dst].props.get("name")
+        if src_key is None or dst_key is None:
+            raise CypherSyntaxError(
+                "relationship MERGE needs {url: …} / {name: …} matches"
+            )
+        et = _REL_TABLE[h.rel]
+        dst_col = "dst_category" if et == "belongs_to" else "dst_keyword"
+        df = store.spark.createDataFrame([(src_key, dst_key)], ["src_url", dst_col])
+        store.merge_edges(et, df)
+        return
+
+    if p.take_kw("DETACH"):
+        p.expect_kw("DELETE")
+        v = p.expect(_IDENT, "variable").group(0)
+        if v not in by_var:
+            raise CypherSyntaxError(f"DETACH DELETE references unmatched {v!r}")
+        url = by_var[v].props.get("url")
+        if url is None:
+            raise CypherSyntaxError("DETACH DELETE needs a {url: …} point match")
+        if not p.at_end():
+            raise CypherSyntaxError("trailing input after DETACH DELETE")
+        store.detach_delete_link(url)
+        return
+
+    raise CypherSyntaxError("expected MERGE or DETACH DELETE after MATCH")

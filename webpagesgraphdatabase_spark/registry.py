@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from . import registry_fn, registry_mut, registry_ops
 from .graph import queries as Q
 from .graph.algorithms import bounded_reach, connected_components, pagerank
+from .graph.cypher import cypher
 from .graph.motif import match as motif_match
 from .graph.tpch_adapter import GRAPH_ORACLE_CTE, graph_from_tpch
 
@@ -90,7 +91,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_export_nodes": _g(Q.export_nodes),
     "g_export_edges": _g(Q.export_edges),
     "g_top_keywords": _g(Q.top_keywords),
-    "g_distinct_categories": _g(Q.distinct_categories),
+    # A2, routed through the Cypher front end (graph/cypher.py) so the
+    # translator itself is oracle-checked; semantically identical to
+    # Q.distinct_categories (equivalence pinned in tests/test_cypher.py).
+    "g_distinct_categories": _g(
+        lambda g: cypher(
+            g,
+            "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) "
+            "RETURN DISTINCT c.name AS category",
+        )
+    ),
     "g_point_lookup": _g(Q.point_lookup, LOOKUP_URL),
     "g_sample_links": _g(Q.sample_links),
     "g_viz_slice": _g(Q.viz_slice),
