@@ -135,3 +135,83 @@ def test_token_counts_custom_tokenizer_column(spark):
     assert out.custom_tokens == 5  # un ##aff ##able run ##ning
     # default schema unchanged when no tokenizer is passed
     assert "custom_tokens" not in textstats.token_counts(docs).columns
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge training (Sennrich §3.2 as supersteps)
+# ---------------------------------------------------------------------------
+
+
+def _ref_apply_pair(parts, pa, pb):
+    """Single left-to-right non-overlapping pass (merge_word_bpe's)."""
+    out, i = [], 0
+    while i < len(parts):
+        if i + 1 < len(parts) and (parts[i], parts[i + 1]) == (pa, pb):
+            out.append(pa + pb)
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return out
+
+
+def _ref_train(word_freqs, n_merges, min_freq=2):
+    """Driver-local Sennrich trainer: the independent implementation the
+    distributed supersteps must reproduce exactly."""
+    parts = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            for pair in zip(parts[w], parts[w][1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        best_pair, best_cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0], max(counts.values())
+        if best_cnt < min_freq:
+            break
+        merges.append(best_pair)
+        for w in parts:
+            parts[w] = _ref_apply_pair(parts[w], *best_pair)
+    return merges
+
+
+def test_train_bpe_matches_local_reference_exactly(spark):
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "the lowest newest low",
+        "wider wide wider the the",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+    got = tokenize.train_bpe_merges(df, n_merges=12)
+
+    import re
+    word_freqs = {}
+    rx = re.compile(tokenize.BPE_SPLIT_RE)
+    for t in corpus:
+        for w in rx.findall(t.lower()):
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    want = _ref_train(word_freqs, 12)
+    assert got == want and len(got) > 3
+
+
+def test_trained_merges_reconstruct_words(spark):
+    """Encoding with the trained table must concatenate back to the
+    pre-tokens (BPE is lossless over its alphabet)."""
+    df = spark.createDataFrame(
+        [(1, "banana band bandana banana band")], ["doc_id", "text"]
+    )
+    merges = tokenize.train_bpe_merges(df, n_merges=8, min_freq=1)
+    toks = _toks(spark, "bandana banana", lambda c: tokenize.bpe_tokens(merges, c))
+    assert "".join(toks) == "bandanabanana"
+    assert len(toks) < len("bandanabanana")  # merges actually applied
+
+
+def test_train_bpe_min_freq_stops_early(spark):
+    """All pre-tokens unique -> every pair count is 1 < min_freq=2 ->
+    no merges learned."""
+    df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
+    assert tokenize.train_bpe_merges(df, n_merges=5) == []

@@ -204,3 +204,105 @@ def bpe_tokens(
         return pd.Series([seg_text(t) for t in texts])
 
     return _bpe(F.col(text_col))
+
+
+def train_bpe_merges(
+    docs,
+    n_merges: int = 50,
+    text_col: str = "text",
+    pattern: str = BPE_SPLIT_RE,
+    min_freq: int = 2,
+    max_word_chars: int = 64,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merges table from the corpus (Sennrich et al. 2016
+    §3.2) as DataFrame supersteps — the trainer for :func:`bpe_tokens`.
+
+    The corpus is scanned ONCE into a word-frequency table (the same
+    lowercase + ``pattern`` pre-tokenization :func:`bpe_tokens`
+    applies at encode time); every training iteration then runs on
+    that vocab-bounded table (distinct pre-tokens, ≪ corpus — the same
+    compaction industrial trainers use), so 100 TB of text costs one
+    aggregation plus ``n_merges`` tiny jobs:
+
+    - **count** — adjacent symbol pairs exploded from each word's
+      current segmentation, weighted by word frequency; hash-aggregate
+      with map-side partial agg; the arg-max lands on the driver as ONE
+      row (ties broken by (count desc, pair asc) — a total order, so
+      training is deterministic in any engine/partitioning).
+    - **merge** — the chosen pair applied to every word's segmentation
+      as a single left-to-right non-overlapping pass, expressed as a
+      pure codegen ``aggregate`` lambda (no Python worker): a merged
+      token can never equal the pair's left element (``pa+pb != pa``),
+      so "append or fuse with the accumulator's tail" reproduces
+      :func:`merge_word_bpe`'s one-pass semantics exactly
+      (property-tested against it).
+
+    Per-iteration tables persist/unpersist (the pagerank superstep
+    lineage discipline). Words longer than ``max_word_chars`` are
+    excluded from training (encode time leaves them unmerged anyway);
+    training stops early when the best pair's count drops below
+    ``min_freq``. Returns the ordered merges list ``bpe_tokens``
+    consumes."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") <= max_word_chars)
+        .select("freq", chars.alias("parts"))
+        .persist()
+    )
+    vocab.count()
+
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pair_structs = F.when(
+                F.size("parts") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("parts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("parts", i).alias("pa"),
+                        F.element_at("parts", i + 1).alias("pb"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pa:string,pb:string>>"))
+            best = (
+                vocab.select("freq", F.explode(pair_structs).alias("p"))
+                .groupBy("p.pa", "p.pb")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pa").asc(), F.col("pb").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0].cnt < min_freq:
+                break
+            pa, pb = best[0].pa, best[0].pb
+            merges.append((pa, pb))
+            fused = F.aggregate(
+                "parts",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(pa))
+                    & (x == F.lit(pb)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(pa + pb)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            new_vocab = vocab.select("freq", fused.alias("parts")).persist()
+            new_vocab.count()
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    return merges
