@@ -1432,3 +1432,74 @@ def test_semantic_dedup_auto_sizing_runs_on_corpus(spark):
         assert (r.keep == 1) == (r.dup_of == -1)
         if r.dup_of != -1:
             assert r.dup_of < r.vec_id
+
+
+# ---------------------------------------------------------------------------
+# training-shard writer (packed corpus at rest + manifest)
+# ---------------------------------------------------------------------------
+
+
+def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+    from webpagesgraphdatabase_spark.operators import packing
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    manifest = packing.write_training_shards(docs, path).collect()
+
+    # every document lands in exactly one shard; totals add up
+    assert sum(m.n_docs for m in manifest) == docs.count()
+    direct = packing.pack_sequences(docs)
+    per_shard = {
+        r.shard: (r.n, r.tok)
+        for r in direct.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    for m in manifest:
+        assert per_shard[m.shard] == (m.n_docs, m.n_tokens)
+
+    # at-rest rows are sorted in pack order within each shard
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == manifest[0].shard)
+        .select("seq_id", "seq_offset", "doc_id")
+        .collect()
+    )
+    keys = [(r.seq_id, r.seq_offset, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+    # verifier: consistent directory -> empty report
+    assert packing.verify_shards(spark, path).count() == 0
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+    from webpagesgraphdatabase_spark.operators import packing
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    m1 = {
+        r.shard: r.docs_md5
+        for r in packing.write_training_shards(docs, str(tmp_path / "a")).collect()
+    }
+    m2 = {
+        r.shard: r.docs_md5
+        for r in packing.write_training_shards(docs, str(tmp_path / "b")).collect()
+    }
+    assert m1 == m2
+
+
+def test_verify_shards_catches_tampering(spark, tmp_path):
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+    from webpagesgraphdatabase_spark.operators import packing
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    packing.write_training_shards(docs, path)
+    # tamper: drop one shard's data files entirely
+    import shutil
+
+    victim = next(p for p in (tmp_path / "shards").iterdir() if p.name.startswith("shard="))
+    shutil.rmtree(victim)
+    bad = packing.verify_shards(spark, path).collect()
+    assert len(bad) >= 1
