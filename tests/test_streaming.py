@@ -200,3 +200,47 @@ def test_stateless_pii_scrub_runs_on_streams_unchanged(spark, tmp_path):
         map(tuple, pii.pii_scrub(pii.plant_pii(docs), "text_pii").collect())
     )
     assert got == want and got
+
+
+def test_streaming_segment_dedup_matches_batch_keep_set(spark, tmp_path):
+    """Stream ≡ batch: documents delivered in doc_id order through the
+    segment-dedup stream keep exactly the (doc_id, seg_idx) pairs the
+    batch paragraph_dedup keeps, across a micro-batch boundary."""
+    import datetime as dt
+
+    from webpagesgraphdatabase_spark.operators import dedup as d
+    from webpagesgraphdatabase_spark.streaming.jobs import (
+        run_available_now,
+        streaming_segment_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch_a = [(0, "a b c d", t0), (1, "a b x y", t0 + dt.timedelta(seconds=1))]
+    batch_b = [
+        (2, "c d x y", t0 + dt.timedelta(seconds=2)),  # all segs seen
+        (3, "q r a b", t0 + dt.timedelta(seconds=3)),  # "q r" fresh
+    ]
+    ddl = "doc_id long, text string, ts timestamp_ntz"
+    src = tmp_path / "docs"
+    spark.createDataFrame(batch_a, ddl).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(batch_b, ddl).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*"))
+    out = streaming_segment_dedup(stream, seg_tokens=2)
+    run_available_now(out, "kept_segs", str(tmp_path / "ckpt_segs"))
+
+    got = {(r.doc_id, r.seg_idx) for r in spark.table("kept_segs").collect()}
+
+    all_docs = spark.createDataFrame(batch_a + batch_b, ddl).select("doc_id", "text")
+    flagged = d.doc_segments(all_docs, seg_tokens=2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    want = {
+        (r.doc_id, r.seg_idx)
+        for r in flagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    assert (2, 0) not in got and (3, 0) in got  # doc 2 fully deduped away

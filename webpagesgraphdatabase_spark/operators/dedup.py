@@ -524,6 +524,33 @@ def dedup_clusters(
 SEG_TOKENS = 10
 
 
+def segment_array(
+    mode: str = "chunk", seg_tokens: int = SEG_TOKENS, text_col: str = "text"
+):
+    """Column expression: the ordered segment list of ``text_col`` —
+    row-local (pure codegen), so it runs unchanged on batch and
+    streaming DataFrames (the :mod:`..streaming` twin shares it, same
+    contract as :func:`shingle_array`)."""
+    if mode == "newline":
+        return F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda t: F.trim(t)),
+            lambda t: t != "",
+        )
+    if mode == "chunk":
+        toks = tokens_col(text_col)
+        n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+        return F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_segs),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - F.lit(1)) * seg_tokens + 1, seg_tokens), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    raise ValueError(f"unknown segment mode: {mode!r}")
+
+
 def doc_segments(
     docs: DataFrame,
     mode: str = "chunk",
@@ -545,25 +572,7 @@ def doc_segments(
     slice + array_join, or split) — zero shuffle; the explode is the
     only row expansion and is linear in corpus tokens.
     """
-    if mode == "newline":
-        segl = F.filter(
-            F.transform(F.split(F.col(text_col), r"\n"), lambda t: F.trim(t)),
-            lambda t: t != "",
-        )
-    elif mode == "chunk":
-        toks = tokens_col(text_col)
-        n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
-        segl = F.when(
-            F.size(toks) > 0,
-            F.transform(
-                F.sequence(F.lit(1), n_segs),
-                lambda i: F.array_join(
-                    F.slice(toks, (i - F.lit(1)) * seg_tokens + 1, seg_tokens), " "
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    else:  # pragma: no cover - guarded by tests
-        raise ValueError(f"unknown segment mode: {mode!r}")
+    segl = segment_array(mode, seg_tokens, text_col)
     return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(segl).alias("seg_idx", "seg"),

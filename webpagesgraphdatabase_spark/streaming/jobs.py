@@ -187,3 +187,39 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_segment_dedup(
+    doc_stream: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    mode: str = "chunk",
+    seg_tokens: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the paragraph-dedup keep/drop decision
+    (:func:`..operators.dedup.paragraph_dedup`): each arriving document
+    explodes into its segments *row-locally* (the shared
+    :func:`..operators.dedup.segment_array` expression — batch and
+    stream compile the identical segmentation), then the first
+    occurrence of each segment within the watermark horizon survives
+    via ``dropDuplicatesWithinWatermark`` keyed on the segment text.
+
+    Returns the kept-segment stream (doc_id, seg_idx, seg, ts). State
+    is O(distinct segments per horizon) — evicted as the watermark
+    advances, never O(stream history). Keep-first follows *arrival*
+    order where the batch operator uses (doc_id, seg_idx) order; a
+    source delivering documents in id order makes the two identical
+    (stream ≡ batch is test-pinned under that ordering). Per-document
+    reassembly (concat of surviving segments) is a batch job over the
+    accumulated keep-set — cross-row retrospective work, like the
+    near-dup clustering noted in :mod:`.hygiene`."""
+    from ..operators.dedup import SEG_TOKENS, segment_array
+
+    segl = segment_array(mode, seg_tokens or SEG_TOKENS)
+    return (
+        doc_stream.withColumn("ts", F.col(ts_col).cast("timestamp"))
+        .select("doc_id", "ts", F.posexplode(segl).alias("seg_idx", "seg"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["seg"])
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
