@@ -260,6 +260,18 @@ def main() -> None:
             "d_paragraph_dedup",
             lambda: _force(dedup.paragraph_dedup(docs)),
         )
+        # trained LR quality classifier (r5): training is the one-time
+        # cache-then-iterate job (timed once, like the index builds),
+        # scoring is the per-corpus pure map
+        from webpagesgraphdatabase_spark.operators import textstats
+
+        t0 = time.time()
+        lr_model = textstats.train_quality_classifier(docs)
+        timings["t_quality_lr_train"] = round(time.time() - t0, 3)
+        timed(
+            "t_quality_lr_score",
+            lambda: _force(textstats.quality_lr_score(docs, lr_model)),
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_emb = emb.count()

@@ -1503,3 +1503,63 @@ def test_verify_shards_catches_tampering(spark, tmp_path):
     shutil.rmtree(victim)
     bad = packing.verify_shards(spark, path).collect()
     assert len(bad) >= 1
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (distributed logistic regression)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_separates_synthetic_classes(spark):
+    """Good docs (long, wordy, low stopword share) vs junk (short,
+    stopword-heavy): training must drive loss down and rank every good
+    doc above every junk doc."""
+    good = [
+        (i, "substantial informative paragraph discussing engines " * 8)
+        for i in range(20)
+    ]
+    junk = [(100 + i, "the the a of " * 2) for i in range(20)]
+    docs = spark.createDataFrame(good + junk, ["doc_id", "text"])
+    labels = spark.createDataFrame(
+        [(i, 1.0) for i, _ in good] + [(i, 0.0) for i, _ in junk],
+        "doc_id long, label double",
+    )
+    model = textstats.train_quality_classifier(docs, labels, n_iters=30)
+    assert model["loss"][-1] < model["loss"][0] * 0.5
+    scores = {
+        r.doc_id: r.lr_quality
+        for r in textstats.quality_lr_score(docs, model).collect()
+    }
+    assert min(scores[i] for i, _ in good) > max(scores[i] for i, _ in junk)
+
+
+def test_quality_classifier_weak_labels_default(spark):
+    """Default (no labels): weak supervision from the heuristic rule;
+    the smooth scorer must agree with the hard rule on the real corpus
+    for the vast majority of documents."""
+    from webpagesgraphdatabase_spark.io_tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = textstats.train_quality_classifier(docs, n_iters=25)
+    both = (
+        textstats.quality_lr_score(docs, model)
+        .join(textstats.quality_score(docs), "doc_id")
+        .select(
+            ((F.col("lr_quality") >= 0.5) == (F.col("quality") >= 0.5))
+            .cast("int")
+            .alias("agree")
+        )
+        .agg(F.avg("agree").alias("rate"))
+        .first()
+    )
+    assert both.rate >= 0.9
+
+
+def test_quality_lr_score_is_pure_map(spark):
+    """Scoring must not shuffle and must stay JVM-side (stream-safe)."""
+    docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    model = {"weights": [0.1, 0.2, 0.3, -0.4, 0.5], "mean": [1, 2, 3, 4], "std": [1, 1, 1, 1]}
+    df = textstats.quality_lr_score(docs, model)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -348,3 +348,142 @@ def trigram_score(docs: DataFrame, scale: int = TRIGRAM_SCALE) -> DataFrame:
             .alias("tri_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# trained quality classifier (distributed logistic regression)
+# --------------------------------------------------------------------------
+
+#: Feature expressions for the quality classifier, in weight order.
+#: Row-local codegen only — so scoring is a pure map (stream-safe) and
+#: training iterations scan a persisted 4-column table, not raw text.
+_QUALITY_FEATS = ("f_log_tokens", "f_mean_len", "f_stop_ratio", "f_log_chars")
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, f_log_tokens, f_mean_len, f_stop_ratio, f_log_chars):
+    the classifier's feature vector — log-damped length signals plus
+    the composition ratios :func:`quality_score` uses, all pure column
+    algebra over one pass of the text."""
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tokens_col().alias("toks"),
+    )
+    stats = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)").alias(
+            "sum_len"
+        ),
+        _count_in("toks", STOPWORDS).alias("n_stop"),
+        "n_chars",
+    ).filter(F.col("n_tokens") > 0)
+    return stats.select(
+        "doc_id",
+        F.log1p("n_tokens").alias("f_log_tokens"),
+        (F.col("sum_len") / F.col("n_tokens")).alias("f_mean_len"),
+        (F.col("n_stop") / F.col("n_tokens")).alias("f_stop_ratio"),
+        F.log1p("n_chars").alias("f_log_chars"),
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    labels: DataFrame | None = None,
+    n_iters: int = 40,
+    lr: float = 1.0,
+) -> dict:
+    """Train a logistic-regression quality classifier as gradient
+    supersteps — the fastText-style linear quality filter real corpus
+    pipelines run (e.g. GPT-3/CCNet quality scoring), trained
+    *distributively*: the corpus is featurized once into a persisted
+    4-column table, and each full-batch gradient step is one scan of
+    that table producing a single 6-number row on the driver (avg
+    residual × feature per weight) — the cache-then-iterate shape
+    Spark's own MLlib GLMs use. No MLlib dependency: the loop is ~20
+    lines of DataFrame aggregation.
+
+    ``labels`` is (doc_id, label∈{0,1}); default is weak supervision
+    from the heuristic: label = 1 where :func:`quality_score`'s
+    composite ≥ 0.5 (bootstrapping a *smooth, trainable* scorer from a
+    hard rule — the standard pipeline move; swap in human labels when
+    they exist). Features are standardized (one agg job) so one
+    learning rate fits all dimensions.
+
+    Returns ``{"weights": [bias, w…], "mean": […], "std": […],
+    "loss": […per-iteration log-loss…]}`` — everything
+    :func:`quality_lr_score` needs to score new documents as a pure
+    map."""
+    import math
+
+    if labels is None:
+        labels = quality_score(docs).select(
+            "doc_id", (F.col("quality") >= 0.5).cast("double").alias("label")
+        )
+    feats = quality_features(docs).join(labels, "doc_id")
+
+    mom = feats.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in _QUALITY_FEATS],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in _QUALITY_FEATS],
+    ).first()
+    mean = [float(mom[f"m_{c}"]) for c in _QUALITY_FEATS]
+    std = [max(float(mom[f"s_{c}"] or 0.0), 1e-9) for c in _QUALITY_FEATS]
+
+    z = feats.select(
+        "label",
+        *[
+            ((F.col(c) - mean[i]) / std[i]).alias(c)
+            for i, c in enumerate(_QUALITY_FEATS)
+        ],
+    ).persist()
+    z.count()
+
+    w = [0.0] * (1 + len(_QUALITY_FEATS))  # [bias, w1..w4]
+    losses: list[float] = []
+    try:
+        for _ in range(n_iters):
+            margin = F.lit(w[0])
+            for i, c in enumerate(_QUALITY_FEATS):
+                margin = margin + F.col(c) * F.lit(w[i + 1])
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            eps = 1e-12
+            row = z.agg(
+                F.avg(p - F.col("label")).alias("g0"),
+                *[
+                    F.avg((p - F.col("label")) * F.col(c)).alias(f"g{i + 1}")
+                    for i, c in enumerate(_QUALITY_FEATS)
+                ],
+                F.avg(
+                    -(
+                        F.col("label") * F.log(p + eps)
+                        + (1 - F.col("label")) * F.log(1 - p + eps)
+                    )
+                ).alias("loss"),
+            ).first()
+            losses.append(float(row["loss"]))
+            w = [
+                w[i] - lr * float(row[f"g{i}"])
+                for i in range(len(w))
+            ]
+            if not all(math.isfinite(x) for x in w):  # pragma: no cover
+                raise ArithmeticError("diverged; lower lr")
+    finally:
+        z.unpersist()
+    return {"weights": w, "mean": mean, "std": std, "loss": losses}
+
+
+def quality_lr_score(docs: DataFrame, model: dict) -> DataFrame:
+    """(doc_id, lr_quality): the trained classifier's P(good) per
+    document — a pure row-local map (featurize + standardize with the
+    model's constants + sigmoid), no shuffle, no Python worker, so it
+    runs unchanged on streams and fuses with the corpus scan."""
+    w, mean, std = model["weights"], model["mean"], model["std"]
+    feats = quality_features(docs)
+    margin = F.lit(w[0])
+    for i, c in enumerate(_QUALITY_FEATS):
+        margin = margin + ((F.col(c) - mean[i]) / std[i]) * F.lit(w[i + 1])
+    return feats.select(
+        "doc_id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("lr_quality"),
+    )
