@@ -1563,3 +1563,26 @@ def test_quality_lr_score_is_pure_map(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_flags_boilerplate_without_whole_doc_dup(spark):
+    """A document stitched from segments of two other documents is
+    flagged 'boilerplate' by the segment-dedup rule even though no
+    whole-document rule (exact/near dup) fires."""
+    from webpagesgraphdatabase_spark.operators import curation
+
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {uniq1}"),
+            (2, f"{seg_b} {uniq2}"),
+            (3, f"{seg_a} {seg_b}"),  # both segments already seen
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in curation.curation_report(docs).collect()}
+    assert out[1].keep == 1 and out[2].keep == 1
+    assert out[3].reasons == "boilerplate" and out[3].keep == 0

@@ -10,7 +10,10 @@ individually-oracle-checked operators:
 - exact duplicate (content-hash dedup,
   :func:`..operators.dedup.dedup_exact`),
 - near duplicate (MinHash → LSH → Jaccard verify → connected
-  components, :func:`..operators.dedup.dedup_clusters`).
+  components, :func:`..operators.dedup.dedup_clusters`),
+- boilerplate (CCNet-style segment dedup: fraction of a document's
+  segments already seen in earlier documents,
+  :func:`..operators.dedup.paragraph_dedup`).
 
 One row per document: the drop reasons that fired (sorted, stable) and
 the final keep flag. Every threshold is an exact integer ratio and
@@ -42,6 +45,12 @@ MIN_TOKENS = 5
 #: compared in integers.
 REP_NUM, REP_DEN = 1, 5
 
+#: Drop when n_dropped_segments/n_segments ≥ BOILER_NUM/BOILER_DEN —
+#: a document that is mostly segments already seen elsewhere is
+#: cross-document boilerplate even when no whole-document dup rule
+#: fires (the CCNet paragraph-dedup keep/drop consequence, integerized).
+BOILER_NUM, BOILER_DEN = 3, 5
+
 
 def curation_report_with_audit(
     docs: DataFrame,
@@ -52,6 +61,8 @@ def curation_report_with_audit(
     persist_shingles: bool = False,
     checkpoint_dir: str | None = None,
     hasher: str = "md5",
+    boiler_num: int = BOILER_NUM,
+    boiler_den: int = BOILER_DEN,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`curation_report` plus the LSH degenerate-bucket audit as a
     second DataFrame — (n_dropped_buckets, n_dropped_rows, max_bucket),
@@ -64,7 +75,7 @@ def curation_report_with_audit(
     observing the cap adds no second corpus scan."""
     return _curation(
         docs, min_tokens, rep_num, rep_den, max_bucket,
-        persist_shingles, checkpoint_dir, hasher,
+        persist_shingles, checkpoint_dir, hasher, boiler_num, boiler_den,
     )
 
 
@@ -77,12 +88,14 @@ def curation_report(
     persist_shingles: bool = False,
     checkpoint_dir: str | None = None,
     hasher: str = "md5",
+    boiler_num: int = BOILER_NUM,
+    boiler_den: int = BOILER_DEN,
 ) -> DataFrame:
     """(doc_id, n_tokens, reasons, keep): ``reasons`` is the
     comma-joined, fixed-order list of drop rules that fired
-    (``contaminated,exact_dup,near_dup,repetitive,too_short`` order —
-    alphabetical, so the string is deterministic), ``keep`` is 1 iff
-    none fired.
+    (``boilerplate,contaminated,exact_dup,near_dup,repetitive,
+    too_short`` order — alphabetical, so the string is deterministic),
+    ``keep`` is 1 iff none fired.
 
     Documents in the benchmark slice (``contamination``'s holdout) are
     never flagged contaminated — they *are* the benchmark. Exact
@@ -92,7 +105,7 @@ def curation_report(
     """
     report, _ = _curation(
         docs, min_tokens, rep_num, rep_den, max_bucket,
-        persist_shingles, checkpoint_dir, hasher,
+        persist_shingles, checkpoint_dir, hasher, boiler_num, boiler_den,
     )
     return report
 
@@ -106,6 +119,8 @@ def _curation(
     persist_shingles: bool,
     checkpoint_dir: str | None,
     hasher: str = "md5",
+    boiler_num: int = BOILER_NUM,
+    boiler_den: int = BOILER_DEN,
 ) -> tuple[DataFrame, DataFrame]:
     # One shingle definition feeds both shingle consumers (the
     # contamination probe and the LSH→Jaccard near-dup pass). By
@@ -132,6 +147,7 @@ def _curation(
     near = dedup.dedup_clusters(
         docs, sh=sh, max_bucket=max_bucket, hasher=hasher
     ).select("doc_id", "canon_id")
+    para = dedup.paragraph_dedup(docs).select("doc_id", "n_segs", "n_dropped")
 
     ann = (
         docs.select("doc_id", F.md5("text").alias("text_hash"))
@@ -140,10 +156,16 @@ def _curation(
         .join(cont, "doc_id", "left")
         .join(exact, "text_hash")
         .join(near, "doc_id", "left")
+        .join(para, "doc_id")
     )
     flags = ann.select(
         "doc_id",
         F.col("ws_tokens").alias("n_tokens"),
+        F.when(
+            (F.col("n_segs") > 0)
+            & (F.col("n_dropped") * boiler_den >= F.col("n_segs") * boiler_num),
+            F.lit("boilerplate"),
+        ).alias("r_boiler"),
         F.when(F.coalesce(F.col("contaminated"), F.lit(0)) == 1, F.lit("contaminated")).alias("r_cont"),
         F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup")).alias("r_exact"),
         F.when(
@@ -159,7 +181,7 @@ def _curation(
     # concat_ws skips NULLs in both engines — the fired reasons join
     # into one stable string with no filter step
     reasons = F.concat_ws(
-        ",", "r_cont", "r_exact", "r_near", "r_rep", "r_short"
+        ",", "r_boiler", "r_cont", "r_exact", "r_near", "r_rep", "r_short"
     )
     report = flags.select(
         "doc_id",

@@ -1645,11 +1645,35 @@ cflag AS (
   FROM csizes s LEFT JOIN chits h ON s.doc_id = h.doc_id
 ),
 exact AS (SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
-          FROM documents GROUP BY md5(text))
+          FROM documents GROUP BY md5(text)),
+seg_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_transform(generate_series(1, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+             i -> array_to_string(list_slice(toks, (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' '))
+         ELSE [] END AS segl
+  FROM toks
+),
+segd AS (
+  SELECT doc_id, generate_subscripts(segl, 1) - 1 AS seg_idx, unnest(segl) AS seg
+  FROM seg_lists
+),
+seg_flagged AS (
+  SELECT doc_id, seg_idx,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segd
+),
+seg_perdoc AS (
+  SELECT doc_id, count(*) AS n_segs,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_drop
+  FROM seg_flagged GROUP BY doc_id
+)
 SELECT doc_id, n_tokens, reasons, CAST(reasons = '' AS INT) AS keep FROM (
   SELECT t.doc_id,
          len(t.toks) AS n_tokens,
          concat_ws(',',
+           CASE WHEN sp.n_segs > 0 AND sp.n_seg_drop * 5 >= sp.n_segs * 3
+                THEN 'boilerplate' END,
            CASE WHEN coalesce(cf.contaminated, 0) = 1 THEN 'contaminated' END,
            CASE WHEN t.doc_id <> e.keep_id THEN 'exact_dup' END,
            CASE WHEN c.canon_id IS NOT NULL AND t.doc_id <> c.canon_id
@@ -1660,6 +1684,7 @@ SELECT doc_id, n_tokens, reasons, CAST(reasons = '' AS INT) AS keep FROM (
   JOIN documents d ON d.doc_id = t.doc_id
   JOIN rep_agg r ON r.doc_id = t.doc_id
   JOIN exact e ON e.text_hash = md5(d.text)
+  LEFT JOIN seg_perdoc sp ON sp.doc_id = t.doc_id
   LEFT JOIN cflag cf ON cf.doc_id = t.doc_id
   LEFT JOIN comp c ON c.node_id = t.doc_id
 )
