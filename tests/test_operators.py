@@ -1586,3 +1586,54 @@ def test_curation_flags_boilerplate_without_whole_doc_dup(spark):
     out = {r.doc_id: r for r in curation.curation_report(docs).collect()}
     assert out[1].keep == 1 and out[2].keep == 1
     assert out[3].reasons == "boilerplate" and out[3].keep == 0
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_requires_strict_order(spark):
+    """User 1 converts in order; user 2 has all three event types but
+    purchase precedes click, so the chain stops at depth 2; user 3
+    never views -> absent from the funnel output."""
+    t = datetime.datetime(2024, 1, 1)
+
+    def e(eid, ts_min, uid, typ):
+        return (eid, t + datetime.timedelta(minutes=ts_min), uid, typ, 1.0, "{}")
+
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    ev_df = spark.createDataFrame(
+        [
+            e(1, 0, 1, "view"), e(2, 5, 1, "click"), e(3, 9, 1, "purchase"),
+            e(4, 0, 2, "purchase"), e(5, 3, 2, "view"), e(6, 7, 2, "click"),
+            e(7, 1, 3, "click"), e(8, 2, 3, "purchase"),
+        ],
+        ddl,
+    )
+    out = {r.user_id: r for r in ev.funnel(ev_df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].funnel_depth == 3
+    assert out[2].funnel_depth == 2 and out[2].ts_purchase is None
+
+
+def test_funnel_strictly_after_not_equal(spark):
+    """A click at exactly the view's timestamp does not count (strict)."""
+    t = datetime.datetime(2024, 1, 1)
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    ev_df = spark.createDataFrame(
+        [
+            (1, t, 1, "view", 1.0, "{}"),
+            (2, t, 1, "click", 1.0, "{}"),
+            (3, t + datetime.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        ],
+        ddl,
+    )
+    row = ev.funnel(ev_df, steps=("view", "click")).collect()[0]
+    assert row.ts_click == t + datetime.timedelta(minutes=1)

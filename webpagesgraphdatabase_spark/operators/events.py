@@ -302,3 +302,52 @@ def multi_resolution_rollup(
         "n_events",
         F.round(F.col("sum_value"), 6).alias("total_value"),
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered-funnel analysis (reference has no event analytics; this
+    is the classic product-analytics sequence query): per user, the
+    earliest occurrence of ``steps[0]``, then the earliest ``steps[1]``
+    *strictly after* it, and so on — a user "converts" through step k
+    only if the steps happened in order, not merely all happened.
+
+    Returns one row per user who reached step 1: (user_id,
+    ts_<step>… one column per step, NULL once the chain breaks,
+    funnel_depth = number of steps reached). Timestamps make the chain
+    auditable; ``funnel_depth`` alone feeds conversion rates.
+
+    Scale shape: one filtered aggregation per step, each a partial-agg
+    ``groupBy(user_id)`` min — k shuffles on the same key for a
+    k-step funnel (co-partitioned after the first; AQE coalesces), no
+    window over raw events and nothing quadratic. The strictly-after
+    comparison happens *after* the per-user min of the previous stage
+    is known — a join against an aggregate ≪ raw events."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    prev = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias(f"ts_{steps[0]}"))
+    )
+    out = prev
+    for i, step in enumerate(steps[1:], start=1):
+        prev_col = f"ts_{steps[i - 1]}"
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(out.select("user_id", prev_col), "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"ts_{step}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    depth = F.lit(0)
+    for step in steps:
+        depth = depth + F.col(f"ts_{step}").isNotNull().cast("int")
+    return out.select(
+        "user_id", *[f"ts_{s}" for s in steps], depth.alias("funnel_depth")
+    )

@@ -326,6 +326,24 @@ def _q_dedup_exact_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_rollup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity rollup joined with the ordered view→click→
+    purchase funnel in one row per user: both operators run unchanged;
+    users who never viewed carry NULL stage timestamps and depth 0."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = events.user_rollup(ev)
+    fun = events.funnel(ev)
+    return roll.join(fun, "user_id", "left").select(
+        roll["*"],
+        "ts_view",
+        "ts_click",
+        "ts_purchase",
+        F.coalesce(F.col("funnel_depth"), F.lit(0)).alias("funnel_depth"),
+    )
+
+
 def _q_cosine_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive cosine near-dup pairs AND SemDeDup's cluster-bucketed
     per-vector verdicts in one tagged union: ``part='pair'`` rows are
@@ -380,7 +398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": _on("documents", multimodal.frame_sample),
     "mm_decode_resize": _q_decode_resize,
     # --- event analytics (events) ---
-    "e_user_rollup": _on("events", events.user_rollup),
+    "e_user_rollup": lambda spark, sf_dir: _q_user_rollup_funnel(spark, sf_dir),
     "e_top_events_per_user": _on("events", events.top_events_per_user),
     "e_sessionize": _on("events", events.sessionize),
     "e_windowed_counts": lambda spark, sf_dir: _q_windowed_active(spark, sf_dir),
@@ -1150,11 +1168,40 @@ FROM dims
 """,
     # --- event analytics ---
     "e_user_rollup": """
-SELECT user_id, count(*) AS n_events,
-       count(DISTINCT event_type) AS n_types,
-       round(sum(value), 6) AS total_value,
-       min(ts) AS first_ts, max(ts) AS last_ts
-FROM events GROUP BY user_id
+WITH roll AS (
+  SELECT user_id, count(*) AS n_events,
+         count(DISTINCT event_type) AS n_types,
+         round(sum(value), 6) AS total_value,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+s1 AS (
+  SELECT user_id, min(ts) AS ts_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS ts_click
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.ts_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts_purchase
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_click
+  GROUP BY e.user_id
+)
+SELECT r.user_id, r.n_events, r.n_types, r.total_value, r.first_ts, r.last_ts,
+       s1.ts_view, s2.ts_click, s3.ts_purchase,
+       CAST(
+         (CASE WHEN s1.ts_view IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN s2.ts_click IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN s3.ts_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT
+       ) AS funnel_depth
+FROM roll r
+LEFT JOIN s1 ON s1.user_id = r.user_id
+LEFT JOIN s2 ON s2.user_id = r.user_id
+LEFT JOIN s3 ON s3.user_id = r.user_id
 """,
     "e_top_events_per_user": """
 SELECT user_id, rank, event_id, value FROM (
