@@ -1,0 +1,118 @@
+"""Document-corpus sources beyond the test parquet: schema-enforced
+JSONL ingestion with a reject side-output.
+
+Web-scale text corpora arrive as JSON-lines (one doc per line —
+Common Crawl derivatives, data-exchange dumps); the reference ingests
+only CSV (``main.py:217-356``, mirrored by ``serving.preload_csv``).
+This module is the JSONL front door with the same hygiene discipline
+the CSV path has: declared schema (never inference — a schema-inference
+pass over 100 TB is a full extra scan), malformed lines quarantined to
+a side-output instead of poisoning the run, and a one-shot conversion
+into Parquet, because JSON is a *landing* format, not a query format
+(no column pruning, no predicate pushdown, full-text parse per row).
+
+Scale notes:
+
+- ``PERMISSIVE`` mode parses each line once; corrupt lines surface in
+  ``_corrupt_record`` instead of failing the job (a single bad line
+  must not kill a 100 TB backfill).
+- The reject filter runs in the same scan — no second pass; rejects
+  carry the raw line and a reason column for operator triage
+  (the ``pipeline.py`` reject-side-output convention).
+- ``to_parquet`` is the landing→warehouse hop: one scan of the JSONL,
+  written as Parquet so every downstream operator gets pushdown and
+  pruning. Re-reading JSONL per query is the anti-pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: documents-table schema (TESTDATA.md) + the corrupt-line channel.
+DOC_FIELDS: tuple[tuple[str, T.DataType], ...] = (
+    ("doc_id", T.LongType()),
+    ("text", T.StringType()),
+    ("lang", T.StringType()),
+    ("source", T.StringType()),
+    ("n_chars", T.LongType()),
+)
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _doc_schema() -> T.StructType:
+    return T.StructType(
+        [T.StructField(n, t) for n, t in DOC_FIELDS]
+        + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, required: tuple[str, ...] = ("doc_id", "text")
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL document corpus under a declared schema.
+
+    Returns ``(docs, rejects)``:
+
+    - ``docs`` — rows that parsed AND carry every ``required`` column
+      non-null, projected to the documents-table schema.
+    - ``rejects`` — quarantined rows: (reason, raw) where reason is
+      ``malformed`` (unparseable line; ``raw`` is the original text) or
+      ``missing:<col>`` (parsed but a required field is null; ``raw``
+      is the row re-serialized to JSON).
+
+    Both sides come from ONE scan (the reject filter is a projection of
+    the same parsed rows). Type mismatches (e.g. a string doc_id that
+    is not a number) parse to null under PERMISSIVE and are caught by
+    the required-column gate."""
+    raw = spark.read.schema(_doc_schema()).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", CORRUPT_COL
+    ).json(path)
+
+    doc_cols = [n for n, _ in DOC_FIELDS]
+    ok = F.col(CORRUPT_COL).isNull()
+    for c in required:
+        ok = ok & F.col(c).isNotNull()
+
+    docs = raw.filter(ok).select(*doc_cols)
+
+    missing_reason = F.concat(
+        F.lit("missing:"),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(F.col(c).isNull(), F.lit(c))
+                for c in required
+            ],
+        ),
+    )
+    rejects = raw.filter(~ok).select(
+        F.when(F.col(CORRUPT_COL).isNotNull(), F.lit("malformed"))
+        .otherwise(missing_reason)
+        .alias("reason"),
+        F.coalesce(
+            F.col(CORRUPT_COL),
+            F.to_json(F.struct(*doc_cols)),
+        ).alias("raw"),
+    )
+    return docs, rejects
+
+
+def to_parquet(
+    spark: SparkSession,
+    jsonl_path: str,
+    parquet_path: str,
+    rejects_path: str | None = None,
+) -> DataFrame:
+    """Land a JSONL corpus into Parquet (the query format): one scan,
+    good rows written columnar, rejects written as JSON beside them
+    when ``rejects_path`` is given. Returns the landed docs DataFrame
+    re-read from Parquet (so downstream plans scan Parquet, with
+    pushdown, not the JSON)."""
+    docs, rejects = read_documents_jsonl(spark, jsonl_path)
+    docs.write.mode("overwrite").parquet(parquet_path)
+    if rejects_path is not None:
+        rejects.write.mode("overwrite").json(rejects_path)
+    return spark.read.parquet(parquet_path)
