@@ -1,0 +1,31 @@
+"""Registry-wide plan lint: every driver-gate query's physical plan is
+free of the two scale anti-patterns —
+
+- ``CartesianProduct`` (an unconstrained pair blowup; the deliberate
+  tiny-broadcast argmax crosses plan as ``BroadcastNestedLoopJoin …
+  Cross`` and are allowed),
+- ``BatchEvalPython`` (row-at-a-time pickled Python; Arrow-batched
+  ``ArrowEvalPython`` is the sanctioned Python boundary).
+
+This is the `.explain`-review loop mechanized: a regression that slips
+one of these into any of the ~50 registry plans fails here at sf0.001,
+not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_plan_free_of_scale_antipatterns(spark, name, tmp_path):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python\n{plan}"
