@@ -168,3 +168,34 @@ def test_bounded_reach_approx_mode_matches_exact_on_small_graph(spark):
         for r in bounded_reach(g, exact=False).collect()
     }
     assert exact == approx
+
+
+def test_label_propagation_two_dense_communities(spark):
+    """Two keyword-dense link groups joined by a single bridge edge:
+    after propagation each dense group shares one community label, and
+    the groups' labels differ."""
+    from webpagesgraphdatabase_spark.graph.algorithms import label_propagation
+
+    left = [(l, k) for l in ("a1", "a2", "a3") for k in ("KA", "KB")]
+    right = [(l, k) for l in ("b1", "b2", "b3") for k in ("KX", "KY")]
+    bridge = [("a1", "KX")]
+    g = _graph(spark, left + right + bridge)
+    comm = {r.node_id: r.community for r in label_propagation(g).collect()}
+
+    left_nodes = {f"Link:{l}" for l in ("a1", "a2", "a3")}
+    right_nodes = {f"Link:{l}" for l in ("b1", "b2", "b3")}
+    left_labels = {comm[n] for n in left_nodes}
+    right_labels = {comm[n] for n in right_nodes - {"Link:b1"}} | {comm["Link:b1"]}
+    assert len(left_labels) == 1
+    assert len(right_labels) == 1
+    assert left_labels != right_labels
+
+
+def test_label_propagation_deterministic(spark):
+    from webpagesgraphdatabase_spark.graph.algorithms import label_propagation
+
+    g = _graph(spark, [("a", "K1"), ("b", "K1"), ("b", "K2"), ("c", "K2")])
+    r1 = sorted(map(tuple, label_propagation(g).collect()))
+    r2 = sorted(map(tuple, label_propagation(g).collect()))
+    assert r1 == r2
+    assert len(r1) == 5  # every node (3 links + 2 keywords) labeled once

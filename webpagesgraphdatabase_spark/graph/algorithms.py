@@ -288,3 +288,60 @@ def bounded_reach(
         r = pairs.groupBy("src").agg(count_fn("*").alias(f"n_reach_{h}"))
         out = r if out is None else out.join(r, "src")
     return out.withColumnRenamed("src", "node_id")
+
+
+def label_propagation(g: PropertyGraph, iterations: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the Link↔Keyword graph: (node_id, community).
+
+    Every node starts labeled with its own id; each superstep every
+    node adopts the most frequent label among its neighbors, ties
+    broken toward the lexicographically smallest label — a total order,
+    so the fixed-``iterations`` run is deterministic and reproducible
+    in any engine (the registry oracle unrolls the same recurrence as
+    chained CTEs, the :func:`pagerank` discipline). Classic LPA
+    iterates to convergence with random tie-breaks; the deterministic
+    fixed-step variant trades some community quality for a checkable
+    contract. Synchronous updates can oscillate on bipartite structure
+    — with fixed iterations that is part of the defined output, and an
+    odd step count lets Link-side labels reach other Links (via their
+    shared Keyword) and settle.
+
+    Scale shape per superstep: one equi-join of the edge list against
+    the current (node, label) table, a partial-agg count on
+    (dst, label), and an argmax window partitioned by dst (unique key,
+    no skew beyond true hub degree). Labels persist per superstep with
+    the same lineage control as :func:`pagerank`."""
+    from pyspark.sql import Window
+
+    edges = bipartite_edges(g).persist()
+    labels = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .select("node_id", F.col("node_id").alias("community"))
+        .persist()
+    )
+    labels.count()
+    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("nl").asc())
+    for _ in range(iterations):
+        counts = (
+            edges.join(
+                labels.select(
+                    F.col("node_id").alias("src"), F.col("community").alias("nl")
+                ),
+                "src",
+            )
+            .groupBy("dst", "nl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new_labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node_id"), F.col("nl").alias("community"))
+            .persist()
+        )
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+    edges.unpersist()
+    return labels

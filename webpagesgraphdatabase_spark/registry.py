@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from . import registry_fn, registry_mut, registry_ops
 from .graph import queries as Q
-from .graph.algorithms import bounded_reach, connected_components, pagerank
+from .graph.algorithms import (
+    bounded_reach,
+    connected_components,
+    label_propagation,
+    pagerank,
+)
 from .graph.cypher import cypher
 from .graph.motif import match as motif_match
 from .graph.tpch_adapter import GRAPH_ORACLE_CTE, graph_from_tpch
@@ -114,11 +119,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fixpoint is a WITH RECURSIVE closure (see _pagerank_oracle /
     # _COMPONENTS_ORACLE below)
     "g_pagerank": _g(pagerank),
-    # components + the var-length bounded-reach counts share one row
-    # (joined on node_id — same bipartite graph, same node set), keeping
-    # the Cypher `[*1..h]` analog hash-checked inside the 50-row gate
+    # components + the var-length bounded-reach counts + label-propagation
+    # communities share one row (joined on node_id — same bipartite
+    # graph, same node set), keeping the Cypher `[*1..h]` analog AND the
+    # third iterative algorithm hash-checked inside the 50-row gate
     "g_components": _g(
-        lambda g: connected_components(g).join(bounded_reach(g), "node_id")
+        lambda g: connected_components(g)
+        .join(bounded_reach(g), "node_id")
+        .join(label_propagation(g), "node_id")
     ),
 }
 
@@ -323,9 +331,30 @@ r{i} AS (
 # (along the path from m, every hop carries a label smaller than the
 # node it reaches), so min(label) per node is exactly the component id
 # graph/algorithms.py converges to.
+def _lpa_ctes(iterations: int = 3) -> str:
+    """Synchronous label propagation unrolled to ``iterations`` chained
+    CTEs — the exact fixed-step recurrence of
+    :func:`..graph.algorithms.label_propagation` (argmax by count desc,
+    label asc)."""
+    steps = [",\nlp0 AS (SELECT node_id, node_id AS community FROM nodes)"]
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+lp{i} AS (
+  SELECT node_id, community FROM (
+    SELECT e.dst AS node_id, l.community,
+           row_number() OVER (PARTITION BY e.dst
+             ORDER BY count(*) DESC, l.community ASC) AS rn
+    FROM edges e JOIN lp{i - 1} l ON l.node_id = e.src
+    GROUP BY e.dst, l.community
+  ) WHERE rn = 1
+)""")
+    return "".join(steps)
+
+
 _COMPONENTS_ORACLE = (
     GRAPH_ORACLE_CTE
     + _BIPARTITE_CTE
+    + _lpa_ctes()
     + """,
 walk AS (
   SELECT node_id, node_id AS label FROM nodes
@@ -345,8 +374,11 @@ p2 AS (
 ),
 r1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach_1 FROM p1 GROUP BY src),
 r2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach_2 FROM p2 GROUP BY src)
-SELECT c.node_id, c.component, r1.n_reach_1, r2.n_reach_2
-FROM comp c JOIN r1 ON c.node_id = r1.src JOIN r2 ON c.node_id = r2.src
+SELECT c.node_id, c.component, r1.n_reach_1, r2.n_reach_2, lp.community
+FROM comp c
+JOIN r1 ON c.node_id = r1.src
+JOIN r2 ON c.node_id = r2.src
+JOIN lp3 lp ON c.node_id = lp.node_id
 """
 ).replace("WITH link_base", "WITH RECURSIVE link_base", 1)
 
