@@ -1637,3 +1637,24 @@ def test_funnel_strictly_after_not_equal(spark):
     )
     row = ev.funnel(ev_df, steps=("view", "click")).collect()[0]
     assert row.ts_click == t + datetime.timedelta(minutes=1)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """merge_asof(tolerance=...) parity: a prior ref older than the
+    tolerance comes back null; a fresh one still matches; untolerated
+    call keeps both."""
+    t = datetime.datetime(2024, 1, 1)
+    probe = spark.createDataFrame(
+        [(1, t + datetime.timedelta(seconds=30)), (1, t + datetime.timedelta(seconds=300))],
+        "user_id long, ts timestamp_ntz",
+    )
+    ref = spark.createDataFrame(
+        [(1, t, 7, 0.5)],
+        "user_id long, ts timestamp_ntz, ref_id long, ref_value double",
+    )
+    loose = {r.ts: r.ref_id for r in ev.asof_join(probe, ref).collect()}
+    tight = {r.ts: r.ref_id for r in ev.asof_join(probe, ref, tolerance_s=60).collect()}
+    assert loose[t + datetime.timedelta(seconds=30)] == 7
+    assert loose[t + datetime.timedelta(seconds=300)] == 7
+    assert tight[t + datetime.timedelta(seconds=30)] == 7
+    assert tight[t + datetime.timedelta(seconds=300)] is None

@@ -116,6 +116,7 @@ def asof_join(
     by: str = "user_id",
     ts: str = "ts",
     ref_cols: tuple[str, ...] = ("ref_id", "ref_value"),
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """As-of join: every probe row annotated with the columns of the
     *latest strictly-prior* reference row for its ``by`` key —
@@ -134,6 +135,12 @@ def asof_join(
 
     ``ref`` must be unique per (by, ts) — dedupe upstream (e.g.
     ``max_by`` on an id) or the carried row is engine-dependent.
+
+    ``tolerance_s`` (pandas ``merge_asof(tolerance=…)`` parity): when
+    set, a prior reference row counts only if it is at most that many
+    seconds older than the probe row — staler matches come back null.
+    Implemented by carrying the matched reference timestamp in the
+    same window pass (no extra shuffle) and nulling in the projection.
 
     Scale shape: the window partitions on the join key (same key any
     equi-join would shuffle on; skew = one hot user's events, bounded
@@ -172,10 +179,24 @@ def asof_join(
             .alias(c)
             for c in ref_cols
         ],
+        F.last(F.when(F.col("_side") == 1, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("_ref_ts"),
     )
-    return carried.filter(F.col("_side") == 0).select(
-        by, ts, *missing, *ref_cols
-    )
+    out = carried.filter(F.col("_side") == 0)
+    if tolerance_s is not None:
+        # interval arithmetic works for TIMESTAMP and TIMESTAMP_NTZ alike
+        fresh = (F.col(ts) - F.col("_ref_ts")) <= F.expr(
+            f"INTERVAL {int(tolerance_s)} SECOND"
+        )
+        out = out.select(
+            by,
+            ts,
+            "_side",
+            *missing,
+            *[F.when(fresh, F.col(c)).alias(c) for c in ref_cols],
+        )
+    return out.select(by, ts, *missing, *ref_cols)
 
 
 def range_join(
