@@ -63,3 +63,42 @@ def test_drop_all_reinit(spark, tmp_path):
     wh.create_table("t", SCHEMA)
     wh.drop_all()
     assert wh.list_tables() == []
+
+
+def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
+    """A table fragmented into many tiny files compacts to few files
+    with identical data; old version stays until vacuum."""
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    wh.create_table("frag", df.schema)
+    wh.overwrite("frag", df.repartition(64))  # 64 slivers
+    before = wh.file_stats("frag")
+    assert before["n_files"] == 64
+
+    report = wh.compact("frag", target_file_bytes=10 * 1024 * 1024)
+    assert report["after"]["n_files"] < before["n_files"]
+    assert report["after"]["total_bytes"] > 0
+
+    got = sorted((r.id, r.v) for r in wh.read("frag").collect())
+    assert got == [(i, 2 * i) for i in range(10_000)]
+    # versioned: the pre-compaction version is still readable
+    # (v1 empty create, v2 fragmented write, v3 compacted)
+    assert len(wh.list_versions("frag")) == 3
+
+
+def test_compact_partitioned_table_keeps_partition_layout(spark, tmp_path):
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(2_000).selectExpr("id", "id % 3 AS part").repartition(32)
+    wh.create_table("p", df.schema, partition_by=("part",))
+    wh.overwrite("p", df)
+    report = wh.compact("p", target_file_bytes=50 * 1024 * 1024)
+    assert report["after"]["n_files"] <= report["before"]["n_files"]
+    # hive layout survives and partition pruning still applies
+    pruned = wh.read("p").filter("part = 1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan
+    assert pruned.count() == sum(1 for i in range(2_000) if i % 3 == 1)

@@ -30,6 +30,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _POINTER = "_CURRENT"
@@ -180,3 +181,51 @@ class Warehouse:
         for v in versions[:-keep] if keep else versions:
             if v != current:
                 shutil.rmtree(os.path.join(tdir, v))
+
+    # -- maintenance -------------------------------------------------------
+
+    def file_stats(self, name: str) -> dict:
+        """Data-file census of the current version: {n_files,
+        total_bytes, min_bytes, max_bytes} — the observability half of
+        :meth:`compact` (small-file detection is a stats read, not a
+        table scan)."""
+        tdir = os.path.join(self.root, name, self._current_version(name))
+        sizes = []
+        for dirpath, _dirs, files in os.walk(tdir):
+            sizes.extend(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return {
+            "n_files": len(sizes),
+            "total_bytes": sum(sizes),
+            "min_bytes": min(sizes, default=0),
+            "max_bytes": max(sizes, default=0),
+        }
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction: rewrite the current version with file
+        count sized so each output file approaches ``target_file_bytes``
+        (the HDFS-block-ish sweet spot; thousands of KB-sized files are
+        the classic accumulated-upsert pathology — every query pays
+        per-file open/footer cost and the driver pays listing time).
+
+        One distributed read → repartition → versioned overwrite; the
+        pointer flip keeps concurrent readers on the old version until
+        the rewrite completes (same isolation as any mutation). For
+        partitioned tables the repartition keys on the partition spec so
+        each hive partition's rows land together instead of every task
+        writing a sliver into every partition. Returns before/after
+        file stats."""
+        before = self.file_stats(name)
+        df = self.read(name)
+        n_files = max(1, round(before["total_bytes"] / target_file_bytes))
+        spec = self.partition_spec(name)
+        if spec:
+            compacted = df.repartition(n_files, *[F.col(c) for c in spec])
+        else:
+            compacted = df.repartition(n_files)
+        self.overwrite(name, compacted)
+        after = self.file_stats(name)
+        return {"before": before, "after": after, "target_files": n_files}
