@@ -244,3 +244,56 @@ def test_streaming_segment_dedup_matches_batch_keep_set(spark, tmp_path):
     }
     assert got == want
     assert (2, 0) not in got and (3, 0) in got  # doc 2 fully deduped away
+
+
+def test_continuous_aggregate_store_matches_batch_rollup(spark, tmp_path):
+    """Maintainer stream → parquet fine store → multi-resolution read:
+    closed windows must equal the batch multi_resolution_rollup over
+    the same events, at every resolution."""
+    import datetime as dt
+
+    from webpagesgraphdatabase_spark.operators import events as ev
+    from webpagesgraphdatabase_spark.streaming.jobs import (
+        rollup_from_store,
+        run_to_parquet,
+        streaming_fine_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), 1, typ, float(v), "{}")
+        for i, (m, typ, v) in enumerate(
+            [(0, "click", 1), (3, "click", 2), (7, "view", 3), (12, "click", 4),
+             (61, "view", 5), (63, "click", 6),
+             # sentinel far in the future: advances the watermark so all
+             # earlier windows close and get emitted
+             (1000, "view", 0)]
+        )
+    ]
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = tmp_path / "ev"
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(src / "a"))
+
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*"))
+    run_to_parquet(
+        streaming_fine_rollup(stream),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt_ca"),
+    )
+
+    got = {
+        (r.resolution_min, r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in rollup_from_store(spark, str(tmp_path / "store"), (5, 60)).collect()
+    }
+    # batch truth over the CLOSED subset (everything except the sentinel)
+    closed = spark.createDataFrame(rows[:-1], ddl).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r.resolution_min, r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in ev.multi_resolution_rollup(closed, (5, 60)).collect()
+    }
+    assert got == want and len(got) > 4

@@ -294,6 +294,23 @@ def multi_resolution_rollup(
     )
     if materialize:
         base = base.persist()
+    return coarsen_levels(base, minutes)
+
+
+def coarsen_levels(base: DataFrame, minutes: tuple[int, ...]) -> DataFrame:
+    """Re-aggregate a finest-level rollup table (window_start,
+    event_type, n_events, sum_value) into the union-tagged
+    multi-resolution shape — the read half of a continuous aggregate
+    (the streaming maintainer materializes ``base``; see
+    :func:`..streaming.jobs.rollup_from_store`). Counts and sums
+    re-aggregate exactly; each coarser level costs an aggregation over
+    the *fine table's* rows, never the raw events."""
+    finest = minutes[0]
+    for m in minutes[1:]:
+        if m % finest != 0:
+            raise ValueError(
+                f"resolution {m} is not a multiple of the finest {finest}"
+            )
     levels = [base.withColumn("resolution_min", F.lit(finest))]
     for m in minutes[1:]:
         levels.append(

@@ -223,3 +223,63 @@ def streaming_segment_dedup(
         .dropDuplicatesWithinWatermark(["seg"])
         .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     )
+
+
+def streaming_fine_rollup(
+    events: DataFrame, minutes: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """The continuous-aggregate *maintainer* stream: finest-level
+    tumbling rollup rows (window_start, event_type, n_events,
+    sum_value), one row per (window, type) emitted exactly once when
+    the watermark closes the window. Unlike
+    :func:`streaming_windowed_counts` the sum stays unrounded — this
+    stream feeds re-aggregation (:func:`rollup_from_store`), and
+    rounding belongs at the serving edge, after coarser sums."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_parquet(stream_df: DataFrame, path: str, checkpoint_dir: str) -> None:
+    """Drain the stream into a Parquet store with the file sink's
+    exactly-once manifest (availableNow, blocking). Unlike a
+    foreachBatch upsert, replayed micro-batches are deduplicated by
+    the sink's own transaction log — the natural sink for append-mode
+    closed-window aggregates."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def rollup_from_store(
+    spark, path: str, minutes: tuple[int, ...] = (5, 60, 1440)
+) -> DataFrame:
+    """Serve the multi-resolution rollup off the *materialized* fine
+    level a :func:`streaming_fine_rollup` maintainer has been appending
+    — the TimescaleDB continuous-aggregate read path: raw events are
+    never rescanned; every resolution re-aggregates the fine Parquet
+    table (``minutes[0]`` must be the maintained resolution). Output
+    schema matches :func:`..operators.events.multi_resolution_rollup`
+    exactly (batch ≡ maintained-store is test-pinned on closed
+    windows)."""
+    from ..operators.events import coarsen_levels
+
+    return coarsen_levels(spark.read.parquet(path), minutes)
