@@ -228,3 +228,39 @@ def test_instructions_html_mode(client):
     assert r.content_type.startswith("text/html")
     assert "/add_link" in r.get_data(as_text=True)
     assert client.get("/instructions").get_json()["instructions"]
+
+
+def test_cypher_route_runs_reference_query(client):
+    """POST /cypher executes the reference's 1-hop query against the
+    stored graph and returns Kùzu-style columns."""
+    client.post("/add_link", data={"url": "https://example.com/x"})
+    r = client.post(
+        "/cypher",
+        json={
+            "query": "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) "
+            "RETURN l.url, c.name"
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["l.url", "c.name"]
+    ours = [row for row in body["rows"] if row[0] == "https://example.com/x"]
+    assert ours and all(isinstance(row[1], str) and row[1] for row in ours)
+    assert body["truncated"] is False
+
+
+def test_cypher_route_rejects_bad_query_and_missing(client):
+    assert client.post("/cypher", json={}).status_code == 400
+    r = client.post("/cypher", json={"query": "FOO BAR"})
+    assert r.status_code == 400
+    assert "error" in r.get_json()
+
+
+def test_cypher_route_caps_rows(client):
+    client.post("/add_link", data={"url": "https://example.com/y"})
+    r = client.post(
+        "/cypher",
+        json={"query": "MATCH (l:Link) RETURN l.url", "limit": 1},
+    )
+    body = r.get_json()
+    assert len(body["rows"]) == 1 and body["truncated"] is True

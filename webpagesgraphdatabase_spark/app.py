@@ -492,6 +492,33 @@ def create_app(
         _snapshot()
         return jsonify({"status": "deleted", "url": url})
 
+    @app.route("/cypher", methods=["POST"])
+    def cypher_route():
+        """Execute a read-only Cypher statement (the reference's query
+        language, ``graph/cypher.py``'s supported subset) against the
+        stored graph: JSON body {query, params?, limit?}. Row cap
+        defends the serving process — unbounded MATCH products belong
+        in batch jobs, not an HTTP response."""
+        from .graph.cypher import CypherSyntaxError, cypher
+
+        body = request.get_json(silent=True) or {}
+        query = body.get("query", "")
+        if not query:
+            return jsonify({"error": "query required"}), 400
+        cap = min(int(body.get("limit", 1000)), 10_000)
+        try:
+            df = cypher(store.graph(), query, body.get("params") or {})
+        except CypherSyntaxError as e:
+            return jsonify({"error": str(e)}), 400
+        rows = df.limit(cap).collect()
+        return jsonify(
+            {
+                "columns": df.columns,
+                "rows": [[r[c] for c in df.columns] for r in rows],
+                "truncated": len(rows) == cap,
+            }
+        )
+
     @app.route("/instructions", methods=["GET"])
     def instructions():
         lines = [
@@ -500,6 +527,8 @@ def create_app(
             "7-column metadata format) and optional 'batch_size'.",
             "GET /graph_data for the vis-network node/edge JSON.",
             "POST /delete_link with form field 'url' to DETACH DELETE.",
+            "POST /cypher with JSON {query, params} to run a read-only "
+            "Cypher statement (row-capped).",
         ]
         if _wants_html():  # templates/instructions.html parity
             return render_template_string(_INSTRUCTIONS_TEMPLATE, instructions=lines)
