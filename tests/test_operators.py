@@ -1658,3 +1658,49 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert loose[t + datetime.timedelta(seconds=300)] == 7
     assert tight[t + datetime.timedelta(seconds=30)] == 7
     assert tight[t + datetime.timedelta(seconds=300)] is None
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_guarantees_on_skewed_keys(spark):
+    """est ≤ true ≤ est + max_err for every reported key, and every key
+    whose true count exceeds max_err is reported — under a small k that
+    forces evictions."""
+    from webpagesgraphdatabase_spark.operators import sketches
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 120
+        + [(f"cold{i}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    out = sketches.heavy_hitters(df, "k", k=8).collect()
+    true = {"hot": 500, "warm": 120, **{f"cold{i}": 1 for i in range(400)}}
+
+    reported = {r.k: r for r in out}
+    max_err = out[0].max_err
+    # state is bounded: ≤ k counters per partition (spread() may widen
+    # the frame to the cluster's default parallelism)
+    n_parts = spark.sparkContext.defaultParallelism
+    assert len(reported) <= 8 * n_parts
+    for key, r in reported.items():
+        assert r.est_count <= true[key] <= r.est_count + max_err, (key, r)
+    for key, cnt in true.items():
+        if cnt > max_err:
+            assert key in reported, (key, cnt, max_err)
+    assert out[0].k == "hot"  # ordered by estimated count
+
+
+def test_heavy_hitters_exact_when_k_exceeds_cardinality(spark):
+    """With capacity above the distinct-key count, no evictions happen:
+    estimates are exact and max_err is 0."""
+    from webpagesgraphdatabase_spark.operators import sketches
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r.k: r for r in sketches.heavy_hitters(df, "k", k=10).collect()}
+    assert {k: v.est_count for k, v in out.items()} == {"a": 5, "b": 3, "c": 2}
+    assert all(r.max_err == 0 for r in out.values())

@@ -108,3 +108,74 @@ def kmv_pair_overlap(
             F.col("common") * union_est / F.col("k_used"), 6
         ).alias("inter_est"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Misra-Gries heavy hitters over a (possibly huge-cardinality)
+    key column: (key, est_count, max_err) with the classic guarantee
+    ``est_count ≤ true_count ≤ est_count + max_err`` and every key
+    whose true count exceeds ``max_err`` present in the output.
+
+    Why a sketch when Spark's groupBy already partial-aggregates:
+    partial aggregation keeps ONE state entry per distinct key per
+    task — for near-unique keys (URLs, fingerprints, user ids) that is
+    the full input in memory and a shuffle as wide as the data. The MG
+    summary caps state at ``k`` counters per partition, turning the
+    shuffle into ≤ k rows per partition regardless of cardinality —
+    the standard frequent-items reduction (Misra & Gries 1982; the
+    mergeable-summaries formulation of Agarwal et al. 2012).
+
+    Per partition: each Arrow batch is counted exactly (vectorized
+    ``value_counts`` — the Python loop runs over *distinct* batch
+    keys, not rows), then folded into the k-counter summary; every
+    eviction round increments the partition's decrement tally, whose
+    global sum is the reported ``max_err``. Partition summaries merge
+    by a plain groupBy-sum (counter sums add, error bounds add).
+
+    The output depends on partition layout (any MG summary does), so
+    this is unit-pinned via its guarantees, not an oracle row — the
+    exact twin is the ordinary groupBy count."""
+    import pandas as pd
+
+    from ._util import spread
+
+    def mg(batches):
+        counters: dict = {}
+        decrements = 0
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                if key in counters:
+                    counters[key] += int(cnt)
+                    continue
+                counters[key] = int(cnt)
+                if len(counters) > k:
+                    # evict: subtract the minimum counter from all
+                    m = min(counters.values())
+                    decrements += m
+                    counters = {
+                        key2: c - m for key2, c in counters.items() if c > m
+                    }
+        yield pd.DataFrame(
+            {
+                key_col: list(counters) + [None],
+                "cnt": list(counters.values()) + [0],
+                "dec": [0] * len(counters) + [decrements],
+            }
+        )
+
+    summaries = (
+        spread(df.select(key_col))
+        .mapInPandas(mg, schema=f"{key_col} string, cnt long, dec long")
+        .persist()
+    )
+    total_err = summaries.agg(F.sum("dec")).first()[0] or 0
+    out = (
+        summaries.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum("cnt").alias("est_count"))
+        .withColumn("max_err", F.lit(int(total_err)).cast("long"))
+        .orderBy(F.col("est_count").desc(), F.col(key_col).asc())
+    )
+    return out
