@@ -1,0 +1,68 @@
+"""Unified media-metadata probe: header parsers (FLAC/MP4 new, others
+reused from their codec modules) + the one-pass Spark probe."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from webpagesgraphdatabase_spark.operators import gif, mediainfo as mi, png
+
+
+def test_flac_streaminfo_roundtrip():
+    h = mi.encode_flac_header(48000, 1, 24, 12345678)
+    si = mi.parse_flac_streaminfo(h)
+    assert si == {
+        "sample_rate": 48000,
+        "channels": 1,
+        "bits_per_sample": 24,
+        "n_samples": 12345678,
+    }
+
+
+def test_flac_rejects_bad_marker_and_truncation():
+    with pytest.raises(mi.MediaInfoError):
+        mi.parse_flac_streaminfo(b"fLaX" + b"\x00" * 40)
+    with pytest.raises(mi.MediaInfoError):
+        mi.parse_flac_streaminfo(mi.encode_flac_header(44100, 2, 16, 10)[:20])
+
+
+def test_mp4_roundtrip_and_zero_guard():
+    v = mi.encode_mp4_header(3600_000, 640, 480)
+    assert mi.parse_mp4(v) == {"duration_ms": 3600_000, "width": 640, "height": 480}
+    with pytest.raises(mi.MediaInfoError):
+        mi.parse_mp4(b"\x00\x00\x00\x08ftyp")  # no moov, bad sizes
+
+
+def test_probe_bytes_all_kinds():
+    png_b = png.encode(np.zeros((4, 6, 3), dtype=np.uint8))
+    gif_b = gif.encode(np.zeros((5, 7, 3), dtype=np.uint8))
+    flac_b = mi.encode_flac_header(16000, 1, 16, 32000)
+    mp4_b = mi.encode_mp4_header(1500, 320, 240)
+    assert mi.probe_bytes(png_b) == {"kind": "png", "width": 6, "height": 4}
+    assert mi.probe_bytes(gif_b)["width"] == 7
+    fl = mi.probe_bytes(flac_b)
+    assert (fl["kind"], fl["duration_ms"]) == ("flac", 2000)
+    assert mi.probe_bytes(mp4_b)["duration_ms"] == 1500
+    bad = mi.probe_bytes(b"fLaC" + b"\xff" * 3)
+    assert bad["kind"] == "flac" and "err" in bad
+
+
+def test_media_info_spark_probe_mixed_corpus(spark):
+    rows = [
+        (1, bytearray(png.encode(np.zeros((2, 3, 3), dtype=np.uint8)))),
+        (2, bytearray(mi.encode_flac_header(8000, 2, 16, 8000))),
+        (3, bytearray(mi.encode_mp4_header(2500, 100, 50))),
+        (4, bytearray(b"random junk bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in mi.media_info(df).collect()}
+    assert (out[1].kind, out[1].width, out[1].height) == ("png", 3, 2)
+    assert (out[2].kind, out[2].sample_rate, out[2].duration_ms) == ("flac", 8000, 1000)
+    assert (out[3].kind, out[3].duration_ms, out[3].width) == ("mp4", 2500, 100)
+    assert out[4].kind == "unknown" and out[4].err
+    # one-pass, no shuffle, stream-safe
+    plan = mi.media_info(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
