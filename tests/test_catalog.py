@@ -102,3 +102,41 @@ def test_compact_partitioned_table_keeps_partition_layout(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "part" in plan
     assert pruned.count() == sum(1 for i in range(2_000) if i % 3 == 1)
+
+
+def test_diff_keyed_insert_update_delete(spark, tmp_path):
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+    )
+    wh.create_table("t", v1.schema)
+    wh.overwrite("t", v1)
+    wh.overwrite("t", v2)
+    versions = wh.list_versions("t")
+    got = {
+        (r.op, r.id): r.v
+        for r in wh.diff("t", versions[-2], versions[-1], key="id").collect()
+    }
+    assert got == {("update", 2): "B", ("delete", 3): None, ("insert", 4): "d"}
+
+
+def test_diff_setwise_without_key(spark, tmp_path):
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v2 = spark.createDataFrame([(2, "b"), (2, "b"), (5, "e")], "id long, v string")
+    wh.create_table("t", v1.schema)
+    wh.overwrite("t", v1)
+    wh.overwrite("t", v2)
+    vs = wh.list_versions("t")
+    ops = sorted(
+        (r.op, r.id, r.v) for r in wh.diff("t", vs[-2], vs[-1]).collect()
+    )
+    # exceptAll honors multiplicity: the duplicated (2, b) appears once as insert
+    assert ops == [("delete", 1, "a"), ("insert", 2, "b"), ("insert", 5, "e")]

@@ -229,3 +229,41 @@ class Warehouse:
         self.overwrite(name, compacted)
         after = self.file_stats(name)
         return {"before": before, "after": after, "target_files": n_files}
+
+    def diff(
+        self, name: str, v_from: int, v_to: int, key: str | None = None
+    ) -> DataFrame:
+        """Change-data-capture between two table versions: what a
+        downstream consumer must apply to move from ``v_from`` to
+        ``v_to``. With ``key`` set, rows are matched by key:
+        ``op ∈ {insert, delete, update}`` (update = key present in both
+        with any non-key column changed). Without a key, set semantics:
+        ``insert``/``delete`` via ``exceptAll`` both ways.
+
+        The versioned layout makes this a pure read — both versions are
+        immutable directories, so CDC needs no transaction log, just
+        two scans and a join/except on the consumer's schedule (the
+        snapshot-diff pattern; Delta/Iceberg incremental reads solve
+        the same problem with manifests). Cost: one shuffle on ``key``
+        (or the full row for the set form)."""
+        old = self.read_version(name, v_from)
+        new = self.read_version(name, v_to)
+        if key is None:
+            ins = new.exceptAll(old).select(F.lit("insert").alias("op"), "*")
+            dele = old.exceptAll(new).select(F.lit("delete").alias("op"), "*")
+            return ins.unionByName(dele)
+        cols = [c for c in new.columns if c != key]
+        o = old.select(key, F.struct(*cols).alias("_old"))
+        n = new.select(key, F.struct(*cols).alias("_new"))
+        j = o.join(n, key, "full_outer")
+        return (
+            j.select(
+                F.when(F.col("_old").isNull(), F.lit("insert"))
+                .when(F.col("_new").isNull(), F.lit("delete"))
+                .when(F.col("_old") != F.col("_new"), F.lit("update"))
+                .alias("op"),
+                F.col(key),
+                F.col("_new.*"),
+            )
+            .filter(F.col("op").isNotNull())
+        )
