@@ -1704,3 +1704,59 @@ def test_heavy_hitters_exact_when_k_exceeds_cardinality(spark):
     out = {r.k: r for r in sketches.heavy_hitters(df, "k", k=10).collect()}
     assert {k: v.est_count for k, v in out.items()} == {"a": 5, "b": 3, "c": 2}
     assert all(r.max_err == 0 for r in out.values())
+
+
+def test_window_anomalies_flags_spike_not_baseline(spark):
+    """Steady 5-minute click volume with one 10x spike window: only the
+    spike is flagged, and early windows (insufficient history) never
+    are."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for w in range(12):
+        n = 100 if w == 9 else 10
+        for i in range(n):
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=5 * w, seconds=i % 300),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df = spark.createDataFrame(rows, ddl).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sorted(
+        ev.window_anomalies(df, minutes=5).collect(), key=lambda r: r.window_start
+    )
+    flags = [r.anomaly for r in out]
+    assert flags == [0] * 9 + [1, 0, 0]
+    assert out[9].n_events == 100 and out[9].trailing_mean == 10.0
+
+
+def test_window_anomalies_zero_variance_history(spark):
+    """Identical history (std 0): any deviation flags; equality does not."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for w in range(8):
+        n = 5 if w < 7 else 6
+        for i in range(n):
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=5 * w, seconds=i),
+                 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df = spark.createDataFrame(rows, ddl).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sorted(
+        ev.window_anomalies(df, minutes=5).collect(), key=lambda r: r.window_start
+    )
+    assert [r.anomaly for r in out] == [0] * 7 + [1]

@@ -389,3 +389,63 @@ def funnel(
     return out.select(
         "user_id", *[f"ts_{s}" for s in steps], depth.alias("funnel_depth")
     )
+
+
+def window_anomalies(
+    events: DataFrame,
+    minutes: int = WINDOW_MINUTES,
+    trailing: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Windowed volume-anomaly detection: per (event_type, tumbling
+    window), flag windows whose event count deviates from the trailing
+    mean by more than ``z_threshold`` sample standard deviations —
+    the ops-dashboard "sudden spike/drop" query.
+
+    Returns (window_start, event_type, n_events, trailing_mean,
+    trailing_std, anomaly). The trailing frame is the ``trailing``
+    *preceding* windows only (the current window never smooths its own
+    spike); the first ``trailing`` windows of each type are unflagged
+    (insufficient history, std is null).
+
+    Scale shape: the windowed count is a partial-agg groupBy; the
+    trailing stats are ONE window pass partitioned by event_type
+    ordered by window_start — state is `trailing` rows per type, and
+    the partition key has tiny cardinality but also tiny data (one row
+    per closed window, not per event), so no skew concern. Float
+    mean/std are inherent to z-scores — this is a monitoring operator,
+    unit-pinned, not an oracle row."""
+    counts = (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = counts.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.avg("n_events").over(frame).alias("trailing_mean"),
+        F.stddev_samp("n_events").over(frame).alias("trailing_std"),
+        F.count("n_events").over(frame).alias("_n_hist"),
+    )
+    z_ok = (F.col("_n_hist") >= trailing) & F.col("trailing_std").isNotNull()
+    deviation = F.abs(F.col("n_events") - F.col("trailing_mean"))
+    return stats.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("trailing_mean", 6).alias("trailing_mean"),
+        F.round("trailing_std", 6).alias("trailing_std"),
+        F.when(
+            z_ok & (deviation > z_threshold * F.col("trailing_std")), 1
+        )
+        .otherwise(0)
+        .alias("anomaly"),
+    )
