@@ -58,6 +58,7 @@ TABLE_HEADLINE = (
     "t_stratified_sample",
     "mm_byte_histogram",  # the Arrow/pandas-UDF path
     "e_sessionize",
+    "e_user_rollup",  # rollup + the ordered funnel (r5)
 )
 
 # ANN variants share one registry row (s_ann_methods) but stay
@@ -271,6 +272,19 @@ def main() -> None:
         timed(
             "t_quality_lr_score",
             lambda: _force(textstats.quality_lr_score(docs, lr_model)),
+        )
+        # MG heavy hitters over the exploded token stream (r5): the
+        # bounded-state alternative to the exact groupBy count
+        from pyspark.sql import functions as SF
+
+        from webpagesgraphdatabase_spark.operators import sketches, tokenize
+
+        tok_stream = docs.select(
+            SF.explode(tokenize.whitespace_tokens("text")).alias("t")
+        )
+        timed(
+            "u_heavy_hitters",
+            lambda: _force(sketches.heavy_hitters(tok_stream, "t", k=64)),
         )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
