@@ -206,3 +206,43 @@ def test_registry_row_equivalence_distinct_categories(g):
     }
     direct = {r.category for r in Q.distinct_categories(g).collect()}
     assert via_cypher == direct == {"X", "Y"}
+
+
+def test_write_orphan_cleanup_notebook_verbatim(spark, store):
+    """Edits.ipynb c12's orphan DELETEs pasted unchanged: categories and
+    keywords with no incoming edge are removed, referenced ones stay."""
+    cypher_write(store, "MERGE (:Category {name: 'used'})")
+    cypher_write(store, "MERGE (:Category {name: 'orphan'})")
+    cypher_write(store, "MERGE (:Keyword {name: 'kw_used'})")
+    cypher_write(store, "MERGE (:Keyword {name: 'kw_orphan'})")
+    cypher_write(
+        store,
+        "MERGE (:Link {url: 'https://a.example', title: 't', raw_category: 'r', "
+        "suggested_category: 'used', raw_content: 'c', cleaned_content: 'c', "
+        "keywords: 'kw_used', category_explanation: 'None', "
+        "keyword_explanation: 'None'})",
+    )
+    cypher_write(
+        store,
+        "MATCH (l:Link {url: 'https://a.example'}), (c:Category {name: 'used'}) "
+        "MERGE (l)-[:BELONGS_TO]->(c)",
+    )
+    cypher_write(
+        store,
+        "MATCH (l:Link {url: 'https://a.example'}), (k:Keyword {name: 'kw_used'}) "
+        "MERGE (l)-[:HAS_KEYWORD]->(k)",
+    )
+    cypher_write(store, "MATCH (c:Category) WHERE NOT (c)<-[:BELONGS_TO]-() DELETE c")
+    g2 = store.graph()
+    assert {r.name for r in g2.categories.collect()} == {"used"}
+    # keywords untouched by the category statement
+    assert {r.name for r in g2.keywords.collect()} == {"kw_used", "kw_orphan"}
+    cypher_write(store, "MATCH (k:Keyword) WHERE NOT (k)<-[:HAS_KEYWORD]-() DELETE k")
+    assert {r.name for r in store.graph().keywords.collect()} == {"kw_used"}
+
+
+def test_write_orphan_cleanup_rejects_wrong_rel(store):
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(
+            store, "MATCH (c:Category) WHERE NOT (c)<-[:HAS_KEYWORD]-() DELETE c"
+        )

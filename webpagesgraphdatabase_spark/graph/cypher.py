@@ -558,6 +558,37 @@ def cypher_write(store, query: str, params: dict | None = None) -> None:
         raise CypherSyntaxError("write MATCH patterns must be bare nodes")
     by_var = {n.var: n for n in nodes}
 
+    if p.take_kw("WHERE"):
+        # the notebook's orphan cleanup (Edits.ipynb c12):
+        #   MATCH (c:Category) WHERE NOT (c)<-[:BELONGS_TO]-() DELETE c
+        #   MATCH (k:Keyword)  WHERE NOT (k)<-[:HAS_KEYWORD]-() DELETE k
+        p.expect_kw("NOT")
+        inner = p.node()
+        bm = p.take(_REL_BWD)
+        if not bm:
+            raise CypherSyntaxError(
+                "only the no-incoming-edge orphan pattern is supported in "
+                "write WHERE: NOT (v)<-[:REL]-()"
+            )
+        rel = bm.group(1)
+        p.node()  # the anonymous () source
+        p.expect_kw("DELETE")
+        v = p.expect(_IDENT, "variable").group(0)
+        if not p.at_end():
+            raise CypherSyntaxError("trailing input after orphan DELETE")
+        if inner.var != v or v not in by_var:
+            raise CypherSyntaxError("orphan DELETE must target the matched node")
+        label = by_var[v].label
+        expected_rel = {"Category": "BELONGS_TO", "Keyword": "HAS_KEYWORD"}.get(
+            label or ""
+        )
+        if rel != expected_rel:
+            raise CypherSyntaxError(
+                f"orphan pattern for :{label} must use [:{expected_rel}]"
+            )
+        store.cleanup_orphans(only=_LABEL_TABLE[label])
+        return
+
     if p.take_kw("MERGE"):
         # (a)-[:REL]->(b)
         mnodes, mhops = p.chain()

@@ -169,15 +169,19 @@ class GraphStore:
             )
 
     # -- M5: orphan cleanup -----------------------------------------------------
-    def cleanup_orphans(self) -> dict[str, int]:
+    def cleanup_orphans(self, only: str | None = None) -> dict[str, int]:
         """M5 (``c12:31-32``): delete Category/Keyword nodes with no
         incoming edge. Returns per-table deleted counts. Idempotent —
-        a second run is a fixpoint (property-tested)."""
+        a second run is a fixpoint (property-tested). ``only`` restricts
+        to one node table (the per-statement semantics of the
+        notebook's two separate orphan-DELETE Cyphers)."""
         deleted = {}
         for node_table, edge_table, dst_col in (
             ("categories", "belongs_to", "dst_category"),
             ("keywords", "has_keyword", "dst_keyword"),
         ):
+            if only is not None and node_table != only:
+                continue
             nodes = self.wh.read(node_table)
             edges = self.wh.read(edge_table).select(F.col(dst_col).alias("name"))
             kept = nodes.join(edges, "name", "left_semi")
