@@ -215,3 +215,27 @@ def test_train_bpe_min_freq_stops_early(spark):
     no merges learned."""
     df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
     assert tokenize.train_bpe_merges(df, n_merges=5) == []
+
+
+def test_merges_txt_roundtrip_and_tokenizer_equivalence(spark):
+    """Trained merges survive the merges.txt wire format, and the
+    re-loaded table tokenizes identically."""
+    df = spark.createDataFrame(
+        [(1, "lower lowest low lowest lower low")], ["doc_id", "text"]
+    )
+    merges = tokenize.train_bpe_merges(df, n_merges=6, min_freq=1)
+    txt = tokenize.merges_to_text(merges)
+    assert txt.startswith("#version") and tokenize.merges_from_text(txt) == merges
+    t1 = _toks(spark, "lowest", lambda c: tokenize.bpe_tokens(merges, c))
+    t2 = _toks(
+        spark, "lowest",
+        lambda c: tokenize.bpe_tokens(tokenize.merges_from_text(txt), c),
+    )
+    assert t1 == t2
+
+
+def test_merges_from_text_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError):
+        tokenize.merges_from_text("#version: 0.2\na b c\n")

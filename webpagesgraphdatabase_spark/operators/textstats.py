@@ -393,6 +393,7 @@ def train_quality_classifier(
     labels: DataFrame | None = None,
     n_iters: int = 40,
     lr: float = 1.0,
+    tol: float = 1e-6,
 ) -> dict:
     """Train a logistic-regression quality classifier as gradient
     supersteps — the fastText-style linear quality filter real corpus
@@ -468,6 +469,10 @@ def train_quality_classifier(
             ]
             if not all(math.isfinite(x) for x in w):  # pragma: no cover
                 raise ArithmeticError("diverged; lower lr")
+            # early stop: each iteration is a distributed scan, so
+            # converged-enough means stop paying for them
+            if len(losses) >= 2 and abs(losses[-2] - losses[-1]) < tol:
+                break
     finally:
         z.unpersist()
     return {"weights": w, "mean": mean, "std": std, "loss": losses}

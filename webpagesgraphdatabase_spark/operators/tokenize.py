@@ -306,3 +306,29 @@ def train_bpe_merges(
     finally:
         vocab.unpersist()
     return merges
+
+
+def merges_to_text(merges: list[tuple[str, str]]) -> str:
+    """Serialize a merges table to the GPT-2/HF ``merges.txt`` wire
+    format: ``#version`` header, one space-separated pair per line,
+    rank = line order — so a table trained here drops into any
+    tokenizer library, and published merges files load here."""
+    lines = ["#version: 0.2"]
+    lines += [f"{a} {b}" for a, b in merges]
+    return "\n".join(lines) + "\n"
+
+
+def merges_from_text(text: str) -> list[tuple[str, str]]:
+    """Parse a ``merges.txt`` payload (header/comment lines skipped,
+    rank = order). Raises on malformed lines — a merges file with the
+    wrong arity is corrupt, not ignorable."""
+    out: list[tuple[str, str]] = []
+    for i, line in enumerate(text.splitlines()):
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(f"malformed merges line {i + 1}: {line!r}")
+        out.append((parts[0], parts[1]))
+    return out
