@@ -199,3 +199,27 @@ def test_label_propagation_deterministic(spark):
     r2 = sorted(map(tuple, label_propagation(g).collect()))
     assert r1 == r2
     assert len(r1) == 5  # every node (3 links + 2 keywords) labeled once
+
+
+def test_k_core_peels_cascading_pendants(spark):
+    """2-core of a bipartite graph: the dense block survives; a pendant
+    link is peeled, and the keyword it alone supported cascades out."""
+    from webpagesgraphdatabase_spark.graph.algorithms import k_core
+
+    dense = [(l, kw) for l in ("a", "b", "c") for kw in ("K1", "K2")]
+    # pendant: link p has one keyword KP; KP has degree 2 via link a,
+    # but once p peels, KP drops to 1 and cascades out too
+    extra = [("p", "KP"), ("a", "KP")]
+    g = _graph(spark, dense + extra)
+    core = {r.node_id: r.degree for r in k_core(g, k=2).collect()}
+    assert set(core) == {
+        "Link:a", "Link:b", "Link:c", "Keyword:K1", "Keyword:K2"
+    }
+    assert core["Keyword:K1"] == 3 and core["Link:b"] == 2
+
+
+def test_k_core_empty_when_k_exceeds_density(spark):
+    from webpagesgraphdatabase_spark.graph.algorithms import k_core
+
+    g = _graph(spark, [("a", "K1"), ("b", "K1")])
+    assert k_core(g, k=2).count() == 0

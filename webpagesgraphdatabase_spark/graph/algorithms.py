@@ -345,3 +345,39 @@ def label_propagation(g: PropertyGraph, iterations: int = 3) -> DataFrame:
         labels = new_labels
     edges.unpersist()
     return labels
+
+
+def k_core(g: PropertyGraph, k: int = 2, max_iterations: int = 30) -> DataFrame:
+    """The k-core of the Link↔Keyword graph: iteratively peel nodes of
+    degree < k until fixpoint (Seidman 1983) — the standard dense-
+    substructure filter (spam/boilerplate rings survive coring; pendant
+    pages don't). Returns (node_id, degree) for surviving nodes with
+    their within-core degree. Deterministic: the k-core is a unique
+    fixpoint, independent of peel order.
+
+    Scale shape per peel round: one partial-agg degree count + two
+    semi-joins restricting the edge list to surviving endpoints — all
+    equi-joins on node id, edge list persisted per superstep with the
+    :func:`pagerank` lineage discipline. Rounds needed equal the
+    longest peel cascade (≤ graph diameter in practice); each round's
+    cost shrinks with the surviving edge set."""
+    edges = bipartite_edges(g).persist()
+    edges.count()
+    for _ in range(max_iterations):
+        deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src")
+        new_edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .persist()
+        )
+        n_old, n_new = edges.count(), new_edges.count()
+        edges.unpersist()
+        edges = new_edges
+        if n_new == n_old:
+            break
+    out = edges.groupBy("src").agg(F.count("*").alias("degree")).select(
+        F.col("src").alias("node_id"), "degree"
+    )
+    return out
