@@ -1760,3 +1760,22 @@ def test_window_anomalies_zero_variance_history(spark):
         ev.window_anomalies(df, minutes=5).collect(), key=lambda r: r.window_start
     )
     assert [r.anomaly for r in out] == [0] * 7 + [1]
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    """alpha=1 reproduces natural proportions; smaller alpha moves the
+    minority stratum's weight toward uniform, never past it."""
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    rows = [(i, "en") for i in range(90)] + [(90 + i, "de") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    natural = sampling.temperature_weights(df, alpha=1.0)
+    assert natural["en"] == pytest.approx(0.9) and natural["de"] == pytest.approx(0.1)
+    smoothed = sampling.temperature_weights(df, alpha=0.3)
+    assert 0.1 < smoothed["de"] < 0.5
+    flat = sampling.temperature_weights(df, alpha=0.0)
+    assert flat["de"] == pytest.approx(0.5)
+    # feeds the deterministic mixture draw unchanged
+    mix = sampling.mixture_sample(df, smoothed, total=20)
+    got = {r.lang: r.quota for r in mix.collect()}
+    assert got["de"] == int(20 * smoothed["de"])

@@ -125,3 +125,30 @@ def mixture_sample(
     return ranked.join(F.broadcast(qdf), strata_col).filter(
         F.col("stratum_rank") <= F.col("quota")
     ).select(id_col, strata_col, "stratum_rank", "quota")
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from the corpus's own stratum
+    sizes: w_s ∝ p_s^alpha (multilingual-sampling practice — e.g.
+    mBERT/XLM-R exponentiated smoothing: alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform, lifting low-resource
+    strata without drowning high-resource ones).
+
+    One partial-agg count per stratum (the only job); the returned dict
+    feeds :func:`mixture_sample` unchanged, so the draw itself stays
+    deterministic and nested. Weights are exact ratios of floats of
+    counts — reproducible for a fixed corpus."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    scaled = {s: (n / total) ** alpha for s, n in counts.items()}
+    z = sum(scaled.values())
+    return {s: v / z for s, v in scaled.items()}
