@@ -1779,3 +1779,64 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     mix = sampling.mixture_sample(df, smoothed, total=20)
     got = {r.lang: r.quota for r in mix.collect()}
     assert got["de"] == int(20 * smoothed["de"])
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA / whitening
+# ---------------------------------------------------------------------------
+
+
+def test_pca_whitening_gives_identity_covariance(spark):
+    """Correlated synthetic embeddings: after whitening, the sample
+    covariance is ~identity; without whitening, components carry the
+    eigenvalue spread."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(400, 3) @ np.array(
+        [[3.0, 0.0, 0.0], [1.5, 1.0, 0.0], [0.0, 0.2, 0.1]]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.pca_model(emb)
+    assert model["components"].shape == (3, 3)
+    assert (model["eigvals"][:-1] >= model["eigvals"][1:]).all()
+
+    proj = similarity.pca_project(emb, model, whiten=True).collect()
+    y = np.array([r.embedding for r in proj], dtype=np.float64)
+    cov = np.cov(y, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(3), atol=0.05), cov
+
+
+def test_pca_distributed_stats_match_numpy(spark):
+    """gram_stats' partition-partial reduction equals the single-node
+    computation exactly (same doubles, order-insensitive sums)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(257, 4)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).repartition(16)
+    n, mean, gram = similarity.gram_stats(emb)
+    x64 = np.array(x, dtype=np.float32).astype(np.float64)
+    assert n == 257
+    assert np.allclose(mean, x64.mean(axis=0), atol=1e-9)
+    assert np.allclose(gram, x64.T @ x64, atol=1e-6)
+
+
+def test_pca_projection_is_pure_map_and_truncates(spark):
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(2 * i), 0.5]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.pca_model(emb, k=1)
+    out = similarity.pca_project(emb, model)
+    assert len(out.first().embedding) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

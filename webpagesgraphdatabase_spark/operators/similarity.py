@@ -844,3 +844,109 @@ def semantic_dedup(
             F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("keep"),
         )
     )
+
+
+def gram_stats(emb: DataFrame, col: str = "embedding") -> tuple:
+    """(n, mean, gram): row count, per-dimension mean (d,), and the
+    raw Gramian ΣxᵀX (d, d) of the embedding column — the sufficient
+    statistics for covariance/PCA, computed distributively.
+
+    Each Arrow batch contributes a BLAS partial (``X.T @ X`` and column
+    sums); partitions emit ONE flattened (d² + d + 1)-value row, so the
+    driver merge is |partitions| tiny rows regardless of corpus size —
+    the classic sufficient-statistics reduction (no d²-per-row explode,
+    no full-data collect)."""
+    import numpy as np
+
+    def partial(batches):
+        import pandas as pd
+
+        g = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[col]), dtype=np.float64)
+            g = x.T @ x if g is None else g + x.T @ x
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    rows = (
+        spread(emb.select(col))
+        .mapInPandas(partial, schema="n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty embedding table")
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.array(r.g).reshape(d, d) for r in rows], axis=0)
+    return n, s / n, g
+
+
+def pca_model(emb: DataFrame, k: int | None = None, col: str = "embedding") -> dict:
+    """PCA/whitening model from the distributed sufficient statistics:
+    ``{mean, components (d, k), eigvals (k,)}`` with components the top
+    eigenvectors of the covariance, sign-fixed (largest-|coordinate|
+    positive) so the model is deterministic for a fixed corpus. The
+    eigendecomposition runs on the driver — covariance is (d, d),
+    corpus-size-free."""
+    import numpy as np
+
+    n, mean, gram = gram_stats(emb, col)
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    if k is not None:
+        vals, vecs = vals[:k], vecs[:, :k]
+    for j in range(vecs.shape[1]):
+        if vecs[np.argmax(np.abs(vecs[:, j])), j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    return {"mean": mean, "components": vecs, "eigvals": np.maximum(vals, 0.0)}
+
+
+def pca_project(
+    emb: DataFrame,
+    model: dict,
+    whiten: bool = False,
+    col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project (and optionally whiten) every embedding through a
+    :func:`pca_model`: (vec_id, embedding array<float> of k dims).
+    Whitening divides each component by √eigval, giving ~identity
+    covariance — the standard preprocessing that stops one dominant
+    direction from swamping cosine/L2 ANN.
+
+    The (d, k) projection matrix rides the Arrow UDF closure (shipped
+    once per executor with the task broadcast); per batch the work is
+    one BLAS GEMM. Pure map — no shuffle, stream-safe."""
+    import numpy as np
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    w = np.asarray(model["components"], dtype=np.float64)
+    if whiten:
+        w = w / np.sqrt(np.asarray(model["eigvals"], dtype=np.float64) + eps)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[col]), dtype=np.float64) - mean
+            y = (x @ w).astype(np.float32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(map(list, y))}
+            )
+
+    return emb.select("vec_id", col).mapInPandas(
+        project, schema="vec_id long, embedding array<float>"
+    )
