@@ -7,4 +7,12 @@ analysis, multimodal column plumbing. Every deterministic operator is
 registered in :mod:`..registry` with a DuckDB oracle.
 """
 
-from . import dedup, events, multimodal, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    events,
+    mediainfo,
+    multimodal,
+    similarity,
+    sketches,
+    textstats,
+)
