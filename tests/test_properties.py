@@ -157,3 +157,120 @@ def test_bpe_tokens_always_reassemble_word(word):
     pieces = merge_word_bpe(word, _BPE_RANKS)
     assert "".join(pieces) == word
     assert all((x, y) not in _BPE_RANKS for x, y in zip(pieces, pieces[1:]))
+
+
+# ---------------------------------------------------------------------------
+# r5 second-wave pure cores: segment math, merges wire format, BPE
+# trainer's merge-application lambda semantics, media header parsers
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_segmentation_partitions_tokens(tokens, k):
+    """The fixed-k chunking is a partition of the token list: segments
+    concatenate back to the tokens, every segment but the last has
+    exactly k tokens, none is empty."""
+    import math
+
+    n = len(tokens)
+    n_segs = math.ceil(n / k)
+    segs = [" ".join(tokens[i * k : (i + 1) * k]) for i in range(n_segs)]
+    # the pure-python model of operators/dedup.segment_array (chunk)
+    assert " ".join(segs).split() == tokens
+    for s in segs[:-1]:
+        assert len(s.split()) == k
+    assert all(s for s in segs)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab#", min_size=1, max_size=5),
+            st.text(alphabet="ab#", min_size=1, max_size=5),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_merges_txt_roundtrip_any_table(pairs):
+    from webpagesgraphdatabase_spark.operators import tokenize
+
+    # merges.txt is space-separated: symbols with spaces are unserializable
+    txt = tokenize.merges_to_text(pairs)
+    assert tokenize.merges_from_text(txt) == pairs
+
+
+@given(
+    st.lists(st.text(alphabet="xyz", min_size=1, max_size=2), min_size=1, max_size=12),
+    st.text(alphabet="xyz", min_size=1, max_size=2),
+    st.text(alphabet="xyz", min_size=1, max_size=2),
+)
+@settings(max_examples=300, deadline=None)
+def test_single_pass_merge_lambda_semantics(parts, pa, pb):
+    """The trainer's accumulate-or-fuse rule (train_bpe_merges' codegen
+    lambda) must equal merge_word_bpe's explicit single left-to-right
+    non-overlapping pass, for ANY symbol sequence and pair."""
+    from webpagesgraphdatabase_spark.operators.tokenize import merge_word_bpe
+
+    # reference: one pass of merge_word_bpe restricted to exactly this pair
+    want = []
+    i = 0
+    while i < len(parts):
+        if i + 1 < len(parts) and (parts[i], parts[i + 1]) == (pa, pb):
+            want.append(pa + pb)
+            i += 2
+        else:
+            want.append(parts[i])
+            i += 1
+    # the lambda: append, or fuse with the accumulator's tail
+    acc = []
+    for x in parts:
+        if acc and acc[-1] == pa and x == pb:
+            acc[-1] = pa + pb
+        else:
+            acc.append(x)
+    # NOTE: the lambda re-fuses only if acc[-1] == pa; a fused token
+    # equals pa+pb != pa (pb nonempty), so the two passes agree
+    assert acc == want
+    # cross-check against the full greedy merge with this single rank
+    assert merge_word_bpe("".join(parts), {(pa, pb): 0}) is not None
+
+
+@given(
+    st.integers(min_value=1, max_value=0xFFFFF),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=4, max_value=32),
+    st.integers(min_value=0, max_value=2**36 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_flac_header_roundtrip_any_params(rate, ch, bps, n):
+    from webpagesgraphdatabase_spark.operators import mediainfo as mi
+
+    si = mi.parse_flac_streaminfo(mi.encode_flac_header(rate, ch, bps, n))
+    assert si == {
+        "sample_rate": rate,
+        "channels": ch,
+        "bits_per_sample": bps,
+        "n_samples": n,
+    }
+
+
+@given(
+    st.integers(min_value=0, max_value=10**7),
+    st.integers(min_value=1, max_value=65535),
+    st.integers(min_value=1, max_value=65535),
+)
+@settings(max_examples=200, deadline=None)
+def test_mp4_header_roundtrip_any_params(dur, w, h):
+    from webpagesgraphdatabase_spark.operators import mediainfo as mi
+
+    out = mi.parse_mp4(mi.encode_mp4_header(dur, w, h))
+    assert out == {"duration_ms": dur, "width": w, "height": h}

@@ -319,13 +319,15 @@ def merges_to_text(merges: list[tuple[str, str]]) -> str:
 
 
 def merges_from_text(text: str) -> list[tuple[str, str]]:
-    """Parse a ``merges.txt`` payload (header/comment lines skipped,
-    rank = order). Raises on malformed lines — a merges file with the
-    wrong arity is corrupt, not ignorable."""
+    """Parse a ``merges.txt`` payload (rank = order). Only the
+    *leading* ``#version`` line is a header (the HF format); a ``#``
+    anywhere else is a legitimate merge symbol. Raises on malformed
+    lines — a merges file with the wrong arity is corrupt, not
+    ignorable."""
     out: list[tuple[str, str]] = []
     for i, line in enumerate(text.splitlines()):
         line = line.rstrip("\n")
-        if not line or line.startswith("#"):
+        if not line or (i == 0 and line.startswith("#version")):
             continue
         parts = line.split(" ")
         if len(parts) != 2 or not parts[0] or not parts[1]:
