@@ -56,3 +56,15 @@ def test_to_parquet_lands_and_reads_back(spark, tmp_path):
     # the returned frame scans Parquet (pushdown-capable), not JSON
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan or "Scan parquet" in plan
+
+
+def test_jsonl_stream_matches_batch_good_side(spark, tmp_path):
+    from webpagesgraphdatabase_spark.streaming.jobs import run_available_now
+
+    path = _write_fixture(tmp_path)
+    stream = sources.read_documents_jsonl_stream(spark, str(tmp_path / "*.jsonl"))
+    run_available_now(stream, "jsonl_docs", str(tmp_path / "ckpt_jsonl"))
+    got = {(r.doc_id, r.text) for r in spark.table("jsonl_docs").collect()}
+    docs, _ = sources.read_documents_jsonl(spark, path)
+    want = {(r.doc_id, r.text) for r in docs.collect()}
+    assert got == want and len(got) == 2

@@ -116,3 +116,25 @@ def to_parquet(
     if rejects_path is not None:
         rejects.write.mode("overwrite").json(rejects_path)
     return spark.read.parquet(parquet_path)
+
+
+def read_documents_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_documents_jsonl`'s *good* side: a
+    file-source JSONL stream under the same declared schema, with
+    malformed/required-null rows filtered out in-flight (append mode;
+    stateless, so every row-local operator — PII scrub, text stats,
+    segment explosion — applies unchanged downstream). A landing job
+    that must *quarantine* rejects runs the batch reader per drop
+    instead; a stream can only keep-or-drop."""
+    raw = (
+        spark.readStream.schema(_doc_schema())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    doc_cols = [n for n, _ in DOC_FIELDS]
+    return raw.filter(
+        F.col(CORRUPT_COL).isNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+    ).select(*doc_cols)
