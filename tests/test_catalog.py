@@ -140,3 +140,35 @@ def test_diff_setwise_without_key(spark, tmp_path):
     )
     # exceptAll honors multiplicity: the duplicated (2, b) appears once as insert
     assert ops == [("delete", 1, "a"), ("insert", 2, "b"), ("insert", 5, "e")]
+
+
+def test_add_column_is_metadata_only_with_lazy_default(spark, tmp_path):
+    """Schema evolution: old versions project the new column with its
+    default (no rewrite); new writes carry real values; time travel to
+    the pre-evolution version still resolves the evolved schema."""
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    wh.create_table("t", v1.schema)
+    wh.overwrite("t", v1)
+
+    wh.add_column("t", "score", "double", default=0.5)
+    got = {r.id: r.score for r in wh.read("t").collect()}
+    assert got == {1: 0.5, 2: 0.5}  # old files lack the column -> default
+
+    v2 = spark.createDataFrame([(1, "a", 0.9), (3, "c", 0.1)],
+                               "id long, v string, score double")
+    wh.overwrite("t", v2)
+    got2 = {r.id: r.score for r in wh.read("t").collect()}
+    assert got2 == {1: 0.9, 3: 0.1}
+
+    # time travel to the pre-evolution snapshot: evolved schema + default
+    first_data_version = wh.list_versions("t")[1]
+    old = {r.id: r.score for r in wh.read_version("t", first_data_version).collect()}
+    assert old == {1: 0.5, 2: 0.5}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wh.add_column("t", "score", "double")

@@ -117,11 +117,28 @@ class Warehouse:
     def read(self, name: str) -> DataFrame:
         version = self._current_version(name)
         path = os.path.join(self.root, name, version)
+        return self._read_path(name, path)
+
+    def _read_path(self, name: str, path: str) -> DataFrame:
         meta = self._meta(name)
-        if "schema" in meta:
-            declared = T.StructType.fromJson(meta["schema"])
-            return self.spark.read.schema(declared).parquet(path)
-        return self.spark.read.parquet(path)
+        if "schema" not in meta:
+            return self.spark.read.parquet(path)
+        declared = T.StructType.fromJson(meta["schema"])
+        df = self.spark.read.schema(declared).parquet(path)
+        # schema evolution: columns added after a version was written
+        # are absent from its files -> parquet yields nulls; apply the
+        # declared default lazily (no rewrite of old versions)
+        defaults = meta.get("defaults", {})
+        if defaults:
+            df = df.select(
+                *[
+                    F.coalesce(F.col(c), F.lit(defaults[c])).alias(c)
+                    if c in defaults
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
 
     def list_versions(self, name: str) -> list[int]:
         """All retained versions of a table, oldest first."""
@@ -137,11 +154,7 @@ class Warehouse:
         path = os.path.join(self.root, name, f"v{version:08d}")
         if not os.path.isdir(path):
             raise TableNotFoundError(f"{name}@v{version}")
-        meta = self._meta(name)
-        if "schema" in meta:
-            declared = T.StructType.fromJson(meta["schema"])
-            return self.spark.read.schema(declared).parquet(path)
-        return self.spark.read.parquet(path)
+        return self._read_path(name, path)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Write a new version dir, then atomically flip ``_CURRENT``."""
@@ -181,6 +194,29 @@ class Warehouse:
         for v in versions[:-keep] if keep else versions:
             if v != current:
                 shutil.rmtree(os.path.join(tdir, v))
+
+    def add_column(self, name: str, col: str, ddl_type: str, default=None) -> None:
+        """Schema evolution without data rewrite: append ``col`` to the
+        declared schema. Existing version files simply lack the column
+        — the declared-schema parquet read yields nulls for them, and
+        ``default`` (recorded in table metadata) is applied lazily at
+        read time, so evolving a 100 TB table is a metadata write, not
+        a rewrite job. New writes carry the column physically; the
+        default keeps old and new versions queryable under one schema
+        (the Delta/Iceberg add-column semantics, pointer-file style)."""
+        meta = self._meta(name)
+        if "schema" not in meta:
+            raise TableNotFoundError(name)
+        schema = T.StructType.fromJson(meta["schema"])
+        if col in schema.fieldNames():
+            raise ValueError(f"column {col!r} already exists on {name}")
+        new_type = self.spark.createDataFrame([], f"`{col}` {ddl_type}").schema[0].dataType
+        schema = schema.add(T.StructField(col, new_type))
+        meta["schema"] = schema.jsonValue()
+        if default is not None:
+            meta.setdefault("defaults", {})[col] = default
+        with open(os.path.join(self.root, name, _META), "w") as f:
+            json.dump(meta, f)
 
     # -- maintenance -------------------------------------------------------
 
