@@ -264,3 +264,17 @@ def test_cypher_route_caps_rows(client):
     )
     body = r.get_json()
     assert len(body["rows"]) == 1 and body["truncated"] is True
+
+
+def test_cypher_route_explain_returns_plan(client):
+    r = client.post(
+        "/cypher",
+        json={
+            "query": "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) RETURN l.url, c.name",
+            "explain": True,
+        },
+    )
+    body = r.get_json()
+    assert r.status_code == 200
+    assert "Physical Plan" in body["plan"]
+    assert "rows" not in body  # explain does not execute

@@ -510,6 +510,13 @@ def create_app(
             df = cypher(store.graph(), query, body.get("params") or {})
         except CypherSyntaxError as e:
             return jsonify({"error": str(e)}), 400
+        if body.get("explain"):
+            # the optimizer surface: what Catalyst actually planned for
+            # the translated statement (no execution)
+            plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            return jsonify({"columns": df.columns, "plan": plan})
         rows = df.limit(cap).collect()
         return jsonify(
             {
