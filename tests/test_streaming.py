@@ -297,3 +297,37 @@ def test_continuous_aggregate_store_matches_batch_rollup(spark, tmp_path):
         for r in ev.multi_resolution_rollup(closed, (5, 60)).collect()
     }
     assert got == want and len(got) > 4
+
+
+def test_native_session_window_matches_custom_operator(spark, source_dir, tmp_path):
+    """Spark's built-in session_window and the applyInPandasWithState
+    operator must agree on every closed session's (user, start, count)."""
+    from webpagesgraphdatabase_spark.streaming.jobs import (
+        streaming_sessionize_native,
+    )
+
+    stream = read_event_stream(spark, source_dir)
+    run_available_now(
+        streaming_sessionize_native(stream),
+        "native_sessions",
+        str(tmp_path / "ckpt_native"),
+    )
+    native = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("native_sessions").collect()
+    }
+    run_available_now(
+        streaming_sessionize(stream), "custom_sessions", str(tmp_path / "ckpt_cust")
+    )
+    custom = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("custom_sessions").collect()
+    }
+    # Tail difference is inherent: the native form closes a session as
+    # soon as the final watermark passes its gap, while the custom
+    # operator keeps each user's last session open awaiting a timeout —
+    # so custom's closed set is a subset, and they must agree on it.
+    assert custom and set(custom) <= set(native)
+    for k, n in custom.items():
+        assert native[k] == n, k
+    assert len(native) - len(custom) < len(native) * 0.1

@@ -283,3 +283,35 @@ def rollup_from_store(
     from ..operators.events import coarsen_levels
 
     return coarsen_levels(spark.read.parquet(path), minutes)
+
+
+def streaming_sessionize_native(
+    events: DataFrame, gap_min: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Gap sessionization via Spark's *native* ``session_window``
+    (merging event-time windows) — the built-in alternative to the
+    custom ``applyInPandasWithState`` operator in
+    :func:`streaming_sessionize`. Same closed-session semantics
+    (append mode emits a session once the watermark passes its gap),
+    different machinery: state lives in the engine's window store, no
+    Python worker at all.
+
+    Returns (user_id, session_start, session_end, n_events) — note the
+    native form carries no per-user session ordinal (the custom
+    operator numbers sessions 1..n per user); callers needing ids
+    derive them downstream. Both paths are pinned ≡ the batch
+    sessionize on closed sessions."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
