@@ -290,6 +290,15 @@ def main() -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_emb = emb.count()
         emb_dim = len(emb.select("embedding").first()["embedding"])
+        # PCA/whitening (r5): sufficient-statistics model fit is timed
+        # once (driver eigh is corpus-free), projection as a query
+        t0 = time.time()
+        pca = _similarity().pca_model(emb)
+        timings["s_pca_model"] = round(time.time() - t0, 3)
+        timed(
+            "s_pca_whiten",
+            lambda: _force(_similarity().pca_project(emb, pca, whiten=True)),
+        )
         # s_cosine_neardup keeps timing the raw broadcast block-matmul
         # operator (the registry row of the same name now also carries
         # the SemDeDup union — timed separately as s_semantic_dedup so
