@@ -1862,3 +1862,32 @@ def test_pca_projection_composes_with_ann(spark):
     # composes: exact top-k over the projected table
     top = similarity.ann_bruteforce(white, n_queries=1, k=1).collect()
     assert len(top) == 1 and top[0].query_id == 0
+
+
+def test_pca_model_roundtrips_through_disk(spark, tmp_path):
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.pca_model(emb, k=2)
+    path = str(tmp_path / "pca.json")
+    similarity.pca_save(model, path)
+    loaded = similarity.pca_load(path)
+    a = similarity.pca_project(emb, model, whiten=True).collect()
+    b = similarity.pca_project(emb, loaded, whiten=True).collect()
+    assert [r.embedding for r in a] == [r.embedding for r in b]
+    assert np.array_equal(model["components"], loaded["components"])
+
+
+def test_paragraph_dedup_degenerate_identical_corpus(spark):
+    """Worst-case segment skew: every document identical. The keep-first
+    window concentrates one hot segment key; output must still be exact
+    — doc 0 keeps everything, every other doc is fully boilerplate."""
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(i, text) for i in range(200)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert out[0].n_dropped == 0 and out[0].clean_text == text
+    for i in range(1, 200):
+        assert out[i].n_dropped == out[i].n_segs and out[i].clean_text == ""

@@ -950,3 +950,37 @@ def pca_project(
     return emb.select("vec_id", col).mapInPandas(
         project, schema="vec_id long, embedding array<float>"
     )
+
+
+def pca_save(model: dict, path: str) -> None:
+    """Persist a :func:`pca_model` as JSON (the model is (d·k + d + k)
+    floats — serving-config sized, like the IVF centroids at rest)."""
+    import json
+
+    import numpy as np
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "mean": np.asarray(model["mean"]).tolist(),
+                "components": np.asarray(model["components"]).tolist(),
+                "eigvals": np.asarray(model["eigvals"]).tolist(),
+            },
+            f,
+        )
+
+
+def pca_load(path: str) -> dict:
+    """Load a :func:`pca_save` model; round-trips bit-exactly (JSON
+    repr of IEEE doubles is lossless via repr-grade serialization)."""
+    import json
+
+    import numpy as np
+
+    with open(path) as f:
+        raw = json.load(f)
+    return {
+        "mean": np.asarray(raw["mean"], dtype=np.float64),
+        "components": np.asarray(raw["components"], dtype=np.float64),
+        "eigvals": np.asarray(raw["eigvals"], dtype=np.float64),
+    }
