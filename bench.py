@@ -350,37 +350,107 @@ def main() -> None:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
+    _, _, line = build_report(timings, stats, recalls, calibration, sf)
+    print(line)
+
+
+def build_report(
+    timings: dict,
+    stats: dict,
+    recalls: dict,
+    calibration: dict,
+    sf,
+    here: str | None = None,
+    write_detail: bool = True,
+):
+    """Assemble the round report: the full detail sidecar and the compact
+    one-line JSON the driver captures. Returns ``(out, detail, line)``.
+    Factored out of ``main`` so the baseline-walk / host-factor /
+    line-budget logic is unit-testable against synthetic artifacts."""
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "stats": stats,
         "recall": recalls,
         "calibration": calibration,
         "sf": sf,
     }
 
-    # round-over-round visibility: attach per-query deltas vs the most
-    # recent recorded BENCH_r*.json (negative = faster this round)
-    here = os.path.dirname(os.path.abspath(__file__))
+    # Round-over-round visibility. Two independent baselines:
+    #   * per-query prior: the newest committed BENCH_DETAIL_r*.json
+    #     (full stats survive there even when the driver's 2000-char
+    #     stdout tail truncated the line), else the newest driver
+    #     BENCH_r*.json that parsed;
+    #   * calibration prior: the newest round whose artifact carries a
+    #     `calibration` block — recoverable by regex from an *unparsed*
+    #     round's recorded stdout tail, so the r5 host measurement is
+    #     usable even though BENCH_r05.json has parsed=null.
+    # host_factor = this_shuffle_cal / prior_shuffle_cal reads >1 on a
+    # slower host; "calibrated prior" for query k is prev_q[k] *
+    # host_factor, and normalized deltas rescale this round's timing to
+    # the prior host (t/host_factor - prev) so a hardware swing like
+    # r5's 1.24× is attributable from the artifact alone.
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
-    # walk back to the most recent round that actually parsed — a failed
-    # round records {"rc": 1, "parsed": null} (r3 did), which must not
-    # take down this round's output
+    this_round = len(prior) + 1
+
     prev = prev_name = None
-    for fname in reversed(prior):
+    prev_cal = prev_cal_info = None
+    details = sorted(
+        f
+        for f in os.listdir(here)
+        if re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
+        and int(re.search(r"\d+", f).group(0)) < this_round
+    )
+    for fname in reversed(details):
         try:
             with open(os.path.join(here, fname)) as fh:
                 cand = json.load(fh)
-            cand = cand.get("parsed") or (cand if "queries" in cand else None)
-            if cand and cand.get("queries"):
+            if cand.get("queries"):
                 prev, prev_name = cand, fname
+                if cand.get("calibration", {}).get("shuffle"):
+                    prev_cal = cand["calibration"]
+                    prev_cal_info = {
+                        "round": fname,
+                        "comparable_total": cand.get("comparable_total"),
+                    }
                 break
         except (OSError, ValueError):
             continue
+    for fname in reversed(prior):
+        if prev is not None and prev_cal is not None:
+            break
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                raw = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        cand = raw.get("parsed") or (raw if "queries" in raw else None)
+        if prev is None and cand and cand.get("queries"):
+            prev, prev_name = cand, fname
+        if prev_cal is None:
+            cal = (cand or {}).get("calibration")
+            tail = raw.get("tail") or ""
+            if cal is None:
+                m = re.search(r'"calibration":\s*(\{[^{}]*\})', tail)
+                if m:
+                    try:
+                        cal = json.loads(m.group(1))
+                    except ValueError:
+                        cal = None
+            if cal and cal.get("shuffle"):
+                prev_cal = cal
+                mt = re.search(r'"comparable_total":\s*([0-9.]+)', tail)
+                prev_cal_info = {
+                    "round": fname,
+                    "comparable_total": (cand or {}).get("comparable_total")
+                    or (float(mt.group(1)) if mt else None),
+                }
+
     if prev is not None:
         try:
             prev_q = prev.get("queries", {})
@@ -397,8 +467,84 @@ def main() -> None:
             out["comparable_prev_total"] = round(sum(prev_q[k] for k in both), 3)
         except Exception:  # deltas are advisory — never block the output line
             pass
+    if prev_cal is not None and calibration.get("shuffle"):
+        hf = round(calibration["shuffle"] / prev_cal["shuffle"], 3)
+        out["host_factor"] = hf
+        if prev_cal.get("cpu"):
+            out["host_factor_cpu"] = round(
+                calibration["cpu"] / prev_cal["cpu"], 3
+            )
+        out["calibrated_prev"] = prev_cal_info
+        if prev is not None and hf > 0:
+            prev_q = prev.get("queries", {})
+            out["normalized_deltas"] = {
+                k: round(v / hf - prev_q[k], 2)
+                for k, v in timings.items()
+                if k in prev_q
+            }
+            if "comparable_total" in out:
+                out["comparable_total_normalized"] = round(
+                    out["comparable_total"] / hf, 3
+                )
+            # worst calibrated per-query regression, so the "no query
+            # >1.5× its calibrated prior" check is one field, not a scan
+            ratios = {
+                k: timings[k] / hf / prev_q[k]
+                for k in out["normalized_deltas"]
+                if prev_q.get(k)
+            }
+            if ratios:
+                worst = max(ratios, key=ratios.get)
+                out["worst_calibrated_ratio"] = {
+                    worst: round(ratios[worst], 2)
+                }
 
-    print(json.dumps(out))
+    # full sidecar: everything, including per-query stats — committed so
+    # the next round has a complete per-query baseline regardless of
+    # what survives the driver's stdout tail
+    detail = dict(out)
+    detail["stats"] = stats
+    if write_detail:
+        try:
+            with open(
+                os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json"), "w"
+            ) as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass
+
+    # the driver records only the last ~2000 chars of stdout and parses
+    # the JSON line out of that (r4/r5 lines outgrew it → parsed=null);
+    # keep the line compact — 2dp query timings (3dp live in the detail
+    # sidecar), raw deltas detail-only, near-zero normalized deltas
+    # elided behind an explicit marker — and shed advisory blocks before
+    # the adjudication fields if it would still overflow
+    out.pop("deltas", None)
+    out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    if "normalized_deltas" in out:
+        full_nd = out["normalized_deltas"]
+        out["normalized_deltas"] = {
+            k: v for k, v in full_nd.items() if abs(v) >= 0.05
+        }
+        if len(out["normalized_deltas"]) < len(full_nd):
+            out["nd_elided_below"] = 0.05
+    line = json.dumps(out, separators=(",", ":"))
+    for drop in ("recall", "normalized_deltas", "calibrated_prev"):
+        if len(line) <= 1920:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out, separators=(",", ":"))
+    # last resort: keep the heaviest per-query timings and say how many
+    # were elided (full set always lives in the detail sidecar)
+    while len(line) > 1920 and len(out["queries"]) > 8:
+        keep = sorted(out["queries"], key=out["queries"].get, reverse=True)
+        keep = keep[: max(8, len(keep) - 8)]
+        out["q_elided"] = len(timings) - len(keep)
+        out["queries"] = {
+            k: out["queries"][k] for k in timings if k in set(keep)
+        }
+        line = json.dumps(out, separators=(",", ":"))
+    return out, detail, line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,150 @@
+"""Unit tests for ``bench.build_report`` — the calibration-normalized
+round report (r5 verdict item 1).
+
+The driver captures only the last ~2000 chars of bench stdout, so the
+one-line JSON must stay under that budget, and the host-calibration
+baseline must be recoverable even from a prior round whose artifact has
+``parsed: null`` (only a truncated stdout tail). These tests exercise
+the artifact walk against synthetic BENCH_r*/BENCH_DETAIL_r* files in a
+tmp dir — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _mk(tmp, name, payload):
+    with open(os.path.join(str(tmp), name), "w") as fh:
+        json.dump(payload, fh)
+
+
+TIMINGS = {"q1": 1.0, "q2": 2.0, "q_new": 0.5}
+STATS = {k: {"median": v, "p95": v, "n": 3} for k, v in TIMINGS.items()}
+RECALL = {"s_ann_lsh": 0.5}
+CAL = {"cpu": 0.2, "shuffle": 0.8}
+
+
+def test_no_prior_artifacts(tmp_path):
+    out, detail, line = bench.build_report(
+        TIMINGS, STATS, RECALL, CAL, 0.1, here=str(tmp_path), write_detail=False
+    )
+    assert out["value"] == 3.5
+    assert "host_factor" not in out and "deltas" not in out
+    parsed = json.loads(line)
+    assert parsed["queries"]["q1"] == 1.0
+    assert parsed["calibration"] == CAL
+
+
+def test_calibration_recovered_from_unparsed_tail(tmp_path):
+    # r5 shape: parsed=null, calibration only inside the stdout tail
+    tail = (
+        '...truncated..., "calibration": {"cpu": 0.1, "shuffle": 0.4}, '
+        '"sf": 0.1, "comparable_total": 30.0, "comparable_prev_total": 29.0}\n'
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": tail})
+    out, _, _ = bench.build_report(
+        TIMINGS, STATS, RECALL, CAL, 0.1, here=str(tmp_path), write_detail=False
+    )
+    # this host's shuffle cal 0.8 vs prior 0.4 → 2× slower host
+    assert out["host_factor"] == 2.0
+    assert out["host_factor_cpu"] == 2.0
+    assert out["calibrated_prev"]["round"] == "BENCH_r01.json"
+    assert out["calibrated_prev"]["comparable_total"] == 30.0
+    # no parsed per-query prior → no deltas, but host_factor still lands
+    assert "normalized_deltas" not in out
+
+
+def test_detail_sidecar_preferred_and_normalized_deltas(tmp_path):
+    # a parsed driver artifact AND a newer committed detail sidecar;
+    # the sidecar must win as per-query baseline
+    _mk(
+        tmp_path,
+        "BENCH_r01.json",
+        {
+            "rc": 0,
+            "parsed": {"value": 9.9, "queries": {"q1": 9.0, "q2": 9.0}},
+            "tail": "",
+        },
+    )
+    _mk(
+        tmp_path,
+        "BENCH_r02.json",
+        {"rc": 0, "parsed": None, "tail": ""},
+    )
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r02.json",
+        {
+            "value": 3.0,
+            "queries": {"q1": 1.0, "q2": 2.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.4},
+            "comparable_total": 3.0,
+        },
+    )
+    timings = {"q1": 2.2, "q2": 4.0, "q_new": 0.5}
+    out, detail, line = bench.build_report(
+        timings, STATS, RECALL, CAL, 0.1, here=str(tmp_path), write_detail=False
+    )
+    assert out["prev_round"] == "BENCH_DETAIL_r02.json"
+    assert out["host_factor"] == 2.0  # 0.8 / 0.4
+    # q1: 2.2/2.0 - 1.0 = 0.1 ; q2: 4.0/2.0 - 2.0 = 0.0 (elided in line)
+    assert detail["normalized_deltas"] == {"q1": 0.1, "q2": 0.0}
+    parsed = json.loads(line)
+    assert parsed["normalized_deltas"] == {"q1": 0.1}
+    assert parsed["nd_elided_below"] == 0.05
+    assert detail["comparable_total"] == 6.2
+    assert detail["comparable_total_normalized"] == 3.1
+    # q1 calibrated ratio (2.2/2)/1.0 = 1.1 is the worst
+    assert out["worst_calibrated_ratio"] == {"q1": 1.1}
+    # raw deltas live in the detail sidecar only
+    assert "deltas" in detail and "deltas" not in parsed
+    assert detail["stats"] is STATS
+
+
+def test_line_stays_under_driver_tail_budget(tmp_path):
+    # 60 long-named queries with a full prior → worst-case line; the
+    # shedding loop must keep it parseable within the driver's capture
+    timings = {f"q_very_long_operator_name_{i:03d}": 1.234 for i in range(60)}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 60.0,
+            "queries": {k: 1.0 for k in timings},
+            "calibration": {"cpu": 0.2, "shuffle": 0.4},
+            "comparable_total": 60.0,
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    out, detail, line = bench.build_report(
+        timings, stats, RECALL, CAL, 0.1, here=str(tmp_path), write_detail=False
+    )
+    assert len(line) <= 1920
+    parsed = json.loads(line)
+    # adjudication fields survive shedding; queries degrade to the
+    # heaviest entries with an explicit elision count
+    assert len(parsed["queries"]) + parsed.get("q_elided", 0) == 60
+    assert parsed["host_factor"] == 2.0
+    assert "comparable_total_normalized" in parsed
+    # the detail sidecar keeps everything regardless
+    assert len(detail["normalized_deltas"]) == 60
+
+
+def test_detail_written_and_round_numbered(tmp_path):
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    _mk(tmp_path, "BENCH_r02.json", {"rc": 0, "parsed": None, "tail": ""})
+    bench.build_report(
+        TIMINGS, STATS, RECALL, CAL, 0.1, here=str(tmp_path), write_detail=True
+    )
+    path = os.path.join(str(tmp_path), "BENCH_DETAIL_r03.json")
+    assert os.path.exists(path)
+    with open(path) as fh:
+        assert json.load(fh)["queries"] == TIMINGS
