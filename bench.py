@@ -286,6 +286,20 @@ def main() -> None:
             "u_heavy_hitters",
             lambda: _force(sketches.heavy_hitters(tok_stream, "t", k=64)),
         )
+        # paragraph dedup's own target pathology (r6): every document
+        # carries identical text, so every segment is a corpus-wide
+        # duplicate of one hot key. The r5 window plan ranked all copies
+        # on a single task; the r6 partial aggregate must stay flat here.
+        hot = docs.select(
+            "doc_id",
+            SF.lit(("boilerplate navigation footer terms " * 24).strip()).alias(
+                "text"
+            ),
+        )
+        timed(
+            "d_paragraph_dedup_hot",
+            lambda: _force(dedup.paragraph_dedup(hot)),
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_emb = emb.count()

@@ -95,14 +95,20 @@ def test_pii_scan_and_redact_are_shuffle_free_too(spark):
         assert "EvalPython" not in plan
 
 
-def test_paragraph_dedup_segmentation_is_codegen_window_on_seg(spark):
-    """r5: segmentation is a pure per-row expression (no Python worker);
-    the dedup decision is ONE window on the segment text plus the
-    doc_id reassembly agg — no joins anywhere in the plan."""
+def test_paragraph_dedup_first_occurrence_is_partial_agg_not_window(spark):
+    """r6 (r5 verdict item 2): the first-occurrence decision must be a
+    partial-aggregatable hash aggregate keyed on xxhash64(seg) — NOT a
+    row_number window over raw segment text, which would rank every copy
+    of a mega-duplicated boilerplate segment on a single task. A
+    HashAggregate gets map-side combine (and AQE skew handling on the
+    exchange); a window gets neither."""
     df = dedup.paragraph_dedup(_docs(spark).filter(F.col("doc_id") < 40))
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan  # no window anywhere — least of all on seg
+    assert "xxhash64" in plan
+    # map-side combine: a partial-mode aggregate over the segment key
+    assert "partial_min" in plan or "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

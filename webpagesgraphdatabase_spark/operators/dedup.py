@@ -599,40 +599,64 @@ def paragraph_dedup(
     caller's; CCNet drops them). Documents with empty text get
     ``n_segs = 0``.
 
-    Scale shape: one shuffle partitions segments by the segment text
-    (the first-occurrence window — key cardinality is the distinct
-    segment count, near-uniform by construction since identical
-    boilerplate hashes to one partition but its copies are exactly what
-    the window ranks); one shuffle re-groups by doc_id for reassembly.
-    Segment text rides the shuffle once — at 100 TB swap the carried
-    column for ``xxhash64(seg)`` + a join back to first occurrences if
-    segments are long (same plan shape, smaller shuffle payload).
+    Scale shape (r6 — replaces the r5 ``row_number`` window over raw
+    segment text): first occurrences come from a *partial-aggregatable*
+    ``min(struct(doc_id, seg_idx, seg))`` grouped on ``(xxhash64(seg),
+    length(seg))``. A segment duplicated 10⁷ times across the corpus —
+    exactly the boilerplate this operator targets — is combined down to
+    one candidate row per map partition before the exchange, instead of
+    landing on a single window task ranked serially (the skew the LSH
+    path bounds with ``DEFAULT_MAX_BUCKET``; a window has no partial
+    combine, so no such bound was possible there). The hash key also
+    shrinks the shuffle payload: only the one surviving first-occurrence
+    struct per distinct segment carries text through the exchange; the
+    duplicate copies ride as map-side-combined counts. Reassembly and
+    per-doc totals are two further narrow hash aggregates on doc_id
+    (both partial-aggregatable). Distinct segments sharing an
+    (xxhash64, length) key would merge — at 10¹¹ distinct segments the
+    128-bit composite keeps the expected collision count ≪ 1, same
+    exposure the MinHash chain already documents.
     """
     segs = doc_segments(docs, mode, seg_tokens, text_col, id_col)
-    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    flagged = segs.withColumn("rn", F.row_number().over(w))
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_segs"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
-                    )
-                ),
-                lambda s: s["seg"],
-            ),
-            " ",
-        ).alias("clean_text"),
+    keyed = segs.select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        F.xxhash64("seg").alias("seg_h"),
+        F.length("seg").alias("seg_len"),
     )
+    # one row per distinct segment: its globally-first (doc_id, seg_idx)
+    # occurrence plus how many copies existed (struct min orders by
+    # field position, matching the old window's ORDER BY doc_id, seg_idx)
+    firsts = keyed.groupBy("seg_h", "seg_len").agg(
+        F.min(F.struct("doc_id", "seg_idx", "seg")).alias("f"),
+    )
+    per_doc_kept = (
+        firsts.select(F.col("f.doc_id").alias("doc_id"), "f.seg_idx", "f.seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    per_doc_tot = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
+        .join(per_doc_tot, "doc_id", "left")
+        .join(per_doc_kept, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_segs"), F.lit(0)).alias("n_segs"),
-            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (
+                F.coalesce(F.col("n_segs"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_dropped"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
