@@ -172,3 +172,35 @@ def test_add_column_is_metadata_only_with_lazy_default(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         wh.add_column("t", "score", "double")
+
+
+def test_add_column_default_does_not_swallow_post_evolution_nulls(spark, tmp_path):
+    """r5 advice: the lazy default applies only to versions written
+    BEFORE the evolution. An explicit NULL written into the evolved
+    column afterwards must read back as NULL — and compact() must
+    preserve it while baking the default into pre-evolution rows."""
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    wh.create_table("t", v1.schema)
+    wh.overwrite("t", v1)
+    wh.add_column("t", "score", "double", default=0.5)
+
+    # post-evolution write with an explicit NULL score for id=2
+    v2 = spark.createDataFrame(
+        [(1, "a", 0.9), (2, "b", None)], "id long, v string, score double"
+    )
+    wh.overwrite("t", v2)
+    got = {r.id: r.score for r in wh.read("t").collect()}
+    assert got == {1: 0.9, 2: None}  # NOT 0.5
+
+    # pre-evolution snapshot still fills the default under time travel
+    pre = wh.list_versions("t")[1]
+    old = {r.id: r.score for r in wh.read_version("t", pre).collect()}
+    assert old == {1: 0.5, 2: 0.5}
+
+    # compaction rewrites the current version; the explicit NULL survives
+    wh.compact("t")
+    got2 = {r.id: r.score for r in wh.read("t").collect()}
+    assert got2 == {1: 0.9, 2: None}

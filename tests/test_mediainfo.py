@@ -36,6 +36,46 @@ def test_mp4_roundtrip_and_zero_guard():
         mi.parse_mp4(b"\x00\x00\x00\x08ftyp")  # no moov, bad sizes
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def test_mp4_truncated_boxes_raise_mediainfo_error_not_struct_error():
+    """r5 advice: an mvhd/tkhd payload shorter than its fixed fields must
+    raise MediaInfoError (probe_bytes' contract), not struct.error or
+    IndexError — and must never decode the adjacent box's bytes."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    # 4-byte mvhd: version readable, fields not
+    for payload in (b"\x00\x00\x00\x00", b""):
+        short = ftyp + _box(b"moov", _box(b"mvhd", payload))
+        with pytest.raises(mi.MediaInfoError):
+            mi.parse_mp4(short)
+    # tkhd too short for the v0 width/height offset (needs 84 bytes)
+    good_mvhd = _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 5000) + b"\x00" * 80)
+    for payload in (b"\x00" * 40, b""):
+        short_tkhd = ftyp + _box(
+            b"moov", good_mvhd + _box(b"trak", _box(b"tkhd", payload))
+        )
+        with pytest.raises(mi.MediaInfoError):
+            mi.parse_mp4(short_tkhd)
+    # an mvhd exactly at the v0 minimum still parses
+    minimal = ftyp + _box(
+        b"moov", _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 5000))
+    )
+    assert mi.parse_mp4(minimal)["duration_ms"] == 5000
+
+
+def test_probe_bytes_never_raises_on_truncated_moov():
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    for evil in (
+        ftyp + _box(b"moov", _box(b"mvhd", b"\x00\x00\x00\x00")),
+        ftyp + _box(b"moov", _box(b"mvhd", b"")),
+        ftyp + _box(b"moov", b"\x00\x00\x00\xff"),  # bad inner size
+    ):
+        out = mi.probe_bytes(evil)
+        assert out["kind"] == "mp4" and out["err"]
+
+
 def test_probe_bytes_all_kinds():
     png_b = png.encode(np.zeros((4, 6, 3), dtype=np.uint8))
     gif_b = gif.encode(np.zeros((5, 7, 3), dtype=np.uint8))

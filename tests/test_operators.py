@@ -1706,6 +1706,23 @@ def test_heavy_hitters_exact_when_k_exceeds_cardinality(spark):
     assert all(r.max_err == 0 for r in out.values())
 
 
+def test_heavy_hitters_casts_non_string_keys_and_leaves_no_cached_blocks(spark):
+    """r5 advice: non-string key columns must work (cast to string, not
+    fail at the Arrow boundary), and the call must not leave persisted
+    blocks behind for the session (the old shape cached partition
+    summaries and never unpersisted them)."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.operators import sketches
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.range(0, 2100).select((F.col("id") % 7).alias("k"))
+    out = {r.k: r.est_count for r in sketches.heavy_hitters(df, "k", k=16).collect()}
+    assert out == {str(i): 300 for i in range(7)}  # long keys → string out
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before
+
+
 def test_window_anomalies_flags_spike_not_baseline(spark):
     """Steady 5-minute click volume with one 10x spike window: only the
     spike is flagged, and early windows (insufficient history) never

@@ -312,22 +312,30 @@ def test_native_session_window_matches_custom_operator(spark, source_dir, tmp_pa
         "native_sessions",
         str(tmp_path / "ckpt_native"),
     )
+    native_df = spark.table("native_sessions")
     native = {
-        (r.user_id, r.session_start): r.n_events
-        for r in spark.table("native_sessions").collect()
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in native_df.collect()
     }
     run_available_now(
         streaming_sessionize(stream), "custom_sessions", str(tmp_path / "ckpt_cust")
     )
+    custom_df = spark.table("custom_sessions")
     custom = {
-        (r.user_id, r.session_start): r.n_events
-        for r in spark.table("custom_sessions").collect()
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in custom_df.collect()
     }
+    # full-schema parity on the shared columns (r5 advice: session_end
+    # was timestamp while the custom operator declares timestamp_ntz,
+    # and the old (user, start, count)-only compare let it slide)
+    custom_types = {f.name: f.dataType for f in custom_df.schema.fields}
+    for f in native_df.schema.fields:
+        assert custom_types[f.name] == f.dataType, f.name
     # Tail difference is inherent: the native form closes a session as
     # soon as the final watermark passes its gap, while the custom
     # operator keeps each user's last session open awaiting a timeout —
     # so custom's closed set is a subset, and they must agree on it.
     assert custom and set(custom) <= set(native)
-    for k, n in custom.items():
-        assert native[k] == n, k
+    for k, v in custom.items():
+        assert native[k] == v, k
     assert len(native) - len(custom) < len(native) * 0.1

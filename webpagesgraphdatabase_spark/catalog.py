@@ -125,19 +125,36 @@ class Warehouse:
             return self.spark.read.parquet(path)
         declared = T.StructType.fromJson(meta["schema"])
         df = self.spark.read.schema(declared).parquet(path)
-        # schema evolution: columns added after a version was written
-        # are absent from its files -> parquet yields nulls; apply the
-        # declared default lazily (no rewrite of old versions)
+        # schema evolution: a version written BEFORE the column was
+        # added lacks it physically -> parquet yields nulls, and the
+        # recorded default fills them (initial-default semantics, no
+        # rewrite of old versions). Versions written at-or-after the
+        # evolution carry the column physically, so an explicit NULL
+        # written there must read back as NULL — the default is gated
+        # on the version under read, matching Delta/Iceberg add-column
+        # semantics (r5 advice: ungated coalesce made explicit NULLs
+        # indistinguishable from absent values, and compact() then
+        # baked the defaults into data).
         defaults = meta.get("defaults", {})
         if defaults:
-            df = df.select(
-                *[
-                    F.coalesce(F.col(c), F.lit(defaults[c])).alias(c)
-                    if c in defaults
-                    else F.col(c)
-                    for c in df.columns
-                ]
-            )
+            ver = os.path.basename(path.rstrip("/"))
+            ver_num = int(ver[1:]) if ver.startswith("v") else None
+            fill = {}
+            for c, d in defaults.items():
+                if isinstance(d, dict):
+                    if ver_num is None or ver_num < d.get("since", 0):
+                        fill[c] = d["value"]
+                else:  # legacy unversioned default: apply everywhere
+                    fill[c] = d
+            if fill:
+                df = df.select(
+                    *[
+                        F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
+                        if c in fill
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
         return df
 
     def list_versions(self, name: str) -> list[int]:
@@ -202,8 +219,10 @@ class Warehouse:
         ``default`` (recorded in table metadata) is applied lazily at
         read time, so evolving a 100 TB table is a metadata write, not
         a rewrite job. New writes carry the column physically; the
-        default keeps old and new versions queryable under one schema
-        (the Delta/Iceberg add-column semantics, pointer-file style)."""
+        default fills only versions written *before* the evolution
+        (recorded with the default), so an explicit NULL written after
+        evolution reads back as NULL — the Delta/Iceberg initial-default
+        semantics, pointer-file style."""
         meta = self._meta(name)
         if "schema" not in meta:
             raise TableNotFoundError(name)
@@ -214,7 +233,14 @@ class Warehouse:
         schema = schema.add(T.StructField(col, new_type))
         meta["schema"] = schema.jsonValue()
         if default is not None:
-            meta.setdefault("defaults", {})[col] = default
+            # gate the default on the evolution point: versions strictly
+            # before `since` predate the column (fill with the default);
+            # `since` onward carry it physically (explicit NULLs survive)
+            since = int(self._current_version(name)[1:]) + 1
+            meta.setdefault("defaults", {})[col] = {
+                "value": default,
+                "since": since,
+            }
         with open(os.path.join(self.root, name, _META), "w") as f:
             json.dump(meta, f)
 

@@ -139,7 +139,18 @@ def parse_mp4(b: bytes) -> dict:
             continue
         for ctype, cs, ce in _boxes(b, s, e):
             if ctype == b"mvhd":
+                # bounds-check before every fixed-offset read: a box
+                # sized >=8 but shorter than its fields must raise
+                # MediaInfoError, not struct.error/IndexError, and must
+                # never decode the adjacent box's bytes as its own
+                if ce - cs < 1:
+                    raise MediaInfoError("empty mvhd box")
                 version = b[cs]
+                need = 32 if version == 1 else 20
+                if ce - cs < need:
+                    raise MediaInfoError(
+                        f"truncated mvhd (v{version}: {ce - cs} < {need} bytes)"
+                    )
                 if version == 1:
                     timescale, duration = struct.unpack_from(">IQ", b, cs + 20)
                 else:
@@ -150,9 +161,15 @@ def parse_mp4(b: bytes) -> dict:
                 for ttype, ts, te in _boxes(b, cs, ce):
                     if ttype != b"tkhd":
                         continue
+                    if te - ts < 1:
+                        raise MediaInfoError("empty tkhd box")
                     version = b[ts]
                     off = ts + (96 if version == 1 else 84)
-                    w16, h16 = struct.unpack_from(">II", b, off - 8, )
+                    if te < off:
+                        raise MediaInfoError(
+                            f"truncated tkhd (v{version}: {te - ts} bytes)"
+                        )
+                    w16, h16 = struct.unpack_from(">II", b, off - 8)
                     w, h = w16 >> 16, h16 >> 16
                     if w and h and width is None:
                         width, height = w, h
@@ -250,7 +267,11 @@ def probe_bytes(b: bytes) -> dict:
             )
         else:
             out["err"] = "unknown container"
-    except (MediaInfoError, ValueError) as e:
+    # struct.error / IndexError are defense in depth: the parsers
+    # bounds-check and raise MediaInfoError themselves, but "never
+    # raises" is this function's contract — one corrupt payload must not
+    # kill a 100 TB ingest job — so catch the raw-read failures too
+    except (MediaInfoError, ValueError, struct.error, IndexError) as e:
         out["err"] = f"{type(e).__name__}: {e}"
     return out
 

@@ -136,7 +136,15 @@ def heavy_hitters(
 
     The output depends on partition layout (any MG summary does), so
     this is unit-pinned via its guarantees, not an oracle row — the
-    exact twin is the ordinary groupBy count."""
+    exact twin is the ordinary groupBy count.
+
+    Keys are cast to string on the way in (the summary schema is typed
+    once, not per-input): non-string key columns work, and the output
+    key column is always string. The whole computation is one lazy
+    plan — partition summaries flow into a keyed merge plus a global
+    window-sum for the error bound over the ≤ k·partitions merged rows,
+    so nothing is persisted (the r5 shape cached the summaries for a
+    separate error-total job and leaked the blocks for the session)."""
     import pandas as pd
 
     from ._util import spread
@@ -165,17 +173,19 @@ def heavy_hitters(
             }
         )
 
-    summaries = (
-        spread(df.select(key_col))
-        .mapInPandas(mg, schema=f"{key_col} string, cnt long, dec long")
-        .persist()
+    summaries = spread(
+        df.select(F.col(key_col).cast("string").alias(key_col))
+    ).mapInPandas(mg, schema=f"{key_col} string, cnt long, dec long")
+    merged = summaries.groupBy(key_col).agg(
+        F.sum("cnt").alias("est_count"), F.sum("dec").alias("dec")
     )
-    total_err = summaries.agg(F.sum("dec")).first()[0] or 0
-    out = (
-        summaries.filter(F.col(key_col).isNotNull())
-        .groupBy(key_col)
-        .agg(F.sum("cnt").alias("est_count"))
-        .withColumn("max_err", F.lit(int(total_err)).cast("long"))
+    # global error bound: window-sum over the merged summary (≤ k rows
+    # per partition survived the map side, so this single-partition
+    # window sees a tiny frame — never the input)
+    total_err = F.sum("dec").over(Window.partitionBy())
+    return (
+        merged.withColumn("max_err", F.coalesce(total_err, F.lit(0)).cast("long"))
+        .filter(F.col(key_col).isNotNull())
+        .drop("dec")
         .orderBy(F.col("est_count").desc(), F.col(key_col).asc())
     )
-    return out

@@ -299,8 +299,12 @@ def streaming_sessionize_native(
     Returns (user_id, session_start, session_end, n_events) — note the
     native form carries no per-user session ordinal (the custom
     operator numbers sessions 1..n per user); callers needing ids
-    derive them downstream. Both paths are pinned ≡ the batch
-    sessionize on closed sessions."""
+    derive them downstream. ``session_window.end`` is last-event + gap
+    by definition, so the gap is subtracted back out to report the last
+    event time — the custom operator's (and batch sessionize's)
+    ``session_end`` — and both timestamps are cast to timestamp_ntz to
+    match the custom operator's declared schema exactly. Both paths are
+    pinned ≡ the batch sessionize on closed sessions."""
     return (
         events.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
@@ -311,7 +315,9 @@ def streaming_sessionize_native(
         .select(
             "user_id",
             F.col("w.start").cast("timestamp_ntz").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap_min} MINUTES"))
+            .cast("timestamp_ntz")
+            .alias("session_end"),
             "n_events",
         )
     )
