@@ -256,6 +256,24 @@ def test_cypher_route_rejects_bad_query_and_missing(client):
     assert "error" in r.get_json()
 
 
+def test_cypher_route_rejects_unbound_cross_join_and_bad_limit(client):
+    """r5 advice: the row cap bounds the response, not the compute — a
+    disconnected multi-chain pattern must 400 before execution, and a
+    non-numeric limit must 400, not 500."""
+    r = client.post(
+        "/cypher",
+        json={"query": "MATCH (a:Link), (b:Link), (c:Link) RETURN COUNT(*)"},
+    )
+    assert r.status_code == 400
+    assert "cross-join" in r.get_json()["error"]
+    r2 = client.post(
+        "/cypher",
+        json={"query": "MATCH (l:Link) RETURN l.url", "limit": "lots"},
+    )
+    assert r2.status_code == 400
+    assert "limit" in r2.get_json()["error"]
+
+
 def test_cypher_route_caps_rows(client):
     client.post("/add_link", data={"url": "https://example.com/y"})
     r = client.post(

@@ -133,6 +133,49 @@ def test_matches_motif_layer_plan_free_of_nested_loops(g):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_unbound_multi_chain_anchor_refused(g):
+    """r5 verdict item 4: a standalone chain anchor with no shared
+    variable and no binding would cross-join the full node table —
+    refused at compile time, before any compute."""
+    from webpagesgraphdatabase_spark.graph.cypher import CypherUnboundAnchorError
+
+    for bad in (
+        "MATCH (a:Link), (b:Link) RETURN a.url, b.url",
+        "MATCH (a:Link), (b:Link), (c:Link) RETURN COUNT(*)",
+        # second chain's b is unbound even though a is point-bound
+        "MATCH (a:Link {url: 'a'}), (b:Category) RETURN a.url, b.name",
+    ):
+        with pytest.raises(CypherUnboundAnchorError):
+            cypher(g, bad, {})
+    # the error is a CypherSyntaxError subclass (HTTP routes 400 it)
+    with pytest.raises(CypherSyntaxError):
+        cypher(g, "MATCH (a:Link), (b:Link) RETURN COUNT(*)", {})
+
+
+def test_bound_multi_chain_anchors_still_compile(g):
+    """All three legitimate bindings pass the guard: inline property
+    map (the reference's main.py:136-139 shape), WHERE var.prop =
+    literal, and WHERE equality joining the chains."""
+    by_props = cypher(
+        g,
+        "MATCH (a:Link {url: 'a'}), (b:Link {url: 'b'}) RETURN a.url, b.url",
+    )
+    assert [tuple(r) for r in by_props.collect()] == [("a", "b")]
+    by_where_lit = cypher(
+        g,
+        "MATCH (a:Link {url: 'a'}), (b:Link) WHERE b.url = 'c' "
+        "RETURN a.url, b.url",
+    )
+    assert [tuple(r) for r in by_where_lit.collect()] == [("a", "c")]
+    by_where_join = cypher(
+        g,
+        "MATCH (a:Link)-[:BELONGS_TO]->(c1:Category), (b:Link) "
+        "WHERE b.suggested_category = c1.name AND a.url = 'a' "
+        "RETURN a.url, b.url",
+    )
+    assert {tuple(r) for r in by_where_join.collect()} == {("a", "a")}
+
+
 def test_syntax_errors(g):
     for bad in (
         "MATCH (l:Link) RETURN l.url EXTRA",

@@ -505,8 +505,15 @@ def create_app(
         query = body.get("query", "")
         if not query:
             return jsonify({"error": "query required"}), 400
-        cap = min(int(body.get("limit", 1000)), 10_000)
         try:
+            cap = min(int(body.get("limit", 1000)), 10_000)
+        except (TypeError, ValueError):
+            return jsonify({"error": "limit must be an integer"}), 400
+        try:
+            # CypherUnboundAnchorError (a CypherSyntaxError) rejects
+            # disconnected unbound chains here — the row cap bounds the
+            # response, not the compute, so |table|² patterns must not
+            # reach execution on the serving process
             df = cypher(store.graph(), query, body.get("params") or {})
         except CypherSyntaxError as e:
             return jsonify({"error": str(e)}), 400

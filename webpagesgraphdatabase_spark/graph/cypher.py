@@ -49,6 +49,16 @@ class CypherSyntaxError(MotifSyntaxError):
     pass
 
 
+class CypherUnboundAnchorError(CypherSyntaxError):
+    """A MATCH with multiple comma-separated chains where a later
+    chain's anchor shares no variable with earlier chains and carries no
+    binding (inline property map or WHERE equality). Correct Cypher
+    semantics would cross-join the full anchor table into the frame —
+    |table|² intermediate work before any cap — and the reference never
+    issues such a pattern (``main.py:136-139`` binds both sides with
+    property maps), so the translator refuses instead."""
+
+
 # --------------------------------------------------------------------------
 # parsing
 # --------------------------------------------------------------------------
@@ -383,6 +393,40 @@ def _compile_match(g: PropertyGraph, nodes, hops, groups) -> _Frame:
     return fr
 
 
+def _guard_unbound_anchors(nodes, groups, where: list[_Cmp]) -> None:
+    """Refuse disconnected chains with unbound anchors before compiling
+    (see :class:`CypherUnboundAnchorError`). A later chain's anchor is
+    acceptable when it (a) reuses a variable an earlier chain bound,
+    (b) carries an inline property map, or (c) appears in a WHERE
+    equality — ``var.prop = literal`` (selective point bind, the
+    reference's point-lookup shape) or ``var.prop = other.prop``
+    (Catalyst rewrites the cross join + equality filter into an
+    equi-join, reconnecting the chains)."""
+    props = {n.var: n.props for n in nodes}
+    eq_vars: set[str] = set()
+    for c in where:
+        if c.op == "=" and c.right is not None:
+            for side in (c.left, c.right):
+                if side[0] == "prop":
+                    eq_vars.add(side[1])
+    bound: set[str] = set()
+    for i, grp in enumerate(groups):
+        anchor = grp[0]
+        if (
+            i
+            and anchor not in bound
+            and not props.get(anchor)
+            and anchor not in eq_vars
+        ):
+            raise CypherUnboundAnchorError(
+                f"pattern chain anchored at ({anchor}) shares no variable "
+                "with earlier chains and has no property binding — this "
+                "would cross-join the full node table; bind it with an "
+                "inline property map or a WHERE equality"
+            )
+        bound.update(grp)
+
+
 def _cmp_to_column(fr: _Frame, c: _Cmp) -> Column:
     def side(t) -> Column:
         if t[0] == "prop":
@@ -412,11 +456,13 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
     p = _P(query, params)
     p.expect_kw("MATCH")
     nodes, hops, groups = p.patterns()
-    fr = _compile_match(g, nodes, hops, groups)
-
+    # WHERE is parsed before compiling so the unbound-anchor guard can
+    # see equality bindings (the filters still apply post-compile)
     where: list[_Cmp] = []
     if p.take_kw("WHERE"):
         where = _where(p)
+    _guard_unbound_anchors(nodes, groups, where)
+    fr = _compile_match(g, nodes, hops, groups)
     for c in where:
         cond = _cmp_to_column(fr, c)  # may join Link props into fr.df first
         fr.df = fr.df.filter(cond)
