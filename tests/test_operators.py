@@ -136,6 +136,22 @@ def test_cosine_neardup_guard_routes_to_bucketed(vecs):
     assert all(2 not in p for p in pairs)
 
 
+def test_cosine_neardup_two_concurrent_callers_share_a_session(vecs):
+    """r5 verdict item 6: each call owns its broadcast. Interleaving two
+    result frames — build both, then materialize both, then re-run the
+    first — must work (the old module-global handle destroyed caller A's
+    broadcast when caller B built one), and the module must hold no
+    broadcast state."""
+    a = similarity.cosine_neardup(vecs, 0.95)
+    b = similarity.cosine_neardup(vecs, 0.5)
+    got_a = {(r.vec_a, r.vec_b) for r in a.collect()}
+    got_b = {(r.vec_a, r.vec_b) for r in b.collect()}
+    assert (0, 1) in got_a and got_a <= got_b
+    # re-execute A after B materialized: its broadcast must still serve
+    assert {(r.vec_a, r.vec_b) for r in a.collect()} == got_a
+    assert not hasattr(similarity, "_live_broadcast")
+
+
 def test_neardup_lsh_bucketed_subset_of_exact(vecs):
     exact = {(r.vec_a, r.vec_b) for r in similarity.cosine_neardup(vecs, 0.95).collect()}
     approx = {

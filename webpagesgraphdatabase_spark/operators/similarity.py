@@ -111,10 +111,22 @@ def _dot(a, b):
 
 # Broadcast budget for the exact block-matmul path: above this row
 # count the corpus matrix no longer belongs on the driver, and the
-# bucketed path takes over. The previous broadcast is destroyed when a
-# new one is built, so repeated runs (bench loops) don't leak blocks.
+# bucketed path takes over. Each call owns its broadcast: a finalizer
+# unpersists the executor copies when the result frame is garbage-
+# collected, so bench loops don't accumulate blocks and two concurrent
+# callers in one session can't clobber each other (the r5 shape kept a
+# module-global handle and destroyed the previous broadcast on every
+# call). unpersist — not destroy — so a frame *derived* from the result
+# (whose plan pickled the broadcast id) can still refetch from the
+# driver after the parent is collected.
 NEARDUP_BROADCAST_MAX_ROWS = 200_000
-_live_broadcast = None
+
+
+def _unpersist_quietly(bc) -> None:
+    try:
+        bc.unpersist(False)
+    except Exception:  # session already stopped at interpreter exit
+        pass
 
 
 def cosine_neardup(
@@ -143,9 +155,10 @@ def cosine_neardup(
 
     The size probe is ``limit(max+1).count()`` so it never scans more
     than the guard itself allows."""
+    import weakref
+
     import numpy as np
 
-    global _live_broadcast
     if emb.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         return neardup_lsh_bucketed(emb, threshold)
 
@@ -154,10 +167,7 @@ def cosine_neardup(
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
     mat /= np.where(nrm == 0, 1.0, nrm)
-    if _live_broadcast is not None:
-        _live_broadcast.destroy()
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
-    _live_broadcast = bc
 
     def block(batches):
         import pandas as pd
@@ -175,9 +185,14 @@ def cosine_neardup(
             ai, ci = np.nonzero(keep)
             yield pd.DataFrame({"vec_a": b_ids[ai], "vec_b": c_ids[ci]})
 
-    return spread(emb.select("vec_id", "embedding")).mapInPandas(
+    out = spread(emb.select("vec_id", "embedding")).mapInPandas(
         block, schema="vec_a long, vec_b long"
     )
+    # the finalizer keeps bc alive exactly as long as the result frame,
+    # then reclaims the executor copies (caller-scoped lifetime, no
+    # module-global broadcast state)
+    weakref.finalize(out, _unpersist_quietly, bc)
+    return out
 
 
 def neardup_lsh_bucketed(
