@@ -83,6 +83,11 @@ ANN_HEADLINE = {
     "s_ann_ivf": lambda emb, n, d: _similarity().ann_ivf(
         emb, 10, 5, corpus_count=n
     ),
+    # union re-rank (r6): distinct union of IVF-probed + 4-table-LSH
+    # candidates, one shared exact re-rank — the recall ceiling lever
+    "s_ann_hybrid": lambda emb, n, d: _similarity().ann_hybrid(
+        emb, 10, 5, n_tables=4, corpus_count=n, dim=d
+    ),
     "s_cosine_neardup_bucketed": lambda emb, n, d: _similarity().cosine_neardup(
         emb, max_broadcast_rows=0
     ),
@@ -110,6 +115,9 @@ ANN_RECALL = {
     ),
     "s_ann_ivf_trained": lambda emb, n, d: _similarity().ann_ivf(
         emb, 10, 5, trained=True, corpus_count=n
+    ),
+    "s_ann_hybrid": lambda emb, n, d: _similarity().ann_hybrid(
+        emb, 10, 5, n_tables=4, corpus_count=n, dim=d
     ),
 }
 

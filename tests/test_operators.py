@@ -367,6 +367,12 @@ def test_bench_recall_floors(spark):
     # 4 independent tables: a true neighbor must miss every one of them
     # to be missed, so the union's recall must clear the single table
     assert rec["s_ann_lsh_multi"] >= rec["s_ann_lsh"] + 0.2
+    # r6 union re-rank: candidates are a superset of both generators'
+    # (same seeds), so its recall dominates each — and must clear the
+    # 0.6 bar neither reaches alone on this isotropic corpus
+    assert rec["s_ann_hybrid"] >= rec["s_ann_lsh_multi"]
+    assert rec["s_ann_hybrid"] >= rec["s_ann_ivf"]
+    assert rec["s_ann_hybrid"] >= 0.6
 
 
 def test_ann_probe_jobs_skipped_with_precomputed_sizes(vecs, monkeypatch):

@@ -378,6 +378,28 @@ def ivf_assign(
     return _argmax_assign(v, cents)
 
 
+def _probe_lists(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """(query_id, cid): each query's ``n_probe`` highest-cosine
+    centroids — the inverted lists it will scan. Centroids broadcast;
+    the argmax window partitions on query_id (unique, no skew)."""
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        (
+            _dot(F.col("embedding"), F.col("cemb"))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    return (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+
+
 def ann_ivf(
     emb: DataFrame,
     n_queries: int = 10,
@@ -421,22 +443,7 @@ def ann_ivf(
     )
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     q = v.filter(F.col("vec_id") < n_queries)
-
-    probe_scored = q.crossJoin(F.broadcast(cents)).select(
-        F.col("vec_id").alias("query_id"),
-        "cid",
-        (
-            _dot(F.col("embedding"), F.col("cemb"))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("cos"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    probes = (
-        probe_scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "cid")
-    )
-
+    probes = _probe_lists(q, cents, n_probe)
     lists = ivf_assign(emb, n_centroids, cents=cents).join(v, "vec_id")
     scored = (
         lists.join(F.broadcast(probes), "cid")
@@ -748,6 +755,119 @@ def ann_lsh(
     if n_tables > 1:
         cand = cand.distinct()
 
+    scored = (
+        cand.join(
+            v.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qemb"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cemb"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qemb"), F.col("cemb"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def ann_hybrid(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    trained: bool = False,
+    n_iters: int = 3,
+    corpus_count: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Union re-rank ANN (r5 verdict item 7): score the **distinct
+    union** of IVF-probed and multi-table-LSH candidates per query,
+    then one exact-cosine re-rank to top-k — (query_id, rank,
+    neighbor_id), same schema as every other ``ann_*``.
+
+    Why: the two candidate generators miss *different* neighbors. LSH
+    misses a pair that disagrees on any plane in every table; IVF
+    misses a neighbor whose list isn't probed. On a corpus with little
+    cluster structure (this one: isotropic, pairwise cosine ≈ 0) each
+    tops out near 0.5 recall@5 alone, but their miss sets are nearly
+    independent, so the union clears what either can reach — at a cost
+    that is exactly the sum of the two candidate generations plus ONE
+    shared scoring pass (each candidate pair is scored once even when
+    both generators propose it).
+
+    Scale shape: both generators keep their own shapes (broadcast
+    centroids + equi-join on cid; equi-join on bucket per table); the
+    union is |pairs| rows of ids only, deduped by a hash aggregate; the
+    re-rank joins the candidate ids back to the corpus vectors (the
+    candidate side is |Q|·candidates — broadcastable) and windows on
+    query_id. Nothing new shuffles the corpus."""
+    count = emb.count() if corpus_count is None else corpus_count
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(count)
+    if n_probe is None:
+        n_probe = auto_n_probe(n_centroids)
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
+    n_planes = auto_n_planes(count)
+
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+
+    # LSH candidates: distinct union over n_tables independent bucketings
+    cand = None
+    for t in range(n_tables):
+        buckets = lsh_buckets(emb, n_planes, table=t, dim=dim)
+        q_b = buckets.filter(F.col("vec_id") < n_queries).alias("q")
+        c_b = buckets.alias("c")
+        pairs = q_b.join(
+            c_b,
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        ).select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+
+    # IVF candidates: members of each query's probed inverted lists
+    cents = (
+        kmeans_centroids(emb, n_centroids, n_iters)
+        if trained
+        else ivf_centroids(emb, n_centroids)
+    )
+    q = v.filter(F.col("vec_id") < n_queries)
+    probes = _probe_lists(q, cents, n_probe)
+    ivf_pairs = (
+        ivf_assign(emb, n_centroids, cents=cents)
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    cand = cand.unionByName(ivf_pairs).distinct()
+
+    # one shared exact-cosine re-rank over the union
     scored = (
         cand.join(
             v.select(
