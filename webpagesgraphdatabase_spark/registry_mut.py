@@ -21,6 +21,10 @@ SQL oracle recomputes from the same source tables:
 5. M4      DETACH DELETE of the link for custkey 6 (node + both edge
            types).
 6. M5      orphan cleanup: categories/keywords with no remaining edge.
+7. CDC     keyed snapshot diff (``catalog.diff``) of the links table
+           between the post-M1 version and the final version — the
+           insert/update/delete op counts join the result row, putting
+           the warehouse-maintenance surface under the same oracle.
 
 Every step is a set-based anti-join/union job (no driver row loops); the
 six final counts are collected (bounded: 6 scalars) and returned as a
@@ -42,7 +46,8 @@ from .io_tpch import load_table
 
 _RESULT_SCHEMA = (
     "n_links bigint, n_upd_titles bigint, n_categories bigint, "
-    "n_keywords bigint, n_belongs_to bigint, n_has_keyword bigint"
+    "n_keywords bigint, n_belongs_to bigint, n_has_keyword bigint, "
+    "n_cdc_insert bigint, n_cdc_update bigint, n_cdc_delete bigint"
 )
 
 
@@ -101,6 +106,19 @@ def _q_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.cleanup_orphans()
 
         g = store.graph()
+        # CDC leg (r5 verdict item 5): keyed snapshot diff of the links
+        # table between the post-M1 version and the final version —
+        # inserts are the evens M2 added, the single update-set member
+        # is every even multiple of 3 (title rewritten), the delete is
+        # custkey 6. Pure relational algebra (full-outer join + struct
+        # compare, catalog.py:diff), so the SQL oracle replays it.
+        versions = store.wh.list_versions("links")
+        cdc = (
+            store.wh.diff("links", versions[1], versions[-1], key="url")
+            .groupBy("op")
+            .count()
+        )
+        ops = {r["op"]: r["count"] for r in cdc.collect()}
         row = (
             g.links.count(),
             g.links.filter(F.col("title").startswith("UPD:")).count(),
@@ -108,6 +126,9 @@ def _q_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.keywords.count(),
             g.belongs_to.count(),
             g.has_keyword.count(),
+            ops.get("insert", 0),
+            ops.get("update", 0),
+            ops.get("delete", 0),
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -139,7 +160,16 @@ SELECT
   (SELECT count(DISTINCT c_nationkey) FROM s) AS n_categories,
   (SELECT count(DISTINCT p_name) FROM hk) AS n_keywords,
   (SELECT count(*) FROM s) AS n_belongs_to,
-  (SELECT count(*) FROM hk) AS n_has_keyword
+  (SELECT count(*) FROM hk) AS n_has_keyword,
+  -- CDC of links between the post-M1 snapshot {k%3=0} and the final
+  -- {k%3=0 or k%2=0}\\{6}: inserts are evens not already present,
+  -- updates are surviving members of both snapshots whose title M2
+  -- rewrote (even multiples of 3), the delete is custkey 6
+  (SELECT count(*) FROM customer
+     WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0) AS n_cdc_insert,
+  (SELECT count(*) FROM customer
+     WHERE c_custkey % 6 = 0 AND c_custkey <> 6) AS n_cdc_update,
+  (SELECT count(*) FROM customer WHERE c_custkey = 6) AS n_cdc_delete
 """
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
