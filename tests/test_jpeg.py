@@ -170,10 +170,86 @@ def test_restart_intervals_roundtrip():
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
 
 
-def test_decode_progressive_raises_cleanly():
-    blob = make_jpeg(8, 8, sof=0xC2)
-    with pytest.raises(jpeg.JpegError, match="SOF2"):
+def test_decode_arithmetic_frame_raises_cleanly():
+    # SOF9 (extended sequential, arithmetic coding) stays an honest
+    # boundary now that SOF2 decodes for real
+    blob = make_jpeg(8, 8, sof=0xC9)
+    with pytest.raises(jpeg.JpegError, match="SOF9"):
         jpeg.decode(blob)
+
+
+# --- progressive (SOF2) decode: T.81 Annex G ------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_decode_equals_baseline_decode(h, w, ch, seed):
+    """Once every successive-approximation bit has arrived, the
+    progressive decoder must reconstruct the exact quantized
+    coefficients — so its pixels must match the baseline decode of the
+    same image under the same Annex K tables bit-for-bit, on arbitrary
+    noise images of arbitrary non-aligned dims."""
+    img = _rand_img(h, w, ch, seed)
+    _, _, _, base = jpeg.decode(jpeg.encode(img))
+    gw, gh, gch, prog = jpeg.decode(jpeg.encode_progressive(img))
+    assert (gw, gh, gch) == (w, h, ch)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_unit_quant_near_lossless():
+    img = _rand_img(23, 31, 3, seed=11)
+    blob = jpeg.encode_progressive(img, quant_luma=ONES, quant_chroma=ONES)
+    w, h, ch, out = jpeg.decode(blob)
+    assert (w, h, ch) == (31, 23, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_progressive_restart_intervals_roundtrip():
+    """DRI applies per scan group: the DC scans carry RST markers, the
+    AC scans see interval 0 — the decode must still be bit-identical to
+    baseline."""
+    img = _rand_img(29, 37, 3, seed=12)
+    blob = jpeg.encode_progressive(img, restart_interval=3)
+    assert b"\xff\xd0" in blob  # RST0 actually emitted
+    _, _, _, base = jpeg.decode(jpeg.encode(img))
+    _, _, _, prog = jpeg.decode(blob)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_partial_scan_prefix_decodes_coarse():
+    """Spectral selection means a truncated scan script still yields an
+    image: replaying only the DC-first scan (drop everything after the
+    first SOS's entropy data) must give the DC-only approximation —
+    each 8×8 block flat at (roughly) its mean."""
+    img = _rand_img(16, 16, 1, seed=13)
+    blob = jpeg.encode_progressive(img, quant_luma=ONES, quant_chroma=ONES)
+    first_sos = blob.index(b"\xff\xda")
+    second_sos = blob.index(b"\xff\xda", first_sos + 2)
+    truncated = blob[:second_sos] + b"\xff\xd9"
+    w, h, ch, out = jpeg.decode(truncated)
+    assert (w, h, ch) == (16, 16, 1)
+    # DC at Al=1 → block means within the 2-unit successive-approx step
+    for by in range(2):
+        for bx in range(2):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            got = out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+            assert np.all(got == got[0, 0])  # flat block
+            assert abs(int(got[0, 0]) - blk.mean()) <= 3
+
+
+def test_spark_decode_image_progressive_jpeg_path(spark):
+    img = _rand_img(16, 24, 3, seed=14)
+    blob = jpeg.encode_progressive(img, quant_luma=ONES, quant_chroma=ONES)
+    pdf = spark.createDataFrame([(9, bytearray(blob))], "doc_id long, payload binary")
+    row = multimodal.decode_image_payloads(pdf).collect()[0]
+    assert (row.width, row.height, row.channels) == (24, 16, 3)
+    for c in range(3):
+        assert abs(row.features[c] - int(img[:, :, c].mean())) <= 2
 
 
 def test_decode_missing_table_raises():

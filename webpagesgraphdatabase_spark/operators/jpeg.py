@@ -1,6 +1,7 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81, public spec — clean
-room, no library port): header parse, full SOF0 pixel decode, and a
-minimal encoder used by the property tests to round-trip.
+"""Pure-stdlib JPEG codec (ITU-T T.81, public spec — clean room, no
+library port): header parse, full SOF0 *and* progressive SOF2 pixel
+decode, and encoders for both used by the property tests to
+round-trip.
 
 - :func:`parse_dims` — marker walk to the SOF segment for
   (width, height, components); O(#segments), what resize needs.
@@ -8,15 +9,20 @@ minimal encoder used by the property tests to round-trip.
   table collection, Huffman entropy decode with byte-destuffing and
   restart intervals, dequantize + dezigzag, 8×8 IDCT (orthonormal
   DCT-III as a numpy matrix sandwich), nearest-neighbor chroma
-  upsample for subsampled scans, BT.601 YCbCr→RGB. Progressive (SOF2)
-  and arithmetic coding raise :class:`JpegError` — the honest
-  boundary, clearly named.
-- :func:`encode` — baseline encoder (grayscale or RGB, optional 4:2:0
+  upsample for subsampled scans, BT.601 YCbCr→RGB. Progressive (SOF2,
+  T.81 Annex G) decodes too: multi-scan spectral selection +
+  successive approximation accumulate into a per-component coefficient
+  store, reconstructed with one vectorized batch IDCT at EOI.
+  Arithmetic coding and hierarchical frames raise :class:`JpegError` —
+  the honest boundary, clearly named.
+- :func:`encode` / :func:`encode_progressive` — baseline and
+  progressive encoders (grayscale or RGB; baseline adds optional 4:2:0
   chroma subsampling) with the Annex K quantization and typical
-  Huffman tables. Exists so the decoder has an *in-repo adversary*:
+  Huffman tables. They exist so the decoder has *in-repo adversaries*:
   with all-ones quant tables a round-trip is exact up to DCT float
-  rounding (the tests pin max |error| ≤ 1), and with the Annex K
-  tables the loss is bounded on smooth images.
+  rounding, and a progressive decode must equal the baseline decode of
+  the same image bit-for-bit (both reconstruct identical quantized
+  coefficients once every successive-approximation bit has arrived).
 
 Scale note: decode runs inside ``mapInPandas`` workers on payload
 bytes already local to the task; the per-block Python loop is bounded
@@ -288,14 +294,19 @@ def _split_entropy(payload: bytes, start: int):
 
 def decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """(width, height, channels, pixels uint8[h, w, ch]) for a baseline
-    sequential (SOF0) JPEG. Raises :class:`JpegError` on progressive /
-    arithmetic / 12-bit streams or malformed tables."""
+    sequential (SOF0) or progressive (SOF2, T.81 Annex G: spectral
+    selection + successive approximation) JPEG. Raises
+    :class:`JpegError` on arithmetic-coded / hierarchical / 12-bit
+    streams or malformed tables."""
     if not is_jpeg(payload):
         raise JpegError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None  # (width, height, [(cid, h, v, tq), ...])
+    progressive = False
+    geo = None  # progressive geometry, built at first SOS
+    coefs: dict[int, np.ndarray] = {}  # cid -> int32[by, bx, 64] zigzag
     restart = 0
     pos, n = 2, len(payload)
     while pos < n:
@@ -346,7 +357,7 @@ def decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     bits, huffval
                 )
                 i += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 raise JpegError(f"unsupported precision {seg[0]}")
             height = int.from_bytes(seg[1:3], "big")
@@ -358,9 +369,11 @@ def decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (width, height, comps)
+            progressive = marker == 0xC2
         elif 0xC1 <= marker <= 0xCF and marker not in _NON_SOF:
             raise JpegError(
-                f"unsupported frame type SOF{marker - 0xC0} (baseline only)"
+                f"unsupported frame type SOF{marker - 0xC0} "
+                "(baseline and progressive-Huffman only)"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
@@ -368,14 +381,38 @@ def decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             if frame is None:
                 raise JpegError("no SOF before SOS")
             ns = seg[0]
-            scan = {}
+            scan = []
             for c in range(ns):
                 cid = seg[1 + 2 * c]
                 td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F
-                scan[cid] = (td, ta)
+                scan.append((cid, td, ta))
             chunks, pos = _split_entropy(payload, pos + seglen)
-            return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart, chunks)
+            if not progressive:
+                return _decode_scan(
+                    frame, dict((c, (d, a)) for c, d, a in scan),
+                    qt, dc_tabs, ac_tabs, restart, chunks,
+                )
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if geo is None:
+                geo = _prog_geometry(frame)
+                (_hvmax, (mcols, mrows), _cg) = geo
+                # MCU-padded store per component (interleaved DC scans
+                # touch the padding blocks; they fall off at crop time)
+                for cid, h, v, _tq in frame[2]:
+                    coefs[cid] = np.zeros(
+                        (mrows * v, mcols * h, 64), dtype=np.int32
+                    )
+            _prog_scan(
+                frame, geo, coefs, scan,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                chunks, restart, dc_tabs, ac_tabs,
+            )
+            continue  # pos already advanced past the entropy data
         pos += seglen
+    if progressive and coefs:
+        return _prog_reconstruct(frame, geo, coefs, qt)
     raise JpegError("no SOS marker")
 
 
@@ -436,6 +473,12 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart, chunks):
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu += 1
 
+    return _assemble_image(comps, planes, width, height, hmax, vmax)
+
+
+def _assemble_image(comps, planes, width, height, hmax, vmax):
+    """Upsample subsampled planes, crop to the frame, color-convert —
+    shared by the baseline and progressive reconstruction paths."""
     out = []
     for cid, h, v, _tq in comps:
         p = planes[cid]
@@ -454,6 +497,197 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart, chunks):
     else:
         raise JpegError(f"unsupported component count {ncomp}")
     return width, height, ncomp, np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) scan decoding — T.81 Annex G ----------------
+
+
+def _prog_geometry(frame):
+    """((hmax, vmax), (mcols, mrows), {cid: (h, v, tq, nbx, nby)}):
+    MCU grid for interleaved DC scans plus each component's own
+    (un-padded) block grid for non-interleaved scans (T.81 A.2.2)."""
+    width, height, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcols = (width + 8 * hmax - 1) // (8 * hmax)
+    mrows = (height + 8 * vmax - 1) // (8 * vmax)
+    comp_geo = {}
+    for cid, h, v, tq in comps:
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        comp_geo[cid] = (h, v, tq, (cw + 7) // 8, (ch + 7) // 8)
+    return (hmax, vmax), (mcols, mrows), comp_geo
+
+
+def _ac_first_block(rd, zz, ss, se, al, ac_t, eobrun: int) -> int:
+    """First AC scan for one block's band (G.1.2.2): run-length /
+    magnitude symbols with EOB-run codes; new coefficients land as
+    ``value << al``. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.read_symbol(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) - 1 + (rd.read_bits(r) if r else 0)
+        k += r
+        if k > se:
+            raise JpegError("AC run past band end")
+        zz[k] = _extend(rd.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(rd, zz, ss, se, al, ac_t, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block's band
+    (G.1.2.3): newly-significant coefficients arrive as ±(1 << al);
+    every already-nonzero coefficient passed emits a correction bit
+    (applied only if the ``al`` bit isn't set yet — two's-complement
+    test, matching the spec's sign-magnitude growth). Returns the
+    remaining EOB run."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        if rd.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of end-of-bands begins here
+                    eobrun = (1 << r) + (rd.read_bits(r) if r else 0)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            elif s == 1:
+                newval = p1 if rd.read_bit() else -p1
+            else:
+                raise JpegError("AC refinement magnitude must be 1")
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se:
+                if newval:
+                    zz[k] = newval
+                k += 1
+    if eobrun > 0:
+        # the EOB code ends this block, but correction bits for the
+        # remaining nonzero-history coefficients still follow
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_scan(
+    frame, geo, coefs, scan, ss, se, ah, al, chunks, restart, dc_tabs, ac_tabs
+):
+    """Apply one progressive scan to the coefficient store. DC scans
+    (Ss=0) may interleave components in MCU order; AC scans are
+    single-component in the component's own block raster order. Restart
+    intervals reset DC predictors and the EOB run per entropy chunk."""
+    (hmax, vmax), (mcols, mrows), comp_geo = geo
+    if ss == 0:
+        if se != 0:
+            raise JpegError("DC scan must have Se=0")
+        interleaved = len(scan) > 1
+    else:
+        if len(scan) != 1:
+            raise JpegError("progressive AC scans are single-component")
+        if se > 63 or ss > se:
+            raise JpegError("bad spectral band")
+        interleaved = False
+
+    if interleaved:
+        n_units = mcols * mrows
+    else:
+        cid = scan[0][0]
+        try:
+            _h, _v, _tq, nbx, nby = comp_geo[cid]
+        except KeyError:
+            raise JpegError(f"scan references unknown component {cid}") from None
+        n_units = nbx * nby
+
+    per_chunk = restart if restart else n_units
+    unit = 0
+    for chunk in chunks:
+        if unit >= n_units:
+            break
+        rd = _BitReader(chunk)
+        preds = {c: 0 for c, _, _ in scan}
+        eobrun = 0
+        for _ in range(min(per_chunk, n_units - unit)):
+            if ss == 0:
+                for cid, td, _ta in scan:
+                    h, v, _tq, nbx, _nby = comp_geo[cid]
+                    if interleaved:
+                        my, mx = divmod(unit, mcols)
+                        blocks = [
+                            coefs[cid][my * v + by, mx * h + bx]
+                            for by in range(v)
+                            for bx in range(h)
+                        ]
+                    else:
+                        blocks = [coefs[cid][unit // nbx, unit % nbx]]
+                    for zz in blocks:
+                        if ah == 0:
+                            try:
+                                t = rd.read_symbol(dc_tabs[td])
+                            except KeyError as e:
+                                raise JpegError(f"missing table {e}") from None
+                            diff = _extend(rd.read_bits(t), t) if t else 0
+                            preds[cid] += diff
+                            zz[0] = preds[cid] << al
+                        else:
+                            zz[0] += rd.read_bit() << al
+            else:
+                cid, _td, ta = scan[0]
+                _h, _v, _tq, nbx, _nby = comp_geo[cid]
+                zz = coefs[cid][unit // nbx, unit % nbx]
+                try:
+                    ac_t = ac_tabs[ta]
+                except KeyError as e:
+                    raise JpegError(f"missing table {e}") from None
+                fn = _ac_first_block if ah == 0 else _ac_refine_block
+                eobrun = fn(rd, zz, ss, se, al, ac_t, eobrun)
+            unit += 1
+
+
+def _prog_reconstruct(frame, geo, coefs, qt):
+    """Dequantize + batch-IDCT the accumulated coefficient store and
+    assemble the image (same math as the baseline path, vectorized over
+    all blocks at once)."""
+    width, height, comps = frame
+    (hmax, vmax), _mcu, _comp_geo = geo
+    planes = {}
+    for cid, h, v, tq in comps:
+        try:
+            q = qt[tq]
+        except KeyError as e:
+            raise JpegError(f"missing table {e}") from None
+        cb = coefs[cid]
+        nat = np.zeros(cb.shape, dtype=np.float64)
+        nat[:, :, list(ZIGZAG)] = cb.astype(np.float64)
+        blocks = nat.reshape(cb.shape[0], cb.shape[1], 8, 8) * q
+        px = np.einsum("ij,xyjk,kl->xyil", _DCT_T.T, blocks, _DCT_T) + 128.0
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(
+            cb.shape[0] * 8, cb.shape[1] * 8
+        )
+    return _assemble_image(comps, planes, width, height, hmax, vmax)
 
 
 # --- encoder (the decoder's in-repo adversary; also a valid baseline
@@ -537,6 +771,228 @@ def _dqt_seg(tid: int, q: np.ndarray) -> bytes:
 def _dht_seg(cls: int, tid: int, table) -> bytes:
     bits, huffval = table
     return _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(huffval))
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: |v| >> al with the sign restored (division
+    toward zero — T.81 G.1.2.2; the DC transform is an arithmetic
+    shift instead)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def encode_progressive(
+    pixels: np.ndarray,
+    quant_luma=QUANT_LUMA,
+    quant_chroma=QUANT_CHROMA,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JPEG bytes for uint8 pixels of shape (h, w) /
+    (h, w, 1) / (h, w, 3) — the in-repo adversary for the progressive
+    decode path (same encoder-as-test-fixture pattern as the baseline
+    codec; also a valid SOF2 writer for external decoders).
+
+    Scan script (spectral selection × successive approximation, both
+    Annex G dimensions exercised): interleaved DC first scan at Al=1,
+    per-component AC first scans for bands 1–5 and 6–63 at Al=1, a DC
+    refinement scan (raw bits), then per-component AC refinement scans
+    for both bands at Ah=1 → Al=0. EOB runs are emitted per block
+    (length 1 — the Annex K tables carry no EOBn codes above 0x00).
+    ``restart_interval`` applies to the DC scans. No chroma
+    subsampling: every component is 1×1, so MCU order equals block
+    order and the full quality of the successive-approximation path is
+    in the coefficients, not the geometry."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ncomp = px.shape
+    if ncomp not in (1, 3):
+        raise JpegError(f"unsupported component count {ncomp}")
+    ql = np.asarray(quant_luma, dtype=np.float64).reshape(8, 8)
+    qc = np.asarray(quant_chroma, dtype=np.float64).reshape(8, 8)
+
+    if ncomp == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [px[:, :, 0]]
+
+    # quantized zigzag coefficient blocks per component (batch DCT)
+    zblocks = []
+    for ci, p in enumerate(planes):
+        ph, pw = (-p.shape[0]) % 8, (-p.shape[1]) % 8
+        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        q = ql if ci == 0 else qc
+        coef = np.einsum("ij,xyjk,kl->xyil", _DCT_T, blocks, _DCT_T.T)
+        nat = np.rint(coef / q).astype(np.int64).reshape(nby, nbx, 64)
+        zblocks.append(nat[:, :, list(ZIGZAG)])
+    nby, nbx = zblocks[0].shape[:2]
+
+    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_codes = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+
+    out = bytearray(JPEG_SOI)
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_seg(0, ql)
+    if ncomp == 3:
+        out += _dqt_seg(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    out += _dht_seg(0, 0, _DC_LUMA) + _dht_seg(1, 0, _AC_LUMA)
+    if ncomp == 3:
+        out += _dht_seg(0, 1, _DC_CHROMA) + _dht_seg(1, 1, _AC_CHROMA)
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def dc_first_scan(al: int) -> bytes:
+        data = bytearray()
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    bw.flush()
+                    data += bw.out
+                    data += bytes(
+                        [0xFF, 0xD0 + (unit // restart_interval - 1) % 8]
+                    )
+                    bw = _BitWriter()
+                    preds = [0] * ncomp
+                for ci in range(ncomp):
+                    v = int(zblocks[ci][by, bx, 0]) >> al  # arithmetic
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _category(diff)
+                    length, code = dc_codes[0 if ci == 0 else 1][t]
+                    bw.write(code, length)
+                    if t:
+                        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                unit += 1
+        bw.flush()
+        return bytes(data + bw.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        data = bytearray()
+        bw = _BitWriter()
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    bw.flush()
+                    data += bw.out
+                    data += bytes(
+                        [0xFF, 0xD0 + (unit // restart_interval - 1) % 8]
+                    )
+                    bw = _BitWriter()
+                for ci in range(ncomp):
+                    bw.write((int(zblocks[ci][by, bx, 0]) >> al) & 1, 1)
+                unit += 1
+        bw.flush()
+        return bytes(data + bw.out)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        codes = ac_codes[0 if ci == 0 else 1]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = zblocks[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = _trunc_shift(int(zz[k]), al)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = codes[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    s = _category(v)
+                    length, code = codes[(run << 4) | s]
+                    bw.write(code, length)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:  # EOB run of exactly 1
+                    length, code = codes[0x00]
+                    bw.write(code, length)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        codes = ac_codes[0 if ci == 0 else 1]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = zblocks[ci][by, bx]
+                run = 0
+                buffered: list[int] = []
+                for k in range(ss, se + 1):
+                    t = abs(int(zz[k])) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    if t > 1:  # history-nonzero: buffer a correction bit
+                        buffered.append(t & 1)
+                        continue
+                    while run > 15:
+                        length, code = codes[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                        for bit in buffered:
+                            bw.write(bit, 1)
+                        buffered = []
+                    length, code = codes[(run << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if zz[k] > 0 else 0, 1)
+                    for bit in buffered:
+                        bw.write(bit, 1)
+                    buffered = []
+                    run = 0
+                if run or buffered:  # EOB run of 1 + its correction bits
+                    length, code = codes[0x00]
+                    bw.write(code, length)
+                    for bit in buffered:
+                        bw.write(bit, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dri(interval: int) -> bytes:
+        # DRI applies to every following scan until changed (T.81
+        # B.2.4.4): the DC scans restart, the AC scans (which emit no
+        # RST markers here) must see interval 0, so the segment is
+        # re-issued around each group
+        return _seg(0xDD, struct.pack(">H", interval)) if restart_interval else b""
+
+    all_comps = list(range(ncomp))
+    bands = ((1, 5), (6, 63))
+    out += dri(restart_interval)
+    out += sos_header(all_comps, 0, 0, 0, 1) + dc_first_scan(1)
+    out += dri(0)
+    for ci in all_comps:
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, 1) + ac_first_scan(ci, ss, se, 1)
+    out += dri(restart_interval)
+    out += sos_header(all_comps, 0, 0, 1, 0) + dc_refine_scan(0)
+    out += dri(0)
+    for ci in all_comps:
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 1, 0) + ac_refine_scan(
+                ci, ss, se, 0
+            )
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode(

@@ -3,13 +3,14 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 
 Beyond-reference extension. PNG payloads decode for real via the
 pure-stdlib decoder in :mod:`.png` (zlib inflate + scanline unfilter),
-baseline JPEG decodes for real via the clean-room T.81 codec in
-:mod:`.jpeg` (Huffman entropy decode, IDCT, 4:2:0 upsample — plus the
+baseline *and* progressive JPEG decode for real via the clean-room
+T.81 codec in :mod:`.jpeg` (Huffman entropy decode, Annex G spectral
+selection + successive approximation, IDCT, 4:2:0 upsample — plus the
 header-only dims walk resize uses), GIF decodes for real via the LZW
 codec in :mod:`.gif` (interlace-aware, first frame), and WAV audio
-decodes for real via the RIFF/PCM parser in :mod:`.wav`; progressive
-JPEG and compressed audio/video stay stubbed behind a clearly-marked
-``NotImplementedError`` since those codecs aren't in the container. Everything Spark cares about is real and tested either way:
+decodes for real via the RIFF/PCM parser in :mod:`.wav`;
+arithmetic-coded JPEG and compressed audio/video stay stubbed behind a
+clearly-marked error since those codecs aren't in the container. Everything Spark cares about is real and tested either way:
 the binary column schema, the ``mapInPandas`` batch shape (pandas
 DataFrames in/out, iterator API so one Python worker streams many Arrow
 batches), partitioning, and deterministic byte-level feature extraction
