@@ -770,6 +770,37 @@ def test_repetition_invariants_on_corpus(spark):
     assert bad == 0
 
 
+def test_dup_gram_counts_row_local_matches_explode_groupby(spark):
+    """The sorted-run array expression (streaming curation's repetition
+    leg) must reproduce the batch explode+groupBy counts bit-for-bit —
+    on the real corpus and on hand-built edge cases (all-identical
+    grams, no dups, single word, empty text)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (100001, "a a a a a"),
+            (100002, "w x y z"),
+            (100003, "solo"),
+            (100004, ""),
+            (100005, "p q p q p"),
+        ],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    rl = both.select(
+        "doc_id", textstats.dup_gram_counts(textstats.gram_array(2)).alias("s")
+    ).select("doc_id", "s.n_grams", "s.dup_grams")
+    got = {r.doc_id: (r.n_grams, r.dup_grams) for r in rl.collect()}
+    want = {
+        r.doc_id: (r.n_grams, r.dup_grams)
+        for r in textstats.repetition(both).collect()
+    }
+    assert got == want and len(got) > 500
+    # sanity on the hand cases: "a a a a a" → 4 grams all dup
+    assert got[100001] == (4, 4) and got[100002] == (3, 0)
+    assert got[100005] == (4, 4)  # "p q","q p","p q","q p"
+
+
 def test_contamination_invariants_on_corpus(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     cont = dedup.contamination(docs)

@@ -202,6 +202,50 @@ def test_stateless_pii_scrub_runs_on_streams_unchanged(spark, tmp_path):
     assert got == want and got
 
 
+def test_streaming_curation_report_matches_batch_row_local_subset(spark, tmp_path):
+    """r5 verdict item 8: the streamed curation report over a closed
+    micro-batch sequence must equal the batch report with the
+    retrospective reasons (exact_dup / near_dup / boilerplate)
+    stripped — same doc set, same n_tokens, same fired row-local rules,
+    and keep=1 exactly when no row-local rule fired."""
+    from webpagesgraphdatabase_spark.operators import curation
+    from webpagesgraphdatabase_spark.streaming import (
+        benchmark_shingle_set,
+        read_doc_stream,
+        streaming_curation_report,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src_cur"
+    # two drops → at least two micro-batches under availableNow
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(
+        str(src / "drop1")
+    )
+    docs.filter("doc_id % 2 = 1").write.mode("overwrite").parquet(
+        str(src / "drop2")
+    )
+
+    bench = benchmark_shingle_set(docs)
+    out = streaming_curation_report(
+        read_doc_stream(spark, str(src / "*")), bench
+    )
+    run_available_now(out, "stream_cur", str(tmp_path / "ckpt_cur"))
+    got = {
+        r.doc_id: (r.n_tokens, r.reasons, r.keep)
+        for r in spark.table("stream_cur").collect()
+    }
+
+    row_local = {"contaminated", "repetitive", "too_short"}
+    want = {}
+    for r in curation.curation_report(docs).collect():
+        fired = [x for x in r.reasons.split(",") if x in row_local]
+        want[r.doc_id] = (r.n_tokens, ",".join(fired), int(not fired))
+    assert got == want and got
+    # the subset is non-trivial on this corpus: some docs keep, some drop
+    assert {k for k, v in got.items() if v[2] == 0}
+    assert {k for k, v in got.items() if v[2] == 1}
+
+
 def test_streaming_segment_dedup_matches_batch_keep_set(spark, tmp_path):
     """Stream ≡ batch: documents delivered in doc_id order through the
     segment-dedup stream keep exactly the (doc_id, seg_idx) pairs the

@@ -193,6 +193,55 @@ def rolling_fingerprint(docs: DataFrame, window: int = 4) -> DataFrame:
     )
 
 
+def gram_array(n: int = 2, col: str = "text"):
+    """Word ``n``-gram array expression (row-local; the unit
+    :func:`repetition` explodes). Docs shorter than ``n`` tokens yield
+    their whole text as one gram, so every doc has ≥1."""
+    words = tokens_col(col)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def dup_gram_counts(grams):
+    """(n_grams, dup_grams) as a row-local struct expression over a
+    gram array — the streaming-safe twin of :func:`repetition`'s
+    explode + groupBy (bit-identical counts, pinned by test): sort the
+    array once, then a single ``aggregate`` pass counts occurrences
+    inside duplicated runs (a run's second member adds 2 — itself and
+    the first — every further member adds 1). O(n log n) per row, no
+    shuffle, no state."""
+    s = F.array_sort(grams)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    dup = F.aggregate(
+        s,
+        zero,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                a["dup"]
+                + F.when(
+                    x == a["prev"],
+                    F.when(a["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0))
+            ).alias("dup"),
+        ),
+        lambda a: a["dup"],
+    )
+    return F.struct(
+        F.size(grams).cast("long").alias("n_grams"), dup.alias("dup_grams")
+    )
+
+
 def repetition(docs: DataFrame, n: int = 2) -> DataFrame:
     """Within-document repetition stats over word ``n``-grams — the
     Gopher-rules boilerplate signal (Rae et al. 2021, "Scaling Language
@@ -213,15 +262,7 @@ def repetition(docs: DataFrame, n: int = 2) -> DataFrame:
     aggregations partial-agg below their exchange; partitions are keyed
     by doc content, never corpus-skewed. No Python anywhere.
     """
-    words = tokens_col()
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(words, " ")))
-    occ = spread(docs).select("doc_id", F.explode(grams).alias("gram"))
+    occ = spread(docs).select("doc_id", F.explode(gram_array(n)).alias("gram"))
     per_gram = occ.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     agg = per_gram.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_grams"),

@@ -29,6 +29,7 @@ from .hygiene import (
     benchmark_shingle_set,
     read_doc_stream,
     streaming_contamination,
+    streaming_curation_report,
 )
 from .jobs import (
     EVENT_DDL,
@@ -47,6 +48,7 @@ __all__ = [
     "read_event_stream",
     "run_available_now",
     "streaming_contamination",
+    "streaming_curation_report",
     "streaming_dedup_events",
     "streaming_sessionize",
     "streaming_windowed_counts",
