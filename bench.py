@@ -551,7 +551,10 @@ def build_report(
         if len(out["normalized_deltas"]) < len(full_nd):
             out["nd_elided_below"] = 0.05
     line = json.dumps(out, separators=(",", ":"))
-    for drop in ("recall", "normalized_deltas", "calibrated_prev"):
+    # shed order: deltas are recomputable from the detail sidecars of
+    # two rounds; `recall` is an adjudication result with no other home
+    # in the driver line, so it goes last
+    for drop in ("normalized_deltas", "calibrated_prev", "recall"):
         if len(line) <= 1920:
             break
         out.pop(drop, None)

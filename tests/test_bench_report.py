@@ -138,6 +138,36 @@ def test_line_stays_under_driver_tail_budget(tmp_path):
     assert len(detail["normalized_deltas"]) == 60
 
 
+def test_recall_outlives_advisory_blocks_when_shedding(tmp_path):
+    # a realistically-sized registry (40 queries) with a full prior
+    # overflows the budget only through the advisory delta blocks; the
+    # shed order must sacrifice those and keep `recall` — it is an
+    # adjudication result with no other home in the driver line
+    timings = {f"q_operator_name_padded_{i:03d}": 1.234 for i in range(40)}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    recall = {f"s_ann_strategy_{i}": 0.5 for i in range(5)}
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 40.0,
+            "queries": {k: 1.0 for k in timings},
+            "calibration": {"cpu": 0.2, "shuffle": 0.4},
+            "comparable_total": 40.0,
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    out, detail, line = bench.build_report(
+        timings, stats, recall, CAL, 0.1, here=str(tmp_path), write_detail=False
+    )
+    assert len(line) <= 1920
+    parsed = json.loads(line)
+    assert parsed["recall"] == recall
+    # the advisory blocks went first (and remain in the detail sidecar)
+    assert "normalized_deltas" not in parsed
+    assert len(detail["normalized_deltas"]) == 40
+
+
 def test_detail_written_and_round_numbered(tmp_path):
     _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
     _mk(tmp_path, "BENCH_r02.json", {"rc": 0, "parsed": None, "tail": ""})

@@ -111,7 +111,7 @@ def test_spark_resize_mixed_png_jpeg_payloads(spark):
 # --- baseline codec (encode is the decoder's in-repo adversary) -----
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 ONES = [1] * 64
@@ -188,6 +188,18 @@ def test_decode_arithmetic_frame_raises_cleanly():
     ch=st.sampled_from([1, 3]),
     seed=st.integers(0, 2**31 - 1),
 )
+@example(
+    h=25,
+    w=12,
+    ch=1,
+    seed=1,
+).via('discovered failure')
+@example(
+    h=8,
+    w=25,
+    ch=1,
+    seed=259,
+).via('discovered failure')
 def test_progressive_decode_equals_baseline_decode(h, w, ch, seed):
     """Once every successive-approximation bit has arrived, the
     progressive decoder must reconstruct the exact quantized

@@ -683,7 +683,9 @@ def _prog_reconstruct(frame, geo, coefs, qt):
         nat = np.zeros(cb.shape, dtype=np.float64)
         nat[:, :, list(ZIGZAG)] = cb.astype(np.float64)
         blocks = nat.reshape(cb.shape[0], cb.shape[1], 8, 8) * q
-        px = np.einsum("ij,xyjk,kl->xyil", _DCT_T.T, blocks, _DCT_T) + 128.0
+        # batched matmul mirrors the baseline decoder's per-block IDCT
+        # float op order (see encode_progressive's note on rint ties)
+        px = _DCT_T.T @ blocks @ _DCT_T + 128.0
         planes[cid] = px.transpose(0, 2, 1, 3).reshape(
             cb.shape[0] * 8, cb.shape[1] * 8
         )
@@ -828,7 +830,11 @@ def encode_progressive(
         nby, nbx = p.shape[0] // 8, p.shape[1] // 8
         blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
         q = ql if ci == 0 else qc
-        coef = np.einsum("ij,xyjk,kl->xyil", _DCT_T, blocks, _DCT_T.T)
+        # batched matmul, NOT einsum: np.matmul runs the same dgemm per
+        # 8×8 slice as the baseline encoder's per-block expression
+        # (_encode_block), so quantization ties round identically and
+        # decode(encode(x)) == decode(encode_progressive(x)) exactly
+        coef = _DCT_T @ blocks @ _DCT_T.T
         nat = np.rint(coef / q).astype(np.int64).reshape(nby, nbx, 64)
         zblocks.append(nat[:, :, list(ZIGZAG)])
     nby, nbx = zblocks[0].shape[:2]
@@ -936,26 +942,36 @@ def encode_progressive(
         for by in range(nby):
             for bx in range(nbx):
                 zz = zblocks[ci][by, bx]
+                mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                # last newly-significant index: pending ZRLs past it fold
+                # into the closing EOB instead of being emitted
+                eob_i = max(
+                    (i for i, t in enumerate(mags) if t == 1), default=-1
+                )
                 run = 0
                 buffered: list[int] = []
-                for k in range(ss, se + 1):
-                    t = abs(int(zz[k])) >> al
+                for i, t in enumerate(mags):
                     if t == 0:
                         run += 1
                         continue
-                    if t > 1:  # history-nonzero: buffer a correction bit
-                        buffered.append(t & 1)
-                        continue
-                    while run > 15:
+                    # flush pending ZRLs before ANY nonzero coefficient —
+                    # correction or newly-significant (T.81 figure G.7;
+                    # flushing only at t==1 desyncs the decoder, which
+                    # consumes correction bits positionally while it
+                    # walks each run)
+                    while run > 15 and i <= eob_i:
                         length, code = codes[0xF0]
                         bw.write(code, length)
                         run -= 16
                         for bit in buffered:
                             bw.write(bit, 1)
                         buffered = []
+                    if t > 1:  # history-nonzero: buffer a correction bit
+                        buffered.append(t & 1)
+                        continue
                     length, code = codes[(run << 4) | 1]
                     bw.write(code, length)
-                    bw.write(1 if zz[k] > 0 else 0, 1)
+                    bw.write(1 if zz[ss + i] > 0 else 0, 1)
                     for bit in buffered:
                         bw.write(bit, 1)
                     buffered = []
