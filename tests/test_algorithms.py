@@ -223,3 +223,56 @@ def test_k_core_empty_when_k_exceeds_density(spark):
 
     g = _graph(spark, [("a", "K1"), ("b", "K1")])
     assert k_core(g, k=2).count() == 0
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant: K4 has 4 triangles; every K4 vertex sits in
+    exactly 3 of them; the pendant and the edgeless path are in none."""
+    from webpagesgraphdatabase_spark.graph.algorithms import triangle_counts
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pendant = [("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(k4 + pendant, ["u", "v"])
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_dedups_and_normalizes_direction(spark):
+    """Duplicate edges, reversed duplicates, and self-loops must not
+    inflate the count: one triangle remains one triangle."""
+    from webpagesgraphdatabase_spark.graph.algorithms import triangle_counts
+
+    messy = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("c", "a"), ("a", "a"),
+    ]
+    edges = spark.createDataFrame(messy, ["u", "v"])
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_triangle_free_graph_is_empty(spark):
+    from webpagesgraphdatabase_spark.graph.algorithms import triangle_counts
+
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    edges = spark.createDataFrame(square, ["u", "v"])
+    assert triangle_counts(edges).count() == 0
+
+
+def test_keyword_cooccurrence_caps_to_top_n(spark):
+    """Only pairs among the top_n keywords survive: with top_n=2 the
+    third keyword's co-occurrences disappear."""
+    from webpagesgraphdatabase_spark.graph.algorithms import (
+        keyword_cooccurrence_edges,
+    )
+
+    pairs = [
+        ("l1", "K1"), ("l1", "K2"), ("l1", "K3"),
+        ("l2", "K1"), ("l2", "K2"),
+        ("l3", "K1"),
+    ]
+    g = _graph(spark, pairs)
+    got = {(r.u, r.v) for r in keyword_cooccurrence_edges(g, top_n=2).collect()}
+    assert got == {("K1", "K2")}
+    full = {(r.u, r.v) for r in keyword_cooccurrence_edges(g, top_n=10).collect()}
+    assert full == {("K1", "K2"), ("K1", "K3"), ("K2", "K3")}

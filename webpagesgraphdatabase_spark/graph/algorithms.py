@@ -347,6 +347,110 @@ def label_propagation(g: PropertyGraph, iterations: int = 3) -> DataFrame:
     return labels
 
 
+def keyword_cooccurrence_edges(g: PropertyGraph, top_n: int = 100) -> DataFrame:
+    """Undirected keyword co-occurrence projection: (u, v) with
+    ``u < v``, distinct — two of the ``top_n`` most-used keywords
+    (link-count desc, name asc: a total order, so the cutoff is
+    engine-independent) connected when some link carries both.
+
+    The cap is the operator's scale bound, not a convenience: an
+    unbounded projection of a bipartite graph is quadratic in the
+    hottest link's keyword count. With the cap the pair generation is a
+    self-join of a semi-join-filtered edge list — per link it emits
+    pairs only among that link's top-``top_n`` keywords."""
+    top = (
+        g.has_keyword.groupBy("dst_keyword")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("dst_keyword").asc())
+        .limit(top_n)
+        .select("dst_keyword")
+    )
+    hk = g.has_keyword.join(
+        F.broadcast(top), "dst_keyword", "left_semi"
+    ).select("src_url", "dst_keyword")
+    a, b = hk.alias("a"), hk.alias("b")
+    return (
+        a.join(b, "src_url")
+        .filter(F.col("a.dst_keyword") < F.col("b.dst_keyword"))
+        .select(
+            F.col("a.dst_keyword").alias("u"),
+            F.col("b.dst_keyword").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list
+    (columns ``u``, ``v``): (node, triangles), nodes in ≥1 triangle
+    only. Exact and deterministic.
+
+    Degree-ordered node-iterator (Chiba & Nishizeki 1985; the shape
+    distributed triangle counting settled on — Suri & Vassilvitskii,
+    WWW'11): orient every edge from its lower-(degree, id) endpoint to
+    the higher, enumerate each low endpoint's ordered out-neighbor
+    pairs as wedges, and close wedges with one semi-join back against
+    the oriented edges. The orientation is the skew bound: a celebrity
+    node's neighbors charge their wedges to the *low-degree* endpoints,
+    so no task ever materializes |N(hub)|² pairs — out-degrees are
+    O(√|E|) regardless of hub size. Three shuffles (degree agg, wedge
+    equi-join on the pivot, closing semi-join); no cartesian products.
+    """
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    ed = e.join(
+        deg.select(F.col("u"), F.col("d").alias("du")), "u"
+    ).join(
+        deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    u_low = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_low, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_low, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_low, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # b ≺ c in the same (degree, id) order as the orientation, so each
+    # triangle {x≺y≺z} closes exactly once, as the wedge (x; y, z)
+    wedges = (
+        e1.join(e2, F.col("e1.a") == F.col("e2.a"))
+        .filter(
+            (F.col("e1.db") < F.col("e2.db"))
+            | (
+                (F.col("e1.db") == F.col("e2.db"))
+                & (F.col("e1.b") < F.col("e2.b"))
+            )
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
 def k_core(g: PropertyGraph, k: int = 2, max_iterations: int = 30) -> DataFrame:
     """The k-core of the Link↔Keyword graph: iteratively peel nodes of
     degree < k until fixpoint (Seidman 1983) — the standard dense-

@@ -23,8 +23,10 @@ from .graph import queries as Q
 from .graph.algorithms import (
     bounded_reach,
     connected_components,
+    keyword_cooccurrence_edges,
     label_propagation,
     pagerank,
+    triangle_counts,
 )
 from .graph.cypher import cypher
 from .graph.motif import match as motif_match
@@ -120,13 +122,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # _COMPONENTS_ORACLE below)
     "g_pagerank": _g(pagerank),
     # components + the var-length bounded-reach counts + label-propagation
-    # communities share one row (joined on node_id — same bipartite
-    # graph, same node set), keeping the Cypher `[*1..h]` analog AND the
-    # third iterative algorithm hash-checked inside the 50-row gate
+    # communities + triangle participation share one row (joined on
+    # node_id — same bipartite graph; triangles live on the top-100
+    # keyword co-occurrence projection, left-joined through the
+    # `Keyword:` id prefix), keeping the Cypher `[*1..h]` analog AND
+    # the iterative algorithms hash-checked inside the 50-row gate
     "g_components": _g(
         lambda g: connected_components(g)
         .join(bounded_reach(g), "node_id")
         .join(label_propagation(g), "node_id")
+        .join(
+            triangle_counts(keyword_cooccurrence_edges(g)).select(
+                F.concat(F.lit("Keyword:"), F.col("node")).alias("node_id"),
+                "triangles",
+            ),
+            "node_id",
+            "left",
+        )
+        .withColumn(
+            "triangles", F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+        )
     ),
 }
 
@@ -373,12 +388,43 @@ p2 AS (
   )
 ),
 r1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach_1 FROM p1 GROUP BY src),
-r2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach_2 FROM p2 GROUP BY src)
-SELECT c.node_id, c.component, r1.n_reach_1, r2.n_reach_2, lp.community
+r2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach_2 FROM p2 GROUP BY src),
+-- triangle participation on the top-100 keyword co-occurrence
+-- projection (algorithms.keyword_cooccurrence_edges). The engine
+-- orients by (degree, id); id-ordered enumeration here yields the
+-- same triangle set, each {a<b<c} exactly once.
+kwtop AS (
+  SELECT dst_keyword FROM has_keyword
+  GROUP BY dst_keyword ORDER BY count(*) DESC, dst_keyword LIMIT 100
+),
+co AS (
+  SELECT DISTINCT h1.dst_keyword AS u, h2.dst_keyword AS v
+  FROM has_keyword h1
+  JOIN has_keyword h2
+    ON h1.src_url = h2.src_url AND h1.dst_keyword < h2.dst_keyword
+  WHERE h1.dst_keyword IN (SELECT dst_keyword FROM kwtop)
+    AND h2.dst_keyword IN (SELECT dst_keyword FROM kwtop)
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM co e1
+  JOIN co e2 ON e1.v = e2.u
+  JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri_nodes AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT c.node_id, c.component, r1.n_reach_1, r2.n_reach_2, lp.community,
+       COALESCE(t.triangles, 0) AS triangles
 FROM comp c
 JOIN r1 ON c.node_id = r1.src
 JOIN r2 ON c.node_id = r2.src
 JOIN lp3 lp ON c.node_id = lp.node_id
+LEFT JOIN tri_nodes t ON c.node_id = 'Keyword:' || t.node
 """
 ).replace("WITH link_base", "WITH RECURSIVE link_base", 1)
 
