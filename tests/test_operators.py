@@ -1961,3 +1961,53 @@ def test_paragraph_dedup_degenerate_identical_corpus(spark):
     assert out[0].n_dropped == 0 and out[0].clean_text == text
     for i in range(1, 200):
         assert out[i].n_dropped == out[i].n_segs and out[i].clean_text == ""
+
+
+def test_bottomk_quantile_sketch_error_and_mergeability(spark):
+    """The bottom-k sample's p50 lands within the O(1/sqrt(k)) rank
+    envelope of the exact median, and the sketch is a true mergeable
+    accumulator: bottom-k over the full set equals bottom-k over the
+    union of per-half bottom-k samples."""
+    from webpagesgraphdatabase_spark.operators import sketches
+
+    n = 20_000
+    rows = [("all", i, float(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["seg", "rid", "value"])
+    got = sketches.bottomk_sample_quantiles(
+        df, "seg", "rid", "value", k=256
+    ).collect()[0]
+    assert got.bq_n_sample == 256
+    # exact p50 = 9999.5; 3/sqrt(256) rank error => ~±3750 here
+    assert abs(got.bq_p50 - (n - 1) / 2) < 0.20 * n
+    # determinism: same inputs, same estimate
+    again = sketches.bottomk_sample_quantiles(
+        df, "seg", "rid", "value", k=256
+    ).collect()[0]
+    assert (got.bq_p50, got.bq_p90) == (again.bq_p50, again.bq_p90)
+    # mergeability: union of per-half samples re-sketched == full sketch
+    half1 = spark.createDataFrame(rows[: n // 2], ["seg", "rid", "value"])
+    half2 = spark.createDataFrame(rows[n // 2 :], ["seg", "rid", "value"])
+    import pyspark.sql.functions as F
+
+    def sample_rows(d, k=256):
+        # the sketch's state: its sampled rows (k smallest hashes)
+        den = 16**13
+        hv = F.expr(
+            "cast(conv(substr(md5(cast(rid as string)), 1, 13), 16, 10)"
+            " as bigint)"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("seg").orderBy("hv", "rid")
+        return (
+            d.withColumn("hv", hv)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("seg", "rid", "value")
+        )
+
+    merged_state = sample_rows(sample_rows(half1).unionByName(sample_rows(half2)))
+    full_state = sample_rows(df)
+    assert sorted(r.rid for r in merged_state.collect()) == sorted(
+        r.rid for r in full_state.collect()
+    )

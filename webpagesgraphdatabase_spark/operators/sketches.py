@@ -189,3 +189,64 @@ def heavy_hitters(
         .drop("dec")
         .orderBy(F.col("est_count").desc(), F.col(key_col).asc())
     )
+
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    value: str,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    safety: int = 4,
+) -> DataFrame:
+    """Mergeable quantile sketch per key via a deterministic bottom-k
+    row sample: (key, bq_n_sample, bq_p50, bq_p90, ...) — interpolated
+    percentiles over the ``k`` rows with the smallest md5(``id_col``).
+
+    Why bottom-k and not GK/KLL: those sketches' internal state depends
+    on merge ORDER, so a Spark partial-aggregation tree produces
+    run-to-run-different (if equally-bounded) estimates — unverifiable
+    by a cross-engine hash. A bottom-k-by-hash sample is a mergeable
+    sketch whose merge (union → keep k smallest) is associative and
+    commutative, so the estimate is bit-reproducible in any engine
+    while keeping the same one-pass, O(k)-state contract; rank error is
+    O(1/sqrt(k)) w.h.p. (k=256 → ~6 rank-percentile points at 95%).
+
+    Scale shape: one tiny count-per-key job sizes a hash threshold at
+    ``safety``× the k/n acceptance rate; the scan filters on that
+    threshold BEFORE the per-key rank, so the rank window sees
+    O(safety·k) rows per key instead of a hot key's full row set (the
+    stratified sampler's prefilter discipline, sampling.py). The
+    prefilter is part of the sketch definition — the oracle replicates
+    it — so the (≈ e^-k-probability) shortfall case changes the
+    estimate, never correctness.
+    """
+    den = 16**13
+    hv = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 13), 16, 10) "
+        "as bigint)"
+    )
+    counts = df.groupBy(key).agg(F.count("*").alias("bq_n"))
+    cutoff = F.floor(
+        F.least(F.lit(1.0), F.lit(float(safety * k)) / F.col("bq_n"))
+        * F.lit(float(den))
+    ).cast("long")
+    thresholds = counts.select(key, cutoff.alias("bq_cutoff"))
+    survivors = (
+        df.select(key, id_col, value)
+        .withColumn("bq_hv", hv)
+        .join(F.broadcast(thresholds), key)
+        .filter(F.col("bq_hv") <= F.col("bq_cutoff"))
+    )
+    w = Window.partitionBy(key).orderBy("bq_hv", id_col)
+    sample = survivors.withColumn("bq_rn", F.row_number().over(w)).filter(
+        F.col("bq_rn") <= k
+    )
+    aggs = [F.count("*").alias("bq_n_sample")] + [
+        F.round(F.expr(f"percentile({value}, {q})"), 6).alias(
+            f"bq_p{int(q * 100)}"
+        )
+        for q in qs
+    ]
+    return sample.groupBy(key).agg(*aggs)

@@ -665,6 +665,15 @@ def _q_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q_events_quantiles(spark, sf_dir)
         .join(_q_kmv_distinct(spark, sf_dir), "event_type")
         .join(best_exact, "event_type")
+        # mergeable bottom-k quantile sketch beside the exact
+        # percentiles it approximates — the sketch's rank error is
+        # hash-checked in the row (same discipline as KMV/overlap)
+        .join(
+            sketches.bottomk_sample_quantiles(
+                ev, "event_type", "event_id", "value"
+            ),
+            "event_type",
+        )
     )
 
 
@@ -1403,6 +1412,33 @@ SELECT event_type, count(*) AS n_events,
        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
 FROM events GROUP BY event_type
 """,
+    # bottom-k-by-hash quantile sketch (sketches.bottomk_sample_quantiles
+    # with k=256, safety=4): the hash-threshold prefilter is part of
+    # the sketch definition and replicated here verbatim
+    "_bq_part": """
+WITH nk AS (SELECT event_type, count(*) AS bq_n FROM events GROUP BY event_type),
+hv AS (
+  SELECT event_type, event_id, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS bq_hv
+  FROM events
+),
+filt AS (
+  SELECT hv.* FROM hv JOIN nk USING (event_type)
+  WHERE hv.bq_hv <= CAST(floor(
+          LEAST(1.0, 1024.0 / nk.bq_n) * 4503599627370496.0) AS BIGINT)
+),
+samp AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY bq_hv, event_id) AS bq_rn
+    FROM filt
+  ) WHERE bq_rn <= 256
+)
+SELECT event_type, count(*) AS bq_n_sample,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS bq_p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS bq_p90
+FROM samp GROUP BY event_type
+""",
     "u_segment_setops": """
 WITH building AS (
   SELECT DISTINCT l_partkey AS partkey FROM customer
@@ -1465,10 +1501,12 @@ ORACLES["a_events_sketch"] = (
     "SELECT q.event_type, q.n_events, q.p50, q.p90,\n"
     "       k.n_exact, k.k_used, k.kmv_estimate,\n"
     "       o.top_overlap_partner, o.ov_union_est, o.ov_inter_est,\n"
-    "       o.ov_inter_exact\n"
+    "       o.ov_inter_exact,\n"
+    "       b.bq_n_sample, b.bq_p50, b.bq_p90\n"
     "FROM (" + ORACLES.pop("_quantiles_part") + ") q\n"
     "JOIN (" + ORACLES.pop("_kmv_part") + ") k ON q.event_type = k.event_type\n"
-    "JOIN (" + ORACLES.pop("_overlap_part") + ") o ON q.event_type = o.event_type"
+    "JOIN (" + ORACLES.pop("_overlap_part") + ") o ON q.event_type = o.event_type\n"
+    "JOIN (" + ORACLES.pop("_bq_part") + ") b ON q.event_type = b.event_type"
 )
 
 # Training-sequence packing: md5 shuffle → hash shards → per-shard
