@@ -2011,3 +2011,55 @@ def test_bottomk_quantile_sketch_error_and_mergeability(spark):
     assert sorted(r.rid for r in merged_state.collect()) == sorted(
         r.rid for r in full_state.collect()
     )
+
+
+def test_duplicated_window_stats_hand_corpus(spark):
+    """Two docs sharing a 5-token span: 4-token windows inside the span
+    are duplicated; the lower doc_id is the canonical copy (foreign=0),
+    the higher sees them as foreign. A unique doc reports zero dups."""
+    from webpagesgraphdatabase_spark.operators import dedup
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"alpha {shared} omega"),
+        (2, f"start {shared} end zz"),
+        (3, "completely unrelated text here indeed"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.duplicated_window_stats(docs).collect()}
+    # 7 tokens -> 4 windows; the shared 5-token run yields 2 shared windows
+    assert got[1].n_spanwin == 4 and got[2].n_spanwin == 5
+    assert got[1].n_dup_windows == 2 and got[2].n_dup_windows == 2
+    assert got[1].n_foreign_dup == 0  # doc 1 is the canonical copy
+    assert got[2].n_foreign_dup == 2
+    assert got[3].n_dup_windows == 0
+
+
+def test_strip_duplicated_spans_keeps_first_occurrence(spark):
+    """The canonical doc keeps the span verbatim; later docs lose the
+    covered tokens and keep everything else in order."""
+    from webpagesgraphdatabase_spark.operators import dedup
+
+    shared = "one two three four"
+    rows = [
+        (1, f"alpha {shared} omega"),
+        (2, f"pre {shared} post tail"),
+        (3, "no duplication in this document"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.deduped_text for r in
+           dedup.strip_duplicated_spans(docs).collect()}
+    assert got[1] == f"alpha {shared} omega"
+    assert got[2] == "pre post tail"
+    assert got[3] == "no duplication in this document"
+
+
+def test_strip_duplicated_spans_self_repetition_survives(spark):
+    """Within-doc repetition is not foreign: a doc repeating its own
+    span keeps both copies (the operator removes cross-doc copies)."""
+    from webpagesgraphdatabase_spark.operators import dedup
+
+    rows = [(7, "a b c d a b c d")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup.strip_duplicated_spans(docs).collect()[0]
+    assert got.deduped_text == "a b c d a b c d"

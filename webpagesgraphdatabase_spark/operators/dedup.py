@@ -660,3 +660,114 @@ def paragraph_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def duplicated_window_stats(docs: DataFrame, window: int = 4) -> DataFrame:
+    """Exact duplicated-token-span detection (the window form of Lee et
+    al. 2022, arXiv:2107.06499 "Deduplicating Training Data Makes
+    Language Models Better" — a distributed stand-in for their suffix
+    array): every ``window``-token span is keyed by md5 of its text;
+    spans whose key occurs more than once anywhere in the corpus are
+    duplicated. Returns per-doc counts
+    (doc_id, n_spanwin, n_dup_windows, n_foreign_dup):
+
+    * ``n_spanwin`` — windows in the doc (``n_tokens - window + 1``;
+      docs shorter than ``window`` have none and are absent),
+    * ``n_dup_windows`` — windows duplicated anywhere (including
+      self-repetition inside the doc),
+    * ``n_foreign_dup`` — duplicated windows whose first corpus
+      occurrence (min doc_id) is a DIFFERENT doc: the "this span's
+      canonical copy lives elsewhere" removal signal.
+
+    Scale shape: the shuffle key is the 32-hex window digest, never
+    text; the global pass is a partial-aggregatable count+min per key
+    (a span duplicated 10^7 times combines map-side — the
+    paragraph_dedup discipline, no hot-key window rank); the mark join
+    is a key-to-key equi-join back to the narrow (doc_id, wk) rows.
+    """
+    if window != 4:
+        raise ValueError("duplicated_window_stats is unrolled for window=4")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col()).alias("pos", "token"),
+        F.size(tokens_col()).alias("n"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2, t3 = (F.lead("token", i).over(w) for i in (1, 2, 3))
+    wins = (
+        tok.withColumn(
+            "wk", F.md5(F.concat_ws(" ", F.col("token"), t1, t2, t3))
+        )
+        .filter(F.col("pos") <= F.col("n") - 4)
+        .select("doc_id", "pos", "wk")
+    )
+    glob = wins.groupBy("wk").agg(
+        F.count("*").alias("n_occ"), F.min("doc_id").alias("first_doc")
+    )
+    dup = F.col("n_occ") > 1
+    foreign = dup & (F.col("first_doc") != F.col("doc_id"))
+    return (
+        wins.join(glob, "wk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spanwin"),
+            F.sum(dup.cast("long")).alias("n_dup_windows"),
+            F.sum(foreign.cast("long")).alias("n_foreign_dup"),
+        )
+    )
+
+
+def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
+    """Remove foreign-duplicated spans from every document: tokens
+    covered by any window whose first corpus occurrence is a different
+    doc are dropped, and the survivors are rejoined with single spaces
+    — (doc_id, deduped_text). The first-occurrence doc keeps its copy
+    (Lee et al.'s keep-one policy at window granularity), so every
+    duplicated span survives exactly once corpus-wide.
+
+    Same shuffle discipline as :func:`duplicated_window_stats` plus a
+    per-doc rebuild: covered positions explode to at most
+    ``window × n_foreign_dup`` narrow rows, and the rebuild is one
+    sort_array over each doc's surviving (pos, token) structs — state
+    bounded by doc length, the same bound the tokenize/pack paths
+    already carry."""
+    if window != 4:
+        raise ValueError("strip_duplicated_spans is unrolled for window=4")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col()).alias("pos", "token"),
+        F.size(tokens_col()).alias("n"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2, t3 = (F.lead("token", i).over(w) for i in (1, 2, 3))
+    wins = (
+        tok.withColumn(
+            "wk", F.md5(F.concat_ws(" ", F.col("token"), t1, t2, t3))
+        )
+        .filter(F.col("pos") <= F.col("n") - 4)
+        .select("doc_id", "pos", "wk")
+    )
+    firsts = wins.groupBy("wk").agg(
+        F.count("*").alias("n_occ"), F.min("doc_id").alias("first_doc")
+    )
+    covered = (
+        wins.join(firsts, "wk")
+        .filter((F.col("n_occ") > 1) & (F.col("first_doc") != F.col("doc_id")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("deduped_text")
+    )

@@ -47,13 +47,45 @@ def _on(table: str, fn: Callable, *args) -> Callable[[SparkSession, str], DataFr
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both document fingerprints (min-shingle + Rabin-Karp rolling) in
-    one row per doc; each operator runs unchanged and joins on doc_id."""
+    """Both document fingerprints (min-shingle + Rabin-Karp rolling)
+    plus the exact duplicated-span counts (Lee et al. window dedup,
+    dedup.duplicated_window_stats) in one row per doc; each operator
+    runs unchanged and joins on doc_id (spans left-joined — docs
+    shorter than the window have no span windows)."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup
+
     docs = load_table(spark, sf_dir, "documents")
     fp = textstats.fingerprint(docs)
     rfp = textstats.rolling_fingerprint(docs)
-    return fp.join(rfp, "doc_id").select(
-        "doc_id", "fp", "n_shingles", "rolling_fp", "n_windows"
+    spans = dedup.duplicated_window_stats(docs)
+    joined = (
+        fp.join(rfp, "doc_id")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fp",
+            "n_shingles",
+            "rolling_fp",
+            "n_windows",
+            F.coalesce("n_spanwin", F.lit(0)).cast("long").alias("n_spanwin"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("n_foreign_dup", F.lit(0))
+            .cast("long")
+            .alias("n_foreign_dup"),
+        )
+    )
+    return joined.withColumn(
+        "dup_fraction",
+        F.round(
+            F.col("n_dup_windows")
+            * F.lit(1.0)
+            / F.greatest(F.col("n_spanwin"), F.lit(1)),
+            6,
+        ),
     )
 
 
@@ -1110,9 +1142,38 @@ rolling AS (
   SELECT doc_id, CAST(min(h) AS BIGINT) AS rolling_fp, count(*) AS n_windows
   FROM (SELECT * FROM fullw UNION ALL SELECT * FROM shortw)
   GROUP BY doc_id
+),
+-- exact duplicated-span counts (dedup.duplicated_window_stats):
+-- 4-token windows keyed by md5 of their space-joined text
+span_lists AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 3),
+                        i -> md5(array_to_string(toks[i:i+3], ' '))) AS wks
+  FROM toks WHERE len(toks) >= 4
+),
+spanw AS (SELECT doc_id, unnest(wks) AS wk FROM span_lists),
+spanglob AS (
+  SELECT wk, count(*) AS n_occ, min(doc_id) AS first_doc
+  FROM spanw GROUP BY wk
+),
+spandoc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spanwin,
+         CAST(sum(CASE WHEN g.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows,
+         CAST(sum(CASE WHEN g.n_occ > 1 AND g.first_doc <> s.doc_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign_dup
+  FROM spanw s JOIN spanglob g ON s.wk = g.wk
+  GROUP BY s.doc_id
 )
-SELECT m.doc_id, m.fp, m.n_shingles, r.rolling_fp, r.n_windows
+SELECT m.doc_id, m.fp, m.n_shingles, r.rolling_fp, r.n_windows,
+       COALESCE(d.n_spanwin, 0) AS n_spanwin,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(d.n_foreign_dup, 0) AS n_foreign_dup,
+       round(COALESCE(d.n_dup_windows, 0) * 1.0
+             / GREATEST(COALESCE(d.n_spanwin, 0), 1), 6) AS dup_fraction
 FROM minshingle m JOIN rolling r ON m.doc_id = r.doc_id
+LEFT JOIN spandoc d ON m.doc_id = d.doc_id
 """,
     # --- multimodal (payload bytes == text chars: corpus is pure ASCII) ---
     "mm_byte_histogram": r"""
