@@ -213,10 +213,12 @@ MEDIA_INFO_SCHEMA = (
 
 
 def sniff_kind(b: bytes) -> str:
-    from . import gif, jpeg, png, wav
+    from . import bmp, gif, jpeg, png, wav
 
     if png.is_png(b):
         return "png"
+    if bmp.is_bmp(b):
+        return "bmp"
     if jpeg.is_jpeg(b):
         return "jpeg"
     if gif.is_gif(b):
@@ -246,6 +248,11 @@ def probe_bytes(b: bytes) -> dict:
             out.update(width=w, height=h)
         elif kind == "gif":
             w, h = gif.parse_dims(b)
+            out.update(width=w, height=h)
+        elif kind == "bmp":
+            from . import bmp
+
+            w, h, _bpp = bmp.parse_dims(b)
             out.update(width=w, height=h)
         elif kind == "wav":
             _tag, ch, rate, _bits = wav.parse_fmt(b)

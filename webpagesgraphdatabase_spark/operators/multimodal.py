@@ -163,8 +163,10 @@ def decode_image(docs: DataFrame, fake: bool = False) -> DataFrame:
     JPEG payloads with the clean-room T.81 decoder in :mod:`.jpeg`
     (Huffman entropy decode + IDCT) — no Pillow/codec dependency;
     ``features`` is the per-channel pixel mean (floored int, one entry
-    per channel). Other media still raise ``NotImplementedError``
-    (GIF/video codecs aren't in this container). With ``fake=True`` a
+    per channel); GIF and uncompressed BMP decode likewise
+    (:mod:`.gif` / :mod:`.bmp`). Other media still raise
+    ``NotImplementedError`` (video codecs aren't in this container).
+    With ``fake=True`` a
     deterministic stand-in derives pseudo-metadata from the payload md5
     — same Spark plumbing (schema, Arrow batches, partitioning), no
     codec — and stays the hash-checked oracle row, since the synthetic
@@ -180,7 +182,7 @@ def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFram
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from . import gif, jpeg, png
+        from . import bmp, gif, jpeg, png
 
         for pdf in batches:
             rows = {"doc_id": [], "width": [], "height": [], "channels": [], "features": []}
@@ -198,10 +200,14 @@ def decode_image_payloads(payload_df: DataFrame, fake: bool = False) -> DataFram
                 elif gif.is_gif(bytes(payload)):
                     w, ht, ch, px = gif.decode(bytes(payload))
                     feats = [int(px[:, :, c].mean()) for c in range(ch)]
+                elif bmp.is_bmp(bytes(payload)):
+                    w, ht, ch, px = bmp.decode(bytes(payload))
+                    feats = [int(px[:, :, c].mean()) for c in range(ch)]
                 else:
                     raise NotImplementedError(
-                        "only PNG/JPEG/GIF payloads decode without a codec; "
-                        "run with fake=True for the deterministic stand-in"
+                        "only PNG/JPEG/GIF/BMP payloads decode without a "
+                        "codec; run with fake=True for the deterministic "
+                        "stand-in"
                     )
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
@@ -334,7 +340,7 @@ def resize_image_payloads(
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from . import gif, jpeg, png
+        from . import bmp, gif, jpeg, png
 
         for pdf in batches:
             rows = {
@@ -354,9 +360,11 @@ def resize_image_payloads(
                     w, ht, _ = jpeg.parse_dims(bytes(payload))
                 elif gif.is_gif(bytes(payload)):
                     w, ht = gif.parse_dims(bytes(payload))
+                elif bmp.is_bmp(bytes(payload)):
+                    w, ht, _bpp = bmp.parse_dims(bytes(payload))
                 else:
                     raise NotImplementedError(
-                        "only PNG/JPEG/GIF headers parse without a codec; "
+                        "only PNG/JPEG/GIF/BMP headers parse without a codec; "
                         "run with fake=True for the deterministic stand-in"
                     )
                 longest = max(w, ht)
