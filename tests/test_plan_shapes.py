@@ -160,3 +160,22 @@ def test_train_bpe_superstep_tables_stay_jvm_side(spark):
     )
     assert "BatchEvalPython" not in _plan(vocab)
     assert "ArrowEvalPython" not in _plan(vocab)
+
+
+def test_lsh_buckets_are_shuffle_free_codegen(spark):
+    """r6: the LSH signature is a pure projection — plane signs inline
+    as literals and every bit is a codegen fold, so bucketing shuffles
+    nothing and never explodes corpus×dim rows (the former shape paid
+    two exchanges per table). Multi-table adds a posexplode, still no
+    exchange."""
+    from webpagesgraphdatabase_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    single = _plan(sim.lsh_buckets(emb, n_planes=4, dim=8))
+    multi = _plan(sim.lsh_buckets_multi(emb, n_planes=4, n_tables=3, dim=8))
+    for plan in (single, multi):
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -383,3 +383,69 @@ def test_native_session_window_matches_custom_operator(spark, source_dir, tmp_pa
     for k, v in custom.items():
         assert native[k] == v, k
     assert len(native) - len(custom) < len(native) * 0.1
+
+
+def test_streaming_bottomk_quantiles_equals_batch_sketch(spark, tmp_path):
+    """Mergeability made operational: after draining three arbitrary
+    micro-batches, the per-key bottom-k estimate equals the batch
+    sketch on the same rows bit-for-bit (the merge is associative and
+    order-independent, so micro-batch boundaries cannot matter)."""
+    from webpagesgraphdatabase_spark.operators import sketches
+    from webpagesgraphdatabase_spark.streaming import (
+        streaming_bottomk_quantiles,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "bq_src"
+    # three drops split by id range -> state must merge across batches
+    for i, (lo, hi) in enumerate([(0, 300), (300, 700)]):
+        events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).write.mode("overwrite").parquet(str(src / f"drop{i}"))
+
+    events.filter(F.col("event_id") >= 700).write.mode("overwrite").parquet(
+        str(src / "drop2")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src / "drop*"))
+    out = streaming_bottomk_quantiles(stream, k=64)
+    # capture per-micro-batch emissions with their batch id: the row
+    # with each key's highest batch id IS the final sketch state (no
+    # reliance on sink row order)
+    captured: list = []
+
+    def capture(batch_df, batch_id):
+        captured.extend((batch_id, r) for r in batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "bq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len({b for b, _ in captured}) >= 3, "expected >=3 micro-batches"
+    final: dict = {}
+    best: dict = {}
+    for b, r in captured:
+        if best.get(r.event_type, -1) <= b:
+            best[r.event_type] = b
+            final[r.event_type] = r
+
+    batch = {
+        r.event_type: r
+        for r in sketches.bottomk_sample_quantiles(
+            events, "event_type", "event_id", "value", k=64
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert (s.bq_n_sample, s.bq_p50, s.bq_p90) == (
+            b.bq_n_sample,
+            b.bq_p50,
+            b.bq_p90,
+        ), et

@@ -636,31 +636,47 @@ def ann_ivf_from_index(
     )
 
 
-def _plane_signs(spark, n_planes: int, dim: int, table: int = 0) -> DataFrame:
-    """Deterministic pseudo-random hyperplane signs (plane, d, sign∈{-1,1})
-    from bit 0 of md5(plane || '|' || d) — reproducible in any engine.
-    ``table > 0`` salts the hash (``t<table>|plane|d``) so each LSH
-    table draws an independent plane set; table 0 keeps the unsalted
-    seed, preserving the oracle-checked bucketing."""
-    seed = (
-        "concat(cast(plane as string), '|', cast(d as string))"
-        if table == 0
-        else f"concat('t{table}|', cast(plane as string), '|', cast(d as string))"
-    )
-    return (
-        spark.range(n_planes)
-        .select(F.col("id").alias("plane"))
-        .select("plane", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d"))
-        .select(
-            "plane",
-            "d",
-            F.expr(
-                f"(instr('13579bdf', substring(md5({seed}), 32, 1)) > 0)"
-            ).cast("int")
-            .alias("bit"),
+def _plane_sign_rows(
+    n_planes: int, dim: int, table: int = 0
+) -> list[list[float]]:
+    """Driver-side materialization of the deterministic pseudo-random
+    hyperplane signs: rows[plane][d] ∈ {-1.0, 1.0} from bit 0 of
+    md5(plane || '|' || d) — the exact formula the registry oracle
+    reproduces in SQL. ``table > 0`` salts the hash
+    (``t<table>|plane|d``) so each LSH table draws an independent plane
+    set; table 0 keeps the unsalted seed, preserving the oracle-checked
+    bucketing. n_planes·dim md5 calls on the driver — microseconds,
+    corpus-size-free."""
+    import hashlib
+
+    rows = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            seed = f"{p}|{d}" if table == 0 else f"t{table}|{p}|{d}"
+            last = hashlib.md5(seed.encode()).hexdigest()[31]
+            row.append(1.0 if last in "13579bdf" else -1.0)
+        rows.append(row)
+    return rows
+
+
+def _bucket_expr(n_planes: int, dim: int, table: int):
+    """Column expression: the n_planes-char '0'/'1' LSH signature of
+    ``embedding`` — each bit one codegen fold (zip_with the inlined
+    plane-sign literals, left-fold sum, sign test). Whole-stage codegen,
+    no shuffle, no per-dimension row explosion."""
+    bits = []
+    for row in _plane_sign_rows(n_planes, dim, table):
+        arr = F.array(*[F.lit(s) for s in row])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .select("plane", "d", (F.col("bit") * 2 - 1).alias("sign"))
-    )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
 
 
 def lsh_buckets(
@@ -673,33 +689,42 @@ def lsh_buckets(
     n_planes-char '0'/'1' signature (sign of v·h per plane).
     ``table`` selects an independent plane set (multi-table LSH).
     ``dim`` skips the first-row probe job when the caller already knows
-    the embedding width."""
-    spark = emb.sparkSession
+    the embedding width.
+
+    Plan shape: one narrow projection — the plane signs are
+    deterministic (md5 formula, see :func:`_plane_sign_rows`), so they
+    inline as literals and each bucket is a pure codegen fold over the
+    embedding array. Zero shuffles and zero corpus row expansion, vs
+    the former posexplode → plane-join → two-level groupBy shape that
+    shuffled corpus×dim rows twice per table. Bucket values are
+    unchanged (same signs, same sign test), so the oracle bucketing
+    is identical."""
     if dim is None:
         dim = len(emb.select("embedding").first()["embedding"])
-    planes = _plane_signs(spark, n_planes, dim, table)
-    comps = spread(emb).select(
-        "vec_id", F.posexplode("embedding").alias("d", "val")
+    return emb.select(
+        "vec_id", _bucket_expr(n_planes, dim, table).alias("bucket")
     )
-    proj = (
-        comps.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("val").cast("double") * F.col("sign")).alias("proj"))
+
+
+def lsh_buckets_multi(
+    emb: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """All LSH tables in ONE corpus pass: (vec_id, table, bucket).
+    Each table's signature is an independent codegen fold in the same
+    projection, then a posexplode of the n_tables-element array — one
+    scan regardless of table count, where the per-table loop scanned
+    the corpus n_tables times. Consumers equi-join once on
+    (table, bucket)."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
+    per_table = F.array(
+        *[_bucket_expr(n_planes, dim, t) for t in range(n_tables)]
     )
-    return (
-        proj.withColumn(
-            "bit", F.when(F.col("proj") > 0, F.lit("1")).otherwise(F.lit("0"))
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("plane", "bit"))),
-                    lambda s: s["bit"],
-                ),
-                "",
-            ).alias("bucket")
-        )
+    return emb.select(
+        "vec_id", F.posexplode(per_table).alias("table", "bucket")
     )
 
 
@@ -738,20 +763,19 @@ def ann_lsh(
     v = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    cand = None
-    for t in range(n_tables):
-        buckets = lsh_buckets(emb, n_planes, table=t, dim=dim)
-        q = buckets.filter(F.col("vec_id") < n_queries).alias("q")
-        c = buckets.alias("c")
-        pairs = q.join(
-            c,
-            (F.col("q.bucket") == F.col("c.bucket"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
-        ).select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    # all tables in one corpus pass, one equi-join on (table, bucket)
+    buckets = lsh_buckets_multi(emb, n_planes, n_tables, dim=dim)
+    q = buckets.filter(F.col("vec_id") < n_queries).alias("q")
+    c = buckets.alias("c")
+    cand = q.join(
+        c,
+        (F.col("q.table") == F.col("c.table"))
+        & (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+    )
     if n_tables > 1:
         cand = cand.distinct()
 
@@ -819,7 +843,8 @@ def ann_hybrid(
     both generators propose it).
 
     Scale shape: both generators keep their own shapes (broadcast
-    centroids + equi-join on cid; equi-join on bucket per table); the
+    centroids + equi-join on cid; one shuffle-free multi-table
+    bucketing pass + one (table, bucket) equi-join); the
     union is |pairs| rows of ids only, deduped by a hash aggregate; the
     re-rank joins the candidate ids back to the corpus vectors (the
     candidate side is |Q|·candidates — broadcastable) and windows on
@@ -835,21 +860,20 @@ def ann_hybrid(
 
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
 
-    # LSH candidates: distinct union over n_tables independent bucketings
-    cand = None
-    for t in range(n_tables):
-        buckets = lsh_buckets(emb, n_planes, table=t, dim=dim)
-        q_b = buckets.filter(F.col("vec_id") < n_queries).alias("q")
-        c_b = buckets.alias("c")
-        pairs = q_b.join(
-            c_b,
-            (F.col("q.bucket") == F.col("c.bucket"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
-        ).select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    # LSH candidates: all tables bucketed in one corpus pass, one
+    # (table, bucket) equi-join — the distinct union over tables
+    buckets = lsh_buckets_multi(emb, n_planes, n_tables, dim=dim)
+    q_b = buckets.filter(F.col("vec_id") < n_queries).alias("q")
+    c_b = buckets.alias("c")
+    cand = q_b.join(
+        c_b,
+        (F.col("q.table") == F.col("c.table"))
+        & (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+    )
 
     # IVF candidates: members of each query's probed inverted lists
     cents = (

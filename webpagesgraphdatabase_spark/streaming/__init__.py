@@ -35,6 +35,7 @@ from .jobs import (
     EVENT_DDL,
     read_event_stream,
     run_available_now,
+    streaming_bottomk_quantiles,
     streaming_dedup_events,
     streaming_sessionize,
     streaming_windowed_counts,
@@ -49,6 +50,7 @@ __all__ = [
     "run_available_now",
     "streaming_contamination",
     "streaming_curation_report",
+    "streaming_bottomk_quantiles",
     "streaming_dedup_events",
     "streaming_sessionize",
     "streaming_windowed_counts",

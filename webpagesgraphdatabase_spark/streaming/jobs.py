@@ -9,8 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -174,19 +177,111 @@ def streaming_dedup_events(
 
 
 def run_available_now(
-    stream_df: DataFrame, table_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
 ) -> None:
     """Drain everything currently in the source into a memory sink
     (tests/backfills): one availableNow run, blocking until done."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+_BQ_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bq_n_sample", LongType()),
+        StructField("bq_p50", DoubleType()),
+        StructField("bq_p90", DoubleType()),
+    ]
+)
+
+# GroupState payload: the sketch itself — parallel arrays of the k
+# smallest (hash, id, value) triples seen so far for this key
+_BQ_STATE = StructType(
+    [
+        StructField("hvs", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _bottomk_fn(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        (event_type,) = key
+        if state.exists:
+            hvs, ids, vals = state.get
+            rows = list(zip(hvs, ids, vals))
+        else:
+            rows = []
+        for pdf in pdfs:
+            for i, v in zip(pdf["event_id"], pdf["value"]):
+                h = int(
+                    hashlib.md5(str(int(i)).encode()).hexdigest()[:13], 16
+                )
+                rows.append((h, int(i), float(v)))
+        rows.sort()
+        del rows[k:]
+        state.update(
+            (
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                [r[2] for r in rows],
+            )
+        )
+        sample = np.array([r[2] for r in rows])
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "bq_n_sample": [len(rows)],
+                "bq_p50": [round(float(np.percentile(sample, 50)), 6)],
+                "bq_p90": [round(float(np.percentile(sample, 90)), 6)],
+            }
+        )
+
+    return fn
+
+
+def streaming_bottomk_quantiles(events: DataFrame, k: int = 256) -> DataFrame:
+    """Streaming twin of the mergeable bottom-k quantile sketch
+    (:func:`..operators.sketches.bottomk_sample_quantiles`): the k
+    smallest-md5(event_id) rows per event_type ride in GroupState and
+    each micro-batch folds its rows in and re-emits the key's current
+    estimate (update mode — the estimate refines as data arrives).
+
+    This is the sketch's mergeability made operational: because
+    bottom-k union is associative and order-independent, the stream's
+    final estimate over any prefix-complete delivery equals the batch
+    operator on the same rows — bit-for-bit, whatever the micro-batch
+    boundaries were (test-pinned). State is O(k) per key forever; no
+    watermark needed because the sketch never grows. numpy's linear
+    interpolation is the same percentile definition as Spark's
+    ``percentile`` and the oracle's ``percentile_cont``."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _bottomk_fn(k),
+        outputStructType=_BQ_OUT,
+        stateStructType=_BQ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_segment_dedup(
