@@ -119,6 +119,10 @@ ANN_RECALL = {
     "s_ann_hybrid": lambda emb, n, d: _similarity().ann_hybrid(
         emb, 10, 5, n_tables=4, corpus_count=n, dim=d
     ),
+    # product quantization (r6): ADC over the 16x-compressed code
+    # table + 4x-shortlist exact re-rank; timed on the amortized
+    # serving path as s_ann_pq_build / s_ann_pq_indexed
+    "s_ann_pq": lambda emb, n, d: _similarity().ann_pq(emb, 10, 5, dim=d),
 }
 
 
@@ -366,6 +370,29 @@ def main() -> None:
         )
         for name, fn in ANN_HEADLINE.items():
             timed(name, lambda fn=fn: _force(fn(emb, n_emb, emb_dim)))
+
+        # product quantization (r6): codebook training + corpus
+        # encoding are the one-time build (like the IVF index); the
+        # query path scans the 16x-compressed code table (ADC) and
+        # re-ranks a 4x shortlist exactly
+        sim = _similarity()
+        t0 = time.time()
+        pq_book = sim.train_pq(emb, dim=emb_dim).persist()
+        pq_book.count()
+        pq_codes = sim.pq_encode(emb, pq_book, m=16, dim=emb_dim).persist()
+        pq_codes.count()
+        timings["s_ann_pq_build"] = round(time.time() - t0, 3)
+        timed(
+            "s_ann_pq_indexed",
+            lambda: _force(
+                sim.ann_pq(
+                    emb, 10, 5, dim=emb_dim,
+                    codebook=pq_book, codes=pq_codes,
+                )
+            ),
+        )
+        pq_book.unpersist()
+        pq_codes.unpersist()
 
         # the serving path: index built once (timed separately, like
         # graph_load), then queries run against the at-rest lists with

@@ -2063,3 +2063,81 @@ def test_strip_duplicated_spans_self_repetition_survives(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = dedup.strip_duplicated_spans(docs).collect()[0]
     assert got.deduped_text == "a b c d a b c d"
+
+
+def test_pq_exact_when_codebook_saturates(spark):
+    """With ks >= corpus size and no training, every vector is its own
+    codeword: PQ reconstruction is lossless and ann_pq must equal the
+    brute-force top-k exactly — pins the codes/LUT/ADC plumbing with
+    no compression error in the way."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 4, 3).collect()
+    }
+    pq = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.ann_pq(
+            emb, 4, 3, m=4, ks=16, n_iters=0, dim=16
+        ).collect()
+    }
+    assert pq == exact
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = similarity.train_pq(emb, m=4, ks=8, n_iters=2, dim=16)
+    assert book.count() == 4 * 8
+    codes = similarity.pq_encode(emb, book, m=4, dim=16)
+    got = {r.vec_id: tuple(r.codes) for r in codes.collect()}
+    assert len(got) == 40
+    assert all(len(c) == 4 for c in got.values())
+    assert all(0 <= x < 8 for c in got.values() for x in c)
+    again = {
+        r.vec_id: tuple(r.codes)
+        for r in similarity.pq_encode(
+            emb, similarity.train_pq(emb, m=4, ks=8, n_iters=2, dim=16),
+            m=4, dim=16,
+        ).collect()
+    }
+    assert got == again
+
+
+def test_pq_recall_high_on_clustered_data(spark):
+    """Same clustered fixture as the trained-IVF test: PQ's trained
+    codebooks capture the cluster directions, so ADC + re-rank should
+    recover most true neighbors at 4x shortlist refinement."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dirs = rng.normal(size=(16, 16))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for _ in range(25):
+        for ci in range(16):
+            v = dirs[ci] + 0.2 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 40, 5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_pq(
+            emb, 40, 5, m=4, ks=16, n_iters=3, dim=16
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8

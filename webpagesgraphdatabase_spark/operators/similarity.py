@@ -1143,3 +1143,320 @@ def pca_load(path: str) -> dict:
         "components": np.asarray(raw["components"], dtype=np.float64),
         "eigvals": np.asarray(raw["eigvals"], dtype=np.float64),
     }
+
+
+# --- product quantization (PQ) — compressed-domain ANN ----------------
+#
+# The billion-scale workhorse (Jégou, Douze & Schmid, TPAMI 2011,
+# "Product Quantization for Nearest Neighbor Search"): split each
+# vector into M subvectors, k-means each subspace independently
+# (Ks codewords), and store each vector as M small codes — 64 float32
+# dims become M bytes (32× compression at M=8), so a 100 TB embedding
+# corpus scans from a ~3 TB code table. Queries score candidates in
+# the compressed domain with one table lookup per subspace
+# (asymmetric distance computation, ADC), then an exact re-rank over
+# the shortlist restores ranking quality.
+
+
+def _subvec_col(m: int, dsub: int):
+    """array<array<double>>: the M contiguous subvectors of
+    ``embedding`` (1-based slice; codegen)."""
+    return F.array(
+        *[
+            F.transform(
+                F.slice(F.col("embedding"), mm * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for mm in range(m)
+        ]
+    )
+
+
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 16,
+    ks: int = 32,
+    n_iters: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ codebook: (m, cid, cemb array<double>) — ``ks`` codewords per
+    subspace, Lloyd-trained. ALL subspaces train in the same superstep
+    jobs: the corpus explodes once per iteration into (vec_id, m,
+    subvec) rows, assignment is a broadcast join on ``m`` + a
+    partial-aggregatable per-(vec, subspace) argmin, and the update
+    shuffles |m·ks·dsub| averaged cells regardless of corpus size —
+    M independent k-means for the price of one. Seeding follows
+    :func:`ivf_centroids`' discipline (the ks vectors with the smallest
+    md5(vec_id), sliced per subspace), so ``n_iters=0`` is
+    deterministic and training-free."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(ks)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id"))
+            .alias("cid"),
+            _subvec_col(m, dsub).alias("subs"),
+        )
+        .select(
+            (F.col("cid") - 1).alias("cid"),
+            F.posexplode("subs").alias("m", "cemb"),
+        )
+        .select("m", "cid", "cemb")
+    )
+    book = seeds.persist()
+    book.count()
+    if n_iters:
+        sv = (
+            emb.select(
+                "vec_id", F.posexplode(_subvec_col(m, dsub)).alias("m", "sub")
+            )
+        ).persist()
+        sv.count()
+        for _ in range(n_iters):
+            assigned = (
+                sv.join(F.broadcast(book), "m")
+                .select(
+                    "vec_id",
+                    "m",
+                    "sub",
+                    F.struct(
+                        _l2(F.col("sub"), F.col("cemb")).alias("d2"),
+                        F.col("cid").alias("cid"),
+                    ).alias("sc"),
+                )
+                .groupBy("vec_id", "m")
+                .agg(F.min("sc").alias("best"), F.first("sub").alias("sub"))
+                .select("vec_id", "m", F.col("best.cid").alias("cid"), "sub")
+            )
+            means = (
+                assigned.select("m", "cid", F.posexplode("sub").alias("d", "val"))
+                .groupBy("m", "cid", "d")
+                .agg(F.avg("val").alias("mv"))
+                .groupBy("m", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "mv"))),
+                        lambda s: s["mv"],
+                    ).alias("new_cemb")
+                )
+            )
+            new_book = (
+                book.join(means, ["m", "cid"], "left")
+                .select(
+                    "m",
+                    "cid",
+                    # an empty cell keeps its previous codeword
+                    F.coalesce(F.col("new_cemb"), F.col("cemb")).alias("cemb"),
+                )
+                .persist()
+            )
+            new_book.count()
+            book.unpersist()
+            book = new_book
+        sv.unpersist()
+    return book
+
+
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, m: int, dim: int
+) -> DataFrame:
+    """(vec_id, codes array<int>): each vector's nearest codeword per
+    subspace, codes ordered by subspace. One broadcast join on ``m`` +
+    one partial-aggregatable argmin + a per-vector reassembly — the
+    corpus never shuffles its float payload, only (vec_id, m, cid)
+    triples."""
+    dsub = dim // m
+    sv = emb.select(
+        "vec_id", F.posexplode(_subvec_col(m, dsub)).alias("m", "sub")
+    )
+    best = (
+        sv.join(F.broadcast(codebook), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                _l2(F.col("sub"), F.col("cemb")).alias("d2"),
+                F.col("cid").alias("cid"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("sc").alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cid"))
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cid"))),
+            lambda s: s["cid"],
+        ).alias("codes")
+    )
+
+
+def ann_pq(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 16,
+    ks: int = 32,
+    n_iters: int = 3,
+    refine: int = 4,
+    dim: int | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN with ADC + exact re-rank: (query_id, rank, neighbor_id),
+    the shared ``ann_*`` schema.
+
+    Query path: per query, ONE inner-product lookup table over the
+    codebook (m·ks entries — tiny, built with a broadcast join and
+    collected into an array column, never to the driver), then every
+    corpus vector scores as Σ_m lut[m·ks + code_m] — a codegen fold
+    over its M codes. The approximate cosine divides by the PQ norm
+    (√Σ_m ‖codeword‖², the same lookup trick with a query-independent
+    table), a top-(k·refine) shortlist per query absorbs compression
+    error, and an exact cosine re-rank over the shortlist's true
+    vectors yields the final top-k (ADC + re-rank, the deployment
+    shape).
+
+    Scale shape: the corpus-side scan touches only the code table
+    (M small ints per vector — 32× smaller than the raw floats at
+    M=8, dim=64); the float vectors are read again ONLY for the
+    |Q|·k·refine shortlist join. Pass precomputed ``codebook`` +
+    ``codes`` (from :func:`train_pq` / :func:`pq_encode`) for the
+    amortized serving path."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
+    dsub = dim // m
+    if codebook is None:
+        codebook = train_pq(emb, m, ks, n_iters, dim=dim)
+    if codes is None:
+        codes = pq_encode(emb, codebook, m, dim)
+
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    queries = v.filter(F.col("vec_id") < n_queries)
+
+    # per-query ADC lookup table: slot m*ks+cid -> dot(q_m, codeword)
+    qsub = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("nrm").alias("qnrm"),
+        F.posexplode(_subvec_col(m, dsub)).alias("m", "qsub"),
+    )
+    luts = (
+        qsub.join(F.broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "qnrm",
+            (F.col("m") * ks + F.col("cid")).alias("slot"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qsub"), F.col("cemb"), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ip"),
+        )
+        .groupBy("query_id", "qnrm")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "ip"))),
+                lambda s: s["ip"],
+            ).alias("lut")
+        )
+    )
+    # query-independent codeword-norm table: slot -> ||codeword||^2
+    cn2 = codebook.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("m") * ks + F.col("cid")).alias("slot"),
+                        _l2(F.col("cemb"), F.array_repeat(F.lit(0.0), dsub)).alias(
+                            "n2"
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["n2"],
+        ).alias("cn2")
+    )
+
+    def lookup_sum(table_col):
+        return F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, mm: F.element_at(table_col, mm * ks + c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adc = (
+        codes.crossJoin(F.broadcast(luts))
+        .crossJoin(F.broadcast(cn2))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                lookup_sum(F.col("lut"))
+                / (F.col("qnrm") * F.sqrt(lookup_sum(F.col("cn2"))))
+            ).alias("adc_cos"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank over the shortlist's true vectors
+    scored = (
+        shortlist.join(
+            v.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qemb"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cemb"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qemb"), F.col("cemb"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
