@@ -371,28 +371,27 @@ def main() -> None:
         for name, fn in ANN_HEADLINE.items():
             timed(name, lambda fn=fn: _force(fn(emb, n_emb, emb_dim)))
 
-        # product quantization (r6): codebook training + corpus
-        # encoding are the one-time build (like the IVF index); the
-        # query path scans the 16x-compressed code table (ADC) and
-        # re-ranks a 4x shortlist exactly
+        # product quantization at rest (r6): IVFPQ build (coarse
+        # centroids + codebook training + one encode pass) is the
+        # one-time job; queries probe coarse lists, ADC-scan ONLY the
+        # probed partitions' 16x-compressed codes, and exact-re-rank a
+        # 4x shortlist
         sim = _similarity()
-        t0 = time.time()
-        pq_book = sim.train_pq(emb, dim=emb_dim).persist()
-        pq_book.count()
-        pq_codes = sim.pq_encode(emb, pq_book, m=16, dim=emb_dim).persist()
-        pq_codes.count()
-        timings["s_ann_pq_build"] = round(time.time() - t0, 3)
-        timed(
-            "s_ann_pq_indexed",
-            lambda: _force(
-                sim.ann_pq(
-                    emb, 10, 5, dim=emb_dim,
-                    codebook=pq_book, codes=pq_codes,
-                )
-            ),
-        )
-        pq_book.unpersist()
-        pq_codes.unpersist()
+        pq_dir = tempfile.mkdtemp(prefix="bench_pq_")
+        try:
+            t0 = time.time()
+            sim.build_pq_index(
+                emb, f"{pq_dir}/pq", corpus_count=n_emb, dim=emb_dim
+            )
+            timings["s_ann_pq_build"] = round(time.time() - t0, 3)
+            timed(
+                "s_ann_pq_indexed",
+                lambda: _force(
+                    sim.ann_pq_from_index(spark, f"{pq_dir}/pq", emb)
+                ),
+            )
+        finally:
+            shutil.rmtree(pq_dir, ignore_errors=True)
 
         # the serving path: index built once (timed separately, like
         # graph_load), then queries run against the at-rest lists with

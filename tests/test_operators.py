@@ -2141,3 +2141,29 @@ def test_pq_recall_high_on_clustered_data(spark):
         ).collect()
     }
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_pq_index_at_rest_prunes_and_derives_params(spark, tmp_path):
+    """IVFPQ at rest: the ADC scan reads only probed ccid partitions
+    (PartitionFilters pin), m/ks come from the stored codebook, and
+    the result carries exactly k ranked rows per query."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    path = similarity.build_pq_index(
+        emb, str(tmp_path / "pq"), m=8, ks=16, n_iters=1, corpus_count=n
+    )
+    df = similarity.ann_pq_from_index(spark, path, emb, n_queries=6, k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ccid" in plan, plan
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == 6
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_q.values())
+    # determinism across a rebuild
+    path2 = similarity.build_pq_index(
+        emb, str(tmp_path / "pq2"), m=8, ks=16, n_iters=1, corpus_count=n
+    )
+    again = similarity.ann_pq_from_index(spark, path2, emb, n_queries=6, k=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))

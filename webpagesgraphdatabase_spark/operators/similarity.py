@@ -1460,3 +1460,210 @@ def ann_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 16,
+    ks: int = 32,
+    n_iters: int = 3,
+    n_centroids: int | None = None,
+    corpus_count: int | None = None,
+    dim: int | None = None,
+) -> str:
+    """IVFPQ index at rest under ``path`` — the FAISS-shaped serving
+    layout (coarse quantizer over the compressed code table):
+
+    - ``coarse.parquet`` — the IVF centroids (cid, cemb, cnrm);
+    - ``codebook.parquet`` — the PQ codebook (m, cid, cemb);
+    - ``codes.parquet`` — (vec_id, codes) **partitioned by ccid**
+      (the coarse assignment), so a query's ADC scan reads only its
+      probed lists' code files — and those files hold M small ints
+      per vector, not the raw floats: the scan is both
+      partition-pruned AND 16×-compressed.
+
+    Build is one coarse assignment + PQ training + one encode pass,
+    once per corpus version. Both quantizers are read back from the
+    written parquet before dependent passes so stored and recomputed
+    values cannot drift (same discipline as :func:`build_ivf_index`)."""
+    spark = emb.sparkSession
+    count = emb.count() if corpus_count is None else corpus_count
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(count)
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
+    ivf_centroids(emb, n_centroids).write.mode("overwrite").parquet(
+        f"{path}/coarse.parquet"
+    )
+    coarse = spark.read.parquet(f"{path}/coarse.parquet")
+    train_pq(emb, m, ks, n_iters, dim=dim).write.mode("overwrite").parquet(
+        f"{path}/codebook.parquet"
+    )
+    book = spark.read.parquet(f"{path}/codebook.parquet")
+    codes = pq_encode(emb, book, m, dim)
+    assign = ivf_assign(emb, n_centroids, cents=coarse).select(
+        "vec_id", F.col("cid").alias("ccid")
+    )
+    (
+        codes.join(assign, "vec_id")
+        .repartition("ccid")
+        .write.mode("overwrite")
+        .partitionBy("ccid")
+        .parquet(f"{path}/codes.parquet")
+    )
+    return path
+
+
+def ann_pq_from_index(
+    spark,
+    path: str,
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int | None = None,
+    refine: int = 4,
+) -> DataFrame:
+    """IVFPQ query over a :func:`build_pq_index` layout: probe the
+    ``n_probe`` closest coarse lists, ADC-score ONLY their members'
+    codes (partition-pruned file read, 16×-compressed payload), then
+    exact-re-rank a ``k·refine`` shortlist against the raw vectors in
+    ``emb`` — (query_id, rank, neighbor_id).
+
+    ``m``/``ks`` are derived from the stored codebook, so the caller
+    cannot desynchronize them from the index. The probed ccids are
+    collected (≤ |Q|·n_probe ints) and applied as an ``isin``
+    partition filter — ``PartitionFilters`` in the explain, no
+    full-index read."""
+    coarse = spark.read.parquet(f"{path}/coarse.parquet")
+    book = spark.read.parquet(f"{path}/codebook.parquet")
+    codes = spark.read.parquet(f"{path}/codes.parquet")
+    mk = book.agg(
+        (F.max("m") + 1).alias("m"), (F.max("cid") + 1).alias("ks")
+    ).first()
+    m, ks = int(mk["m"]), int(mk["ks"])
+    dsub = len(book.select("cemb").first()["cemb"])
+    dim = m * dsub
+    if n_probe is None:
+        n_probe = auto_n_probe(coarse.count())
+
+    v = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    queries = v.filter(F.col("vec_id") < n_queries)
+    probes = _probe_lists(queries, coarse, n_probe)
+    probe_rows = probes.collect()  # bounded: |Q| · n_probe
+    probed_ccids = sorted({r.cid for r in probe_rows})
+    pairs = spark.createDataFrame(
+        [(r.query_id, r.cid) for r in probe_rows], "query_id long, ccid long"
+    )
+
+    qsub = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("nrm").alias("qnrm"),
+        F.posexplode(_subvec_col(m, dsub)).alias("m", "qsub"),
+    )
+    luts = (
+        qsub.join(F.broadcast(book), "m")
+        .select(
+            "query_id",
+            "qnrm",
+            (F.col("m") * ks + F.col("cid")).alias("slot"),
+            F.aggregate(
+                F.zip_with(F.col("qsub"), F.col("cemb"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ip"),
+        )
+        .groupBy("query_id", "qnrm")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "ip"))),
+                lambda s: s["ip"],
+            ).alias("lut")
+        )
+    )
+    cn2 = book.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("m") * ks + F.col("cid")).alias("slot"),
+                        _l2(
+                            F.col("cemb"), F.array_repeat(F.lit(0.0), dsub)
+                        ).alias("n2"),
+                    )
+                )
+            ),
+            lambda s: s["n2"],
+        ).alias("cn2")
+    )
+
+    def lookup_sum(table_col):
+        return F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, mm: F.element_at(table_col, mm * ks + c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adc = (
+        codes.filter(F.col("ccid").isin(probed_ccids))  # partition pruning
+        .join(F.broadcast(pairs), "ccid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(luts), "query_id")
+        .crossJoin(F.broadcast(cn2))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                lookup_sum(F.col("lut"))
+                / (F.col("qnrm") * F.sqrt(lookup_sum(F.col("cn2"))))
+            ).alias("adc_cos"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        shortlist.join(
+            v.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qemb"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cemb"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qemb"), F.col("cemb"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
