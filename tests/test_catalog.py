@@ -204,3 +204,69 @@ def test_add_column_default_does_not_swallow_post_evolution_nulls(spark, tmp_pat
     wh.compact("t")
     got2 = {r.id: r.score for r in wh.read("t").collect()}
     assert got2 == {1: 0.9, 2: None}
+
+
+def test_zorder_cluster_concentrates_conjunctive_ranges(spark, tmp_path):
+    """Z-order rewrite: after clustering on (user_id, ts), a range
+    predicate on BOTH columns finds its rows in a small subset of the
+    files; the unclustered (insert-order) layout stripes them across
+    most files. Row content must be identical before and after."""
+    import pyspark.sql.functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = 20_000
+    # insert order correlates with NEITHER dimension of the query
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") * 2654435761 % 1000).alias("user_id"),
+            (F.col("id") * 40503 % 86400).alias("ts_s"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(16)
+    )
+    wh.create_table("ev", df.schema)
+    wh.overwrite("ev", df)
+    pred = (
+        (F.col("user_id").between(100, 140))
+        & (F.col("ts_s").between(10_000, 20_000))
+    )
+
+    def touched_files():
+        return (
+            wh.read("ev")
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    before_rows = sorted(map(tuple, wh.read("ev").filter(pred).collect()))
+    # force a multi-file layout comparable to the clustered rewrite
+    stats = wh.cluster("ev", ("user_id", "ts_s"), target_file_bytes=8 * 1024)
+    after_files = touched_files()
+    after_rows = sorted(map(tuple, wh.read("ev").filter(pred).collect()))
+    assert after_rows == before_rows  # clustering never changes content
+    total_files = stats["after"]["n_files"]
+    assert total_files >= 8
+    # the conjunctive range lives in a small corner of z-space
+    assert after_files <= max(2, total_files // 3), (
+        after_files,
+        total_files,
+    )
+
+
+def test_zorder_cluster_rejects_bad_column_counts(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    df = spark.range(10).select(F.col("id").alias("a"))
+    wh.create_table("t", df.schema)
+    wh.overwrite("t", df)
+    with pytest.raises(ValueError, match="1-4"):
+        wh.cluster("t", ())

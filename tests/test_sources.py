@@ -68,3 +68,46 @@ def test_jsonl_stream_matches_batch_good_side(spark, tmp_path):
     docs, _ = sources.read_documents_jsonl(spark, path)
     want = {(r.doc_id, r.text) for r in docs.collect()}
     assert got == want and len(got) == 2
+
+
+def test_orc_roundtrip_and_required_gate(spark, tmp_path):
+    from webpagesgraphdatabase_spark import sources
+
+    rows = [
+        (1, "good text", "en", "web", 9),
+        (2, None, "en", "web", 0),  # missing required text
+        (3, "more text", None, "web", 9),  # optional null is fine
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sources.write_orc(df, str(tmp_path / "docs.orc"))
+    docs, rejects = sources.read_documents_orc(spark, str(tmp_path / "docs.orc"))
+    assert {r.doc_id for r in docs.collect()} == {1, 3}
+    rej = rejects.collect()
+    assert len(rej) == 1 and rej[0].reason == "missing:text"
+
+
+def test_orc_schema_drift_raises_by_name(spark, tmp_path):
+    import pytest
+
+    from webpagesgraphdatabase_spark import sources
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    df.write.mode("overwrite").orc(str(tmp_path / "drifted.orc"))
+    with pytest.raises(ValueError, match="lang"):
+        sources.read_documents_orc(spark, str(tmp_path / "drifted.orc"))
+
+
+def test_orc_extra_columns_are_pruned_not_fatal(spark, tmp_path):
+    from webpagesgraphdatabase_spark import sources
+
+    df = spark.createDataFrame(
+        [(1, "t", "en", "web", 1, "EXTRA")],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, extra string",
+    )
+    df.write.mode("overwrite").orc(str(tmp_path / "wide.orc"))
+    docs, _ = sources.read_documents_orc(spark, str(tmp_path / "wide.orc"))
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert docs.count() == 1

@@ -292,6 +292,81 @@ class Warehouse:
         after = self.file_stats(name)
         return {"before": before, "after": after, "target_files": n_files}
 
+    def cluster(
+        self,
+        name: str,
+        cols: tuple[str, ...],
+        target_file_bytes: int = 128 * 1024 * 1024,
+        bits: int = 8,
+    ) -> dict:
+        """Z-order clustering rewrite (Delta's OPTIMIZE ZORDER BY, the
+        lakehouse answer to "queries filter on BOTH user and time"):
+        map each clustering column to a ``bits``-bit quantile rank,
+        interleave the rank bits into one z-value, range-partition and
+        sort the rewrite on it. Rows close in EVERY clustering
+        dimension land in the same files, so a conjunctive range
+        predicate touches a small file subset (and few parquet row
+        groups within them) instead of striping across all of them —
+        min/max stats become selective on every clustered column at
+        once, which a plain sort gives only to its leading column.
+
+        Scale shape: one ``approxQuantile`` pass per column sizes the
+        rank boundaries on the driver (256 doubles each — corpus-free);
+        the z-value itself is a codegen fold over broadcast-literal
+        boundary arrays (no window, no global sort — the rewrite's
+        ``repartitionByRange`` samples the z-values like any range
+        write). Versioned overwrite, same isolation as every mutation.
+
+        Numeric (or timestamp/date, cast to epoch) columns only —
+        quantile ranks need an order. Returns before/after file stats.
+        """
+        if not 1 <= len(cols) <= 4:
+            raise ValueError("cluster needs 1-4 clustering columns")
+        before = self.file_stats(name)
+        df = self.read(name)
+        n_buckets = 1 << bits
+        numeric = {
+            c: F.col(c).cast("double")
+            if dict(df.dtypes)[c] not in ("timestamp", "timestamp_ntz", "date")
+            else F.col(c).cast("timestamp").cast("double")
+            for c in cols
+        }
+        probe = df.select(
+            *[numeric[c].alias(f"_zc_{i}") for i, c in enumerate(cols)]
+        )
+        qs = [i / float(n_buckets) for i in range(1, n_buckets)]
+        bounds = probe.approxQuantile(
+            [f"_zc_{i}" for i in range(len(cols))], qs, 0.001
+        )
+        def _rank(barr, vcol):
+            # single-arg lambda: F.filter dispatches on arity, so the
+            # value column must come in by closure, not a default param
+            return F.size(F.filter(barr, lambda b: b <= vcol))
+
+        rank_cols = []
+        for i, c in enumerate(cols):
+            barr = F.array(*[F.lit(float(b)) for b in bounds[i]])
+            rank_cols.append(_rank(barr, numeric[c]))
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i in range(len(cols)):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(rank_cols[i], bit).bitwiseAND(F.lit(1)),
+                        bit * len(cols) + i,
+                    ).cast("long")
+                )
+        n_files = max(1, round(before["total_bytes"] / target_file_bytes))
+        clustered = (
+            df.withColumn("_zvalue", z)
+            .repartitionByRange(n_files, F.col("_zvalue"))
+            .sortWithinPartitions("_zvalue")
+            .drop("_zvalue")
+        )
+        self.overwrite(name, clustered)
+        after = self.file_stats(name)
+        return {"before": before, "after": after, "target_files": n_files}
+
     def diff(
         self, name: str, v_from: int, v_to: int, key: str | None = None
     ) -> DataFrame:

@@ -138,3 +138,52 @@ def read_documents_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
         & F.col("doc_id").isNotNull()
         & F.col("text").isNotNull()
     ).select(*doc_cols)
+
+
+def read_documents_orc(
+    spark: SparkSession,
+    path: str,
+    required: tuple[str, ...] = ("doc_id", "text"),
+) -> tuple[DataFrame, DataFrame]:
+    """Read an ORC document corpus (the Hive/Trino-ecosystem
+    interchange format) under the declared documents schema.
+
+    ORC is already typed and columnar, so there is no per-line corrupt
+    channel — the failure modes are *schema drift* (a column missing
+    from the files entirely: raises ``ValueError`` naming it, instead
+    of silently reading nulls for 100 TB) and *row-level nulls* in
+    required fields (quarantined to the same (reason, raw) reject
+    shape as the JSONL reader). Columns beyond the declared schema are
+    ignored by projection — pruning means they are never read."""
+    doc_cols = [n for n, _ in DOC_FIELDS]
+    raw = spark.read.orc(path)
+    missing = [c for c in doc_cols if c not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"ORC corpus at {path} lacks declared columns {missing}"
+        )
+    typed = raw.select(
+        *[F.col(n).cast(t).alias(n) for n, t in DOC_FIELDS]
+    )
+    ok = F.lit(True)
+    for c in required:
+        ok = ok & F.col(c).isNotNull()
+    docs = typed.filter(ok)
+    missing_reason = F.concat(
+        F.lit("missing:"),
+        F.concat_ws(
+            ",", *[F.when(F.col(c).isNull(), F.lit(c)) for c in required]
+        ),
+    )
+    rejects = typed.filter(~ok).select(
+        missing_reason.alias("reason"),
+        F.to_json(F.struct(*doc_cols)).alias("raw"),
+    )
+    return docs, rejects
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink for interchange with Hive/Trino consumers (zlib
+    compression, Spark's native writer — predicate pushdown and column
+    projection work on the way back in)."""
+    df.write.mode("overwrite").orc(path)
