@@ -2167,3 +2167,41 @@ def test_pq_index_at_rest_prunes_and_derives_params(spark, tmp_path):
     )
     again = similarity.ann_pq_from_index(spark, path2, emb, n_queries=6, k=4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_bigram_lm_scores_hand_check(spark):
+    """Tiny corpus, hand-computable add-1 model: vocab {a,b,c} (V=3);
+    corpus bigrams: (a,b)x2, (b,a)x1, (b,c)x1. Doc 1 = "a b a b":
+    positions (a,b),(b,a),(a,b) ->
+    ln(3/5) + ln(2/5) + ln(3/5) averaged. A doc full of the corpus's
+    common transition outscores one full of a rare transition."""
+    import math
+
+    from webpagesgraphdatabase_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in textstats.bigram_lm_scores(docs).collect()}
+    # c(a,b)=2, c(b,a)=1, c(b,c)=1; contexts: c1(a)=2, c1(b)=2; V=3
+    exp1 = (math.log(3 / 5) + math.log(2 / 5) + math.log(3 / 5)) / 3
+    exp2 = math.log(2 / 5)
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+    assert abs(got[1].lm_logp - round(exp1, 6)) < 1e-9
+    assert abs(got[2].lm_logp - round(exp2, 6)) < 1e-9
+    assert got[1].lm_logp > got[2].lm_logp
+
+
+def test_bigram_lm_gibberish_scores_below_fluent(spark):
+    """Fluency ranking on a corpus with a dominant phrase pattern: the
+    doc that repeats corpus-typical transitions outranks the doc of
+    singleton transitions."""
+    from webpagesgraphdatabase_spark.operators import textstats
+
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    docs = spark.createDataFrame(
+        base + [(100, "the quick brown fox"), (101, "zxq wvu tsr qpo nml")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.lm_logp for r in textstats.bigram_lm_scores(docs).collect()}
+    assert got[100] > got[101]

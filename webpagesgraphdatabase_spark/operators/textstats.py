@@ -533,3 +533,53 @@ def quality_lr_score(docs: DataFrame, model: dict) -> DataFrame:
         "doc_id",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("lr_quality"),
     )
+
+
+def bigram_lm_scores(docs: DataFrame, k: float = 1.0) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document:
+    (doc_id, lm_logp, n_bigrams) — the CCNet/KenLM perplexity-filter
+    signal (Wenzek et al. 2019, arXiv:1911.00359) as a self-trained
+    in-corpus model: ``lm_logp`` is the mean ln P(w2|w1) over the doc's
+    bigram positions under add-k (Laplace, k=1) smoothing,
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V). Docs whose token
+    sequence is typical of the corpus score high; gibberish and
+    boilerplate-mangled text score low. Perplexity = exp(-lm_logp).
+
+    Deterministic (counts + closed-form smoothing — no SGD), so the
+    oracle reproduces it digit-for-digit at 6 dp. Docs with fewer than
+    two tokens have no bigrams and are absent (callers left-join).
+
+    Scale shape: training IS the scoring pass's side input — one
+    partial-aggregated count per bigram and per context (shuffle keys:
+    the grams, never documents), a vocab count, then one equi-join of
+    the doc bigram stream against the count tables and a per-doc avg.
+    No model object leaves the cluster; at 100 TB the bigram table is
+    the only intermediate and it is vocabulary-, not corpus-, sized."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w", "w2")
+    )
+    uni = big.groupBy("w").agg(F.count("*").alias("c1"))
+    pairs = big.groupBy("w", "w2").agg(F.count("*").alias("c12"))
+    vocab = tok.select("w").distinct().count()
+    return (
+        big.join(pairs, ["w", "w2"])
+        .join(uni, "w")
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + F.lit(float(k)))
+                / (F.col("c1") + F.lit(float(k * vocab)))
+            ).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 6).alias("lm_logp"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )

@@ -100,6 +100,8 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has none naturally — see :func:`..operators.pii.plant_pii`),
     then scans and redacts it; the oracle plants the identical suffix
     and recomputes counts + redaction with RE2."""
+    from pyspark.sql import functions as F
+
     from .operators import pii
 
     docs = load_table(spark, sf_dir, "documents")
@@ -110,6 +112,8 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(textstats.token_counts(docs), "doc_id")
         .join(pii_cols, "doc_id")
         .join(textstats.trigram_score(docs), "doc_id")
+        # bigram-LM fluency (left: docs with <2 tokens have no bigrams)
+        .join(textstats.bigram_lm_scores(docs), "doc_id", "left")
         .select(
             "doc_id",
             "pred_lang",
@@ -128,6 +132,10 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_text",
             "n_tri",
             "tri_score",
+            F.coalesce("lm_logp", F.lit(0.0)).alias("lm_logp"),
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
         )
     )
 
@@ -1673,16 +1681,47 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 # Per-document text classifications share one row (see _q_lang_quality).
+# bigram-LM fluency (textstats.bigram_lm_scores): add-1-smoothed
+# mean ln P(w2|w1) under in-corpus bigram counts; vocab = distinct
+# tokens corpus-wide. Same _TOKS tokenization as every text leg.
+_LM_PART = (
+    _TOKS
+    + r""",
+big AS (
+  SELECT doc_id, toks[i] AS w, toks[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+),
+uni AS (SELECT w, count(*) AS c1 FROM big GROUP BY w),
+bpairs AS (SELECT w, w2, count(*) AS c12 FROM big GROUP BY w, w2),
+voc AS (
+  SELECT count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(toks) AS t FROM toks)
+)
+SELECT b.doc_id,
+       round(avg(ln((p.c12 + 1.0) / (u.c1 + voc.vocab))), 6) AS lm_logp,
+       count(*) AS n_bigrams
+FROM big b
+JOIN bpairs p ON b.w = p.w AND b.w2 = p.w2
+JOIN uni u ON b.w = u.w
+CROSS JOIN voc
+GROUP BY b.doc_id
+"""
+)
+
 ORACLES["t_lang_quality"] = (
     "SELECT l.doc_id, l.pred_lang, l.score, q.n_tokens, q.mean_token_len,\n"
     "       q.stopword_ratio, q.quality, c.ws_tokens, c.re_tokens, c.n_chars,\n"
     "       p.n_email, p.n_ip, p.n_phone, p.n_id, p.clean_text,\n"
-    "       t.n_tri, t.tri_score\n"
+    "       t.n_tri, t.tri_score,\n"
+    "       COALESCE(m.lm_logp, 0.0) AS lm_logp,\n"
+    "       COALESCE(m.n_bigrams, 0) AS n_bigrams\n"
     "FROM (" + ORACLES.pop("t_lang_id") + ") l\n"
     "JOIN (" + ORACLES.pop("t_quality_score") + ") q ON l.doc_id = q.doc_id\n"
     "JOIN (" + ORACLES.pop("t_token_counts") + ") c ON l.doc_id = c.doc_id\n"
     "JOIN (" + _PII_PART + ") p ON l.doc_id = p.doc_id\n"
-    "JOIN (" + _TRIGRAM_PART + ") t ON l.doc_id = t.doc_id"
+    "JOIN (" + _TRIGRAM_PART + ") t ON l.doc_id = t.doc_id\n"
+    "LEFT JOIN (" + _LM_PART + ") m ON l.doc_id = m.doc_id"
 )
 
 # Within-doc repetition (Gopher boilerplate signal): 2-gram occurrence
