@@ -318,6 +318,14 @@ def main() -> None:
             "d_span_dedup_strip",
             lambda: _force(dedup.strip_duplicated_spans(docs)),
         )
+        # bigram-LM fluency standalone (r6): the t_lang_quality row now
+        # composes this leg (its line reads ~1.5-2 s above r5 by
+        # design — the r5 t_curation precedent); this entry makes the
+        # leg's own cost visible in the same artifact
+        timed(
+            "t_lm_fluency",
+            lambda: _force(textstats.bigram_lm_scores(docs)),
+        )
         # per-event-type bottom-k quantile sketch (r6): count-sized
         # hash-threshold prefilter + O(k)-row rank + percentile agg
         ev = load_table(spark, sf_dir, "events")

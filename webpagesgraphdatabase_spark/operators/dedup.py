@@ -733,11 +733,15 @@ def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
     already carry."""
     if window != 4:
         raise ValueError("strip_duplicated_spans is unrolled for window=4")
+    # tok feeds the window pass AND the final anti-join; wins feeds the
+    # global first-pass AND the coverage join — persist both so the
+    # posexplode + lead window runs once, not once per consumer
+    # (caller-scoped lifetime via the finalizer below)
     tok = docs.select(
         "doc_id",
         F.posexplode(tokens_col()).alias("pos", "token"),
         F.size(tokens_col()).alias("n"),
-    )
+    ).persist()
     w = Window.partitionBy("doc_id").orderBy("pos")
     t1, t2, t3 = (F.lead("token", i).over(w) for i in (1, 2, 3))
     wins = (
@@ -746,6 +750,7 @@ def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
         )
         .filter(F.col("pos") <= F.col("n") - 4)
         .select("doc_id", "pos", "wk")
+        .persist()
     )
     firsts = wins.groupBy("wk").agg(
         F.count("*").alias("n_occ"), F.min("doc_id").alias("first_doc")
@@ -762,7 +767,7 @@ def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
         .distinct()
     )
     kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
-    return kept.groupBy("doc_id").agg(
+    out = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "token"))),
@@ -771,3 +776,14 @@ def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
             " ",
         ).alias("deduped_text")
     )
+    import weakref
+
+    def _unpersist_quietly(frames=(tok, wins)):
+        for df in frames:
+            try:
+                df.unpersist(False)
+            except Exception:  # session already stopped at interpreter exit
+                pass
+
+    weakref.finalize(out, _unpersist_quietly)
+    return out
