@@ -270,3 +270,57 @@ def test_zorder_cluster_rejects_bad_column_counts(spark, tmp_path):
     wh.overwrite("t", df)
     with pytest.raises(ValueError, match="1-4"):
         wh.cluster("t", ())
+
+
+def test_zonemap_prunes_files_and_matches_plain_filter(spark, tmp_path):
+    """Zone-map manifest + pruned read: a range predicate on the
+    clustered column reads a strict subset of the data files while
+    returning exactly the rows read().filter() returns; an impossible
+    range reads zero files but keeps the schema."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("payload")
+    )
+    wh.create_table("t", df.schema)
+    # range-partition on k so files carry tight, disjoint k-ranges
+    wh.overwrite("t", df.repartitionByRange(10, "k"))
+    manifest = wh.write_zonemap("t", ("k",))
+    assert len(manifest["files"]) >= 8
+    assert sum(st["n_rows"] for st in manifest["files"].values()) == 10_000
+
+    pruned = wh.read_pruned("t", {"k": (2_000, 2_500)})
+    want = sorted(
+        map(tuple, wh.read("t").filter(F.col("k").between(2_000, 2_500)).collect())
+    )
+    assert sorted(map(tuple, pruned.collect())) == want
+    touched = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert touched <= 2, touched  # ~1 of 10 range files holds 500 keys
+
+    empty = wh.read_pruned("t", {"k": (10**9, None)})
+    assert empty.count() == 0
+    assert empty.columns == ["k", "payload"]
+
+
+def test_zonemap_missing_manifest_raises(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh3"))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    wh.create_table("t", df.schema)
+    wh.overwrite("t", df)
+    with pytest.raises(FileNotFoundError, match="write_zonemap"):
+        wh.read_pruned("t", {"k": (1, 2)})
+    # a new overwrite invalidates the old version's manifest scope
+    wh.write_zonemap("t", ("k",))
+    wh.overwrite("t", df)
+    with pytest.raises(FileNotFoundError):
+        wh.read_pruned("t", {"k": (1, 2)})

@@ -120,11 +120,18 @@ class Warehouse:
         return self._read_path(name, path)
 
     def _read_path(self, name: str, path: str) -> DataFrame:
+        ver = os.path.basename(path.rstrip("/"))
+        ver_num = int(ver[1:]) if ver.startswith("v") else None
+        return self._read_files(name, [path], ver_num)
+
+    def _read_files(
+        self, name: str, paths: list[str], ver_num: int | None
+    ) -> DataFrame:
         meta = self._meta(name)
         if "schema" not in meta:
-            return self.spark.read.parquet(path)
+            return self.spark.read.parquet(*paths)
         declared = T.StructType.fromJson(meta["schema"])
-        df = self.spark.read.schema(declared).parquet(path)
+        df = self.spark.read.schema(declared).parquet(*paths)
         # schema evolution: a version written BEFORE the column was
         # added lacks it physically -> parquet yields nulls, and the
         # recorded default fills them (initial-default semantics, no
@@ -137,8 +144,6 @@ class Warehouse:
         # baked the defaults into data).
         defaults = meta.get("defaults", {})
         if defaults:
-            ver = os.path.basename(path.rstrip("/"))
-            ver_num = int(ver[1:]) if ver.startswith("v") else None
             fill = {}
             for c, d in defaults.items():
                 if isinstance(d, dict):
@@ -366,6 +371,102 @@ class Warehouse:
         self.overwrite(name, clustered)
         after = self.file_stats(name)
         return {"before": before, "after": after, "target_files": n_files}
+
+    #: leading underscore: Spark's file index skips _-prefixed names,
+    #: so the manifest can live inside the version dir it describes
+    _ZONEMAP = "_zonemap.json"
+
+    def write_zonemap(self, name: str, cols: tuple[str, ...]) -> dict:
+        """Per-file min/max statistics (zone maps — Netezza's term;
+        Delta/Iceberg file stats, Parquet row-group stats one level up)
+        for the CURRENT version: one manifest JSON in the version dir
+        mapping each data file to {min, max, n_rows} per tracked
+        column. One scan with a per-file partial aggregation — the
+        manifest is n_files-sized, driver-trivial. Numeric and string
+        columns only (min/max must serialize to JSON and compare the
+        way the data compares). Pairs with :meth:`cluster`: z-ordered
+        files have tight ranges on every clustered column, which is
+        what makes these stats selective."""
+        version = self._current_version(name)
+        vdir = os.path.join(self.root, name, version)
+        df = self._read_path(name, vdir)
+        aggs = [F.count("*").alias("n_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        rows = (
+            df.select(F.input_file_name().alias("_file"), *cols)
+            .groupBy("_file")
+            .agg(*aggs)
+            .collect()
+        )
+        files = {}
+        for r in rows:
+            fname = r["_file"]
+            if fname.startswith("file:"):
+                fname = fname[len("file:") :]
+            files[fname] = {
+                "n_rows": r["n_rows"],
+                **{
+                    c: [r[f"min_{c}"], r[f"max_{c}"]]
+                    for c in cols
+                },
+            }
+        manifest = {"version": version, "columns": list(cols), "files": files}
+        with open(os.path.join(vdir, self._ZONEMAP), "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        return manifest
+
+    def read_pruned(
+        self, name: str, ranges: dict[str, tuple]
+    ) -> DataFrame:
+        """Zone-map-pruned scan: read only the data files whose
+        [min, max] interval intersects every requested range, then
+        apply the predicate to the surviving rows — always
+        row-equivalent to ``read(name).filter(...)``; the manifest
+        only skips files that provably contain no match. ``ranges``
+        maps column → (lower, upper), either bound None for open.
+        Files missing from the manifest (or columns not tracked) are
+        read unconditionally — stats are a pruning hint, never a
+        correctness filter. Raises if no zone map exists for the
+        current version (call :meth:`write_zonemap` after the write
+        that created it)."""
+        version = self._current_version(name)
+        vdir = os.path.join(self.root, name, version)
+        mpath = os.path.join(vdir, self._ZONEMAP)
+        if not os.path.isfile(mpath):
+            raise FileNotFoundError(
+                f"no zone map for {name}@{version}; run write_zonemap first"
+            )
+        with open(mpath) as f:
+            manifest = json.load(f)
+        tracked = set(manifest["columns"])
+
+        def survives(st: dict) -> bool:
+            for c, (lo, hi) in ranges.items():
+                if c not in tracked or c not in st:
+                    continue
+                mn, mx = st[c]
+                if mn is None or mx is None:
+                    continue  # all-null file: never prunable by range
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            return True
+
+        keep = [f for f, st in manifest["files"].items() if survives(st)]
+        ver_num = int(version[1:])
+        if not keep:
+            df = self._read_path(name, vdir).limit(0)
+        else:
+            df = self._read_files(name, keep, ver_num)
+        pred = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                pred = pred & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(c) <= F.lit(hi))
+        return df.filter(pred)
 
     def diff(
         self, name: str, v_from: int, v_to: int, key: str | None = None
