@@ -566,15 +566,18 @@ def bigram_lm_scores(docs: DataFrame, k: float = 1.0) -> DataFrame:
     )
     uni = big.groupBy("w").agg(F.count("*").alias("c1"))
     pairs = big.groupBy("w", "w2").agg(F.count("*").alias("c12"))
-    vocab = tok.select("w").distinct().count()
+    # vocab stays IN the plan (1-row broadcast crossJoin) — no eager
+    # count job per call, and the whole operator remains lazy
+    voc = tok.agg(F.countDistinct("w").alias("_vocab"))
     return (
         big.join(pairs, ["w", "w2"])
         .join(uni, "w")
+        .crossJoin(F.broadcast(voc))
         .select(
             "doc_id",
             F.log(
                 (F.col("c12") + F.lit(float(k)))
-                / (F.col("c1") + F.lit(float(k * vocab)))
+                / (F.col("c1") + F.lit(float(k)) * F.col("_vocab"))
             ).alias("lp"),
         )
         .groupBy("doc_id")
