@@ -276,3 +276,19 @@ def test_keyword_cooccurrence_caps_to_top_n(spark):
     assert got == {("K1", "K2")}
     full = {(r.u, r.v) for r in keyword_cooccurrence_edges(g, top_n=10).collect()}
     assert full == {("K1", "K2"), ("K1", "K3"), ("K2", "K3")}
+
+
+def test_triangle_counts_driver_and_distributed_paths_agree(spark):
+    """Path equivalence (the components_from_edges discipline): the
+    driver fast path and the forced distributed superstep plan return
+    identical counts on the same graph."""
+    from webpagesgraphdatabase_spark.graph.algorithms import triangle_counts
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    extra = [("d", "e"), ("e", "f"), ("e", "a")]  # adds triangle a-d-e
+    edges = spark.createDataFrame(k4 + extra, ["u", "v"])
+    fast = sorted(map(tuple, triangle_counts(edges).collect()))
+    dist = sorted(
+        map(tuple, triangle_counts(edges, driver_max_edges=0).collect())
+    )
+    assert fast == dist and len(fast) >= 4

@@ -392,10 +392,72 @@ def keyword_cooccurrence_edges(g: PropertyGraph, top_n: int = 100) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def _triangles_driver(edges: DataFrame, rows: list) -> DataFrame:
+    """Exact degree-ordered triangle counting over a collected edge
+    list; identical output contract to the distributed path:
+    (node, triangles), nodes in ≥1 triangle only."""
+    from collections import defaultdict
+
+    from pyspark.sql import types as T
+
+    eset = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        if a == b:
+            continue
+        eset.add((a, b) if a < b else (b, a))
+    deg: dict = defaultdict(int)
+    for a, b in eset:
+        deg[a] += 1
+        deg[b] += 1
+    order = lambda x: (deg[x], x)  # noqa: E731
+    out_nbrs: dict = defaultdict(set)
+    for a, b in eset:
+        lo, hi = (a, b) if order(a) < order(b) else (b, a)
+        out_nbrs[lo].add(hi)
+    counts: dict = defaultdict(int)
+    for a, nbrs in out_nbrs.items():
+        nbrs_sorted = sorted(nbrs, key=order)
+        for i, b in enumerate(nbrs_sorted):
+            for c in nbrs_sorted[i + 1 :]:
+                # b ≺ c, so the closing edge is oriented b → c
+                if c in out_nbrs.get(b, ()):
+                    counts[a] += 1
+                    counts[b] += 1
+                    counts[c] += 1
+    node_type = edges.schema["u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("triangles", T.LongType(), False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        sorted(counts.items()), schema
+    )
+
+
+#: Edge budget for the driver triangle fast path — the
+#: components_from_edges discipline: below it, six tiny shuffle rounds
+#: of fixed scheduling cost dominate the actual work.
+TRIANGLES_DRIVER_MAX_EDGES = 200_000
+
+
+def triangle_counts(
+    edges: DataFrame,
+    driver_max_edges: int | None = TRIANGLES_DRIVER_MAX_EDGES,
+) -> DataFrame:
     """Per-node triangle participation over an undirected edge list
     (columns ``u``, ``v``): (node, triangles), nodes in ≥1 triangle
     only. Exact and deterministic.
+
+    Two physical strategies behind one result (the
+    :func:`components_from_edges` discipline; the size probe IS the
+    fast path's collect, capped at ``driver_max_edges + 1`` rows):
+    an exact collected count for small edge lists — where six tiny
+    distributed shuffle rounds of fixed scheduling cost dominate the
+    work — and the distributed plan below otherwise. Pass
+    ``driver_max_edges=None`` (or 0) to force the distributed path.
 
     Degree-ordered node-iterator (Chiba & Nishizeki 1985; the shape
     distributed triangle counting settled on — Suri & Vassilvitskii,
@@ -408,6 +470,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     O(√|E|) regardless of hub size. Three shuffles (degree agg, wedge
     equi-join on the pivot, closing semi-join); no cartesian products.
     """
+    if driver_max_edges:
+        head = edges.select("u", "v").limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            return _triangles_driver(edges, head)
     # the normalized edge list feeds und (twice), the orientation join,
     # and through them every downstream consumer; persist so an
     # expensive caller-supplied projection runs exactly once
