@@ -351,6 +351,14 @@ def main() -> None:
             "d_paragraph_dedup_hot",
             lambda: _force(dedup.paragraph_dedup(hot)),
         )
+        # span dedup under its own target pathology (r6): every doc is
+        # the same text, so every 4-token window is one corpus-wide hot
+        # digest; the count+min-first global pass must combine map-side
+        # and stay flat (no single-task rank of 10^5 copies)
+        timed(
+            "d_span_dedup_hot",
+            lambda: _force(dedup.duplicated_window_stats(hot)),
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_emb = emb.count()

@@ -296,3 +296,49 @@ def test_cypher_route_explain_returns_plan(client):
     assert r.status_code == 200
     assert "Physical Plan" in body["plan"]
     assert "rows" not in body  # explain does not execute
+
+
+# --- /similar: ANN serving over the at-rest IVF index ----------------
+
+
+def test_similar_route_serves_vector_search(store, spark, tmp_path):
+    """A stored corpus vector queried as itself must come back as its
+    own nearest neighbor with cosine ~1; per-request work probes only
+    n_probe lists (reported in the response)."""
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.build_ivf_index(
+        emb, str(tmp_path / "ivf"), corpus_count=emb.count()
+    )
+    app = create_app(store, ann_index_path=idx)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    target = emb.filter("vec_id = 7").first()
+    r = c.post("/similar", json={"vector": list(target["embedding"]), "k": 3})
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    assert body["neighbors"][0]["vec_id"] == 7
+    assert body["neighbors"][0]["cos"] == pytest.approx(1.0, abs=1e-6)
+    assert 1 <= len(body["probed_lists"]) <= 4
+
+
+def test_similar_route_validates_input(store, spark, tmp_path):
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.build_ivf_index(
+        emb, str(tmp_path / "ivf2"), corpus_count=500
+    )
+    app = create_app(store, ann_index_path=idx)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    assert c.post("/similar", json={}).status_code == 400
+    assert c.post("/similar", json={"vector": ["x"]}).status_code == 400
+    r = c.post("/similar", json={"vector": [1.0, 2.0]})  # wrong dim
+    assert r.status_code == 400 and "dim" in r.get_json()["error"]
+
+
+def test_similar_route_unconfigured_is_503(client):
+    assert client.post("/similar", json={"vector": [1.0]}).status_code == 503

@@ -324,3 +324,46 @@ def test_zonemap_missing_manifest_raises(spark, tmp_path):
     wh.overwrite("t", df)
     with pytest.raises(FileNotFoundError):
         wh.read_pruned("t", {"k": (1, 2)})
+
+
+def test_zonemap_pruned_read_equals_plain_filter_property(spark, tmp_path):
+    """Property: for ANY range (including empty, open-ended, and
+    all-covering), read_pruned == read().filter() row-for-row — the
+    manifest may only skip files that provably contain no match."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whp"))
+    df = spark.range(3_000).select(
+        ((F.col("id") * 48271) % 777).alias("k"), F.col("id").alias("v")
+    )
+    wh.create_table("t", df.schema)
+    wh.overwrite("t", df.repartitionByRange(6, "k"))
+    wh.write_zonemap("t", ("k",))
+    base = wh.read("t").persist()
+    base.count()
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lo=st.one_of(st.none(), st.integers(-50, 850)),
+        hi=st.one_of(st.none(), st.integers(-50, 850)),
+    )
+    def check(lo, hi):
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col("k") >= lo)
+        if hi is not None:
+            pred = pred & (F.col("k") <= hi)
+        want = sorted(map(tuple, base.filter(pred).collect()))
+        got = sorted(
+            map(tuple, wh.read_pruned("t", {"k": (lo, hi)}).collect())
+        )
+        assert got == want
+
+    try:
+        check()
+    finally:
+        base.unpersist()

@@ -376,11 +376,14 @@ def create_app(
     cleaner: Callable[[str], str] = pipeline.stub_cleaner,
     categorizer: Callable[[str], str] = stub_chat_categorizer,
     snapshot_path: str | None = None,
+    ann_index_path: str | None = None,
 ):
     """Build the Flask app over ``store``. ``fetcher``/``cleaner``/
     ``categorizer`` default to the deterministic stubs (no network in
     tests or this container); ``snapshot_path`` enables the
-    save-after-write CSV snapshot (``main.py:350,430,493``)."""
+    save-after-write CSV snapshot (``main.py:350,430,493``);
+    ``ann_index_path`` (a :func:`..operators.similarity.build_ivf_index`
+    layout) enables the ``/similar`` vector-search route."""
     from flask import Flask, jsonify, render_template_string, request
 
     app = Flask("webpagesgraphdatabase_spark")
@@ -533,6 +536,85 @@ def create_app(
             }
         )
 
+    # lazily-cached ANN serving state: the coarse centroids collect
+    # once (≤256 rows) and every request probes them driver-side
+    _ann_state: dict = {}
+
+    @app.route("/similar", methods=["POST"])
+    def similar():
+        """Vector similarity search over the configured at-rest IVF
+        index: JSON body {vector, k?, n_probe?} -> the k
+        highest-cosine stored vectors. The serving shape: centroid
+        probe on the driver (centroids are index metadata, cached at
+        first use), then a partition-pruned scan of ONLY the probed
+        lists' files with exact cosine inside Spark — per-request work
+        is O(n_probe · list size), never the corpus."""
+        if ann_index_path is None:
+            return jsonify({"error": "no ANN index configured"}), 503
+        body = request.get_json(silent=True) or {}
+        vec = body.get("vector")
+        if not isinstance(vec, list) or not vec:
+            return jsonify({"error": "vector (non-empty list) required"}), 400
+        try:
+            q = [float(x) for x in vec]
+        except (TypeError, ValueError):
+            return jsonify({"error": "vector must be numeric"}), 400
+        try:
+            k = min(int(body.get("k", 5)), 100)
+            n_probe = min(int(body.get("n_probe", 4)), 64)
+        except (TypeError, ValueError):
+            return jsonify({"error": "k / n_probe must be integers"}), 400
+
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        spark = store.spark
+        if "cents" not in _ann_state:
+            rows = spark.read.parquet(f"{ann_index_path}/centroids.parquet").collect()
+            _ann_state["cids"] = np.array([r["cid"] for r in rows])
+            _ann_state["cmat"] = np.array([r["cemb"] for r in rows], dtype=float)
+            _ann_state["cnrm"] = np.linalg.norm(_ann_state["cmat"], axis=1)
+            _ann_state["cents"] = True
+        qv = np.asarray(q, dtype=float)
+        if qv.shape[0] != _ann_state["cmat"].shape[1]:
+            return (
+                jsonify(
+                    {
+                        "error": f"vector dim {qv.shape[0]} != index dim "
+                        f"{_ann_state['cmat'].shape[1]}"
+                    }
+                ),
+                400,
+            )
+        qn = float(np.linalg.norm(qv)) or 1.0
+        sims = (_ann_state["cmat"] @ qv) / (_ann_state["cnrm"] * qn + 1e-300)
+        order = np.argsort(-sims)[:n_probe]
+        probed = sorted(int(_ann_state["cids"][i]) for i in order)
+
+        lists = spark.read.parquet(f"{ann_index_path}/lists.parquet")
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        top = (
+            lists.filter(F.col("cid").isin(probed))  # partition pruning
+            .select("vec_id", (dot / (F.col("nrm") * F.lit(qn))).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .collect()
+        )
+        return jsonify(
+            {
+                "neighbors": [
+                    {"vec_id": r["vec_id"], "cos": round(r["cos"], 6)} for r in top
+                ],
+                "probed_lists": probed,
+            }
+        )
+
     @app.route("/instructions", methods=["GET"])
     def instructions():
         lines = [
@@ -543,6 +625,8 @@ def create_app(
             "POST /delete_link with form field 'url' to DETACH DELETE.",
             "POST /cypher with JSON {query, params} to run a read-only "
             "Cypher statement (row-capped).",
+            "POST /similar with JSON {vector, k} for ANN vector search "
+            "over the configured IVF index.",
         ]
         if _wants_html():  # templates/instructions.html parity
             return render_template_string(_INSTRUCTIONS_TEMPLATE, instructions=lines)
