@@ -292,3 +292,21 @@ def test_triangle_counts_driver_and_distributed_paths_agree(spark):
         map(tuple, triangle_counts(edges, driver_max_edges=0).collect())
     )
     assert fast == dist and len(fast) >= 4
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    """K3 + one pendant off node c: a and b are fully clustered
+    (coeff 1.0); c has degree 3 with 1 of 3 possible wedges closed
+    (coeff 1/3); the pendant has degree 1 (coeff 0)."""
+    from webpagesgraphdatabase_spark.graph.algorithms import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["u", "v"]
+    )
+    got = {r.node: r for r in clustering_coefficients(edges).collect()}
+    assert got["a"].coeff == 1.0 and got["b"].coeff == 1.0
+    assert got["c"].coeff == pytest.approx(1 / 3, abs=1e-6)
+    assert got["d"].coeff == 0.0 and got["d"].triangles == 0
+    assert got["c"].degree == 3

@@ -2205,3 +2205,49 @@ def test_bigram_lm_gibberish_scores_below_fluent(spark):
     )
     got = {r.doc_id: r.lm_logp for r in textstats.bigram_lm_scores(docs).collect()}
     assert got[100] > got[101]
+
+
+def test_pq_balanced_allocation_repairs_pca_concentration(spark):
+    """Parametric OPQ (Ge et al. 2013): naive PCA rotation piles the
+    variance into one subspace and PQ recall collapses; the
+    eigenvalue-balanced dimension permutation restores it. Pins all
+    three recall relationships on a correlated synthetic (3 dense
+    latent directions + noise)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    d, latents = 16, 3
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    strong = basis[:, :latents]  # dense directions: cross every subspace
+    rows = []
+    for i in range(400):
+        v = strong @ (rng.normal(size=latents) * 5.0) + 0.3 * rng.normal(size=d)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 30, 5).collect()
+    }
+
+    def recall(vectors) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_pq(
+                vectors, 30, 5, m=4, ks=8, n_iters=3, dim=16
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    raw = recall(emb)
+    model = similarity.pca_model(emb)
+    rotated = similarity.pca_project(emb, model)
+    naive = recall(rotated)
+    perm = similarity.pq_dim_permutation(model, m=4)
+    balanced = recall(similarity.apply_dim_permutation(rotated, perm))
+    # naive PCA concentrates the 3 strong latents into ONE subspace —
+    # PQ's worst case; the balanced allocation repairs it
+    assert naive <= raw - 0.2, (raw, naive)
+    assert balanced >= naive + 0.3, (naive, balanced)
+    assert balanced >= 0.8, balanced

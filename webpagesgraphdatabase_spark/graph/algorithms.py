@@ -585,3 +585,48 @@ def k_core(g: PropertyGraph, k: int = 2, max_iterations: int = 30) -> DataFrame:
         F.col("src").alias("node_id"), "degree"
     )
     return out
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    driver_max_edges: int | None = TRIANGLES_DRIVER_MAX_EDGES,
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected edge
+    list (columns ``u``, ``v``): (node, degree, triangles, coeff) with
+    coeff = 2·T(v) / (deg(v)·(deg(v)−1)), 0.0 for degree < 2 — the
+    classic cohesion signal (Watts & Strogatz 1998) and, on a keyword
+    co-occurrence projection, a topic-tightness score.
+
+    Pure composition: :func:`triangle_counts` (with its two-strategy
+    size dispatch) left-joined onto the degree table — one extra
+    partial-agg count and a key equi-join beyond the triangle pass,
+    rounded to 6 dp for cross-engine comparability."""
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    tri = triangle_counts(edges, driver_max_edges=driver_max_edges)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coeff"),
+        )
+    )
