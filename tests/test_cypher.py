@@ -289,3 +289,86 @@ def test_write_orphan_cleanup_rejects_wrong_rel(store):
         cypher_write(
             store, "MATCH (c:Category) WHERE NOT (c)<-[:HAS_KEYWORD]-() DELETE c"
         )
+
+
+# --- OPTIONAL MATCH (left-join semantics) ----------------------------
+
+
+def test_optional_match_keeps_unmatched_rows_with_nulls(g):
+    """Keywords without a matching link under the optional WHERE keep
+    their row with null link columns — the WHERE is scoped to the
+    optional part, never dropping mandatory rows."""
+    out = cypher(
+        g,
+        "MATCH (k:Keyword) "
+        "OPTIONAL MATCH (l:Link)-[:HAS_KEYWORD]->(k) WHERE l.url = $u "
+        "RETURN k.name AS kw, l AS link",
+        {"u": "a"},
+    )
+    got = {(r.kw, r.link) for r in out.collect()}
+    # only link a carries k1; k2 has no matching link under the filter
+    assert got == {("k1", "a"), ("k2", None)}
+
+
+def test_optional_match_count_includes_zero_groups(g):
+    """The canonical OPTIONAL MATCH use: per-category link counts where
+    empty categories report 0 (COUNT(var) skips nulls)."""
+    # give the graph an empty category to make the zero visible
+    import pyspark.sql.functions as F
+
+    from webpagesgraphdatabase_spark.graph.model import PropertyGraph
+
+    g2 = PropertyGraph(
+        g.links,
+        g.categories.unionByName(
+            g.categories.sparkSession.createDataFrame([("EMPTY",)], ["name"])
+        ),
+        g.keywords,
+        g.belongs_to,
+        g.has_keyword,
+    )
+    out = cypher(
+        g2,
+        "MATCH (c:Category) "
+        "OPTIONAL MATCH (c)<-[:BELONGS_TO]-(l:Link) "
+        "RETURN c.name AS category, COUNT(l) AS n "
+        "ORDER BY category",
+    )
+    got = [(r.category, r.n) for r in out.collect()]
+    assert got == [("EMPTY", 0), ("X", 1), ("Y", 2)]
+
+
+def test_optional_match_requires_shared_variable(g):
+    with pytest.raises(CypherSyntaxError, match="share"):
+        cypher(
+            g,
+            "MATCH (c:Category) OPTIONAL MATCH (k:Keyword) "
+            "RETURN c.name, k.name",
+        )
+
+
+def test_optional_match_chained_clauses(g):
+    """Two optional clauses accrete: category -> optional link ->
+    optional keyword of that link."""
+    out = cypher(
+        g,
+        "MATCH (c:Category {name: $c}) "
+        "OPTIONAL MATCH (c)<-[:BELONGS_TO]-(l:Link) WHERE l.title = $t "
+        "OPTIONAL MATCH (l)-[:HAS_KEYWORD]->(k:Keyword) "
+        "RETURN c.name AS category, l AS link, k AS kw",
+        {"c": "Y", "t": "tb"},
+    )
+    got = {(r.category, r.link, r.kw) for r in out.collect()}
+    assert got == {("Y", "b", "k1")}
+    # and with a title matching nothing, the category row survives alone
+    out2 = cypher(
+        g,
+        "MATCH (c:Category {name: $c}) "
+        "OPTIONAL MATCH (c)<-[:BELONGS_TO]-(l:Link) WHERE l.title = $t "
+        "OPTIONAL MATCH (l)-[:HAS_KEYWORD]->(k:Keyword) "
+        "RETURN c.name AS category, l AS link, k AS kw",
+        {"c": "Y", "t": "no-such-title"},
+    )
+    assert {(r.category, r.link, r.kw) for r in out2.collect()} == {
+        ("Y", None, None)
+    }

@@ -18,7 +18,7 @@ Scope (everything the reference executes, verified against every
 Link/Category/Keyword with BELONGS_TO/HAS_KEYWORD, conjunctive WHERE
 with ``=``/``<>``/``<``/``>``/``<=``/``>=``/``IS [NOT] NULL``,
 property-map equality, parameters, implicit-grouping COUNT. Not a full
-openCypher engine: no OPTIONAL MATCH, no variable-length paths in this
+openCypher engine: no variable-length paths in this
 front end (``algorithms.bounded_reach`` covers ``[*1..h]`` semantics),
 no expressions in RETURN beyond properties and COUNT.
 
@@ -332,8 +332,11 @@ class _Frame:
         self.joined_props.add(var)
 
 
-def _compile_match(g: PropertyGraph, nodes, hops, groups) -> _Frame:
-    labels = _labels_of(nodes, hops)
+def _compile_match(
+    g: PropertyGraph, nodes, hops, groups, labels: dict | None = None
+) -> _Frame:
+    if labels is None:
+        labels = _labels_of(nodes, hops)
     fr = _Frame(g, labels)
     node_tables = {"Link": g.links, "Category": g.categories, "Keyword": g.keywords}
     edge_tables = {"BELONGS_TO": g.belongs_to, "HAS_KEYWORD": g.has_keyword}
@@ -466,6 +469,52 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
     for c in where:
         cond = _cmp_to_column(fr, c)  # may join Link props into fr.df first
         fr.df = fr.df.filter(cond)
+
+    # OPTIONAL MATCH clauses: each compiles standalone (its WHERE is
+    # scoped to it, per openCypher — filtering inside the optional part
+    # never removes mandatory rows) and LEFT-joins on the variables it
+    # shares with what is already matched; unmatched rows carry nulls.
+    main_vars = {v for grp in groups for v in grp}
+    while p.take_kw("OPTIONAL"):
+        p.expect_kw("MATCH")
+        o_nodes, o_hops, o_groups = p.patterns()
+        o_where: list[_Cmp] = []
+        if p.take_kw("WHERE"):
+            o_where = _where(p)
+        o_vars = {v for grp in o_groups for v in grp}
+        shared = sorted(main_vars & o_vars)
+        if not shared:
+            raise CypherSyntaxError(
+                "OPTIONAL MATCH must share at least one variable with an "
+                "earlier MATCH"
+            )
+        # chains anchored on an unshared variable need their own
+        # binding, exactly like mandatory anchors
+        unshared = [grp for grp in o_groups if grp[0] not in main_vars]
+        if unshared:
+            _guard_unbound_anchors(o_nodes, unshared, o_where)
+        # label context accretes so an unlabeled shared anchor like
+        # (l) resolves through the earlier clause's label
+        labels_all = _labels_of(nodes + o_nodes, hops + o_hops)
+        sub = _compile_match(g, o_nodes, o_hops, o_groups, labels=labels_all)
+        for c in o_where:
+            cond = _cmp_to_column(sub, c)  # may join props into sub.df
+            sub.df = sub.df.filter(cond)
+        dup = [
+            c
+            for c in sub.df.columns
+            if c in fr.df.columns and c not in shared
+        ]
+        sub_df = sub.df.drop(*dup) if dup else sub.df
+        fr.df = fr.df.join(sub_df, shared, "left")
+        fr.labels.update(sub.labels)
+        fr.joined_props |= {
+            v
+            for v in sub.joined_props
+            if any(c.startswith(f"__{v}__") for c in sub_df.columns)
+        }
+        main_vars |= o_vars
+        nodes, hops = nodes + o_nodes, hops + o_hops
 
     p.expect_kw("RETURN")
     distinct = p.take_kw("DISTINCT")
