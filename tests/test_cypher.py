@@ -372,3 +372,44 @@ def test_optional_match_chained_clauses(g):
     assert {(r.category, r.link, r.kw) for r in out2.collect()} == {
         ("Y", None, None)
     }
+
+
+# --- undirected relationships ----------------------------------------
+
+
+def test_undirected_hop_matches_regardless_of_written_order(g):
+    """-[:REL]- orients itself from the schema: both writings return
+    the same rows as the directed form."""
+    want = {
+        (r["l.url"], r["c.name"])
+        for r in cypher(
+            g, "MATCH (l:Link)-[:BELONGS_TO]->(c:Category) RETURN l.url, c.name"
+        ).collect()
+    }
+    a = {
+        (r["l.url"], r["c.name"])
+        for r in cypher(
+            g, "MATCH (l:Link)-[:BELONGS_TO]-(c:Category) RETURN l.url, c.name"
+        ).collect()
+    }
+    b = {
+        (r["l.url"], r["c.name"])
+        for r in cypher(
+            g, "MATCH (c:Category)-[:BELONGS_TO]-(l:Link) RETURN l.url, c.name"
+        ).collect()
+    }
+    assert a == want and b == want and want
+
+
+def test_undirected_hop_orients_from_one_labeled_endpoint(g):
+    out = cypher(
+        g,
+        "MATCH (k:Keyword {name: $k})-[:HAS_KEYWORD]-(l) RETURN l AS url",
+        {"k": "k2"},
+    )
+    assert {r.url for r in out.collect()} == {"c"}
+
+
+def test_undirected_hop_between_unlabeled_vars_is_rejected(g):
+    with pytest.raises(CypherSyntaxError, match="labeled endpoint"):
+        cypher(g, "MATCH (a)-[:HAS_KEYWORD]-(b) RETURN a, b")

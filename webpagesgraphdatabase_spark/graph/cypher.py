@@ -69,6 +69,9 @@ _NODE_OPEN = re.compile(r"\(\s*")
 _LABEL = re.compile(r":\s*(Link|Category|Keyword)")
 _REL_FWD = re.compile(r"-\s*\[\s*:\s*(\w+)\s*\]\s*->")
 _REL_BWD = re.compile(r"<-\s*\[\s*:\s*(\w+)\s*\]\s*-")
+# undirected: -[:REL]- with no arrowhead on either side (the lookahead
+# keeps it from swallowing the forward form's prefix)
+_REL_UND = re.compile(r"-\s*\[\s*:\s*(\w+)\s*\]\s*-(?!>)")
 _NUMBER = re.compile(r"-?\d+(\.\d+)?")
 _STRING = re.compile(r"'((?:[^'\\]|\\.)*)'")
 _PARAM = re.compile(r"\$(\w+)")
@@ -87,7 +90,7 @@ class _Hop:
     src_var: str
     rel: str
     dst_var: str
-    forward: bool
+    forward: bool | None  # None: undirected, resolved against labels
 
 
 class _P:
@@ -204,9 +207,13 @@ class _P:
                 rel, forward = fm.group(1), True
             else:
                 bm = self.take(_REL_BWD)
-                if not bm:
-                    break
-                rel, forward = bm.group(1), False
+                if bm:
+                    rel, forward = bm.group(1), False
+                else:
+                    um = self.take(_REL_UND)
+                    if not um:
+                        break
+                    rel, forward = um.group(1), None
             if rel not in REL_ENDPOINTS:
                 raise CypherSyntaxError(f"unknown relationship type {rel}")
             nxt = self.node()
@@ -233,6 +240,31 @@ class _P:
 # --------------------------------------------------------------------------
 # semantic analysis shared by read + write paths
 # --------------------------------------------------------------------------
+
+
+
+def _resolve_undirected(nodes: list[_Node], hops: list[_Hop]) -> None:
+    """Orient ``-[:REL]-`` hops in place: the schema is typed, so one
+    labeled endpoint (declared on either node, anywhere in the
+    statement) determines the direction. Raises when neither endpoint's
+    label is known — an undirected hop between two unlabeled variables
+    is genuinely ambiguous here."""
+    declared = {n.var: n.label for n in nodes if n.label}
+    for h in hops:
+        if h.forward is not None:
+            continue
+        src_label, dst_label = REL_ENDPOINTS[h.rel]
+        a = declared.get(h.src_var)
+        b = declared.get(h.dst_var)
+        if a == src_label or b == dst_label:
+            h.forward = True
+        elif a == dst_label or b == src_label:
+            h.forward = False
+        else:
+            raise CypherSyntaxError(
+                f"undirected -[:{h.rel}]- needs a labeled endpoint to "
+                f"orient ({h.src_var!r}/{h.dst_var!r} are unlabeled)"
+            )
 
 
 def _labels_of(nodes: list[_Node], hops: list[_Hop]) -> dict[str, str]:
@@ -459,6 +491,7 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
     p = _P(query, params)
     p.expect_kw("MATCH")
     nodes, hops, groups = p.patterns()
+    _resolve_undirected(nodes, hops)
     # WHERE is parsed before compiling so the unbound-anchor guard can
     # see equality bindings (the filters still apply post-compile)
     where: list[_Cmp] = []
@@ -478,6 +511,7 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
     while p.take_kw("OPTIONAL"):
         p.expect_kw("MATCH")
         o_nodes, o_hops, o_groups = p.patterns()
+        _resolve_undirected(nodes + o_nodes, o_hops)
         o_where: list[_Cmp] = []
         if p.take_kw("WHERE"):
             o_where = _where(p)
