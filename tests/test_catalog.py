@@ -367,3 +367,47 @@ def test_zonemap_pruned_read_equals_plain_filter_property(spark, tmp_path):
         check()
     finally:
         base.unpersist()
+
+
+def test_zorder_then_zonemap_prunes_on_both_dimensions(spark, tmp_path):
+    """The full lakehouse loop: Z-order on (user, time), write the zone
+    map, then a conjunctive range on BOTH dimensions prunes to a small
+    file subset — which a single-column sort could only deliver for its
+    leading column. Results stay equal to the unpruned filter."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = 30_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 500).alias("user_id"),
+        (F.col("id") * 40503 % 86_400).alias("ts_s"),
+        F.col("id").alias("payload"),
+    )
+    wh.create_table("ev", df.schema)
+    wh.overwrite("ev", df.repartition(16))
+    wh.cluster("ev", ("user_id", "ts_s"), target_file_bytes=16 * 1024)
+    manifest = wh.write_zonemap("ev", ("user_id", "ts_s"))
+    total = len(manifest["files"])
+    assert total >= 6
+
+    ranges = {"user_id": (100, 160), "ts_s": (10_000, 22_000)}
+    pruned = wh.read_pruned("ev", ranges)
+    want = sorted(
+        map(
+            tuple,
+            wh.read("ev")
+            .filter(
+                F.col("user_id").between(100, 160)
+                & F.col("ts_s").between(10_000, 22_000)
+            )
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, pruned.collect())) == want and want
+    read_files = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    # the z-locality claim: the 12%x14% corner lives in <= half the files
+    assert read_files <= total // 2, (read_files, total)
