@@ -168,6 +168,91 @@ def test_recall_outlives_advisory_blocks_when_shedding(tmp_path):
     assert len(detail["normalized_deltas"]) == 40
 
 
+def test_per_query_factors_io_and_group(tmp_path):
+    # graph_load is io-labelled → normalized by the io probe ratio;
+    # q_emb sits in a group whose interleaved micro cpu probe ran 3×
+    # slow (a contended stretch mid-run) → its ratio must use that
+    # nearest-in-time factor, not the global shuffle one; q_plain has
+    # no usable label → global host_factor
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 9.0,
+            "queries": {"graph_load": 5.0, "q_emb": 1.0, "q_plain": 1.0},
+            "calibration": {"cpu": 0.1, "shuffle": 0.4, "io": 1.0},
+            "comparable_total": 7.0,
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    timings = {"graph_load": 15.0, "q_emb": 3.0, "q_plain": 1.0}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    cal = {
+        "cpu": 0.1,
+        "shuffle": 0.4,
+        "io": 3.0,  # disk ran 3× slower than the prior round
+        "groups": {"embed": 0.3},  # cpu probe after the embed group: 3× slow
+    }
+    out, detail, line = bench.build_report(
+        timings,
+        stats,
+        RECALL,
+        cal,
+        0.1,
+        here=str(tmp_path),
+        write_detail=False,
+        groups={"graph_load": "io", "q_emb": "embed", "q_plain": "other"},
+    )
+    assert out["host_factor"] == 1.0  # shuffle unchanged
+    # io: 15.0 / (3.0/1.0) / 5.0 = 1.0 ; embed: 3.0 / (0.3/0.1) / 1.0 = 1.0
+    # plain: 1.0 / 1.0 / 1.0 = 1.0 → nothing spikes, all factors honest
+    assert detail["calibrated_ratios"] == {
+        "graph_load": 1.0,
+        "q_emb": 1.0,
+        "q_plain": 1.0,
+    }
+    assert detail["per_query_factor"] == {
+        "graph_load": 3.0,
+        "q_emb": 3.0,
+        "q_plain": 1.0,
+    }
+    # detail-only: the driver line carries just worst_calibrated_ratio
+    parsed = json.loads(line)
+    assert "calibrated_ratios" not in parsed and "per_query_factor" not in parsed
+    assert "_per_query_factor" not in out
+
+
+def test_io_label_falls_back_without_prior_io_probe(tmp_path):
+    # r7-over-r6 shape: the prior round has no io probe yet, so the
+    # io-labelled entry falls back to the global shuffle factor
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 5.0,
+            "queries": {"graph_load": 5.0},
+            "calibration": {"cpu": 0.1, "shuffle": 0.4},
+            "comparable_total": 5.0,
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    timings = {"graph_load": 10.0}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    cal = {"cpu": 0.1, "shuffle": 0.8, "io": 3.0}
+    out, detail, _ = bench.build_report(
+        timings,
+        stats,
+        RECALL,
+        cal,
+        0.1,
+        here=str(tmp_path),
+        write_detail=False,
+        groups={"graph_load": "io"},
+    )
+    # hf = 0.8/0.4 = 2 → 10/2/5 = 1.0
+    assert out["worst_calibrated_ratio"] == {"graph_load": 1.0}
+
+
 def test_detail_written_and_round_numbered(tmp_path):
     _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
     _mk(tmp_path, "BENCH_r02.json", {"rc": 0, "parsed": None, "tail": ""})

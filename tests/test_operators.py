@@ -2065,6 +2065,54 @@ def test_strip_duplicated_spans_self_repetition_survives(spark):
     assert got.deduped_text == "a b c d a b c d"
 
 
+def test_strip_duplicated_spans_fully_stripped_doc_keeps_row(spark):
+    """An exact duplicate of an earlier doc — the operator's primary
+    target — is fully covered by foreign windows; it must still emit a
+    (doc_id, "") row (the paragraph_dedup contract), not vanish from
+    the output (r6 advice item 2)."""
+    from webpagesgraphdatabase_spark.operators import dedup
+
+    rows = [(1, "one two three four five"), (2, "one two three four five")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.deduped_text for r in
+           dedup.strip_duplicated_spans(docs).collect()}
+    assert got == {1: "one two three four five", 2: ""}
+
+
+def test_span_window_8_hand_corpus(spark):
+    """window=8 (a width Lee et al. actually sweep): a shared 9-token
+    run yields two 8-token duplicated windows; a 10-token doc has 3
+    windows total. The shorter shared 4-run that window=4 flags is
+    invisible at width 8."""
+    from webpagesgraphdatabase_spark.operators import dedup
+
+    shared9 = "a b c d e f g h i"
+    rows = [
+        (1, f"{shared9} x"),           # 10 tokens -> 3 windows of 8
+        (2, f"y {shared9}"),           # 10 tokens -> 3 windows of 8
+        (3, "one two three four unrelated text pad pad2"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in dedup.duplicated_window_stats(docs, window=8).collect()
+    }
+    assert got[1].n_spanwin == 3 and got[2].n_spanwin == 3
+    # the 9-token shared run contains exactly 2 distinct 8-windows
+    assert got[1].n_dup_windows == 2 and got[2].n_dup_windows == 2
+    assert got[1].n_foreign_dup == 0 and got[2].n_foreign_dup == 2
+    assert got[3].n_dup_windows == 0
+    # strip at width 8: doc 2 loses the 9 covered tokens, keeps "y"
+    stripped = {
+        r.doc_id: r.deduped_text
+        for r in dedup.strip_duplicated_spans(docs, window=8).collect()
+    }
+    assert stripped[1] == f"{shared9} x"
+    assert stripped[2] == "y"
+    with pytest.raises(ValueError):
+        dedup.duplicated_window_stats(docs, window=1)
+
+
 def test_pq_exact_when_codebook_saturates(spark):
     """With ks >= corpus size and no training, every vector is its own
     codeword: PQ reconstruction is lossless and ann_pq must equal the
@@ -2251,3 +2299,112 @@ def test_pq_balanced_allocation_repairs_pca_concentration(spark):
     assert naive <= raw - 0.2, (raw, naive)
     assert balanced >= naive + 0.3, (naive, balanced)
     assert balanced >= 0.8, balanced
+
+
+def test_build_pq_index_opq_transform_is_wired_and_at_rest(spark, tmp_path):
+    """build_pq_index(opq=True) persists the OPQ transform beside the
+    index and ann_pq_from_index applies it to queries automatically
+    (r6 verdict item 3 — the permutation was test-pinned but
+    shelf-ware). Corpus with its variance concentrated in ONE raw
+    subspace (dims 0-3 strong, the rest noise): plain PQ burns all
+    its other subquantizers on noise, the OPQ permutation deals the
+    strong dims one per subspace — the wired index must beat the
+    plain one, and the transform file must exist at rest."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    d, latents = 16, 4
+    rows = []
+    for i in range(400):
+        v = np.concatenate(
+            [rng.normal(size=latents) * 5.0, 0.3 * rng.normal(size=d - latents)]
+        )
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 30, 5).collect()
+    }
+
+    def recall(path) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_pq_from_index(
+                spark, path, emb, n_queries=30, k=5
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    plain = str(tmp_path / "pq_plain")
+    opq = str(tmp_path / "pq_opq")
+    similarity.build_pq_index(emb, plain, m=4, ks=8, n_iters=3, dim=d)
+    similarity.build_pq_index(emb, opq, m=4, ks=8, n_iters=3, dim=d, opq=True)
+    assert os.path.isdir(f"{opq}/opq.parquet")
+    assert not os.path.exists(f"{plain}/opq.parquet")
+    r_plain, r_opq = recall(plain), recall(opq)
+    assert r_opq > r_plain, (r_plain, r_opq)
+    assert r_opq >= 0.8, r_opq
+    # stored transform round-trips exactly
+    model, perm = similarity._load_opq_transform(spark, opq)
+    assert sorted(perm) == list(range(d))
+    assert model["components"].shape == (d, d)
+
+
+def test_build_pq_index_residual_ivfadc(spark, tmp_path):
+    """residual=True is canonical IVFADC (Jégou et al. TPAMI'11 §IV):
+    PQ quantizes the within-list offsets ``v - c(v)`` instead of the
+    absolute positions, so on a clustered corpus the same code budget
+    quantizes much finer — recall must beat or match the plain index.
+    The stored codes must carry the ``vnrm`` marker column (the exact
+    norm used as the ADC denominator)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n_clusters = 16, 8
+    centers = rng.normal(size=(n_clusters, d)) * 3.0
+    rows = [
+        (
+            i,
+            [
+                float(x)
+                for x in centers[i % n_clusters] + 1.0 * rng.normal(size=d)
+            ],
+        )
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 30, 5).collect()
+    }
+
+    def recall(path) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_pq_from_index(
+                spark, path, emb, n_queries=30, k=5
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    plain = str(tmp_path / "pq_plain")
+    res = str(tmp_path / "pq_res")
+    similarity.build_pq_index(
+        emb, plain, m=4, ks=32, n_iters=3, dim=d, trained=True
+    )
+    similarity.build_pq_index(
+        emb, res, m=4, ks=32, n_iters=3, dim=d, residual=True, trained=True
+    )
+    codes = spark.read.parquet(f"{res}/codes.parquet")
+    assert "vnrm" in codes.columns and "rnrm" in codes.columns
+    plain_codes = spark.read.parquet(f"{plain}/codes.parquet")
+    assert "rnrm" not in plain_codes.columns
+    r_plain, r_res = recall(plain), recall(res)
+    assert r_res >= r_plain, (r_plain, r_res)
+    assert r_res >= 0.8, r_res

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -315,43 +316,97 @@ class Warehouse:
         min/max stats become selective on every clustered column at
         once, which a plain sort gives only to its leading column.
 
-        Scale shape: one ``approxQuantile`` pass per column sizes the
-        rank boundaries on the driver (256 doubles each — corpus-free);
-        the z-value itself is a codegen fold over broadcast-literal
-        boundary arrays (no window, no global sort — the rewrite's
-        ``repartitionByRange`` samples the z-values like any range
-        write). Versioned overwrite, same isolation as every mutation.
+        Scale shape: one ``approxQuantile`` pass (numeric columns,
+        batched) plus one bounded top-S-by-hash sample per string
+        column sizes the rank boundaries on the driver (≤ a few
+        thousand values each — corpus-free); the z-value itself is a
+        codegen fold over broadcast-literal boundary arrays (no window,
+        no global sort — the rewrite's ``repartitionByRange`` samples
+        the z-values like any range write). Versioned overwrite, same
+        isolation as every mutation.
 
-        Numeric (or timestamp/date, cast to epoch) columns only —
-        quantile ranks need an order. Returns before/after file stats.
+        Column types: numeric, timestamp/date (cast to epoch), and
+        string. String ranks use sampled boundary *strings* in raw
+        string order — range locality, the order zone maps prune on —
+        via a uniform row sample taken as top-S by a row-salted
+        xxhash64 (TakeOrdered, never a global sort). Any other type
+        raises up front — quantile ranks need an order that min/max
+        stats preserve. Returns before/after file stats.
         """
         if not 1 <= len(cols) <= 4:
             raise ValueError("cluster needs 1-4 clustering columns")
         before = self.file_stats(name)
         df = self.read(name)
         n_buckets = 1 << bits
-        numeric = {
-            c: F.col(c).cast("double")
-            if dict(df.dtypes)[c] not in ("timestamp", "timestamp_ntz", "date")
-            else F.col(c).cast("timestamp").cast("double")
-            for c in cols
-        }
-        probe = df.select(
-            *[numeric[c].alias(f"_zc_{i}") for i, c in enumerate(cols)]
+        dtypes = dict(df.dtypes)
+        num_re = re.compile(
+            r"^(tinyint|smallint|int|bigint|float|double|boolean|decimal.*)$"
         )
+        exprs: dict[str, tuple[str, object]] = {}
+        for c in cols:
+            dt = dtypes.get(c)
+            if dt is None:
+                raise ValueError(f"no column {c!r} in table {name!r}")
+            if dt in ("timestamp", "timestamp_ntz", "date"):
+                exprs[c] = ("num", F.col(c).cast("timestamp").cast("double"))
+            elif num_re.match(dt):
+                exprs[c] = ("num", F.col(c).cast("double"))
+            elif dt == "string":
+                exprs[c] = ("str", F.col(c))
+            else:
+                raise ValueError(
+                    f"cluster needs numeric/timestamp/date/string "
+                    f"columns; {c!r} is {dt}"
+                )
         qs = [i / float(n_buckets) for i in range(1, n_buckets)]
-        bounds = probe.approxQuantile(
-            [f"_zc_{i}" for i in range(len(cols))], qs, 0.001
-        )
+        num_cols = [c for c in cols if exprs[c][0] == "num"]
+        num_bounds: dict[str, list] = {}
+        if num_cols:
+            probe = df.select(
+                *[exprs[c][1].alias(f"_zc_{i}") for i, c in enumerate(num_cols)]
+            )
+            got = probe.approxQuantile(
+                [f"_zc_{i}" for i in range(len(num_cols))], qs, 0.001
+            )
+            num_bounds = dict(zip(num_cols, got))
+
+        def _string_bounds(c: str) -> list[str]:
+            # uniform row sample without a count pass: top-S by a
+            # row-salted hash is per-partition top-S + driver merge
+            # (TakeOrderedAndProject), bounded at S rows regardless of
+            # table size; boundary strings are then every S/n_buckets-th
+            # value of the sorted sample
+            s_size = n_buckets * 64
+            sample = sorted(
+                r[0]
+                for r in df.select(F.col(c))
+                .where(F.col(c).isNotNull())
+                .orderBy(F.xxhash64(F.col(c), F.monotonically_increasing_id()))
+                .limit(s_size)
+                .collect()
+            )
+            if not sample:
+                return []
+            step = len(sample) / float(n_buckets)
+            return [sample[int(i * step)] for i in range(1, n_buckets)]
+
         def _rank(barr, vcol):
             # single-arg lambda: F.filter dispatches on arity, so the
             # value column must come in by closure, not a default param
             return F.size(F.filter(barr, lambda b: b <= vcol))
 
         rank_cols = []
-        for i, c in enumerate(cols):
-            barr = F.array(*[F.lit(float(b)) for b in bounds[i]])
-            rank_cols.append(_rank(barr, numeric[c]))
+        for c in cols:
+            kind, expr = exprs[c]
+            if kind == "num":
+                barr = F.array(*[F.lit(float(b)) for b in num_bounds[c]])
+            else:
+                sbounds = _string_bounds(c)
+                if sbounds:
+                    barr = F.array(*[F.lit(b) for b in sbounds])
+                else:  # all-null column: every row ranks 0
+                    barr = F.array().cast("array<string>")
+            rank_cols.append(_rank(barr, expr))
         z = F.lit(0).cast("long")
         for bit in range(bits):
             for i in range(len(cols)):

@@ -474,9 +474,10 @@ def triangle_counts(
         head = edges.select("u", "v").limit(driver_max_edges + 1).collect()
         if len(head) <= driver_max_edges:
             return _triangles_driver(edges, head)
-    # the normalized edge list feeds und (twice), the orientation join,
-    # and through them every downstream consumer; persist so an
-    # expensive caller-supplied projection runs exactly once
+    # the normalized edge list feeds und (twice) and the orientation
+    # join within the single materialization job below; persist so an
+    # expensive caller-supplied projection runs exactly once, released
+    # deterministically once `oriented` is at rest
     e = (
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
@@ -485,30 +486,36 @@ def triangle_counts(
         .distinct()
         .persist()
     )
-    und = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = und.groupBy("u").agg(F.count("*").alias("d"))
-    ed = e.join(
-        deg.select(F.col("u"), F.col("d").alias("du")), "u"
-    ).join(
-        deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
-    )
-    u_low = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    # the oriented list feeds three consumers (both wedge sides + the
-    # closing semi-join); persist it so the upstream edge derivation —
-    # possibly an expensive projection like the keyword co-occurrence
-    # self-join — runs once, not once per consumer (at sf0.1 this is
-    # the difference between ~2 s and ~12 s). Released when the result
-    # frame is collected (same caller-scoped lifetime discipline as
-    # cosine_neardup's broadcast).
-    oriented = ed.select(
-        F.when(u_low, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(u_low, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(u_low, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).persist()
+    try:
+        und = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = und.groupBy("u").agg(F.count("*").alias("d"))
+        ed = e.join(
+            deg.select(F.col("u"), F.col("d").alias("du")), "u"
+        ).join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        u_low = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        # the oriented list feeds three consumers (both wedge sides +
+        # the closing semi-join); eagerly localCheckpoint it — one row
+        # per edge, three narrow columns — so the upstream edge
+        # derivation (possibly an expensive projection like the keyword
+        # co-occurrence self-join) runs once, not once per consumer (at
+        # sf0.1 the difference between ~2 s and ~12 s). Checkpoint, not
+        # a GC-finalized persist: composed callers (e.g.
+        # clustering_coefficients' .select over this result) drop the
+        # Python wrapper at plan-construction time, so a
+        # wrapper-lifetime cache would be released before any execution.
+        oriented = ed.select(
+            F.when(u_low, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_low, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(u_low, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     # b ≺ c in the same (degree, id) order as the orientation, so each
     # triangle {x≺y≺z} closes exactly once, as the wedge (x; y, z)

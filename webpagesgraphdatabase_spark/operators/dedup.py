@@ -662,6 +662,22 @@ def paragraph_dedup(
     )
 
 
+def _span_windows(tok: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos, wk) for every ``window``-token span: wk is the md5
+    of the space-joined token run starting at pos. One per-doc window
+    shuffle regardless of width — the ``window - 1`` leads share a
+    single window spec, so Catalyst evaluates them in one pass."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, window)
+    ]
+    return (
+        tok.withColumn("wk", F.md5(F.concat_ws(" ", *parts)))
+        .filter(F.col("pos") <= F.col("n") - window)
+        .select("doc_id", "pos", "wk")
+    )
+
+
 def duplicated_window_stats(docs: DataFrame, window: int = 4) -> DataFrame:
     """Exact duplicated-token-span detection (the window form of Lee et
     al. 2022, arXiv:2107.06499 "Deduplicating Training Data Makes
@@ -679,28 +695,27 @@ def duplicated_window_stats(docs: DataFrame, window: int = 4) -> DataFrame:
       occurrence (min doc_id) is a DIFFERENT doc: the "this span's
       canonical copy lives elsewhere" removal signal.
 
+    ``window`` is the span length in tokens (Lee et al. sweep 8/16 at
+    character granularity; 4 is this corpus's token-level default and
+    the oracle-pinned shape). Any ``window >= 2`` runs: the key is a
+    chain of ``window - 1`` ``lead``s over the same per-doc window
+    spec, so the plan shape (one window shuffle, one digest groupBy)
+    is identical for every width.
+
     Scale shape: the shuffle key is the 32-hex window digest, never
     text; the global pass is a partial-aggregatable count+min per key
     (a span duplicated 10^7 times combines map-side — the
     paragraph_dedup discipline, no hot-key window rank); the mark join
     is a key-to-key equi-join back to the narrow (doc_id, wk) rows.
     """
-    if window != 4:
-        raise ValueError("duplicated_window_stats is unrolled for window=4")
+    if window < 2:
+        raise ValueError("window must be >= 2")
     tok = docs.select(
         "doc_id",
         F.posexplode(tokens_col()).alias("pos", "token"),
         F.size(tokens_col()).alias("n"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2, t3 = (F.lead("token", i).over(w) for i in (1, 2, 3))
-    wins = (
-        tok.withColumn(
-            "wk", F.md5(F.concat_ws(" ", F.col("token"), t1, t2, t3))
-        )
-        .filter(F.col("pos") <= F.col("n") - 4)
-        .select("doc_id", "pos", "wk")
-    )
+    wins = _span_windows(tok, window)
     glob = wins.groupBy("wk").agg(
         F.count("*").alias("n_occ"), F.min("doc_id").alias("first_doc")
     )
@@ -725,49 +740,59 @@ def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
     (Lee et al.'s keep-one policy at window granularity), so every
     duplicated span survives exactly once corpus-wide.
 
+    Docs whose every token is covered by foreign-duplicated windows
+    (e.g. an exact duplicate of an earlier doc — the operator's primary
+    target) still get a row, with ``deduped_text = ""`` — the
+    :func:`paragraph_dedup` contract, so consumers joining on doc_id
+    never silently lose rows.
+
     Same shuffle discipline as :func:`duplicated_window_stats` plus a
     per-doc rebuild: covered positions explode to at most
     ``window × n_foreign_dup`` narrow rows, and the rebuild is one
     sort_array over each doc's surviving (pos, token) structs — state
     bounded by doc length, the same bound the tokenize/pack paths
-    already carry."""
-    if window != 4:
-        raise ValueError("strip_duplicated_spans is unrolled for window=4")
-    # tok feeds the window pass AND the final anti-join; wins feeds the
-    # global first-pass AND the coverage join — persist both so the
-    # posexplode + lead window runs once, not once per consumer
-    # (caller-scoped lifetime via the finalizer below)
+    already carry.
+
+    Cache discipline: ``wins`` is consumed twice (global first-pass +
+    coverage join), so the covered-position set is eagerly
+    localCheckpoint'ed inside a persist scope that closes before this
+    function returns — deterministic lifetime, nothing keyed on Python
+    wrapper GC (which in composed uses fires at plan-construction time,
+    silently defeating the cache). The returned rebuild stays lazy; its
+    one re-scan of ``tok`` is a narrow posexplode with no shuffle."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
     tok = docs.select(
         "doc_id",
         F.posexplode(tokens_col()).alias("pos", "token"),
         F.size(tokens_col()).alias("n"),
-    ).persist()
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2, t3 = (F.lead("token", i).over(w) for i in (1, 2, 3))
-    wins = (
-        tok.withColumn(
-            "wk", F.md5(F.concat_ws(" ", F.col("token"), t1, t2, t3))
+    )
+    wins = _span_windows(tok, window).persist()
+    try:
+        firsts = wins.groupBy("wk").agg(
+            F.count("*").alias("n_occ"), F.min("doc_id").alias("first_doc")
         )
-        .filter(F.col("pos") <= F.col("n") - 4)
-        .select("doc_id", "pos", "wk")
-        .persist()
-    )
-    firsts = wins.groupBy("wk").agg(
-        F.count("*").alias("n_occ"), F.min("doc_id").alias("first_doc")
-    )
-    covered = (
-        wins.join(firsts, "wk")
-        .filter((F.col("n_occ") > 1) & (F.col("first_doc") != F.col("doc_id")))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
-            ).alias("pos"),
+        covered = (
+            wins.join(firsts, "wk")
+            .filter(
+                (F.col("n_occ") > 1) & (F.col("first_doc") != F.col("doc_id"))
+            )
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+                ).alias("pos"),
+            )
+            .distinct()
+            # narrow (doc_id, pos) rows, bounded by window × foreign-dup
+            # count; materialized here so wins' cache can be released
+            # deterministically before returning
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-    )
+    finally:
+        wins.unpersist()
     kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
+    rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "token"))),
@@ -776,14 +801,11 @@ def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
             " ",
         ).alias("deduped_text")
     )
-    import weakref
-
-    def _unpersist_quietly(frames=(tok, wins)):
-        for df in frames:
-            try:
-                df.unpersist(False)
-            except Exception:  # session already stopped at interpreter exit
-                pass
-
-    weakref.finalize(out, _unpersist_quietly)
-    return out
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+        )
+    )

@@ -1339,6 +1339,16 @@ def ann_pq(
     amortized serving path."""
     if dim is None:
         dim = len(emb.select("embedding").first()["embedding"])
+    if codebook is not None:
+        # derive m/ks from the supplied codebook rather than trusting
+        # the parameters: the ADC slot index is m*ks+cid, so a silent
+        # mismatch mis-indexes every lookup (the reason
+        # ann_pq_from_index always derives them from the stored
+        # codebook)
+        mm = codebook.agg(
+            F.max("m").alias("m"), F.max("cid").alias("cid")
+        ).first()
+        m, ks = int(mm["m"]) + 1, int(mm["cid"]) + 1
     dsub = dim // m
     if codebook is None:
         codebook = train_pq(emb, m, ks, n_iters, dim=dim)
@@ -1462,6 +1472,46 @@ def ann_pq(
     )
 
 
+def _write_opq_transform(spark, path: str, model: dict, perm: list[int]) -> None:
+    """Persist the parametric-OPQ transform (PCA rotation + balanced
+    dimension permutation) beside the index it encodes for, so the
+    query path can never run in a different space than the codes."""
+    row = (
+        [float(x) for x in model["mean"]],
+        [[float(x) for x in r] for r in model["components"]],
+        [float(x) for x in model["eigvals"]],
+        [int(p) for p in perm],
+    )
+    spark.createDataFrame(
+        [row],
+        "mean array<double>, components array<array<double>>, "
+        "eigvals array<double>, perm array<int>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/opq.parquet")
+
+
+def _load_opq_transform(spark, path: str):
+    """(model, perm) if the index at ``path`` was built with OPQ, else
+    None. Missing transform = plain PQ index; any other read failure
+    propagates (silently skipping the transform would ADC raw queries
+    against rotated codes — wrong scores, no error)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{path}/opq.parquet").first()
+    except AnalysisException:
+        return None
+    import numpy as np
+
+    model = {
+        "mean": np.asarray(r["mean"], dtype=np.float64),
+        "components": np.asarray(
+            [list(c) for c in r["components"]], dtype=np.float64
+        ),
+        "eigvals": np.asarray(r["eigvals"], dtype=np.float64),
+    }
+    return model, [int(p) for p in r["perm"]]
+
+
 def build_pq_index(
     emb: DataFrame,
     path: str,
@@ -1471,6 +1521,9 @@ def build_pq_index(
     n_centroids: int | None = None,
     corpus_count: int | None = None,
     dim: int | None = None,
+    opq: bool = False,
+    residual: bool = False,
+    trained: bool = False,
 ) -> str:
     """IVFPQ index at rest under ``path`` — the FAISS-shaped serving
     layout (coarse quantizer over the compressed code table):
@@ -1486,32 +1539,135 @@ def build_pq_index(
     Build is one coarse assignment + PQ training + one encode pass,
     once per corpus version. Both quantizers are read back from the
     written parquet before dependent passes so stored and recomputed
-    values cannot drift (same discipline as :func:`build_ivf_index`)."""
+    values cannot drift (same discipline as :func:`build_ivf_index`).
+
+    ``opq=True`` adds the parametric OPQ of Ge et al. CVPR'13: PCA-
+    rotate, then deal the rotated dimensions to subspaces by the
+    eigenvalue-balanced :func:`pq_dim_permutation` (a raw PCA rotation
+    concentrates variance into ONE subspace — PQ's worst case). The
+    transform is persisted as ``opq.parquet`` in the index dir and the
+    query path applies it automatically, so index and queries always
+    live in the same space; the exact re-rank still runs on the
+    caller's raw vectors.
+
+    ``residual=True`` is the IVFADC layout (Jégou et al. TPAMI'11
+    §IV) adapted to the cosine metric this engine's IVF runs on: the
+    coarse centroids are unit-directions, so the residual is taken in
+    NORMALIZED space — ``r = v/‖v‖ − c/‖c‖`` (subtracting a unit
+    centroid from a raw-magnitude vector would leave the residual ≈
+    the vector, measured). Residuals of a direction cluster have far
+    less variance than the directions themselves, so the same ks·m
+    code budget quantizes much finer, and the ADC score is the TRUE
+    cosine of the reconstruction: cos(q, v) ≈
+    (IP(q, ĉ) + Σ_m lut[code_m]) / (‖q‖·rnrm), where ``rnrm`` =
+    ‖ĉ + r̂‖ is each row's reconstruction norm, computed once at build
+    time via the algebraic expansion 1 + Σ_m(2⟨ĉ_m, cw⟩ + ‖cw‖²)
+    (skipping this division — ‖ĉ+r̂‖ deviates from 1 by the
+    quantization error — measurably costs recall: 0.67 vs 0.91 on the
+    clustered test corpus). Code rows carry ``rnrm`` (the residual
+    marker the query path detects) and ``vnrm`` (the vector's exact
+    norm, metadata for IP-metric callers). Pair with ``trained=True``
+    (Lloyd coarse centroids, the :func:`build_ivf_index` discipline):
+    residual size tracks coarse-quantizer quality."""
     spark = emb.sparkSession
     count = emb.count() if corpus_count is None else corpus_count
     if n_centroids is None:
         n_centroids = auto_n_centroids(count)
     if dim is None:
         dim = len(emb.select("embedding").first()["embedding"])
-    ivf_centroids(emb, n_centroids).write.mode("overwrite").parquet(
-        f"{path}/coarse.parquet"
+    if opq:
+        model = pca_model(emb)
+        perm = pq_dim_permutation(model, m)
+        _write_opq_transform(spark, path, model, perm)
+        emb = apply_dim_permutation(pca_project(emb, model), perm)
+    coarse_cents = (
+        kmeans_centroids(emb, n_centroids, n_iters)
+        if trained
+        else ivf_centroids(emb, n_centroids)
     )
+    coarse_cents.write.mode("overwrite").parquet(f"{path}/coarse.parquet")
     coarse = spark.read.parquet(f"{path}/coarse.parquet")
-    train_pq(emb, m, ks, n_iters, dim=dim).write.mode("overwrite").parquet(
-        f"{path}/codebook.parquet"
-    )
-    book = spark.read.parquet(f"{path}/codebook.parquet")
-    codes = pq_encode(emb, book, m, dim)
+    # assignment feeds the residual projection, the training corpus,
+    # and the final code write — persisted for the build's duration
+    # (all consumers execute inside this function)
     assign = ivf_assign(emb, n_centroids, cents=coarse).select(
         "vec_id", F.col("cid").alias("ccid")
-    )
-    (
-        codes.join(assign, "vec_id")
-        .repartition("ccid")
-        .write.mode("overwrite")
-        .partitionBy("ccid")
-        .parquet(f"{path}/codes.parquet")
-    )
+    ).persist()
+    try:
+        if residual:
+            cent = coarse.select(
+                F.col("cid").alias("ccid"),
+                F.transform(
+                    F.col("cemb"), lambda x: x / F.col("cnrm")
+                ).alias("_cent"),
+            )
+            vn = _norm(F.col("embedding"))
+            enc = (
+                emb.join(assign, "vec_id")
+                .join(F.broadcast(cent), "ccid")
+                .select(
+                    "vec_id",
+                    F.zip_with(
+                        F.transform(F.col("embedding"), lambda x: x / vn),
+                        F.col("_cent"),
+                        lambda a, b: a - b,
+                    ).alias("embedding"),
+                )
+            )
+        else:
+            enc = emb
+        train_pq(enc, m, ks, n_iters, dim=dim).write.mode("overwrite").parquet(
+            f"{path}/codebook.parquet"
+        )
+        book = spark.read.parquet(f"{path}/codebook.parquet")
+        codes = pq_encode(enc, book, m, dim).join(assign, "vec_id")
+        if residual:
+            dsub = dim // m
+            cent_subs = coarse.select(
+                F.col("cid").alias("ccid"),
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda i: F.slice(
+                            F.transform(
+                                F.col("cemb"), lambda x: x / F.col("cnrm")
+                            ),
+                            i * dsub + 1,
+                            dsub,
+                        ),
+                    )
+                ).alias("m", "csub"),
+            )
+            rnorms = (
+                codes.select(
+                    "vec_id", "ccid", F.posexplode("codes").alias("m", "cid")
+                )
+                .join(F.broadcast(book), ["m", "cid"])
+                .join(F.broadcast(cent_subs), ["ccid", "m"])
+                .select(
+                    "vec_id",
+                    (
+                        2.0 * _dot(F.col("cemb"), F.col("csub"))
+                        + _dot(F.col("cemb"), F.col("cemb"))
+                    ).alias("t"),
+                )
+                .groupBy("vec_id")
+                .agg(F.sqrt(F.lit(1.0) + F.sum("t")).alias("rnrm"))
+            )
+            codes = codes.join(rnorms, "vec_id").join(
+                emb.select(
+                    "vec_id", _norm(F.col("embedding")).alias("vnrm")
+                ),
+                "vec_id",
+            )
+        (
+            codes.repartition("ccid")
+            .write.mode("overwrite")
+            .partitionBy("ccid")
+            .parquet(f"{path}/codes.parquet")
+        )
+    finally:
+        assign.unpersist()
     return path
 
 
@@ -1531,10 +1687,12 @@ def ann_pq_from_index(
     ``emb`` — (query_id, rank, neighbor_id).
 
     ``m``/``ks`` are derived from the stored codebook, so the caller
-    cannot desynchronize them from the index. The probed ccids are
-    collected (≤ |Q|·n_probe ints) and applied as an ``isin``
-    partition filter — ``PartitionFilters`` in the explain, no
-    full-index read."""
+    cannot desynchronize them from the index; likewise an OPQ index's
+    stored transform is applied to the queries automatically (probe +
+    ADC run in the rotated space the codes live in, the final re-rank
+    on the raw vectors). The probed ccids are collected
+    (≤ |Q|·n_probe ints) and applied as an ``isin`` partition filter —
+    ``PartitionFilters`` in the explain, no full-index read."""
     coarse = spark.read.parquet(f"{path}/coarse.parquet")
     book = spark.read.parquet(f"{path}/codebook.parquet")
     codes = spark.read.parquet(f"{path}/codes.parquet")
@@ -1547,16 +1705,52 @@ def ann_pq_from_index(
     if n_probe is None:
         n_probe = auto_n_probe(coarse.count())
 
+    opq = _load_opq_transform(spark, path)
+    emb_idx = emb
+    if opq is not None:
+        model, perm = opq
+        emb_idx = apply_dim_permutation(pca_project(emb, model), perm)
+    vq = emb_idx.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     v = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    queries = v.filter(F.col("vec_id") < n_queries)
+    queries = vq.filter(F.col("vec_id") < n_queries)
     probes = _probe_lists(queries, coarse, n_probe)
     probe_rows = probes.collect()  # bounded: |Q| · n_probe
     probed_ccids = sorted({r.cid for r in probe_rows})
     pairs = spark.createDataFrame(
         [(r.query_id, r.cid) for r in probe_rows], "query_id long, ccid long"
     )
+    residual = "rnrm" in codes.columns
+    if residual:
+        # IVFADC needs IP(q, ĉ_L) per probed (query, list) pair: the
+        # stored codes reconstruct ĉ_L + decode(residual) ≈ v/‖v‖, so
+        # the ADC cosine is that constant plus the LUT fold, over ‖q‖.
+        # |Q|·n_probe rows — broadcast-sized.
+        pairs = (
+            pairs.join(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("_qe"),
+                ),
+                "query_id",
+            )
+            .join(
+                F.broadcast(
+                    coarse.select(F.col("cid").alias("ccid"), "cemb", "cnrm")
+                ),
+                "ccid",
+            )
+            .select(
+                "query_id",
+                "ccid",
+                (_dot(F.col("_qe"), F.col("cemb")) / F.col("cnrm")).alias(
+                    "qc_ip"
+                ),
+            )
+        )
 
     qsub = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -1610,13 +1804,26 @@ def ann_pq_from_index(
             lambda acc, x: acc + x,
         )
 
-    adc = (
+    base = (
         codes.filter(F.col("ccid").isin(probed_ccids))  # partition pruning
         .join(F.broadcast(pairs), "ccid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(luts), "query_id")
-        .crossJoin(F.broadcast(cn2))
-        .select(
+    )
+    if residual:
+        # codes decode the NORMALIZED vector; dividing by the stored
+        # reconstruction norm makes this the true cosine of the
+        # reconstruction (skipping it measurably costs recall)
+        adc = base.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                (F.col("qc_ip") + lookup_sum(F.col("lut")))
+                / (F.col("qnrm") * F.col("rnrm"))
+            ).alias("adc_cos"),
+        )
+    else:
+        adc = base.crossJoin(F.broadcast(cn2)).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
@@ -1624,7 +1831,6 @@ def ann_pq_from_index(
                 / (F.col("qnrm") * F.sqrt(lookup_sum(F.col("cn2"))))
             ).alias("adc_cos"),
         )
-    )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("adc_cos").desc(), F.col("neighbor_id").asc()
     )

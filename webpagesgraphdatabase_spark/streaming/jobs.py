@@ -271,7 +271,13 @@ def streaming_bottomk_quantiles(events: DataFrame, k: int = 256) -> DataFrame:
     bottom-k union is associative and order-independent, the stream's
     final estimate over any prefix-complete delivery equals the batch
     operator on the same rows — bit-for-bit, whatever the micro-batch
-    boundaries were (test-pinned). State is O(k) per key forever; no
+    boundaries were (test-pinned). One caveat inherited from the batch
+    side's hash-threshold prefilter: the stream keeps an exact bottom-k
+    while the batch operator prefilters by a hash threshold sized for
+    ≥k survivors with probability ≈1−e^−k — in the vanishingly rare
+    shortfall case the batch sample is smaller than k and the two
+    estimates differ (the batch docstring quantifies it). State is
+    O(k) per key forever; no
     watermark needed because the sketch never grows. numpy's linear
     interpolation is the same percentile definition as Spark's
     ``percentile`` and the oracle's ``percentile_cont``."""
