@@ -342,3 +342,32 @@ def test_similar_route_validates_input(store, spark, tmp_path):
 
 def test_similar_route_unconfigured_is_503(client):
     assert client.post("/similar", json={"vector": [1.0]}).status_code == 503
+
+
+def test_cypher_route_varlen_reach(client, store):
+    """POST /cypher with a variable-length reach statement compiles to
+    bounded_reach and agrees with the API on the stored graph."""
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+
+    client.post("/add_link", data={"url": "https://reach.example/a"})
+    r = client.post(
+        "/cypher",
+        json={
+            "query": "MATCH (n:Link)-[*1..2]-(m) "
+            "RETURN n.url AS url, COUNT(DISTINCT m) AS reach"
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["url", "reach"]
+    want = {
+        (row.node_id.removeprefix("Link:"), row.n_reach_2)
+        for row in bounded_reach(store.graph(), max_hops=2).collect()
+        if row.node_id.startswith("Link:")
+    }
+    assert {tuple(row) for row in body["rows"]} == want and want
+    r2 = client.post(
+        "/cypher",
+        json={"query": "MATCH (n:Link)-[*]-(m) RETURN n.url, COUNT(DISTINCT m)"},
+    )
+    assert r2.status_code == 400 and "unbounded" in r2.get_json()["error"]

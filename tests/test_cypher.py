@@ -413,3 +413,87 @@ def test_undirected_hop_orients_from_one_labeled_endpoint(g):
 def test_undirected_hop_between_unlabeled_vars_is_rejected(g):
     with pytest.raises(CypherSyntaxError, match="labeled endpoint"):
         cypher(g, "MATCH (a)-[:HAS_KEYWORD]-(b) RETURN a, b")
+
+
+# -- variable-length paths (r6 verdict item 7) -----------------------------
+
+
+def test_varlen_reach_full_graph(g):
+    """MATCH (n:Link)-[*1..2]-(m) RETURN n.url, COUNT(DISTINCT m):
+    radius-2 reach over the Link<->Keyword graph, hand-checked. a and b
+    reach {k1, the other, c}; c reaches {k1, k2, a, b}."""
+    df = cypher(
+        g,
+        "MATCH (n:Link)-[*1..2]-(m) RETURN n.url AS url, "
+        "COUNT(DISTINCT m) AS reach ORDER BY url",
+    )
+    assert df.columns == ["url", "reach"]
+    assert [tuple(r) for r in df.collect()] == [("a", 3), ("b", 3), ("c", 4)]
+
+
+def test_varlen_reach_matches_bounded_reach_api(g):
+    """The compiled statement must agree with algorithms.bounded_reach
+    row-for-row (the Done criterion)."""
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+
+    got = {
+        (r["n.url"], r["COUNT(DISTINCT m)"])
+        for r in cypher(
+            g, "MATCH (n:Link)-[*1..3]-(m) RETURN n.url, COUNT(DISTINCT m)"
+        ).collect()
+    }
+    want = {
+        (r.node_id.removeprefix("Link:"), r.n_reach_3)
+        for r in bounded_reach(g, max_hops=3).collect()
+        if r.node_id.startswith("Link:")
+    }
+    assert got == want and got
+
+
+def test_varlen_reach_seeded_point_query(g):
+    """An inline key binding (or WHERE equality) seeds the expansion:
+    only the anchor's row comes back, identical to the full run's."""
+    df = cypher(
+        g,
+        "MATCH (n:Link {url: $u})-[*1..2]-(m) "
+        "RETURN n.url, COUNT(DISTINCT m)",
+        {"u": "c"},
+    )
+    assert [tuple(r) for r in df.collect()] == [("c", 4)]
+    df2 = cypher(
+        g,
+        "MATCH (n:Link)-[*1..2]-(m) WHERE n.url = 'a' "
+        "RETURN n.url AS u, COUNT(DISTINCT m) AS c",
+    )
+    assert [tuple(r) for r in df2.collect()] == [("a", 3)]
+
+
+def test_varlen_reach_keyword_anchor(g):
+    """Keyword-side anchors work symmetrically: k1 touches all three
+    links at radius 1."""
+    df = cypher(
+        g,
+        "MATCH (n:Keyword {name: 'k1'})-[*1..1]-(m) "
+        "RETURN n.name, COUNT(DISTINCT m)",
+    )
+    assert [tuple(r) for r in df.collect()] == [("k1", 3)]
+
+
+def test_varlen_unsupported_shapes_raise(g):
+    """Unbounded *, non-1 lower bounds, directed arrows, non-keyword
+    rels, and constrained targets all refuse with CypherSyntaxError."""
+    bad = [
+        "MATCH (n:Link)-[*]-(m) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Link)-[*1..]-(m) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Link)-[*2..3]-(m) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Link)-[*1..2]->(m) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Link)<-[*1..2]-(m) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Link)-[:BELONGS_TO*1..2]-(m) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Link)-[*1..2]-(m:Keyword) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Link)-[*1..2]-(m) RETURN n.url, COUNT(m)",
+        "MATCH (n:Link)-[*1..2]-(m) RETURN n.url",
+        "MATCH (n:Link)-[*1..2]-(m), (x:Link) RETURN n.url, COUNT(DISTINCT m)",
+    ]
+    for q in bad:
+        with pytest.raises(CypherSyntaxError):
+            cypher(g, q)

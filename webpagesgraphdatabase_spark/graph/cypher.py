@@ -17,10 +17,12 @@ Scope (everything the reference executes, verified against every
 ``conn.execute`` call in ``main.py``): non-recursive chain patterns over
 Link/Category/Keyword with BELONGS_TO/HAS_KEYWORD, conjunctive WHERE
 with ``=``/``<>``/``<``/``>``/``<=``/``>=``/``IS [NOT] NULL``,
-property-map equality, parameters, implicit-grouping COUNT. Not a full
-openCypher engine: no variable-length paths in this
-front end (``algorithms.bounded_reach`` covers ``[*1..h]`` semantics),
-no expressions in RETURN beyond properties and COUNT.
+property-map equality, parameters, implicit-grouping COUNT, and the
+bounded variable-length reach shape
+``MATCH (n)-[*1..h]-(m) RETURN n, COUNT(DISTINCT m)`` (compiled to
+``algorithms.bounded_reach``; unbounded ``*`` refuses). Not a full
+openCypher engine: no path projection from var-length matches, no
+expressions in RETURN beyond properties and COUNT.
 
 Execution model: ZERO new machinery — patterns compile to the same
 equi-join trees :mod:`.motif` builds (Catalyst broadcasts the Category/
@@ -73,6 +75,11 @@ _REL_BWD = re.compile(r"<-\s*\[\s*:\s*(\w+)\s*\]\s*-")
 # keeps it from swallowing the forward form's prefix)
 _REL_UND = re.compile(r"-\s*\[\s*:\s*(\w+)\s*\]\s*-(?!>)")
 _NUMBER = re.compile(r"-?\d+(\.\d+)?")
+# variable-length hop, undirected form only: -[*1..h]- / -[:REL*1..h]-
+_REL_VAR = re.compile(r"-\s*\[\s*(?::\s*(\w+)\s*)?\*([^\]]*)\]\s*-(?!>)")
+_VAR_SPEC = re.compile(r"^\s*(\d+)\s*\.\.\s*(\d+)\s*$")
+# leftover var-length bracket (directed / malformed): targeted error
+_VAR_PROBE = re.compile(r"(<-|-)\s*\[[^\]]*\*")
 _STRING = re.compile(r"'((?:[^'\\]|\\.)*)'")
 _PARAM = re.compile(r"\$(\w+)")
 _CMP = re.compile(r"(<>|<=|>=|=|<|>)")
@@ -91,6 +98,7 @@ class _Hop:
     rel: str
     dst_var: str
     forward: bool | None  # None: undirected, resolved against labels
+    var_len: int | None = None  # [*1..h] upper bound; None: single hop
 
 
 class _P:
@@ -202,6 +210,7 @@ class _P:
         hops: list[_Hop] = []
         while True:
             self.skip_ws()
+            var_len = None
             fm = self.take(_REL_FWD)
             if fm:
                 rel, forward = fm.group(1), True
@@ -210,14 +219,24 @@ class _P:
                 if bm:
                     rel, forward = bm.group(1), False
                 else:
-                    um = self.take(_REL_UND)
-                    if not um:
-                        break
-                    rel, forward = um.group(1), None
+                    vm = self.take(_REL_VAR)
+                    if vm:
+                        rel, forward = vm.group(1) or "HAS_KEYWORD", None
+                        var_len = _parse_var_spec(vm.group(2), rel)
+                    else:
+                        um = self.take(_REL_UND)
+                        if not um:
+                            if _VAR_PROBE.match(self.text, self.pos):
+                                raise CypherSyntaxError(
+                                    "variable-length relationships must use "
+                                    "the undirected form -[*1..h]-"
+                                )
+                            break
+                        rel, forward = um.group(1), None
             if rel not in REL_ENDPOINTS:
                 raise CypherSyntaxError(f"unknown relationship type {rel}")
             nxt = self.node()
-            hops.append(_Hop(nodes[-1].var, rel, nxt.var, forward))
+            hops.append(_Hop(nodes[-1].var, rel, nxt.var, forward, var_len))
             nodes.append(nxt)
         return nodes, hops
 
@@ -243,6 +262,32 @@ class _P:
 
 
 
+def _parse_var_spec(spec: str, rel: str) -> int:
+    """Validate a ``[*...]`` hop spec: only the bounded ``1..h`` form
+    compiles (to :func:`..algorithms.bounded_reach`, whose radii are
+    cumulative from 1). Unbounded ``*`` would be an unbounded
+    transitive closure — refused, the unbound-anchor discipline."""
+    m = _VAR_SPEC.match(spec)
+    if not m:
+        raise CypherSyntaxError(
+            f"unsupported variable-length spec [*{spec.strip()}]: only the "
+            "bounded form [*1..h] is supported (unbounded * would be an "
+            "unbounded transitive closure)"
+        )
+    lo, hi = int(m.group(1)), int(m.group(2))
+    if lo != 1 or hi < 1:
+        raise CypherSyntaxError(
+            "variable-length lower bound must be 1 (reach counts are "
+            "cumulative radii: [*1..h])"
+        )
+    if rel != "HAS_KEYWORD":
+        raise CypherSyntaxError(
+            "variable-length paths traverse the Link<->Keyword graph "
+            "(HAS_KEYWORD) only"
+        )
+    return hi
+
+
 def _resolve_undirected(nodes: list[_Node], hops: list[_Hop]) -> None:
     """Orient ``-[:REL]-`` hops in place: the schema is typed, so one
     labeled endpoint (declared on either node, anywhere in the
@@ -251,7 +296,7 @@ def _resolve_undirected(nodes: list[_Node], hops: list[_Hop]) -> None:
     is genuinely ambiguous here."""
     declared = {n.var: n.label for n in nodes if n.label}
     for h in hops:
-        if h.forward is not None:
+        if h.forward is not None or h.var_len:
             continue
         src_label, dst_label = REL_ENDPOINTS[h.rel]
         a = declared.get(h.src_var)
@@ -484,6 +529,166 @@ def _cmp_to_column(fr: _Frame, c: _Cmp) -> Column:
     }[c.op]
 
 
+def _compile_reach(
+    g: PropertyGraph,
+    p: _P,
+    nodes: list[_Node],
+    hops: list[_Hop],
+    groups: list[list[str]],
+) -> DataFrame:
+    """Compile the variable-length reach-count statement shape
+
+        MATCH (n[:Link|:Keyword][{key: v}])-[*1..h]-(m)
+        [WHERE n.key = v] RETURN n[.key] [AS a], COUNT(DISTINCT m) [AS b]
+        [ORDER BY ...] [LIMIT n]
+
+    to :func:`..algorithms.bounded_reach` over the Link<->Keyword
+    graph: COUNT(DISTINCT m) is the radius-h reach count ``n_reach_h``,
+    and a key binding (inline map or WHERE equality) becomes the
+    ``seeds`` frame — the first frontier is semi-joined down before any
+    expansion, so a point query never pays the corpus closure. Shapes
+    beyond this (extra chains, constrained targets, non-key
+    predicates) raise :class:`CypherSyntaxError` — they would need the
+    pair sets themselves, which the reach operator deliberately never
+    materializes to the driver."""
+    from .algorithms import bounded_reach
+
+    if len(groups) != 1 or len(hops) != 1 or len(nodes) != 2:
+        raise CypherSyntaxError(
+            "a variable-length MATCH must be a single two-node pattern"
+        )
+    n, m2 = nodes
+    h = hops[0].var_len
+    if m2.label or m2.props:
+        raise CypherSyntaxError(
+            "the variable-length reach target must be an unconstrained "
+            "variable (reach counts span both node types)"
+        )
+    if n.label not in (None, "Link", "Keyword"):
+        raise CypherSyntaxError(
+            "variable-length paths traverse the Link<->Keyword graph; "
+            f"anchor label {n.label} is not part of it"
+        )
+    key = NODE_KEY.get(n.label) if n.label else None
+    seed_vals: list[object] = []
+    if n.props:
+        if n.label is None or set(n.props) != {key}:
+            raise CypherSyntaxError(
+                "a variable-length anchor's property map may bind only "
+                "its key property"
+            )
+        seed_vals.append(n.props[key])
+    if p.take_kw("WHERE"):
+        for c in _where(p):
+            if (
+                c.op == "="
+                and c.left == ("prop", n.var, key)
+                and c.right is not None
+                and c.right[0] == "lit"
+            ):
+                seed_vals.append(c.right[1])
+            else:
+                raise CypherSyntaxError(
+                    "variable-length WHERE supports only an equality on "
+                    "the anchor's key property"
+                )
+
+    prefix = f"{n.label}:" if n.label else None
+    seeds = None
+    if seed_vals:
+        # seeded expansion: the first frontier is semi-joined down
+        # before any join, so the point query pays its own closure only
+        ids = [(f"{prefix}{v}",) for v in seed_vals]
+        seeds = g.links.sparkSession.createDataFrame(ids, "node_id string")
+    reach = bounded_reach(g, max_hops=h, seeds=seeds)
+    if prefix:
+        reach = reach.filter(F.col("node_id").startswith(prefix))
+        key_col = F.col("node_id").substr(F.lit(len(prefix) + 1), F.lit(2**30))
+    else:
+        key_col = F.col("node_id")
+    count_col = F.col(f"n_reach_{h}")
+
+    # RETURN: n[.key] [AS a], COUNT(DISTINCT m) [AS b] — either order
+    p.expect_kw("RETURN")
+    items: list[tuple[str, Column]] = []
+    saw_count = False
+    while True:
+        if p.take_kw("COUNT"):
+            if not p.take_char("("):
+                raise CypherSyntaxError("expected '(' after COUNT")
+            if not p.take_kw("DISTINCT"):
+                raise CypherSyntaxError(
+                    "variable-length RETURN needs COUNT(DISTINCT "
+                    f"{m2.var}) — reach counts are distinct by definition"
+                )
+            v = p.expect(_IDENT, "variable").group(0)
+            if v != m2.var:
+                raise CypherSyntaxError(
+                    f"COUNT(DISTINCT {v}): {v!r} is not the reach target"
+                )
+            if not p.take_char(")"):
+                raise CypherSyntaxError("expected ')' closing COUNT")
+            name = f"COUNT(DISTINCT {v})"
+            if p.take_kw("AS"):
+                name = p.expect(_IDENT, "alias").group(0)
+            items.append((name, count_col))
+            saw_count = True
+        else:
+            v = p.expect(_IDENT, "variable").group(0)
+            if v != n.var:
+                raise CypherSyntaxError(
+                    f"variable-length RETURN may project only the anchor "
+                    f"{n.var!r} and COUNT(DISTINCT {m2.var})"
+                )
+            name = v
+            if p.take_char("."):
+                prop = p.expect(_IDENT, "property name").group(0)
+                if key is None or prop != key:
+                    raise CypherSyntaxError(
+                        "variable-length RETURN projects the anchor's key "
+                        f"property only ({key!r})"
+                    )
+                name = f"{v}.{prop}"
+            if p.take_kw("AS"):
+                name = p.expect(_IDENT, "alias").group(0)
+            items.append((name, key_col))
+        if not p.take_char(","):
+            break
+    if not saw_count:
+        raise CypherSyntaxError(
+            f"variable-length RETURN must include COUNT(DISTINCT {m2.var})"
+        )
+    out = reach.select(*[col.alias(name) for name, col in items])
+
+    if p.take_kw("ORDER"):
+        p.expect_kw("BY")
+        order_cols = []
+        out_names = set(out.columns)
+        while True:
+            v = p.expect(_IDENT, "order key").group(0)
+            name = v
+            if p.take_char("."):
+                name = f"{v}.{p.expect(_IDENT, 'property name').group(0)}"
+            if name not in out_names:
+                raise CypherSyntaxError(
+                    f"ORDER BY key {name!r} must appear in RETURN"
+                )
+            c = F.col(f"`{name}`")
+            if p.take_kw("DESC"):
+                c = c.desc()
+            else:
+                p.take_kw("ASC")
+            order_cols.append(c)
+            if not p.take_char(","):
+                break
+        out = out.orderBy(*order_cols)
+    if p.take_kw("LIMIT"):
+        out = out.limit(int(p.expect(_NUMBER, "limit count").group(0)))
+    if not p.at_end():
+        raise CypherSyntaxError(f"trailing input: {p.text[p.pos:][:40]!r}")
+    return out
+
+
 def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFrame:
     """Execute a read-only Cypher statement (MATCH … [WHERE …] RETURN …
     [ORDER BY …] [LIMIT n]) against the graph. See module docstring for
@@ -491,6 +696,8 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
     p = _P(query, params)
     p.expect_kw("MATCH")
     nodes, hops, groups = p.patterns()
+    if any(h.var_len for h in hops):
+        return _compile_reach(g, p, nodes, hops, groups)
     _resolve_undirected(nodes, hops)
     # WHERE is parsed before compiling so the unbound-anchor guard can
     # see equality bindings (the filters still apply post-compile)
