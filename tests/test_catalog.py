@@ -490,3 +490,35 @@ def test_zorder_then_zonemap_prunes_on_both_dimensions(spark, tmp_path):
     )
     # the z-locality claim: the 12%x14% corner lives in <= half the files
     assert read_files <= total // 2, (read_files, total)
+
+
+def test_zonemap_prunes_on_timestamp_column(spark, tmp_path):
+    """Zone maps on a timestamp column: stats round-trip JSON as
+    strings, so datetime range bounds must normalize into the same
+    chronologically-ordered string domain instead of raising."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i)) for i in range(48)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp").repartition(
+        8, F.col("k")
+    )
+    wh.create_table("t", df.schema)
+    wh.overwrite("t", df.sortWithinPartitions("ts"))
+    wh.cluster("t", ("ts",), target_file_bytes=2 * 1024)
+    manifest = wh.write_zonemap("t", ("ts",))
+    lo, hi = t0 + dt.timedelta(hours=10), t0 + dt.timedelta(hours=13)
+    pruned = wh.read_pruned("t", {"ts": (lo, hi)})
+    want = sorted(
+        map(tuple, wh.read("t").filter(F.col("ts").between(lo, hi)).collect())
+    )
+    assert sorted(map(tuple, pruned.collect())) == want and want
+    read_files = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert read_files < len(manifest["files"])

@@ -449,3 +449,104 @@ def test_streaming_bottomk_quantiles_equals_batch_sketch(spark, tmp_path):
             b.bq_p50,
             b.bq_p90,
         ), et
+
+
+def test_streaming_zonemap_matches_batch_and_prunes(spark, tmp_path):
+    """r6 verdict item 8: the continuous-aggregate maintainer keeps the
+    zone-map manifest fresh per micro-batch. On the closed set the
+    stream-built manifest must equal a batch recompute over the same
+    store, and the pruned read must be row-equivalent to read+filter
+    while touching a strict subset of the files."""
+    import datetime as dt
+    import json
+
+    from webpagesgraphdatabase_spark.catalog import zonemap_file_stats
+    from webpagesgraphdatabase_spark.streaming.jobs import (
+        read_store,
+        read_store_pruned,
+        run_to_parquet_with_zonemap,
+        streaming_fine_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = tmp_path / "ev"
+    # three source files = three micro-batches (maxFilesPerTrigger=1):
+    # early windows, a later hour, and a watermark-advancing sentinel
+    batches = [
+        [(i, t0 + dt.timedelta(minutes=m), 1, typ, float(v), "{}")
+         for i, (m, typ, v) in enumerate(
+             [(0, "click", 1), (3, "click", 2), (7, "view", 3), (12, "click", 4)])],
+        [(10 + i, t0 + dt.timedelta(minutes=m), 1, typ, float(v), "{}")
+         for i, (m, typ, v) in enumerate([(61, "view", 5), (63, "click", 6)])],
+        [(99, t0 + dt.timedelta(minutes=5000), 1, "view", 0.0, "{}")],
+    ]
+    for j, rows in enumerate(batches):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            str(src / f"f{j}")
+        )
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "store")
+    cols = ("window_start", "event_type")
+    run_to_parquet_with_zonemap(
+        streaming_fine_rollup(stream), store, str(tmp_path / "ckpt_zm"), cols
+    )
+
+    # stream-built manifest == batch recompute over the full store
+    # (normalized through the same JSON serialization)
+    with open(f"{store}/_zonemap.json") as f:
+        manifest = json.load(f)
+    fresh = json.loads(
+        json.dumps(zonemap_file_stats(read_store(spark, store), cols),
+                   default=str)
+    )
+    assert manifest["files"] == fresh and fresh
+    assert manifest["columns"] == list(cols)
+
+    # pruned read == full read + filter, on a selective and a
+    # range-crossing predicate (bounds in the stats' JSON string
+    # domain: timestamps serialize as "YYYY-mm-dd HH:MM:SS")
+    for ranges in (
+        {"window_start": ("2024-01-01 00:00:00", "2024-01-01 00:30:00")},
+        {"window_start": ("2024-01-01 01:00:00", None),
+         "event_type": ("click", "click")},
+        {"event_type": ("view", "view")},
+    ):
+        got = sorted(
+            map(tuple, read_store_pruned(spark, store, ranges).collect())
+        )
+        from webpagesgraphdatabase_spark.catalog import (
+            zonemap_range_predicate,
+        )
+        want = sorted(
+            map(
+                tuple,
+                read_store(spark, store)
+                .filter(zonemap_range_predicate(ranges))
+                .collect(),
+            )
+        )
+        assert got == want, ranges
+    # the first-hour range must skip the later batch's files entirely
+    sel = {"window_start": ("2024-01-01 00:00:00", "2024-01-01 00:30:00")}
+    pruned_files = (
+        read_store_pruned(spark, store, sel)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    total_files = (
+        read_store(spark, store)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert 0 < pruned_files < total_files, (pruned_files, total_files)
+    assert read_store_pruned(spark, store, sel).count() > 0

@@ -36,6 +36,88 @@ from pyspark.sql import types as T
 
 _POINTER = "_CURRENT"
 _META = "_META.json"
+#: leading underscore: Spark's file index skips _-prefixed names, so a
+#: zone-map manifest can live inside the data dir it describes
+ZONEMAP_NAME = "_zonemap.json"
+
+
+def zonemap_file_stats(df: DataFrame, cols: tuple[str, ...]) -> dict:
+    """Per-data-file ``{file: {n_rows, col: [min, max], ...}}`` stats
+    for the files behind ``df`` — one scan with a per-file partial
+    aggregation, the manifest is n_files-sized. Shared by the batch
+    :meth:`Warehouse.write_zonemap` and the streaming maintainer
+    (``streaming.jobs.run_to_parquet_with_zonemap``), so the two can
+    never disagree on how stats are derived."""
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = (
+        df.select(F.input_file_name().alias("_file"), *cols)
+        .groupBy("_file")
+        .agg(*aggs)
+        .collect()
+    )
+    files = {}
+    for r in rows:
+        fname = r["_file"]
+        if fname.startswith("file:"):
+            fname = fname[len("file:") :]
+        files[fname] = {
+            "n_rows": r["n_rows"],
+            **{c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols},
+        }
+    return files
+
+
+def zonemap_surviving_files(manifest: dict, ranges: dict) -> list[str]:
+    """Manifest files whose [min, max] interval intersects every
+    requested range — the files a pruned read must scan. Stats are a
+    pruning hint, never a correctness filter: untracked columns and
+    all-null stats keep the file.
+
+    Manifests round-trip JSON, so timestamp/date stats arrive as their
+    ``str()`` serialization ("YYYY-MM-DD[ HH:MM:SS]"), which sorts
+    chronologically — datetime/date bounds are normalized into that
+    domain before comparing, never compared cross-type."""
+    import datetime as _dt
+
+    tracked = set(manifest["columns"])
+
+    def norm(bound, stat):
+        # JSON stringified the stat; compare the bound in the same
+        # (chronologically-ordered) string domain
+        if isinstance(bound, (_dt.datetime, _dt.date)) and isinstance(
+            stat, str
+        ):
+            return str(bound)
+        return bound
+
+    def survives(st: dict) -> bool:
+        for c, (lo, hi) in ranges.items():
+            if c not in tracked or c not in st:
+                continue
+            mn, mx = st[c]
+            if mn is None or mx is None:
+                continue  # all-null file: never prunable by range
+            if lo is not None and mx < norm(lo, mx):
+                return False
+            if hi is not None and mn > norm(hi, mn):
+                return False
+        return True
+
+    return [f for f, st in manifest["files"].items() if survives(st)]
+
+
+def zonemap_range_predicate(ranges: dict):
+    """The row-level predicate a pruned read still applies to surviving
+    files (pruning skips provably-empty files; it never filters rows)."""
+    pred = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            pred = pred & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(c) <= F.lit(hi))
+    return pred
 
 
 class TableNotFoundError(KeyError):
@@ -429,7 +511,7 @@ class Warehouse:
 
     #: leading underscore: Spark's file index skips _-prefixed names,
     #: so the manifest can live inside the version dir it describes
-    _ZONEMAP = "_zonemap.json"
+    _ZONEMAP = ZONEMAP_NAME
 
     def write_zonemap(self, name: str, cols: tuple[str, ...]) -> dict:
         """Per-file min/max statistics (zone maps — Netezza's term;
@@ -445,27 +527,7 @@ class Warehouse:
         version = self._current_version(name)
         vdir = os.path.join(self.root, name, version)
         df = self._read_path(name, vdir)
-        aggs = [F.count("*").alias("n_rows")]
-        for c in cols:
-            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        rows = (
-            df.select(F.input_file_name().alias("_file"), *cols)
-            .groupBy("_file")
-            .agg(*aggs)
-            .collect()
-        )
-        files = {}
-        for r in rows:
-            fname = r["_file"]
-            if fname.startswith("file:"):
-                fname = fname[len("file:") :]
-            files[fname] = {
-                "n_rows": r["n_rows"],
-                **{
-                    c: [r[f"min_{c}"], r[f"max_{c}"]]
-                    for c in cols
-                },
-            }
+        files = zonemap_file_stats(df, cols)
         manifest = {"version": version, "columns": list(cols), "files": files}
         with open(os.path.join(vdir, self._ZONEMAP), "w") as f:
             json.dump(manifest, f, indent=1, default=str)
@@ -494,34 +556,13 @@ class Warehouse:
             )
         with open(mpath) as f:
             manifest = json.load(f)
-        tracked = set(manifest["columns"])
-
-        def survives(st: dict) -> bool:
-            for c, (lo, hi) in ranges.items():
-                if c not in tracked or c not in st:
-                    continue
-                mn, mx = st[c]
-                if mn is None or mx is None:
-                    continue  # all-null file: never prunable by range
-                if lo is not None and mx < lo:
-                    return False
-                if hi is not None and mn > hi:
-                    return False
-            return True
-
-        keep = [f for f, st in manifest["files"].items() if survives(st)]
+        keep = zonemap_surviving_files(manifest, ranges)
         ver_num = int(version[1:])
         if not keep:
             df = self._read_path(name, vdir).limit(0)
         else:
             df = self._read_files(name, keep, ver_num)
-        pred = F.lit(True)
-        for c, (lo, hi) in ranges.items():
-            if lo is not None:
-                pred = pred & (F.col(c) >= F.lit(lo))
-            if hi is not None:
-                pred = pred & (F.col(c) <= F.lit(hi))
-        return df.filter(pred)
+        return df.filter(zonemap_range_predicate(ranges))
 
     def diff(
         self, name: str, v_from: int, v_to: int, key: str | None = None

@@ -49,7 +49,9 @@ def _on(table: str, fn: Callable, *args) -> Callable[[SparkSession, str], DataFr
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both document fingerprints (min-shingle + Rabin-Karp rolling)
     plus the exact duplicated-span counts (Lee et al. window dedup,
-    dedup.duplicated_window_stats) in one row per doc; each operator
+    dedup.duplicated_window_stats) AND the span-strip rewrite itself
+    (dedup.strip_duplicated_spans, hashed — r7: the strip output was
+    previously unit-pinned only) in one row per doc; each operator
     runs unchanged and joins on doc_id (spans left-joined — docs
     shorter than the window have no span windows)."""
     from pyspark.sql import functions as F
@@ -60,9 +62,13 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = textstats.fingerprint(docs)
     rfp = textstats.rolling_fingerprint(docs)
     spans = dedup.duplicated_window_stats(docs)
+    strip = dedup.strip_duplicated_spans(docs).select(
+        "doc_id", F.md5("deduped_text").alias("strip_md5")
+    )
     joined = (
         fp.join(rfp, "doc_id")
         .join(spans, "doc_id", "left")
+        .join(strip, "doc_id", "left")
         .select(
             "doc_id",
             "fp",
@@ -76,6 +82,9 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_foreign_dup", F.lit(0))
             .cast("long")
             .alias("n_foreign_dup"),
+            F.coalesce(F.col("strip_md5"), F.md5(F.lit(""))).alias(
+                "strip_md5"
+            ),
         )
     )
     return joined.withColumn(
@@ -1173,15 +1182,41 @@ spandoc AS (
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign_dup
   FROM spanw s JOIN spanglob g ON s.wk = g.wk
   GROUP BY s.doc_id
+),
+-- span-strip rewrite (dedup.strip_duplicated_spans): drop tokens
+-- covered by any window whose first corpus occurrence is a different
+-- doc, rejoin the survivors with single spaces, hash the result
+spanp AS (
+  SELECT doc_id, generate_subscripts(wks, 1) - 1 AS pos, unnest(wks) AS wk
+  FROM span_lists
+),
+covered AS (
+  SELECT DISTINCT p.doc_id, p.pos + o.k AS cpos
+  FROM spanp p
+  JOIN spanglob g ON p.wk = g.wk
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) o
+  WHERE g.n_occ > 1 AND g.first_doc <> p.doc_id
+),
+keptt AS (
+  SELECT t.doc_id, t.pos, t.token
+  FROM tok t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+  WHERE c.doc_id IS NULL
+),
+strip AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS deduped_text
+  FROM keptt GROUP BY doc_id
 )
 SELECT m.doc_id, m.fp, m.n_shingles, r.rolling_fp, r.n_windows,
        COALESCE(d.n_spanwin, 0) AS n_spanwin,
        COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
        COALESCE(d.n_foreign_dup, 0) AS n_foreign_dup,
+       md5(COALESCE(st.deduped_text, '')) AS strip_md5,
        round(COALESCE(d.n_dup_windows, 0) * 1.0
              / GREATEST(COALESCE(d.n_spanwin, 0), 1), 6) AS dup_fraction
 FROM minshingle m JOIN rolling r ON m.doc_id = r.doc_id
 LEFT JOIN spandoc d ON m.doc_id = d.doc_id
+LEFT JOIN strip st ON m.doc_id = st.doc_id
 """,
     # --- multimodal (payload bytes == text chars: corpus is pure ASCII) ---
     "mm_byte_histogram": r"""

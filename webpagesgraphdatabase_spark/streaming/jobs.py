@@ -370,6 +370,118 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint_dir: str) -> None
     q.awaitTermination()
 
 
+def run_to_parquet_with_zonemap(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    cols: tuple[str, ...],
+) -> None:
+    """:func:`run_to_parquet` twin that also maintains a zone-map
+    manifest incrementally, so the serving read path
+    (:func:`read_store_pruned`) prunes on streamed data exactly as
+    :meth:`..catalog.Warehouse.read_pruned` does on batch-written
+    tables (r6 verdict item 8).
+
+    Each micro-batch lands in its own ``b<batch_id>`` subdir with
+    ``mode=overwrite`` — a replayed batch after a crash rewrites the
+    same files and re-derives the same stats, the foreachBatch
+    idempotence discipline (the file sink's transaction-log role,
+    done with directories). The batch's per-file min/max (from the
+    shared :func:`..catalog.zonemap_file_stats`, so batch and stream
+    can never derive stats differently) then merges into
+    ``_zonemap.json`` atomically (temp + ``os.replace``), replacing
+    any stale entries for that batch dir first. Single writer, like
+    every warehouse mutation; manifest work per batch is
+    O(new files), never a store rescan."""
+    import json
+    import os
+
+    from ..catalog import ZONEMAP_NAME, zonemap_file_stats
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(path, f"b{batch_id:08d}")
+        batch_df.write.mode("overwrite").parquet(bdir)
+        part = zonemap_file_stats(
+            batch_df.sparkSession.read.parquet(bdir), cols
+        )
+        mpath = os.path.join(path, ZONEMAP_NAME)
+        manifest = {"columns": list(cols), "files": {}}
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        prefix = bdir.rstrip("/") + "/"
+        manifest["files"] = {
+            f: st
+            for f, st in manifest["files"].items()
+            if not f.startswith(prefix)
+        }
+        manifest["files"].update(part)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, mpath)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Full scan of a :func:`run_to_parquet_with_zonemap` store: the
+    per-batch subdirs read recursively (``_``-prefixed manifest files
+    are skipped by Spark's file index)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def read_store_pruned(spark: SparkSession, path: str, ranges: dict) -> DataFrame:
+    """Zone-map-pruned scan of a streamed store — row-equivalent to
+    ``read_store(...).filter(...)``, reading only the files whose
+    [min, max] intersects every range. A data file the manifest has
+    not caught up with (a writer between its batch write and manifest
+    flip) is read unconditionally: stats are a pruning hint, never a
+    correctness filter. ``ranges`` maps column → (lower, upper),
+    either bound None for open."""
+    import json
+    import os
+
+    from ..catalog import (
+        ZONEMAP_NAME,
+        zonemap_range_predicate,
+        zonemap_surviving_files,
+    )
+
+    mpath = os.path.join(path, ZONEMAP_NAME)
+    if not os.path.isfile(mpath):
+        raise FileNotFoundError(
+            f"no zone map at {path}; run run_to_parquet_with_zonemap first"
+        )
+    with open(mpath) as f:
+        manifest = json.load(f)
+    keep = set(zonemap_surviving_files(manifest, ranges))
+    # input_file_name URIs strip to ///path; normalize before comparing
+    # against the os.walk listing or every known file double-reads
+    known = {os.path.normpath(f) for f in manifest["files"]}
+    on_disk = [
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(path)
+        for fn in fns
+        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+    ]
+    files = sorted(
+        keep | {f for f in on_disk if os.path.normpath(f) not in known}
+    )
+    if not files:
+        df = read_store(spark, path).limit(0)
+    else:
+        df = spark.read.parquet(*files)
+    return df.filter(zonemap_range_predicate(ranges))
+
+
 def rollup_from_store(
     spark, path: str, minutes: tuple[int, ...] = (5, 60, 1440)
 ) -> DataFrame:
