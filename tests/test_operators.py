@@ -1076,15 +1076,48 @@ def test_ivf_index_append_equals_full_rebuild_with_same_centroids(spark, tmp_pat
     )
     (
         v.join(similarity._argmax_assign(v, stored), "vec_id")
+        .withColumn("batch", F.lit(0))
         .repartition("cid")
         .write.mode("overwrite")
-        .partitionBy("cid")
+        .partitionBy("cid", "batch")
         .parquet(f"{full}/lists.parquet")
     )
 
     got = sorted(map(tuple, similarity.ann_ivf_from_index(spark, inc, k=5).collect()))
     want = sorted(map(tuple, similarity.ann_ivf_from_index(spark, full, k=5).collect()))
     assert got == want and got
+
+
+def test_ivf_index_append_replay_is_idempotent(spark, tmp_path):
+    """Re-running an append with the same batch id (the crash-replay /
+    speculative-retry case) overwrites exactly its own (cid, batch)
+    partitions — no duplicated vectors, identical query results."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(first, path, n_centroids=8)
+    similarity.ivf_index_append(second, path, batch=7)
+    once = spark.read.parquet(f"{path}/lists.parquet").count()
+    res_once = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    similarity.ivf_index_append(second, path, batch=7)  # replay
+    assert spark.read.parquet(f"{path}/lists.parquet").count() == once
+    res_twice = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    assert res_twice == res_once
+    # auto-numbering continues past the replayed batch
+    similarity.ivf_index_append(second.limit(0), path)  # no-op rows, batch 8
+    batches = {
+        r.batch
+        for r in spark.read.parquet(f"{path}/lists.parquet")
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    assert batches == {0, 7}
 
 
 def test_trigram_score_hand_computed(spark):

@@ -550,3 +550,58 @@ def test_streaming_zonemap_matches_batch_and_prunes(spark, tmp_path):
     )
     assert 0 < pruned_files < total_files, (pruned_files, total_files)
     assert read_store_pruned(spark, store, sel).count() > 0
+
+
+def test_streaming_ivf_ingest_matches_batch_rebuild(spark, tmp_path):
+    """A vector stream feeding streaming_ivf_ingest grows the at-rest
+    IVF index micro-batch by micro-batch; queries over the streamed
+    index must equal queries over a full rebuild of the union corpus
+    against the same frozen centroids."""
+    from webpagesgraphdatabase_spark.operators import similarity
+    from webpagesgraphdatabase_spark.streaming.jobs import (
+        streaming_ivf_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(first, path, n_centroids=8)
+
+    # two source files -> two micro-batches
+    src = tmp_path / "vecs"
+    rest.filter(F.col("vec_id") % 4 == 1).write.parquet(str(src / "a"))
+    rest.filter(F.col("vec_id") % 4 == 3).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    streaming_ivf_ingest(stream, path, str(tmp_path / "ckpt_ivf"))
+
+    lists = spark.read.parquet(f"{path}/lists.parquet")
+    assert lists.count() == emb.count()
+    batches = {r.batch for r in lists.select("batch").distinct().collect()}
+    assert 0 in batches and len(batches) == 3  # base + two micro-batches
+
+    full = str(tmp_path / "ivf_full")
+    similarity.build_ivf_index(first, full, n_centroids=8)
+    stored = spark.read.parquet(f"{full}/centroids.parquet")
+    v = emb.select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    (
+        v.join(similarity._argmax_assign(v, stored), "vec_id")
+        .withColumn("batch", F.lit(0))
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid", "batch")
+        .parquet(f"{full}/lists.parquet")
+    )
+    got = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, full, k=5).collect())
+    )
+    assert got == want and got

@@ -518,15 +518,19 @@ def build_ivf_index(
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     (
         v.join(_argmax_assign(v, stored), "vec_id")
+        # ingest segment 0: appends land in their own (cid, batch)
+        # partitions, which is what makes incremental ingest replayable
+        # (see ivf_index_append)
+        .withColumn("batch", F.lit(0))
         .repartition("cid")
         .write.mode("overwrite")
-        .partitionBy("cid")
+        .partitionBy("cid", "batch")
         .parquet(f"{path}/lists.parquet")
     )
     return path
 
 
-def ivf_index_append(emb: DataFrame, path: str) -> str:
+def ivf_index_append(emb: DataFrame, path: str, batch: int | None = None) -> str:
     """Incrementally add vectors to a :func:`build_ivf_index` layout:
     assign the new batch against the *stored* centroids (broadcast
     argmax — the corpus at rest is never read) and append to the
@@ -537,21 +541,48 @@ def ivf_index_append(emb: DataFrame, path: str) -> str:
     quantizer is intentionally frozen — centroids drift only on an
     explicit rebuild, so recall degrades gracefully (and measurably,
     via the recall sidecar) as the distribution shifts, instead of the
-    index silently changing under queries. Append-mode ``partitionBy``
-    writes add files to each touched list's directory; existing list
-    files are untouched, so concurrent readers stay consistent.
+    index silently changing under queries.
 
-    Callers own vec_id uniqueness across batches (as with any upsertless
-    append sink)."""
-    stored = emb.sparkSession.read.parquet(f"{path}/centroids.parquet")
+    Each ingest lands in its own ``batch`` sub-partition under every
+    touched list (``cid=N/batch=M``) and the write is a DYNAMIC
+    partition overwrite keyed on that batch id: re-running the same
+    batch (a crash replay, a speculative retry of a foreachBatch hook)
+    overwrites exactly its own partitions instead of duplicating
+    vectors — exactly-once ingest without a transaction log, the same
+    replay discipline as the streaming zone-map maintainer. Existing
+    list files (other batches) are untouched, so concurrent readers
+    stay consistent, and the reader's cid partition pruning is
+    unaffected (cid stays the leading partition key).
+
+    ``batch=None`` allocates max(existing)+1 — a metadata-only scan of
+    the partition column. Callers own vec_id uniqueness across batches
+    (as with any upsertless append sink); the streaming twin
+    (``streaming.jobs.streaming_ivf_ingest``) derives batch ids from
+    its checkpoint."""
+    spark = emb.sparkSession
+    stored = spark.read.parquet(f"{path}/centroids.parquet")
+    lists_path = f"{path}/lists.parquet"
+    if batch is None:
+        prev = spark.read.parquet(lists_path).agg(F.max("batch")).first()[0]
+        batch = int(prev or 0) + 1
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    (
+    out = (
         v.join(_argmax_assign(v, stored), "vec_id")
-        .repartition("cid")
-        .write.mode("append")
-        .partitionBy("cid")
-        .parquet(f"{path}/lists.parquet")
+        .withColumn("batch", F.lit(int(batch)))
     )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid", "batch")
+            .parquet(lists_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return path
 
 

@@ -482,6 +482,39 @@ def read_store_pruned(spark: SparkSession, path: str, ranges: dict) -> DataFrame
     return df.filter(zonemap_range_predicate(ranges))
 
 
+def streaming_ivf_ingest(
+    vec_stream: DataFrame, path: str, checkpoint_dir: str
+) -> None:
+    """Streaming twin of ``similarity.ivf_index_append``: each
+    micro-batch of (vec_id, embedding) rows is assigned against the
+    index's STORED frozen centroids (broadcast argmax — the corpus at
+    rest is never read) and lands in the ``(cid, batch)`` partition
+    layout via dynamic partition overwrite keyed on this micro-batch's
+    id. A crash replay re-delivers the same batch id and overwrites
+    exactly its own partitions — exactly-once index growth without a
+    transaction log, so an ANN index stays queryable and fresh while a
+    vector stream feeds it (the serving loop the at-rest layout
+    exists for).
+
+    Batch ids map to ``bid + 1`` so the base build's segment 0 is
+    never touched; the stream owns the id space through its
+    checkpoint. availableNow + blocking, like the other drain-style
+    jobs here."""
+    from ..operators.similarity import ivf_index_append
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append(batch_df, path, batch=int(batch_id) + 1)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def rollup_from_store(
     spark, path: str, minutes: tuple[int, ...] = (5, 60, 1440)
 ) -> DataFrame:
