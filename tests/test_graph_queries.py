@@ -100,10 +100,16 @@ def test_interconnections_symmetric_both_orientations(tiny_graph):
 
 def test_pair_counts_matches_symmetric(tiny_graph):
     rows = {
-        (r.category_1, r.category_2): r.cnt
+        (r.category_1, r.category_2): (r.cnt, r.ra_score)
         for r in Q.interconnection_pair_counts(tiny_graph).collect()
     }
-    assert rows == {("CatA", "CatB"): 2, ("CatB", "CatA"): 2}
+    # k1 is carried by 3 links -> w = 1e9 div 3 = 333333333; both
+    # cross-category pairs (u1-u2, u3-u2) share only k1, so each
+    # direction's Resource-Allocation total is 2 * w
+    assert rows == {
+        ("CatA", "CatB"): (2, 666_666_666),
+        ("CatB", "CatA"): (2, 666_666_666),
+    }
 
 
 def test_counts_and_distinct(tiny_graph):

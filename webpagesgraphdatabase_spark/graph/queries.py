@@ -313,29 +313,46 @@ def interconnections_symmetric(
 
 def interconnection_pair_counts(g: PropertyGraph) -> DataFrame:
     """Scale-honest full interconnection: count of symmetric
-    cross-category link pairs per (category_1, category_2).
+    cross-category link pairs per (category_1, category_2), plus the
+    pairs' total Resource-Allocation link-prediction strength (Zhou et
+    al. 2009 — Σ over shared keywords of 1/deg(keyword); rare shared
+    keywords predict links, ubiquitous ones don't). RA is the
+    integer-exact member of the common-neighbor index family
+    (Adamic-Adar's 1/log(deg) can't hash-match across engines;
+    1e9 div deg can), summed per category pair as ``ra_score``.
 
     Computed **without expanding pairs**: cnt(c1,c2) = Σ_k n_k(c1)·n_k(c2)
-    where n_k(c) = links in category c carrying keyword k. That turns a
+    and ra(c1,c2) = Σ_k w_k·n_k(c1)·n_k(c2), with n_k(c) = links in
+    category c carrying keyword k and w_k = 1e9 div deg_k. That turns a
     join quadratic in links-per-keyword (≈2×10⁹ intermediate rows at
     sf0.1) into one |E|-sized aggregation plus a self-join of the tiny
-    (keyword, category, n) table — the only form that survives 100 TB.
-    The DuckDB oracle remains the naive quadratic join, so equivalence
-    is machine-checked at sf0.01.
+    (keyword, category, n) table — the only form that survives 100 TB;
+    the degree weight joins on the same keyword key, adding no new
+    shuffle shape. The DuckDB oracle remains the naive quadratic join,
+    so equivalence is machine-checked at sf0.01.
     """
     per_kc = _annotated_edges(g).groupBy("keyword", "category").agg(
         F.count("*").alias("n")
+    )
+    w = per_kc.groupBy("keyword").agg(
+        F.expr("1000000000 DIV sum(n)").alias("w")
     )
     a = per_kc.alias("a")
     b = per_kc.alias("b")
     return (
         a.join(b, F.col("a.keyword") == F.col("b.keyword"))
         .filter(F.col("a.category") != F.col("b.category"))
+        .join(w.alias("w"), F.col("a.keyword") == F.col("w.keyword"))
         .groupBy(
             F.col("a.category").alias("category_1"),
             F.col("b.category").alias("category_2"),
         )
-        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("cnt"))
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n")).alias("cnt"),
+            F.sum(F.col("w.w") * F.col("a.n") * F.col("b.n")).alias(
+                "ra_score"
+            ),
+        )
     )
 
 

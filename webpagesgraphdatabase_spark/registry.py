@@ -191,13 +191,19 @@ WHERE b1.dst_category <> b2.dst_category
 """.replace("{SYM_KEYWORD}", SYM_KEYWORD).replace("{SYM_CATEGORY}", SYM_CATEGORY),
     "g_interconnect_pair_counts": GRAPH_ORACLE_CTE
     + """
+, kdeg AS (
+  SELECT dst_keyword, 1000000000 // count(*) AS w
+  FROM has_keyword GROUP BY dst_keyword
+)
 SELECT b1.dst_category AS category_1, b2.dst_category AS category_2,
-       count(*) AS cnt
+       count(*) AS cnt,
+       CAST(sum(d.w) AS BIGINT) AS ra_score
 FROM has_keyword hk1
 JOIN has_keyword hk2
   ON hk1.dst_keyword = hk2.dst_keyword AND hk1.src_url <> hk2.src_url
 JOIN belongs_to b1 ON hk1.src_url = b1.src_url
 JOIN belongs_to b2 ON hk2.src_url = b2.src_url
+JOIN kdeg d ON d.dst_keyword = hk1.dst_keyword
 WHERE b1.dst_category <> b2.dst_category
 GROUP BY b1.dst_category, b2.dst_category
 """,
