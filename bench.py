@@ -484,6 +484,43 @@ def main() -> None:
             "d_span_dedup_hot",
             lambda: _force(dedup.duplicated_window_stats(hot)),
         )
+        group_mark("warehouse")
+
+        # warehouse layer (r7): the lakehouse maintenance ops get
+        # measured numbers — small-file compaction, Z-order clustering
+        # on a (string, timestamp) pair (the r7 string-rank path), the
+        # zone-map manifest write, and the pruned range read it buys
+        from webpagesgraphdatabase_spark.catalog import Warehouse
+
+        wh_dir = tempfile.mkdtemp(prefix="bench_wh_")
+        try:
+            wh = Warehouse(spark, wh_dir)
+            ev_w = load_table(spark, sf_dir, "events")
+            wh.create_table("events", ev_w.schema)
+            wh.overwrite("events", ev_w.repartition(64))  # fragmented
+            timed("w_compact", lambda: wh.compact("events"), repeats=3)
+            timed(
+                "w_cluster_zorder",
+                lambda: wh.cluster(
+                    "events", ("event_type", "ts"), target_file_bytes=1 << 20
+                ),
+                repeats=3,
+            )
+            timed(
+                "w_zonemap_write",
+                lambda: wh.write_zonemap("events", ("event_type", "ts")),
+                repeats=3,
+            )
+            lo_hi = ev_w.agg(
+                SF.min("event_type").alias("lo"), SF.max("event_type").alias("hi")
+            ).first()
+            ranges = {"event_type": (lo_hi["lo"], lo_hi["lo"])}
+            timed(
+                "w_read_pruned",
+                lambda: _force(wh.read_pruned("events", ranges)),
+            )
+        finally:
+            shutil.rmtree(wh_dir, ignore_errors=True)
         group_mark("embed")
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -42,6 +42,26 @@ def test_pagerank_symmetric_pair_is_uniform(spark):
     assert len(set(ranks.values())) == 1  # two disjoint symmetric pairs
 
 
+def test_personalized_pagerank_concentrates_on_seed_component(spark):
+    """PPR with the restart mass on Link:a: nodes in a's island carry
+    all the mass (seed highest among links), the other island reads
+    exactly 0.0 — relevance-to-seed, not global centrality."""
+    g = _graph(spark, [("a", "K1"), ("b", "K1"), ("c", "K2")])
+    seeds = spark.createDataFrame([("Link:a",)], "node_id string")
+    ppr = {r.node_id: r.rank for r in
+           pagerank(g, iterations=10, seeds=seeds).collect()}
+    assert ppr["Link:c"] == 0.0 and ppr["Keyword:K2"] == 0.0
+    assert ppr["Link:a"] > ppr["Link:b"] > 0.0
+    assert ppr["Keyword:K1"] > 0.0
+    assert sum(ppr.values()) == pytest.approx(1.0, abs=1e-4)
+    # uniform ranks unchanged by the seeded branch (regression pin)
+    uniform = {r.node_id: r.rank for r in pagerank(g, iterations=5).collect()}
+    assert sum(uniform.values()) == pytest.approx(1.0, abs=1e-4)
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(g, seeds=spark.createDataFrame([("Link:zzz",)],
+                                                "node_id string"))
+
+
 def test_connected_components_two_islands(spark):
     g = _graph(spark, [("a", "K1"), ("b", "K1"), ("c", "K2")])
     comp = {r.node_id: r.component for r in connected_components(g).collect()}

@@ -36,20 +36,62 @@ def bipartite_edges(g: PropertyGraph) -> DataFrame:
 
 
 def pagerank(
-    g: PropertyGraph, iterations: int = 5, alpha: float = 0.85
+    g: PropertyGraph,
+    iterations: int = 5,
+    alpha: float = 0.85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank on the undirected bipartite graph: (node_id, rank).
 
-    r ← (1-α)/N + α · Σ_in r_src/deg_src, ``iterations`` supersteps from
-    the uniform start. The graph is undirected so there are no dangling
-    nodes (every node has out-edges). Ranks are rounded to 6 dp at the
-    end only."""
+    r ← (1-α)·s + α · Σ_in r_src/deg_src, ``iterations`` supersteps
+    from r0 = s. With ``seeds=None`` s is uniform (classic PageRank,
+    arithmetic byte-identical to the pre-seeded implementation so the
+    oracle series is stable). Passing ``seeds`` (a DataFrame with a
+    ``node_id`` column) makes it Personalized PageRank (Haveliwala
+    2002): the restart mass concentrates on the seed set — the random
+    surfer teleports home — so ranks measure relevance *to the seeds*
+    rather than global centrality; unreachable nodes read exactly 0.
+
+    The graph is undirected so there are no dangling nodes (every node
+    has out-edges). Ranks are rounded to 6 dp at the end only.
+
+    Scale shape per superstep is unchanged by seeding: one equi-join of
+    the edge list against the current ranks, a partial-agg sum per dst,
+    and a join back to the (node, restart) table — the restart column
+    rides the node table, never a broadcast of the seed set into the
+    edge-sized join."""
     edges = bipartite_edges(g).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node_id"))
     n = nodes.count()
 
-    ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank")).persist()
+    if seeds is None:
+        base = nodes.select("node_id", F.lit(1.0 / n).alias("s"))
+        # single fused double op, byte-compatible with the r1-r6 oracle
+        restart = F.lit((1.0 - alpha) / n)
+    else:
+        seed_set = nodes.join(
+            seeds.select("node_id").distinct(), "node_id", "left_semi"
+        ).persist()
+        k = seed_set.count()
+        if k == 0:
+            seed_set.unpersist()
+            edges.unpersist()
+            raise ValueError("no seed node_id is present in the graph")
+        base = (
+            nodes.join(
+                seed_set.select("node_id", F.lit(1.0 / k).alias("s")),
+                "node_id",
+                "left",
+            )
+            .select("node_id", F.coalesce("s", F.lit(0.0)).alias("s"))
+        )
+        seed_set.unpersist()
+        restart = F.lit(1.0 - alpha) * F.col("s")
+    base = base.persist()
+    base.count()
+
+    ranks = base.select("node_id", F.col("s").alias("rank")).persist()
     ranks.count()
     for _ in range(iterations):
         contribs = (
@@ -60,11 +102,12 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
         )
         new_ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "node_id"), "node_id", "left")
+            base.join(contribs.withColumnRenamed("dst", "node_id"), "node_id", "left")
             .select(
                 "node_id",
+                "s",
                 (
-                    F.lit((1.0 - alpha) / n)
+                    restart
                     + F.lit(alpha) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -75,6 +118,7 @@ def pagerank(
         ranks = new_ranks
     out = ranks.select("node_id", F.round("rank", 6).alias("rank"))
     edges.unpersist()
+    base.unpersist()
     return out
 
 

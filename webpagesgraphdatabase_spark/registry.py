@@ -50,6 +50,19 @@ def _g(fn: Callable, *args) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_pagerank_with_ppr(g) -> DataFrame:
+    """Classic PageRank plus the Personalized variant in one row:
+    (node_id, rank, ppr). The PPR seed is the smallest Link node id —
+    deterministic and derivable by the DuckDB oracle, which unrolls
+    both recurrences as parallel CTE chains."""
+    pr = pagerank(g)
+    seed = g.links.agg(
+        F.min(F.concat(F.lit("Link:"), F.col("url"))).alias("node_id")
+    )
+    ppr = pagerank(g, seeds=seed).withColumnRenamed("rank", "ppr")
+    return pr.join(ppr, "node_id")
+
+
 # count_links rides along as the NULL-category total row, and both
 # orphan anti-joins share one query — see the registry-width note in
 # registry_ops.py (the driver's gate records ~50 rows; merged rows keep
@@ -119,8 +132,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # iterative algorithms; hash-checked since round 2 — PageRank's 5
     # supersteps unroll into chained CTEs, components' min-label
     # fixpoint is a WITH RECURSIVE closure (see _pagerank_oracle /
-    # _COMPONENTS_ORACLE below)
-    "g_pagerank": _g(pagerank),
+    # _COMPONENTS_ORACLE below). The row also carries Personalized
+    # PageRank (r7) seeded on the smallest Link node — deterministic
+    # and data-derived, so the oracle reproduces the seed choice —
+    # joined on node_id as `ppr` (unreachable nodes read exactly 0)
+    "g_pagerank": _g(_q_pagerank_with_ppr),
     # components + the var-length bounded-reach counts + label-propagation
     # communities + triangle participation share one row (joined on
     # node_id — same bipartite graph; triangles live on the top-100
@@ -339,11 +355,40 @@ r{i} AS (
     GROUP BY e.dst
   ) s ON nd.node_id = s.node_id
 )""")
+    # Personalized PageRank chain (r7): restart mass on the smallest
+    # Link node — the same deterministic data-derived seed the Spark
+    # row uses. r0 = s; r ← (1-α)·s + α·Σ, with (1-α) and ·s as two
+    # separate double ops, exactly mirroring the seeded branch of
+    # graph/algorithms.pagerank.
+    steps.append(""",
+pbase AS (
+  SELECT node_id,
+         CASE WHEN node_id = (SELECT min(node_id) FROM nodes
+                              WHERE node_id LIKE 'Link:%')
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS s
+  FROM nodes
+),
+p0 AS (SELECT node_id, s AS rank FROM pbase)""")
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+p{i} AS (
+  SELECT b.node_id,
+         (CAST(1.0 AS DOUBLE) - {alpha}) * b.s + {alpha} * s.in_sum AS rank
+  FROM pbase b JOIN (
+    SELECT e.dst AS node_id, sum(r.rank / d.deg) AS in_sum
+    FROM edges e
+    JOIN deg d ON e.src = d.src
+    JOIN p{i - 1} r ON r.node_id = e.src
+    GROUP BY e.dst
+  ) s ON b.node_id = s.node_id
+)""")
     return (
         GRAPH_ORACLE_CTE
         + _BIPARTITE_CTE
         + "".join(steps)
-        + f"\nSELECT node_id, round(rank, 6) AS rank FROM r{iterations}"
+        + f"""
+SELECT r.node_id, round(r.rank, 6) AS rank, round(p.rank, 6) AS ppr
+FROM r{iterations} r JOIN p{iterations} p ON r.node_id = p.node_id"""
     )
 
 
