@@ -1088,6 +1088,31 @@ def test_ivf_index_append_equals_full_rebuild_with_same_centroids(spark, tmp_pat
     assert got == want and got
 
 
+def test_compact_ivf_lists_preserves_results_and_merges_segments(spark, tmp_path):
+    """After several appends the lists fragment into per-batch files;
+    compaction folds them back to segment 0 with bit-identical query
+    results (assignments are never recomputed — frozen centroids)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path,
+                               n_centroids=8)
+    similarity.ivf_index_append(emb.filter(F.col("vec_id") % 3 == 1), path)
+    similarity.ivf_index_append(emb.filter(F.col("vec_id") % 3 == 2), path)
+    before_rows = spark.read.parquet(f"{path}/lists.parquet").count()
+    res_before = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    report = similarity.compact_ivf_lists(spark, path)
+    assert report["files_after"] < report["files_before"]
+    lists = spark.read.parquet(f"{path}/lists.parquet")
+    assert lists.count() == before_rows
+    assert {r.batch for r in lists.select("batch").distinct().collect()} == {0}
+    res_after = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    assert res_after == res_before and res_after
+
+
 def test_ivf_index_append_replay_is_idempotent(spark, tmp_path):
     """Re-running an append with the same batch id (the crash-replay /
     speculative-retry case) overwrites exactly its own (cid, batch)

@@ -586,6 +586,54 @@ def ivf_index_append(emb: DataFrame, path: str, batch: int | None = None) -> str
     return path
 
 
+def compact_ivf_lists(spark, path: str) -> dict:
+    """Fold an ingest-fragmented index back into one segment: after
+    many :func:`ivf_index_append` / ``streaming_ivf_ingest`` batches,
+    each inverted list is spread over per-batch sub-partitions of
+    small files — every query pays per-file open/footer cost on its
+    probed lists (the classic accumulated-append pathology). One
+    distributed read → per-list coalesce → rewrite as segment 0.
+
+    Assignments are NOT recomputed — vectors keep the lists their
+    frozen centroids put them in, so query results are bit-identical
+    before and after (test-pinned); this is purely a file-layout
+    rewrite. The rewrite lands in a temp dir first and swaps in with
+    two renames, under the same single-writer assumption as every
+    other index mutation here (readers mid-swap should hold their
+    DataFrame, which pins the old files on POSIX). Returns before /
+    after file counts."""
+    import os
+    import shutil
+
+    lists_path = f"{path}/lists.parquet"
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for dp, _, fns in os.walk(d)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+
+    before = _count_files(lists_path)
+    tmp = f"{path}/lists.compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(lists_path)
+        .withColumn("batch", F.lit(0))
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid", "batch")
+        .parquet(tmp)
+    )
+    old = f"{path}/lists.old.tmp"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(lists_path, old)
+    os.rename(tmp, lists_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _count_files(lists_path)}
+
+
 def ann_ivf_from_index(
     spark,
     path: str,
