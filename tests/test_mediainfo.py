@@ -106,3 +106,53 @@ def test_media_info_spark_probe_mixed_corpus(spark):
     # one-pass, no shuffle, stream-safe
     plan = mi.media_info(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mp3_header_roundtrip_and_id3_skip():
+    """Frame-header fields round-trip through the fixture encoder; an
+    ID3v2 tag is skipped by its syncsafe size; CBR duration estimate =
+    audio_bytes * 8 / bitrate_kbps (ms, since kbps = bits/ms)."""
+    b = mi.encode_mp3_header(
+        bitrate_kbps=128, sample_rate=44100, channels=2,
+        n_audio_bytes=16_000, id3_size=100,
+    )
+    got = mi.parse_mp3(b)
+    assert (got["version"], got["layer"]) == ("1", 3)
+    assert (got["bitrate_kbps"], got["sample_rate"], got["channels"]) == (
+        128, 44100, 2,
+    )
+    assert got["duration_ms_cbr_est"] == 16_000 * 8 // 128  # 1000 ms
+    # MPEG-2 layer II mono at 24 kHz
+    b2 = mi.encode_mp3_header(
+        version="2", layer=2, bitrate_kbps=48, sample_rate=24000, channels=1
+    )
+    got2 = mi.parse_mp3(b2)
+    assert (got2["version"], got2["layer"], got2["sample_rate"],
+            got2["channels"]) == ("2", 2, 24000, 1)
+
+
+def test_mp3_sniff_is_last_and_guarded():
+    """The bare-sync signature must not shadow magic-numbered
+    containers, reserved header fields must not sniff as mp3, and a
+    malformed stream after an ID3 tag yields a typed error row."""
+    wav_b = b"RIFF\x24\x00\x00\x00WAVE"
+    assert mi.sniff_kind(wav_b) != "mp3"
+    # reserved version (bits 01) and reserved layer (00) refuse
+    assert not mi.is_mp3(bytes([0xFF, 0xE8, 0x92, 0x00]))
+    assert not mi.is_mp3(bytes([0xFF, 0xE1, 0x92, 0x00]))
+    # bad bitrate index (0xF) refuses
+    assert not mi.is_mp3(bytes([0xFF, 0xFB, 0xF0, 0x00]))
+    good = mi.encode_mp3_header()
+    assert mi.sniff_kind(good) == "mp3"
+    tagged_junk = b"ID3\x04\x00\x00\x00\x00\x00\x02\x00\x00" + b"junk"
+    out = mi.probe_bytes(tagged_junk)
+    assert out["kind"] == "mp3" and "err" in out
+
+
+def test_probe_bytes_mp3():
+    b = mi.encode_mp3_header(bitrate_kbps=64, n_audio_bytes=8_000)
+    got = mi.probe_bytes(b)
+    assert (got["kind"], got["sample_rate"], got["channels"]) == (
+        "mp3", 44100, 2,
+    )
+    assert got["duration_ms"] == 8_000 * 8 // 64

@@ -2466,3 +2466,63 @@ def test_build_pq_index_residual_ivfadc(spark, tmp_path):
     r_plain, r_res = recall(plain), recall(res)
     assert r_res >= r_plain, (r_plain, r_res)
     assert r_res >= 0.8, r_res
+
+
+def test_chunk_documents_sliding_windows_hand_checked(spark):
+    """12-token doc, chunk=5, overlap=2 (stride 3): starts 0,3,6,9.
+    Start 9 is kept (9+2 < 12 adds tokens); a hypothetical start 12
+    never generates. 4-token doc -> one chunk; empty doc -> none."""
+    from webpagesgraphdatabase_spark.operators import packing
+
+    t12 = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"
+    docs = spark.createDataFrame(
+        [(1, t12), (2, "a b c d"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in packing.chunk_documents(
+            docs, chunk_tokens=5, overlap=2
+        ).collect()
+    }
+    assert got == {
+        (1, 0): (0, 5, "t0 t1 t2 t3 t4"),
+        (1, 1): (3, 5, "t3 t4 t5 t6 t7"),
+        (1, 2): (6, 5, "t6 t7 t8 t9 t10"),
+        (1, 3): (9, 3, "t9 t10 t11"),
+        (2, 0): (0, 4, "a b c d"),
+    }
+    # a redundant tail is dropped: 6 tokens, stride 3 -> start 3 adds
+    # token 5..? start 3 covers 3..6(5 tokens->3..5); prev covered 0..4;
+    # 3+2=5 < 6 so kept. With 5 tokens: start 3 -> 3+2=5 not < 5 -> drop.
+    five = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    rows = packing.chunk_documents(five, chunk_tokens=5, overlap=2).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "a b c d e"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        packing.chunk_documents(docs, chunk_tokens=5, overlap=5)
+
+
+def test_chunk_stats_matches_exploded_layout(spark):
+    """chunk_stats' row-local fingerprint equals the md5 of the
+    exploded layout's texts joined in chunk order, for every doc
+    including empty ones (n_chunks=0, fp of '')."""
+    import hashlib
+
+    from webpagesgraphdatabase_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven"), (2, ""), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    chunks = {}
+    for r in packing.chunk_documents(docs, chunk_tokens=3, overlap=1).collect():
+        chunks.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    stats = {
+        r.doc_id: (r.n_chunks, r.chunk_fp)
+        for r in packing.chunk_stats(docs, chunk_tokens=3, overlap=1).collect()
+    }
+    for doc_id in (1, 2, 3):
+        texts = [t for _, t in sorted(chunks.get(doc_id, []))]
+        want_fp = hashlib.md5("|".join(texts).encode()).hexdigest()
+        assert stats[doc_id] == (len(texts), want_fp), doc_id

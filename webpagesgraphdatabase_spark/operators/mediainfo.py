@@ -10,6 +10,11 @@ New pure-stdlib parsers here, from the public specs:
 - **MP4 / ISO-BMFF** (ISO 14496-12) box walk: ``moov/mvhd`` timescale
   + duration, ``moov/trak/tkhd`` presentation width/height (16.16
   fixed point) — size-prefixed box recursion, no codec work.
+- **MP3 / MPEG audio** (ISO 11172-3 / 13818-3) frame header: version /
+  layer / bitrate / sample rate / channels from the first frame's
+  4-byte header (ID3v2 tags skipped via their syncsafe size), plus a
+  CBR duration estimate — the honest header-only read; VBR exactness
+  would need a Xing scan.
 
 PNG/JPEG/GIF/WAV reuse their codec modules' header parsers. Frame and
 sample *decode* for FLAC/MP4 stays honestly out of scope (those codecs
@@ -212,6 +217,130 @@ MEDIA_INFO_SCHEMA = (
 )
 
 
+# --------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio) frame header — ISO 11172-3 / 13818-3
+# --------------------------------------------------------------------------
+
+#: bitrate tables in kbps, indexed [table][bitrate_index]; 0 = free, -1
+#: = bad. Tables keyed by (mpeg1?, layer).
+_MP3_BITRATES = {
+    (True, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (True, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (True, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (False, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    # MPEG-2/2.5 layers II and III share one table
+    (False, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (False, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def _mp3_sync_offset(b: bytes) -> int:
+    """Offset of the first audio frame: 0, or past an ID3v2 tag
+    (10-byte header + syncsafe 28-bit size)."""
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = (
+            ((b[6] & 0x7F) << 21)
+            | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7)
+            | (b[9] & 0x7F)
+        )
+        return 10 + size
+    return 0
+
+
+def _mp3_header_fields(b: bytes, off: int) -> dict | None:
+    """Decode the 4-byte frame header at ``off``; None when it is not a
+    valid, non-reserved MPEG audio frame header."""
+    if len(b) < off + 4:
+        return None
+    b0, b1, b2, b3 = b[off], b[off + 1], b[off + 2], b[off + 3]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 3  # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (b1 >> 1) & 3  # 0=reserved, 1=III, 2=II, 3=I
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 0xF) or sr_idx == 3:
+        return None
+    layer = 4 - layer_bits
+    mpeg1 = ver_bits == 3
+    bitrate = _MP3_BITRATES[(mpeg1, layer)][br_idx]
+    rate = _MP3_RATES_V1[sr_idx]
+    if ver_bits == 2:  # MPEG2
+        rate //= 2
+    elif ver_bits == 0:  # MPEG2.5
+        rate //= 4
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    version = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
+    return {
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": bitrate,
+        "sample_rate": rate,
+        "channels": channels,
+    }
+
+
+def is_mp3(b: bytes) -> bool:
+    """ID3v2-tagged, or a valid non-reserved frame header at byte 0.
+    Checked AFTER every magic-numbered container in :func:`sniff_kind`
+    — a bare 0xFFEx sync is the weakest signature here, so it must
+    never shadow a real magic."""
+    return b[:3] == b"ID3" or _mp3_header_fields(b, 0) is not None
+
+
+def parse_mp3(b: bytes) -> dict:
+    """Header fields of the first audio frame plus a CBR duration
+    estimate: audio_bytes · 8 / bitrate. Honest caveat in the field
+    name — VBR streams need a Xing/VBRI scan this probe doesn't do."""
+    off = _mp3_sync_offset(b)
+    fields = _mp3_header_fields(b, off)
+    if fields is None:
+        raise MediaInfoError("no MPEG audio frame header after ID3 tag")
+    audio_bytes = max(len(b) - off, 0)
+    if fields["bitrate_kbps"]:
+        fields["duration_ms_cbr_est"] = int(
+            audio_bytes * 8 // fields["bitrate_kbps"]
+        )
+    return fields
+
+
+def encode_mp3_header(
+    version: str = "1",
+    layer: int = 3,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    n_audio_bytes: int = 0,
+    id3_size: int = 0,
+) -> bytes:
+    """Test fixture builder: optional ID3v2 tag + one frame header +
+    zero padding (round-trips through :func:`parse_mp3`)."""
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    layer_bits = 4 - layer
+    mpeg1 = ver_bits == 3
+    br_idx = _MP3_BITRATES[(mpeg1, layer)].index(bitrate_kbps)
+    rate = {3: sample_rate, 2: sample_rate * 2, 0: sample_rate * 4}[ver_bits]
+    sr_idx = _MP3_RATES_V1.index(rate)
+    b1 = 0xE0 | (ver_bits << 3) | (layer_bits << 1)
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = (3 << 6) if channels == 1 else 0
+    frame = bytes([0xFF, b1, b2, b3])
+    head = b""
+    if id3_size:
+        head = b"ID3\x04\x00\x00" + bytes(
+            [
+                (id3_size >> 21) & 0x7F,
+                (id3_size >> 14) & 0x7F,
+                (id3_size >> 7) & 0x7F,
+                id3_size & 0x7F,
+            ]
+        ) + b"\x00" * id3_size
+    pad = b"\x00" * max(n_audio_bytes - 4, 0)
+    return head + frame + pad
+
+
 def sniff_kind(b: bytes) -> str:
     from . import bmp, gif, jpeg, png, wav
 
@@ -229,6 +358,8 @@ def sniff_kind(b: bytes) -> str:
         return "flac"
     if is_mp4(b):
         return "mp4"
+    if is_mp3(b):  # weakest signature: must stay last
+        return "mp3"
     return "unknown"
 
 
@@ -271,6 +402,13 @@ def probe_bytes(b: bytes) -> dict:
                 width=mi["width"],
                 height=mi["height"],
                 duration_ms=mi["duration_ms"],
+            )
+        elif kind == "mp3":
+            mi = parse_mp3(b)
+            out.update(
+                sample_rate=mi["sample_rate"],
+                channels=mi["channels"],
+                duration_ms=mi.get("duration_ms_cbr_est"),
             )
         else:
             out["err"] = "unknown container"

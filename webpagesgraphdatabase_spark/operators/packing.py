@@ -81,6 +81,102 @@ def pack_sequences(
     )
 
 
+def _chunk_exprs(chunk_tokens: int, overlap: int, tokenizer: Tokenizer):
+    """(n, starts, texts) column expressions for the sliding-window
+    chunk layout of the ``text`` column — all row-local array algebra
+    (sequence → filter → transform/slice), zero shuffle, codegen."""
+    toks = tokenizer("text")
+    n = F.size(toks)
+    stride = chunk_tokens - overlap
+    # window starts at 0, stride apart; a tail start whose window adds
+    # no tokens beyond the previous window's end (prev covers up to
+    # s + overlap) is dropped; empty docs produce no starts
+    starts = F.filter(
+        F.sequence(
+            F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+        ),
+        lambda s: (n > F.lit(0))
+        & ((s == F.lit(0)) | (s + F.lit(overlap) < n)),
+    )
+    texts = F.transform(
+        starts,
+        lambda s: F.array_join(
+            F.slice(toks, s + F.lit(1), chunk_tokens), " "
+        ),
+    )
+    return n, starts, texts
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-pipeline
+    staple: (doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_text), windows of ``chunk_tokens`` tokens every
+    ``chunk_tokens - overlap`` positions, so consecutive chunks share
+    ``overlap`` tokens of context. The final window is kept only if it
+    adds tokens beyond the previous window's coverage (no chunk that is
+    a strict suffix-duplicate of its neighbor); docs with no tokens
+    produce no chunks.
+
+    Scale shape: entirely row-local array algebra (sequence → filter →
+    slice/array_join) followed by one posexplode — no shuffle, no UDF,
+    stream-safe like the tokenizers it builds on. Deterministic and
+    engine-portable: the gate leg (:func:`chunk_stats`) hash-checks the
+    full layout against DuckDB."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    tokenizer = tokenizer or whitespace_tokens
+    n, starts, texts = _chunk_exprs(chunk_tokens, overlap, tokenizer)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n"),
+        starts.alias("starts"),
+        texts.alias("texts"),
+    )
+    return base.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.arrays_zip("starts", "texts")).alias(
+            "chunk_idx", "z"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("z.starts").cast("long").alias("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("z.starts"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.col("z.texts").alias("chunk_text"),
+    )
+
+
+def chunk_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-local fingerprint of :func:`chunk_documents`' layout —
+    (doc_id, n_chunks, chunk_fp) with ``chunk_fp`` the md5 of the
+    '|'-joined chunk texts in order. One row per input doc (empty docs
+    read n_chunks=0), zero shuffle — the oracle-gate leg."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    tokenizer = tokenizer or whitespace_tokens
+    _, starts, texts = _chunk_exprs(chunk_tokens, overlap, tokenizer)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(starts).cast("long").alias("n_chunks"),
+        F.md5(F.array_join(texts, "|")).alias("chunk_fp"),
+    )
+
+
 def write_training_shards(
     docs: DataFrame,
     path: str,

@@ -154,7 +154,9 @@ def _q_pack_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (joined on doc_id): whitespace (default) and the BPE-ish regex
     pre-tokenizer. The shard column is tokenizer-independent (md5 of
     doc_id), so the join pins that swapping tokenizers changes only the
-    token counts and the derived layout — never the shuffle shape."""
+    token counts and the derived layout — never the shuffle shape.
+    Also carries the sliding-window chunk layout's fingerprint (r7,
+    packing.chunk_stats — the RAG chunker, row-local array algebra)."""
     from pyspark.sql import functions as F
 
     from .operators import tokenize
@@ -167,7 +169,8 @@ def _q_pack_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_id").alias("re_seq_id"),
         F.col("seq_offset").alias("re_seq_offset"),
     )
-    return ws.join(rx, "doc_id")
+    ch = packing.chunk_stats(docs)
+    return ws.join(rx, "doc_id").join(ch, "doc_id")
 
 
 def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1638,14 +1641,40 @@ packed AS (
   FROM sharded
   WINDOW w AS (PARTITION BY shard ORDER BY k, doc_id
                ROWS UNBOUNDED PRECEDING)
+),
+-- sliding-window chunk layout (packing.chunk_stats): 64-token windows
+-- every 48 positions; a tail start adding no tokens beyond the
+-- previous window's coverage (s + 16 >= n) is dropped
+chtok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+chstarts AS (
+  SELECT doc_id, toks,
+         list_filter(generate_series(0, greatest(len(toks) - 1, 0), 48),
+                     s -> len(toks) > 0 AND (s = 0 OR s + 16 < len(toks)))
+           AS starts
+  FROM chtok
+),
+chfp AS (
+  SELECT doc_id,
+         CAST(len(starts) AS BIGINT) AS n_chunks,
+         md5(array_to_string(
+             list_transform(starts,
+               s -> array_to_string(array_slice(toks, s + 1, s + 64), ' ')),
+             '|')) AS chunk_fp
+  FROM chstarts
 )
-SELECT doc_id, n_tokens, shard,
-       CAST(start // 512 AS BIGINT) AS seq_id,
-       CAST(start % 512 AS BIGINT) AS seq_offset,
-       re_n_tokens,
-       CAST(re_start // 512 AS BIGINT) AS re_seq_id,
-       CAST(re_start % 512 AS BIGINT) AS re_seq_offset
-FROM packed
+SELECT p.doc_id, p.n_tokens, p.shard,
+       CAST(p.start // 512 AS BIGINT) AS seq_id,
+       CAST(p.start % 512 AS BIGINT) AS seq_offset,
+       p.re_n_tokens,
+       CAST(p.re_start // 512 AS BIGINT) AS re_seq_id,
+       CAST(p.re_start % 512 AS BIGINT) AS re_seq_offset,
+       c.n_chunks, c.chunk_fp
+FROM packed p JOIN chfp c ON p.doc_id = c.doc_id
 """
 
 # PII scrub fragment (see operators/pii.py): deterministic planted
