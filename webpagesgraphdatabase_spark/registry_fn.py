@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import functions as fn
+from .functions import html
 from .io_tpch import load_table
 
 # --- f_url_normalize: F1 UDF over customer-derived raw URLs --------------
@@ -25,19 +26,54 @@ from .io_tpch import load_table
 
 
 def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 normalization plus the r7 HTML function family (html.py):
+    per customer, a synthesized page exercises title extraction,
+    noise/boilerplate stripping, entity decode, href harvest, and
+    base-relative resolution (incl. a dot-segment collapse); the
+    oracle recomputes the known extraction results directly."""
     customer = load_table(spark, sf_dir, "customer")
-    raw = F.concat(
-        F.lit("customer.example/c"), F.col("c_custkey").cast("string"), F.lit("/")
+    k = F.col("c_custkey").cast("string")
+    raw = F.concat(F.lit("customer.example/c"), k, F.lit("/"))
+    page = F.concat(
+        F.lit("<html><head><title> "),
+        F.col("c_name"),
+        F.lit(" &amp; co </title><style>a{color:red}</style></head><body>"),
+        F.lit('<!-- generated --><nav><a href="/nav">n</a></nav>'),
+        F.lit("<p>Segment  "),
+        F.col("c_mktsegment"),
+        F.lit(' &lt;end&gt;</p><a href="https://abs.example/c/'),
+        k,
+        F.lit("\">a</a><a href='/rel/"),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit("'>r</a><a href=\"../up/"),
+        (F.col("c_custkey") % 3).cast("string"),
+        F.lit('">u</a><script>var a="<i>x</i>";</script>'),
+        F.lit("<footer>f</footer></body></html>"),
+    )
+    base = F.concat(F.lit("https://site.example/c/"), k, F.lit("/index.html"))
+    links = F.transform(
+        html.extract_hrefs(page), lambda h: html.resolve_href(base, h)
     )
     return customer.select(
         F.col("c_custkey").alias("id"),
         fn.normalize_url(raw).alias("url"),
+        html.html_title(page).alias("page_title"),
+        html.html_text(page).alias("clean_text"),
+        F.size(links).cast("long").alias("n_links"),
+        F.md5(F.array_join(links, "|")).alias("links_fp"),
     )
 
 
 _URL_ORACLE = """
 SELECT c_custkey AS id,
-       'https://customer.example/c' || c_custkey AS url
+       'https://customer.example/c' || c_custkey AS url,
+       c_name || ' & co' AS page_title,
+       'Segment ' || c_mktsegment || ' <end> a r u' AS clean_text,
+       CAST(4 AS BIGINT) AS n_links,
+       md5('https://site.example/nav'
+           || '|https://abs.example/c/' || c_custkey
+           || '|https://site.example/rel/' || (c_custkey % 7)
+           || '|https://site.example/c/up/' || (c_custkey % 3)) AS links_fp
 FROM customer
 """
 
