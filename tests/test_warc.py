@@ -1,0 +1,128 @@
+"""WARC/WET ingestion: parser round-trips, distributed read, document
+and link-graph derivation."""
+
+from __future__ import annotations
+
+import pytest
+
+from webpagesgraphdatabase_spark import warc as W
+
+HTML = (
+    b"<html><head><title>Page A</title></head><body>"
+    b'<p>Alpha &amp; beta.</p><a href="/b">b</a>'
+    b'<a href="https://other.example/c">c</a></body></html>'
+)
+
+
+def _records():
+    return [
+        {
+            "record_id": "<urn:uuid:r1>",
+            "warc_type": "response",
+            "target_uri": "https://site.example/a",
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(HTML),
+        },
+        {
+            "record_id": "<urn:uuid:r2>",
+            "warc_type": "conversion",
+            "target_uri": "https://site.example/a",
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "text/plain",
+            "block": b"Alpha & beta. b c",
+        },
+        {
+            "record_id": "<urn:uuid:r3>",
+            "warc_type": "response",
+            "target_uri": "https://site.example/404",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(b"gone", status=404),
+        },
+        {
+            "record_id": "<urn:uuid:r4>",
+            "warc_type": "response",
+            "target_uri": "https://site.example/img.gif",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(
+                b"GIF89a\x01\x00\x01\x00", content_type="image/gif"
+            ),
+        },
+    ]
+
+
+@pytest.mark.parametrize("compress", ["none", "file", "record"])
+def test_iter_warc_records_roundtrip_all_compressions(compress):
+    buf = W.build_warc(_records(), compress=compress)
+    got = list(W.iter_warc_records(buf))
+    assert [r["record_id"] for r in got] == [
+        "<urn:uuid:r1>",
+        "<urn:uuid:r2>",
+        "<urn:uuid:r3>",
+        "<urn:uuid:r4>",
+    ]
+    assert got[1]["block"] == b"Alpha & beta. b c"
+    assert got[0]["content_length"] == len(W.http_response_block(HTML))
+    status, ctype, body = W.parse_http_payload(got[0]["block"])
+    assert (status, body) == (200, HTML)
+    assert ctype.startswith("text/html")
+
+
+def test_iter_warc_records_truncation_and_bad_stream():
+    buf = W.build_warc(_records()[:2])
+    # cut inside the second record's block (10 bytes = the 4 closing
+    # CRLF bytes + 6 block bytes): first record still parses, the
+    # truncated one yields the bytes that are present
+    cut = buf[: len(buf) - 10]
+    got = list(W.iter_warc_records(cut))
+    assert len(got) == 2
+    assert got[1]["block"] == b"Alpha & bet"
+    with pytest.raises(W.WarcFormatError):
+        list(W.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+
+def test_read_warc_distributed_and_documents(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(W.build_warc(_records()))
+    (tmp_path / "b.warc.gz").write_bytes(
+        W.build_warc(
+            [
+                {
+                    "record_id": "<urn:uuid:r5>",
+                    "warc_type": "conversion",
+                    "target_uri": "https://site.example/wet",
+                    "content_type": "text/plain",
+                    "block": b"wet text only",
+                }
+            ],
+            compress="record",
+        )
+    )
+    recs = W.read_warc(spark, str(tmp_path))
+    rows = {r.record_id: r for r in recs.collect()}
+    assert len(rows) == 5
+    assert rows["<urn:uuid:r1>"].http_status == 200
+    assert rows["<urn:uuid:r1>"].body_text.startswith("<html>")
+    # binary body stays bytes, text side null (and vice versa)
+    assert rows["<urn:uuid:r4>"].content == b"GIF89a\x01\x00\x01\x00"
+    assert rows["<urn:uuid:r4>"].body_text is None
+    assert rows["<urn:uuid:r5>"].body_text == "wet text only"
+
+    docs = {r.url: r for r in W.warc_documents(recs).collect()}
+    # 404 and image dropped; html response text-extracted; WET passes
+    assert set(docs) == {"https://site.example/a", "https://site.example/wet"}
+    assert docs["https://site.example/a"].text == "Alpha & beta. b c"
+    assert docs["https://site.example/wet"].n_chars == 13
+    doc_ids = [r.doc_id for r in W.warc_documents(recs).collect()]
+    assert len(set(doc_ids)) == len(doc_ids)
+
+
+def test_warc_link_graph(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(W.build_warc(_records()))
+    edges = {
+        (r.src_url, r.dst_url)
+        for r in W.warc_link_graph(W.read_warc(spark, str(tmp_path))).collect()
+    }
+    assert edges == {
+        ("https://site.example/a", "https://site.example/b"),
+        ("https://site.example/a", "https://other.example/c"),
+    }

@@ -1,0 +1,281 @@
+"""WARC / WET crawl ingestion (ISO 28500) — the web-archive front door.
+
+The reference builds its graph from pages it fetches one URL at a time
+(``main.py:85-98``); at 100 TB the same content arrives as WARC — the
+Common Crawl / Internet Archive container: a sequence of records, each
+``WARC/1.0`` + header lines + blank line + ``Content-Length`` bytes of
+block, records separated by ``\\r\\n\\r\\n``, whole files (or
+individual records) gzip-compressed. ``response`` records carry raw
+HTTP exchanges; WET files carry ``conversion`` records of pre-extracted
+text.
+
+Pipeline shape::
+
+    read_warc(spark, path)       # records: headers + parsed HTTP payload
+      └─ warc_documents(...)     # → documents-table rows (html_text'd)
+      └─ warc_link_graph(...)    # → (src_url, dst_url) edges for the graph
+
+Scale notes:
+
+- Files are distributed via Spark's ``binaryFile`` source — one file
+  per task, the standard Spark treatment of WARC (archives are written
+  in ~1 GB chunks precisely so that per-file parallelism is enough;
+  Common Crawl's own Spark examples read it this way). Record parsing
+  is a single forward pass per file inside ``mapInPandas`` — Python,
+  but necessarily so (a byte-oriented container format), Arrow-batched,
+  and touched exactly once: the landing step writes Parquet and every
+  downstream query scans that with pushdown instead of re-parsing.
+- Multi-member gzip (the per-record compression WARC writers emit) is
+  handled by a ``zlib`` loop, so both whole-file and per-record
+  compression read transparently.
+- HTTP payload split + charset decode happen in the same pass
+  (``errors='replace'`` — a crawl always contains mojibake; a decode
+  error must not kill a backfill). Non-text bodies keep their raw
+  bytes in ``content`` for the multimodal probes and decode operators.
+
+Parser fidelity is pinned by round-trip tests against
+:func:`build_warc` (fixture writer) in ``tests/test_sources.py``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import html
+
+_CRLF = b"\r\n"
+
+#: output schema of :func:`read_warc` (and the landing Parquet)
+WARC_RECORD_SCHEMA = (
+    "warc_file string, record_id string, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "content_length long, http_status int, http_content_type string, "
+    "body_text string, content binary"
+)
+
+
+class WarcFormatError(ValueError):
+    pass
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decompress ALL gzip members (WARC writers commonly emit one
+    member per record; ``gzip.decompress`` historically reads only the
+    first)."""
+    out = []
+    while buf[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(buf))
+        out.append(d.flush())
+        buf = d.unused_data
+    if out:
+        return b"".join(out)
+    return buf
+
+
+def parse_http_payload(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) of a raw HTTP response block; a
+    block that is not an HTTP response comes back (None, None, block)."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, block
+    head, sep, body = block.partition(_CRLF + _CRLF)
+    if not sep:
+        head, body = block, b""
+    lines = head.split(_CRLF)
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, block
+    ctype = None
+    for line in lines[1:]:
+        name, colon, value = line.partition(b":")
+        if colon and name.strip().lower() == b"content-type":
+            ctype = value.strip().decode("latin-1")
+            break
+    return status, ctype, body
+
+
+def iter_warc_records(buf: bytes) -> Iterator[dict]:
+    """One forward pass over a (possibly gzipped) WARC buffer, yielding
+    one dict per record. Raises :class:`WarcFormatError` on a stream
+    that does not start with a WARC version line; a truncated final
+    record yields as much of its block as is present (crawl files are
+    routinely cut at shard boundaries)."""
+    buf = _gunzip_members(buf)
+    pos = 0
+    n = len(buf)
+    if n and not buf.startswith(b"WARC/"):
+        raise WarcFormatError("not a WARC stream (missing version line)")
+    while pos < n:
+        head_end = buf.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        head = buf[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise WarcFormatError(f"bad record header at offset {pos}")
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            name, colon, value = line.partition(":")
+            if colon:
+                fields[name.strip().lower()] = value.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            raise WarcFormatError(f"missing Content-Length at offset {pos}")
+        block_start = head_end + 4
+        block = buf[block_start : block_start + length]
+        yield {
+            "record_id": fields.get("warc-record-id", ""),
+            "warc_type": fields.get("warc-type", ""),
+            "target_uri": fields.get("warc-target-uri"),
+            "warc_date": fields.get("warc-date"),
+            "content_type": fields.get("content-type"),
+            "content_length": length,
+            "block": block,
+        }
+        # skip the two CRLFs that close every record block
+        pos = block_start + length + 4
+
+
+def _record_rows(path: str, buf: bytes) -> Iterator[dict]:
+    for rec in iter_warc_records(buf):
+        block = rec.pop("block")
+        status = ctype = None
+        body = block
+        if rec["warc_type"] == "response":
+            status, ctype, body = parse_http_payload(block)
+        base_type = (ctype or rec["content_type"] or "").split(";")[0].strip()
+        is_text = base_type.startswith("text/") or base_type in (
+            "application/json",
+            "application/xhtml+xml",
+        )
+        # WET conversion records are text by definition
+        if rec["warc_type"] == "conversion":
+            is_text = True
+        yield {
+            "warc_file": path,
+            **rec,
+            "http_status": status,
+            "http_content_type": ctype,
+            "body_text": body.decode("utf-8", "replace") if is_text else None,
+            "content": None if is_text else bytes(body),
+        }
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC/WET reader: ``binaryFile`` scan → one
+    Arrow-batched parse pass per file → the :data:`WARC_RECORD_SCHEMA`
+    records frame."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in WARC_RECORD_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for p, buf in zip(pdf["path"], pdf["content"]):
+                rows.extend(_record_rows(p, bytes(buf)))
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                columns=cols
+            )
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WARC_RECORD_SCHEMA
+    )
+
+
+def warc_documents(records: DataFrame) -> DataFrame:
+    """Documents-table rows from a records frame: WET ``conversion``
+    text passes through; HTML ``response`` bodies (2xx only) run
+    :func:`html.html_text`. ``doc_id`` is the xxhash64 of the WARC
+    record id (unique per record by spec); ``lang`` is left null for
+    the lang-ID operator downstream."""
+    is_conv = F.col("warc_type") == "conversion"
+    is_html_resp = (
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.col("http_content_type").startswith("text/html")
+    )
+    text = F.when(is_conv, F.col("body_text")).otherwise(
+        html.html_text(F.col("body_text"))
+    )
+    return (
+        records.filter((is_conv | is_html_resp) & F.col("body_text").isNotNull())
+        .select(
+            F.xxhash64("record_id").alias("doc_id"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("warc_file").alias("source"),
+            F.col("target_uri").alias("url"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+
+def warc_link_graph(records: DataFrame) -> DataFrame:
+    """(src_url, dst_url) edges from the HTML responses of a crawl —
+    :func:`functions.html.link_graph` over the in-archive markup, the
+    input the reference's graph build gets from its live fetches."""
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").startswith("text/html")
+        & F.col("target_uri").isNotNull()
+    ).select(F.col("target_uri").alias("url"), F.col("body_text").alias("html"))
+    return html.link_graph(pages)
+
+
+# --------------------------------------------------------------------------
+# fixture writer (round-trip pin for the parser)
+# --------------------------------------------------------------------------
+
+
+def build_warc(
+    records: Iterable[dict],
+    compress: str = "none",
+) -> bytes:
+    """Serialize records (dicts with record_id/warc_type/target_uri/
+    block, block as bytes) into a WARC byte stream. ``compress``:
+    ``none`` | ``file`` (one gzip member) | ``record`` (one member per
+    record — the form real WARC writers emit)."""
+    import gzip
+
+    out = []
+    for rec in records:
+        block = rec["block"]
+        head = [b"WARC/1.0"]
+        head.append(b"WARC-Type: " + rec["warc_type"].encode())
+        head.append(b"WARC-Record-ID: " + rec["record_id"].encode())
+        if rec.get("target_uri"):
+            head.append(b"WARC-Target-URI: " + rec["target_uri"].encode())
+        if rec.get("warc_date"):
+            head.append(b"WARC-Date: " + rec["warc_date"].encode())
+        if rec.get("content_type"):
+            head.append(b"Content-Type: " + rec["content_type"].encode())
+        head.append(b"Content-Length: " + str(len(block)).encode())
+        raw = _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+        out.append(gzip.compress(raw) if compress == "record" else raw)
+    buf = b"".join(out)
+    if compress == "file":
+        buf = gzip.compress(buf)
+    return buf
+
+
+def http_response_block(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """A minimal HTTP/1.1 response block for fixtures."""
+    head = (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body
