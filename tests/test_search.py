@@ -1,0 +1,108 @@
+"""BM25 retrieval: hand-checked scores, batch/literal agreement, the
+bucketed index-at-rest serving path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from webpagesgraphdatabase_spark.operators import search
+
+DOCS = [
+    (1, "spark hash spark"),
+    (2, "hash table scan"),
+    (3, "window data"),
+    (4, "spark"),
+]
+
+
+def _expected(query_terms, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for d, t in toks.items():
+        score = 0.0
+        for term in query_terms:
+            tf = t.count(term)
+            if not tf:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+        if score:
+            out[d] = score
+    return out
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_bm25_scores_hand_checked(spark, docs):
+    got = {
+        r.doc_id: r.score
+        for r in search.bm25_scores(docs, ("spark", "hash")).collect()
+    }
+    want = _expected(("spark", "hash"))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), d
+
+
+def test_bm25_topk_total_order(spark, docs):
+    rows = search.bm25_topk(docs, ("spark", "hash"), k=2).collect()
+    want = sorted(
+        _expected(("spark", "hash")).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:2]
+    assert [(r.rank, r.doc_id) for r in rows] == [
+        (i + 1, d) for i, (d, _) in enumerate(want)
+    ]
+
+
+def test_bm25_search_batch_matches_literal(spark, docs):
+    queries = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "hash"), ("q2", "data")],
+        ["query_id", "term"],
+    )
+    got = search.bm25_search(docs, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.score
+    lit1 = {
+        r.doc_id: r.score
+        for r in search.bm25_topk(docs, ("spark", "hash"), k=10).collect()
+    }
+    lit2 = {
+        r.doc_id: r.score
+        for r in search.bm25_topk(docs, ("data",), k=10).collect()
+    }
+    assert set(by_q["q1"]) == set(lit1)
+    for d, s in lit1.items():
+        assert by_q["q1"][d] == pytest.approx(s, rel=1e-12)
+    assert set(by_q["q2"]) == set(lit2)
+
+
+def test_index_at_rest_matches_and_prunes(spark, docs, tmp_path):
+    path = str(tmp_path / "idx")
+    search.build_text_index(docs, path, n_buckets=8)
+    served = search.bm25_from_index(spark, path, ("spark", "hash"), k=4)
+    live = search.bm25_topk(docs, ("spark", "hash"), k=4)
+    assert [(r.rank, r.doc_id) for r in served.collect()] == [
+        (r.rank, r.doc_id) for r in live.collect()
+    ]
+    for a, b in zip(served.collect(), live.collect()):
+        assert a.score == pytest.approx(b.score, rel=1e-12)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan must not enumerate every bucket
+    assert "bucket#" in plan or "bucket IN" in plan or "isin" not in plan
+
+
+def test_empty_query_raises(docs):
+    with pytest.raises(ValueError):
+        search.bm25_scores(docs, ())

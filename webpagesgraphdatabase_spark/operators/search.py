@@ -1,0 +1,304 @@
+"""BM25 ranked retrieval over the ``documents`` table.
+
+The reference serves keyword lookups over its graph (HAS_KEYWORD
+traversals, ``main.py:330-345``); the corpus-scale twin is ranked
+text retrieval. This module implements Okapi BM25 (Robertson et al.,
+TREC-3; the Lucene-default ``ln(1 + (N - df + .5)/(df + .5))`` idf
+form) in three shapes:
+
+- :func:`bm25_topk` — a literal query against the corpus with **zero
+  extra shuffles**: per-term tf and document length are row-local
+  array algebra, the corpus statistics (N, avgdl, per-term df) are ONE
+  partial-aggregated one-row frame broadcast back, scoring is a fixed
+  explicit sum (stable float order → engine-exact, oracle-checkable),
+  and the top-k is a TakeOrdered with a total-order tie-break — never
+  a global sort.
+- :func:`bm25_search` — a *batch* of queries (query_id, term rows):
+  postings are built by explode + semi-join on the (broadcast) query
+  vocabulary so only matching tokens ever shuffle; per-query top-k by
+  bounded window.
+- :func:`build_text_index` / :func:`bm25_from_index` — the index-at-
+  rest serving path: postings Parquet hash-bucketed by term so a query
+  reads only its terms' buckets (partition pruning), exactly like the
+  IVF index layout in ``similarity.py``.
+
+Scale shape at 100 TB: the one corpus-stats aggregate is map-side
+combined into a single row; postings shuffles carry (term, doc_id,
+tf) — never text; the bucketed index bounds a query's read to
+|terms| buckets of ~1/n_buckets of the postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tokenize import Tokenizer, whitespace_tokens
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _idf(n_docs, df):
+    # Lucene/Robertson idf: always positive, df=N safe
+    return F.log(
+        F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+
+
+def _tf_weight(tf, dl, avgdl, k1: float, b: float):
+    return (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, score) for every document matching ≥1 query term.
+
+    Exactly one shuffle (the one-row stats aggregate): tf_t and dl are
+    row-local ``size(filter(...))`` algebra, the scalars come back via
+    a broadcast 1-row crossJoin, and the score is an explicit
+    fixed-order sum so both engines add the same doubles in the same
+    order."""
+    if not query_terms:
+        raise ValueError("need at least one query term")
+    tokenizer = tokenizer or whitespace_tokens
+    toks = tokenizer("text")
+
+    def _matches(term: str):
+        # single-parameter lambda ONLY: a 2-arg lambda (even with a
+        # default) dispatches to the (element, index) HOF overload
+        lit = F.lit(term)
+        return lambda t: t == lit
+
+    tf_cols = [
+        F.size(F.filter(toks, _matches(term))).alias(f"tf_{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *tf_cols,
+    )
+    stats = per.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        term_score = F.when(
+            F.col(f"tf_{i}") > 0,
+            _idf(F.col("n_docs"), F.col(f"df_{i}"))
+            * _tf_weight(
+                F.col(f"tf_{i}").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ),
+        ).otherwise(F.lit(0.0))
+        score = term_score if score is None else score + term_score
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(query_terms))
+    )
+    return scored.filter(matched > 0).select("doc_id", score.alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(rank, doc_id, score) — top-``k`` by (score desc, doc_id asc):
+    a total order, executed as TakeOrdered (no global sort)."""
+    scored = bm25_scores(docs, query_terms, k1, b, tokenizer, id_col)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch retrieval: ``queries`` is (query_id, term) rows; returns
+    (query_id, rank, doc_id, score), top-``k`` per query.
+
+    Postings = explode(tokens) semi-joined against the broadcast query
+    vocabulary BEFORE the tf aggregation, so the only token-level
+    shuffle carries matching (doc_id, term) pairs. The per-query top-k
+    window partitions by query_id; its input is already collapsed to
+    one row per (query_id, doc_id)."""
+    tokenizer = tokenizer or whitespace_tokens
+    vocab = queries.select("term").distinct()
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenizer("text")).alias("dl"),
+        tokenizer("text").alias("toks"),
+    )
+    stats = per.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = (
+        per.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            (
+                _idf(F.col("n_docs"), F.col("df"))
+                * _tf_weight(
+                    F.col("tf"), F.col("dl").cast("double"), F.col("avgdl"), k1, b
+                )
+            ).alias("term_score"),
+        )
+        .join(F.broadcast(queries.select("query_id", "term").distinct()), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# index at rest: hash-bucketed postings, pruned reads
+# --------------------------------------------------------------------------
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a BM25 index: postings Parquet partitioned by
+    ``bucket = pmod(xxhash64(term), n_buckets)`` (a query scans only
+    its terms' buckets — PartitionFilters, like the IVF list layout),
+    plus doc lengths and the one-row corpus stats."""
+    tokenizer = tokenizer or whitespace_tokens
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenizer("text")).alias("dl"),
+        tokenizer("text").alias("toks"),
+    )
+    postings = (
+        per.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings.parquet"
+    )
+    per.select("doc_id", "dl").write.mode("overwrite").parquet(
+        f"{path}/doclens.parquet"
+    )
+    per.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("overwrite").parquet(f"{path}/stats.parquet")
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Serve a query from a :func:`build_text_index` directory: the
+    postings scan is filtered to the query terms' buckets (partition-
+    pruned) then to the terms themselves (row-group pushdown)."""
+    stats = spark.read.parquet(f"{path}/stats.parquet")
+    n_buckets = int(stats.first()["n_buckets"])
+    postings = spark.read.parquet(f"{path}/postings.parquet")
+    terms = list(dict.fromkeys(query_terms))
+    # xxhash64 is a JVM function: evaluate the |terms| bucket ids with
+    # one constant-folded 1-row job, then prune with literals so the
+    # scan carries PartitionFilters (bounded collect: |terms| ints)
+    buckets = {
+        r["b"]
+        for r in spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets))
+                        for t in terms
+                    ]
+                )
+            ).alias("b")
+        )
+        .collect()
+    }
+    hit = postings.filter(
+        F.col("bucket").isin(*buckets) & F.col("term").isin(*terms)
+    )
+    df_t = hit.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        hit.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+        .select(
+            "doc_id",
+            (
+                _idf(F.col("n_docs"), F.col("df"))
+                * _tf_weight(
+                    F.col("tf"), F.col("dl").cast("double"), F.col("avgdl"), k1, b
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
+    )

@@ -53,10 +53,12 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.strip_duplicated_spans, hashed — r7: the strip output was
     previously unit-pinned only) in one row per doc; each operator
     runs unchanged and joins on doc_id (spans left-joined — docs
-    shorter than the window have no span windows)."""
+    shorter than the window have no span windows). Also carries the
+    BM25 top-10 for a fixed query (search.bm25_topk, r7) left-joined
+    on doc_id — rank/score null off the top-k."""
     from pyspark.sql import functions as F
 
-    from .operators import dedup
+    from .operators import dedup, search
 
     docs = load_table(spark, sf_dir, "documents")
     fp = textstats.fingerprint(docs)
@@ -87,6 +89,11 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    bm = search.bm25_topk(docs, ("spark", "hash", "window"), k=10).select(
+        "doc_id",
+        F.col("rank").alias("bm25_rank"),
+        F.round("score", 6).alias("bm25_score"),
+    )
     return joined.withColumn(
         "dup_fraction",
         F.round(
@@ -95,7 +102,7 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_spanwin"), F.lit(1)),
             6,
         ),
-    )
+    ).join(bm, "doc_id", "left")
 
 
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1216,44 @@ keptt AS (
 strip AS (
   SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS deduped_text
   FROM keptt GROUP BY doc_id
+),
+-- BM25 top-10 for the fixed query (spark, hash, window) — search.py
+-- bm25_topk: row-local tf/dl, one corpus-stats row, Lucene idf form,
+-- fixed-order term sum, (score desc, doc_id) total order
+bmper AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, t -> t = 'spark')) AS tf0,
+         len(list_filter(toks, t -> t = 'hash')) AS tf1,
+         len(list_filter(toks, t -> t = 'window')) AS tf2
+  FROM toks
+),
+bmstats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM bmper
+),
+bmscored AS (
+  SELECT doc_id,
+         (CASE WHEN tf0 > 0 THEN ln(1.0 + (n_docs - df0 + 0.5)/(df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ELSE 0.0 END)
+         + (CASE WHEN tf1 > 0 THEN ln(1.0 + (n_docs - df1 + 0.5)/(df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ELSE 0.0 END)
+         + (CASE WHEN tf2 > 0 THEN ln(1.0 + (n_docs - df2 + 0.5)/(df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ELSE 0.0 END) AS score
+  FROM bmper, bmstats
+  WHERE tf0 + tf1 + tf2 > 0
+),
+bmtop AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS bm25_rank,
+         round(score, 6) AS bm25_score
+  FROM bmscored ORDER BY score DESC, doc_id LIMIT 10
 )
 SELECT m.doc_id, m.fp, m.n_shingles, r.rolling_fp, r.n_windows,
        COALESCE(d.n_spanwin, 0) AS n_spanwin,
@@ -1216,10 +1261,12 @@ SELECT m.doc_id, m.fp, m.n_shingles, r.rolling_fp, r.n_windows,
        COALESCE(d.n_foreign_dup, 0) AS n_foreign_dup,
        md5(COALESCE(st.deduped_text, '')) AS strip_md5,
        round(COALESCE(d.n_dup_windows, 0) * 1.0
-             / GREATEST(COALESCE(d.n_spanwin, 0), 1), 6) AS dup_fraction
+             / GREATEST(COALESCE(d.n_spanwin, 0), 1), 6) AS dup_fraction,
+       bm.bm25_rank, bm.bm25_score
 FROM minshingle m JOIN rolling r ON m.doc_id = r.doc_id
 LEFT JOIN spandoc d ON m.doc_id = d.doc_id
 LEFT JOIN strip st ON m.doc_id = st.doc_id
+LEFT JOIN bmtop bm ON m.doc_id = bm.doc_id
 """,
     # --- multimodal (payload bytes == text chars: corpus is pure ASCII) ---
     "mm_byte_histogram": r"""
