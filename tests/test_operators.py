@@ -2526,3 +2526,48 @@ def test_chunk_stats_matches_exploded_layout(spark):
         texts = [t for _, t in sorted(chunks.get(doc_id, []))]
         want_fp = hashlib.md5("|".join(texts).encode()).hexdigest()
         assert stats[doc_id] == (len(texts), want_fp), doc_id
+
+
+def test_sq8_encode_quantization_properties(spark):
+    """Codes are int8 in [-127, 127], the max-|x| dimension maps to
+    ±127 exactly, and per-dimension reconstruction error is bounded by
+    half a quantization step (scale/2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    enc = {r.vec_id: r for r in similarity.sq8_encode(emb).collect()}
+    for vid, v in vecs:
+        codes = enc[vid].codes
+        arr = np.array(v)
+        scale = np.abs(arr).max() / 127.0
+        assert max(abs(c) for c in codes) == 127
+        recon = np.array(codes, dtype=float) * scale
+        assert np.max(np.abs(recon - arr)) <= scale / 2 + 1e-12
+        assert enc[vid].cnrm == pytest.approx(
+            float(np.linalg.norm(codes)), rel=1e-12
+        )
+
+
+def test_ann_sq8_recall_and_index_at_rest(spark, tmp_path):
+    """SQ8 + exact re-rank is near-exact (recall@5 >= 0.9 on a random
+    corpus); the served-from-parquet path returns identical rows and
+    reads the 4x-compressed code schema."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 10, 5).collect()
+    }
+    live = similarity.ann_sq8(emb, 10, 5)
+    got = {(r.query_id, r.neighbor_id) for r in live.collect()}
+    assert len(got & exact) / len(exact) >= 0.9
+
+    path = str(tmp_path / "sq8")
+    similarity.build_sq8_index(emb, path)
+    served = similarity.ann_sq8_from_index(spark, path, emb, 10, 5)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+    stored = spark.read.parquet(f"{path}/sq8.parquet")
+    assert dict(stored.dtypes)["codes"] == "array<tinyint>"

@@ -181,11 +181,12 @@ def _q_pack_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANN strategies in one registry row (method, query_id,
+    """All four ANN strategies in one registry row (method, query_id,
     rank, neighbor_id, recall_hits): exact brute force (the correctness
-    baseline), hyperplane-LSH, and IVF — LSH planes and IVF lists
-    auto-sized from the corpus count (floor(log2(N/64)) / floor(sqrt(N)),
-    reproduced in the oracle from count(*)). ``recall_hits`` is the
+    baseline), hyperplane-LSH, IVF, and SQ8 (int8 scalar quantization
+    with exact re-rank, r7) — LSH planes and IVF lists auto-sized from
+    the corpus count (floor(log2(N/64)) / floor(sqrt(N)), reproduced in
+    the oracle from count(*)). ``recall_hits`` is the
     recall@k diagnostic: per (method, query), how many of that method's
     top-k are in the exact top-k (= ANN_K for the exact rows). Each
     operator runs unchanged; the union keeps all three hash-checked
@@ -202,6 +203,7 @@ def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("exact", similarity.ann_bruteforce(emb, ANN_QUERIES, ANN_K)),
         ("lsh", similarity.ann_lsh(emb, ANN_QUERIES, ANN_K, corpus_count=n, dim=dim)),
         ("ivf", similarity.ann_ivf(emb, ANN_QUERIES, ANN_K, corpus_count=n)),
+        ("sq8", similarity.ann_sq8(emb, ANN_QUERIES, ANN_K)),
     ]
     out = None
     for method, df in parts:
@@ -1073,6 +1075,54 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM scored
 ) WHERE rank <= {ANN_K}
 """,
+    # SQ8 scalar quantization (similarity.sq8_encode/ann_sq8): codes =
+    # round(x / (max|x|/127)); the per-vector scale cancels out of the
+    # cosine, so the approximate score is dot(q, codes)/(|q|·|codes|);
+    # k·refine shortlist, exact re-rank
+    "s_ann_sq8": _EMB
+    + f""",
+sqc AS (
+  SELECT vec_id, e, nrm, list_max(list_transform(e, x -> abs(x))) AS mx
+  FROM n
+),
+sq8codes AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(e, x -> round(x / (mx / 127.0)))
+              ELSE list_transform(e, x -> 0.0) END AS cd
+  FROM sqc
+),
+sq8n AS (
+  SELECT vec_id, cd, sqrt(list_dot_product(cd, cd)) AS cnrm FROM sq8codes
+),
+sq8approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.cd) / (q.nrm * c.cnrm) AS acos_
+  FROM n q JOIN sq8n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {ANN_QUERIES}
+),
+sq8short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY acos_ DESC, neighbor_id ASC) AS rn
+    FROM sq8approx
+  ) WHERE rn <= {ANN_K * 4}
+),
+sq8rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS cos
+  FROM sq8short s
+  JOIN n q ON q.vec_id = s.query_id
+  JOIN n x ON x.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM sq8rr
+) WHERE rank <= {ANN_K}
+""",
     # --- text analysis ---
     "t_lang_id": _TOKS
     + r""",
@@ -1633,6 +1683,7 @@ _ANN_UNION = "\nUNION ALL\n".join(
         ("exact", "s_ann_bruteforce"),
         ("lsh", "s_ann_lsh"),
         ("ivf", "s_ann_ivf"),
+        ("sq8", "s_ann_sq8"),
     )
 )
 # recall@k diagnostic: per (method, query), how many of the method's
