@@ -105,6 +105,9 @@ ANN_HEADLINE = {
     "s_cosine_neardup_bucketed": lambda emb, n, d: _similarity().cosine_neardup(
         emb, max_broadcast_rows=0
     ),
+    # int8 scalar quantization (r7): approximate pass over the 4x-
+    # compressed codes, exact re-rank over a 4x shortlist
+    "s_ann_sq8": lambda emb, n, d: _similarity().ann_sq8(emb, 10, 5),
 }
 
 
@@ -153,6 +156,9 @@ ANN_RECALL = {
     # parametric OPQ over the same path (r7): 0.72 vs 0.64 at sf0.1
     "s_ann_pq_opq": lambda emb, n, d: _opq_pq(emb, d),
     "s_ann_hybrid_wide": ANN_HEADLINE["s_ann_hybrid_wide"],
+    # SQ8 (r7): per-dim 7-bit quantization keeps near-exact recall —
+    # the storage-tier point the PQ/hybrid numbers compare against
+    "s_ann_sq8": ANN_HEADLINE["s_ann_sq8"],
 }
 
 
@@ -450,6 +456,17 @@ def main() -> None:
         timed(
             "t_lm_fluency",
             lambda: _force(textstats.bigram_lm_scores(docs)),
+        )
+        # BM25 ranked retrieval (r7): row-local tf/dl + ONE corpus-
+        # stats aggregate broadcast back + TakeOrdered top-k — the
+        # zero-extra-shuffle literal-query path (search.bm25_topk)
+        from webpagesgraphdatabase_spark.operators import search as _search
+
+        timed(
+            "t_bm25",
+            lambda: _force(
+                _search.bm25_topk(docs, ("spark", "hash", "window"), k=10)
+            ),
         )
         # per-event-type bottom-k quantile sketch (r6): count-sized
         # hash-threshold prefilter + O(k)-row rank + percentile agg

@@ -126,3 +126,24 @@ def test_warc_link_graph(spark, tmp_path):
         ("https://site.example/a", "https://site.example/b"),
         ("https://site.example/a", "https://other.example/c"),
     }
+
+
+def test_preload_warc_into_graph_idempotent(spark, tmp_path):
+    """The crawl front door lands through the CSV preload machinery:
+    2xx HTML pages become Link nodes (normalized url, extracted title
+    and text), re-preloading the same archive inserts nothing."""
+    from webpagesgraphdatabase_spark import serving
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    (tmp_path / "crawl.warc").write_bytes(W.build_warc(_records()))
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    n = serving.preload_warc(spark, store, str(tmp_path / "crawl.warc"))
+    assert n == 1  # only the 200 text/html response qualifies
+    links = {r.url: r for r in store.graph().links.collect()}
+    assert "https://site.example/a" in links
+    row = links["https://site.example/a"]
+    assert row.title == "Page A"
+    assert row.raw_content == "Alpha & beta. b c"
+    # idempotent: the anti-join drops the existing url
+    assert serving.preload_warc(spark, store, str(tmp_path / "crawl.warc")) == 0

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import functions as fn
+from .functions import html
 from .graph.mutations import GraphStore
 from .graph.queries import export_edges, export_nodes
 
@@ -214,3 +215,36 @@ def preload_csv(store: GraphStore, csv_df: DataFrame, batch_size: int | None = N
     store.merge_edges("has_keyword", kw)
     parsed.unpersist()
     return n_new
+
+
+def preload_warc(spark, store: GraphStore, warc_path: str, batch_size: int | None = None) -> int:
+    """Crawl → graph: land WARC/WET archives through the SAME
+    idempotent preload machinery as the metadata CSV (S6) — the
+    at-scale replacement for the reference's one-URL-at-a-time fetch
+    loop (``main.py:85-98``). 2xx HTML responses contribute
+    (url = WARC-Target-URI, title = <title>, content = extracted
+    visible text); categories/keywords stay at their sentinel defaults
+    for the enrichment pipeline to fill, exactly as a bare /add_url
+    does. Returns the number of links actually inserted (idempotent:
+    re-preloading the same archive inserts 0)."""
+    from . import warc as W
+
+    recs = W.read_warc(spark, warc_path)
+    pages = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.col("http_content_type").startswith("text/html")
+        & F.col("target_uri").isNotNull()
+        & F.col("body_text").isNotNull()
+    )
+    rows = pages.select(
+        F.col("target_uri").alias("url"),
+        html.html_title(F.col("body_text")).alias("title"),
+        html.html_text(F.col("body_text")).alias("content"),
+        F.lit("").alias("category"),
+        F.lit("").alias("keyword"),
+        F.lit("").alias("category_explanation"),
+        F.lit("").alias("keyword_explanation"),
+    )
+    return preload_csv(store, rows, batch_size=batch_size)
