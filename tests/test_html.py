@@ -131,3 +131,27 @@ def test_html_text_plan_is_pure_codegen(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF anywhere in the chain
+
+
+def test_normalize_unicode_forms(spark):
+    from webpagesgraphdatabase_spark import functions as fn
+
+    # input: 'e' + combining acute U+0301, fi-ligature U+FB01
+    denorm = "cafe\u0301 \ufb01n"
+    df = spark.createDataFrame(
+        [(denorm,), (None,)], ["t"]
+    ).select(
+        fn.normalize_unicode(F.col("t"), "NFC").alias("nfc"),
+        fn.normalize_unicode(F.col("t"), "NFKC").alias("nfkc"),
+        fn.normalize_unicode(F.col("t"), "NFD").alias("nfd"),
+    )
+    rows = df.collect()
+    assert rows[0].nfc == "caf\u00e9 \ufb01n"  # precomposed, ligature kept
+    assert rows[0].nfkc == "caf\u00e9 fin"  # ligature folded too
+    assert rows[0].nfd == denorm  # already fully decomposed
+    assert rows[1].nfc is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fn.normalize_unicode(F.col("t"), "NFX")

@@ -218,3 +218,30 @@ def split_keywords(col: Column) -> Column:
         lambda k: (k != "") & (k != SENTINEL_NONE),
     )
     return F.slice(arr, 1, MAX_KEYWORDS)
+
+
+# --- Unicode normalization (curation hygiene; beyond-reference) ----------
+# Web text mixes precomposed and combining-mark forms of the same
+# glyph ('é' as U+00E9 vs 'e'+U+0301); exact dedup, shingling, and
+# tokenization all treat them as different bytes unless the corpus is
+# normalized first. NFC is the curation default (byte-stable for
+# already-normalized ASCII/Latin text); NFKC additionally folds
+# compatibility forms (ligatures, full-width digits) for tokenizers.
+
+
+def normalize_unicode(col, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (Arrow-batched pandas UDF —
+    normalization tables are per-codepoint stateful, not expressible in
+    codegen string algebra). ``form``: NFC/NFD/NFKC/NFKD."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf(StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return _udf(col)

@@ -54,6 +54,11 @@ def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = F.transform(
         html.extract_hrefs(page), lambda h: html.resolve_href(base, h)
     )
+    # Unicode normalization leg (r7): a combining-acute 'e'+U+0301 and
+    # the U+FB01 fi-ligature — NFC precomposes the accent and keeps the
+    # ligature (checked against DuckDB's nfc_normalize); NFKC folds the
+    # ligature too (checked against the literal expected form)
+    denorm = F.concat(F.col("c_name"), F.lit(" cafe\u0301 \ufb01n"))
     return customer.select(
         F.col("c_custkey").alias("id"),
         fn.normalize_url(raw).alias("url"),
@@ -61,6 +66,8 @@ def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.html_text(page).alias("clean_text"),
         F.size(links).cast("long").alias("n_links"),
         F.md5(F.array_join(links, "|")).alias("links_fp"),
+        fn.normalize_unicode(denorm, "NFC").alias("nfc_name"),
+        fn.normalize_unicode(denorm, "NFKC").alias("nfkc_name"),
     )
 
 
@@ -73,7 +80,13 @@ SELECT c_custkey AS id,
        md5('https://site.example/nav'
            || '|https://abs.example/c/' || c_custkey
            || '|https://site.example/rel/' || (c_custkey % 7)
-           || '|https://site.example/c/up/' || (c_custkey % 3)) AS links_fp
+           || '|https://site.example/c/up/' || (c_custkey % 3)) AS links_fp,
+       -- same denormalized input (combining acute U+0301, fi-ligature
+       -- U+FB01) through DuckDB's own NFC; NFKC folds the ligature, so
+       -- its expectation is the literal compatibility-folded form
+       nfc_normalize(c_name || ' cafe' || chr(769) || ' ' || chr(64257) || 'n')
+         AS nfc_name,
+       c_name || ' caf' || chr(233) || ' fin' AS nfkc_name
 FROM customer
 """
 
