@@ -1,0 +1,77 @@
+"""robots.txt parsing (RFC 9309) and corpus-wide politeness filtering."""
+
+from __future__ import annotations
+
+from webpagesgraphdatabase_spark import robots as R
+
+ROBOTS = """
+# comments are ignored
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /tmp/
+Allow: /tmp/public*
+Disallow: /*.pdf$
+Allow: /
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_parse_robots_group_selection():
+    # fallback group
+    star = R.parse_robots(ROBOTS, "somecrawler")
+    assert (False, "/tmp/") in star and (True, "/tmp/public*") in star
+    assert (False, "/*.pdf$") in star and (True, "/") in star
+    # most specific matching token wins
+    assert R.parse_robots(ROBOTS, "googlebot-images") == [(False, "/private/")]
+    assert R.parse_robots(ROBOTS, "badbot") == [(False, "/")]
+    # empty / commentary-only file: no rules
+    assert R.parse_robots("# nothing here") == []
+    # empty Disallow means allow-all: produces no rules
+    assert R.parse_robots("User-agent: *\nDisallow:") == []
+
+
+def test_pattern_to_regex():
+    assert R._pattern_to_regex("/a/*.pdf$") == "^/a/.*\\.pdf$"
+    assert R._pattern_to_regex("/plain") == "^/plain"
+
+
+def test_robots_filter_longest_match_and_ties(spark):
+    rules = R.robots_rules(
+        spark.createDataFrame([("site.example", ROBOTS)], ["host", "body"])
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://site.example/ok.html",),        # Allow: /
+            ("https://site.example/tmp/x",),          # Disallow: /tmp/ (len 5 > 1)
+            ("https://site.example/tmp/public/y",),   # Allow: /tmp/public* (len 12)
+            ("https://site.example/doc.pdf",),        # Disallow: /*.pdf$
+            ("https://site.example/doc.pdfx",),       # $ anchor: not matched -> Allow: /
+            ("https://other.example/anything",),      # no rules for host -> allowed
+            ("https://site.example",),                # empty path treated as /
+        ],
+        ["url"],
+    )
+    got = {r.url for r in R.robots_filter(urls, rules).collect()}
+    assert got == {
+        "https://site.example/ok.html",
+        "https://site.example/tmp/public/y",
+        "https://site.example/doc.pdfx",
+        "https://other.example/anything",
+        "https://site.example",
+    }
+
+
+def test_robots_filter_preserves_extra_columns(spark):
+    rules = R.robots_rules(
+        spark.createDataFrame([("s.example", "User-agent: *\nDisallow: /no")], ["host", "body"])
+    )
+    urls = spark.createDataFrame(
+        [("https://s.example/yes", 1), ("https://s.example/no/x", 2)],
+        ["url", "k"],
+    )
+    got = [(r.url, r.k) for r in R.robots_filter(urls, rules).collect()]
+    assert got == [("https://s.example/yes", 1)]

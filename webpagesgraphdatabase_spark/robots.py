@@ -1,0 +1,161 @@
+"""robots.txt (RFC 9309) parsing and crawl-politeness filtering.
+
+The reference fetches URLs with no politeness layer (``main.py:85-98``
+calls ``requests.get`` directly); a 100 TB crawl pipeline must be able
+to answer "may I fetch / keep this URL?" corpus-wide. This module
+parses robots.txt bodies (e.g. harvested from a WARC archive's own
+``text/plain`` responses) into per-host rule tables and applies them
+to URL sets as a join — no per-URL Python.
+
+Semantics implemented (RFC 9309 §2):
+
+- group selection: the group(s) whose ``User-agent`` most specifically
+  matches the product token, falling back to ``*``; multiple
+  user-agent lines stack onto the following rule block.
+- rule matching: longest-``path``-match wins; on a tie between an
+  allow and a disallow of equal length, allow wins.
+- ``*`` wildcards inside a path and the ``$`` end anchor are
+  supported (translated to an RE2-safe regex); an empty Disallow
+  means "allow everything" per the RFC.
+- a URL whose host has no rules (or no robots.txt at all) is allowed.
+
+Scale shape: rule tables are tiny (a few hundred rows per host) —
+they broadcast; matching is codegen ``startswith``/``rlike`` against
+the URL path; the per-URL winner is a ``max_by`` over (plen, allow) —
+partial-aggregatable, no window over a hot host key.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$"
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Rules for ``agent`` as (allow, path_pattern) pairs, RFC 9309
+    group selection: the most specific matching ``User-agent`` token
+    wins (substring match, case-insensitive), ``*`` is the fallback.
+    Comments (#) and unknown directives are ignored."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_group_header = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        name, colon, value = line.partition(":")
+        if not colon:
+            continue
+        name = name.strip().lower()
+        value = value.strip()
+        if name == "user-agent":
+            if not in_group_header:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            in_group_header = True
+            agents.append(value.lower())
+        elif name in ("allow", "disallow"):
+            in_group_header = False
+            # empty Disallow = allow all (RFC 9309 §2.2.2); an empty
+            # pattern matches nothing, so just skip it
+            if value:
+                rules.append((name == "allow", value))
+    if agents:
+        groups.append((agents, rules))
+
+    tok = agent.lower()
+    best: list[tuple[bool, str]] | None = None
+    best_len = -1
+    for group_agents, group_rules in groups:
+        for a in group_agents:
+            if a != "*" and a in tok and len(a) > best_len:
+                best, best_len = group_rules, len(a)
+    if best is None:
+        for group_agents, group_rules in groups:
+            if "*" in group_agents:
+                best = group_rules
+                break
+    return best or []
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """robots path pattern → anchored RE2 regex (* → .*, $ → end)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return "^" + out + ("$" if anchored else "")
+
+
+def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, allow, pattern, rx, plen) rule table from (host, body)
+    robots.txt rows — the parse runs once per host on the driver-free
+    path via a small Arrow batch (rule tables are KB-sized per host;
+    this frame broadcasts)."""
+    import pandas as pd
+
+    def explode_rules(batches):
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                for allow, pattern in parse_robots(body or "", agent):
+                    rows.append(
+                        {
+                            "host": host,
+                            "allow": allow,
+                            "pattern": pattern,
+                            "rx": _pattern_to_regex(pattern),
+                            "plen": len(pattern),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["host", "allow", "pattern", "rx", "plen"]
+            ) if rows else pd.DataFrame(
+                columns=["host", "allow", "pattern", "rx", "plen"]
+            )
+
+    return robots.select("host", "body").mapInPandas(
+        explode_rules,
+        schema="host string, allow boolean, pattern string, rx string, plen int",
+    )
+
+
+def robots_filter(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Filter a URL frame to the crawl-allowed subset: longest-match
+    rule per URL (allow wins length ties), hosts without rules pass.
+
+    The rules side broadcasts; the winner is ``max_by(allow, (plen,
+    allow))`` — a partial-aggregatable struct-max, no per-host
+    window."""
+    u = urls.withColumn("_host", F.regexp_extract(F.col(url_col), _HOST_RE, 1)).withColumn(
+        "_path", F.coalesce(F.regexp_extract(F.col(url_col), _PATH_RE, 1), F.lit("/"))
+    ).withColumn("_path", F.when(F.col("_path") == "", "/").otherwise(F.col("_path")))
+    matched = (
+        u.join(F.broadcast(rules), u["_host"] == rules["host"], "left")
+        .withColumn(
+            "_hit",
+            F.col("rx").isNotNull() & F.expr("_path RLIKE rx"),
+        )
+        .groupBy(*[F.col(c) for c in urls.columns])
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_hit"),
+                    F.struct(
+                        F.col("plen").alias("plen"),
+                        F.col("allow").cast("int").alias("allow_i"),
+                    ),
+                )
+            ).alias("winner")
+        )
+    )
+    return matched.filter(
+        F.col("winner").isNull() | (F.col("winner.allow_i") == 1)
+    ).select(*urls.columns)
