@@ -371,3 +371,37 @@ def test_cypher_route_varlen_reach(client, store):
         json={"query": "MATCH (n:Link)-[*]-(m) RETURN n.url, COUNT(DISTINCT m)"},
     )
     assert r2.status_code == 400 and "unbounded" in r2.get_json()["error"]
+
+
+def test_search_route_bm25(client, store):
+    """/search ranks stored pages by BM25 over their content; the
+    doc containing both terms outranks the single-term doc."""
+    import webpagesgraphdatabase_spark.serving as serving
+    from pyspark.sql import functions as F
+
+    spark = store.spark
+    rows = spark.createDataFrame(
+        [
+            ("https://s.example/both", "T", "spark hash spark join", "", "", "", ""),
+            ("https://s.example/one", "T", "hash table scan", "", "", "", ""),
+            ("https://s.example/none", "T", "window data", "", "", "", ""),
+        ],
+        ["url", "title", "content", "category", "keyword",
+         "category_explanation", "keyword_explanation"],
+    )
+    serving.preload_csv(store, rows)
+    r = client.post("/search", json={"terms": "Spark, hash", "k": 5})
+    assert r.status_code == 200
+    got = r.get_json()["results"]
+    urls = [x["url"] for x in got]
+    assert urls[0] == "https://s.example/both"
+    assert "https://s.example/one" in urls
+    assert "https://s.example/none" not in urls
+    assert got[0]["rank"] == 1 and got[0]["score"] > 0
+
+    # validation
+    assert client.post("/search", json={}).status_code == 400
+    assert client.post("/search", json={"terms": []}).status_code == 400
+    assert (
+        client.post("/search", json={"terms": "x", "k": "y"}).status_code == 400
+    )

@@ -615,6 +615,55 @@ def create_app(
             }
         )
 
+    @app.route("/search", methods=["POST"])
+    def search_route():
+        """BM25 keyword search over the stored pages' content
+        (``operators/search.py`` bm25_topk over the Link table,
+        id = url): JSON body {terms, k?} -> ranked urls. Per-request
+        work is the literal-query path — row-local tf/dl, one
+        corpus-stats row, TakeOrdered top-k; the collect is k rows."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .operators import search as _search
+
+        body = request.get_json(silent=True) or {}
+        terms = body.get("terms")
+        if isinstance(terms, str):
+            terms = [t for t in _re.split(r"[,\s]+", terms.strip()) if t]
+        if (
+            not isinstance(terms, list)
+            or not terms
+            or not all(isinstance(t, str) and t for t in terms)
+        ):
+            return (
+                jsonify({"error": "terms (non-empty list or string) required"}),
+                400,
+            )
+        try:
+            k = min(int(body.get("k", 10)), 100)
+        except (TypeError, ValueError):
+            return jsonify({"error": "k must be an integer"}), 400
+        terms = tuple(dict.fromkeys(t.lower() for t in terms[:10]))
+        corpus = store.graph().links.select(
+            F.col("url").alias("doc_id"),
+            F.lower(F.coalesce(F.col("raw_content"), F.lit(""))).alias("text"),
+        )
+        rows = _search.bm25_topk(corpus, terms, k=k).collect()
+        return jsonify(
+            {
+                "results": [
+                    {
+                        "rank": r["rank"],
+                        "url": r["doc_id"],
+                        "score": round(r["score"], 6),
+                    }
+                    for r in rows
+                ]
+            }
+        )
+
     @app.route("/instructions", methods=["GET"])
     def instructions():
         lines = [
@@ -627,6 +676,8 @@ def create_app(
             "Cypher statement (row-capped).",
             "POST /similar with JSON {vector, k} for ANN vector search "
             "over the configured IVF index.",
+            "POST /search with JSON {terms, k} for BM25 keyword search "
+            "over stored page content.",
         ]
         if _wants_html():  # templates/instructions.html parity
             return render_template_string(_INSTRUCTIONS_TEMPLATE, instructions=lines)
