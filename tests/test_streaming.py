@@ -605,3 +605,50 @@ def test_streaming_ivf_ingest_matches_batch_rebuild(spark, tmp_path):
         map(tuple, similarity.ann_ivf_from_index(spark, full, k=5).collect())
     )
     assert got == want and got
+
+
+def test_streaming_sq8_ingest_matches_batch_encode(spark, tmp_path):
+    """A vector stream feeding streaming_sq8_ingest grows the at-rest
+    SQ8 code table micro-batch by micro-batch; serving over the
+    streamed index equals serving over a one-shot build of the union
+    corpus (encode is stateless, so the layouts must agree exactly),
+    and a replay of an already-landed batch id does not duplicate."""
+    from webpagesgraphdatabase_spark.operators import similarity
+    from webpagesgraphdatabase_spark.streaming.jobs import streaming_sq8_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "sq8")
+    similarity.build_sq8_index(first, path, n_buckets=8)
+
+    src = tmp_path / "vecs"
+    rest.filter(F.col("vec_id") % 4 == 1).write.parquet(str(src / "a"))
+    rest.filter(F.col("vec_id") % 4 == 3).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    streaming_sq8_ingest(stream, path, str(tmp_path / "ckpt_sq8"))
+
+    stored = spark.read.parquet(f"{path}/sq8.parquet")
+    assert stored.count() == emb.count()
+    batches = {r.batch for r in stored.select("batch").distinct().collect()}
+    assert 0 in batches and len(batches) == 3
+
+    # replay of batch 1 (same rows): dynamic overwrite, no duplicates
+    similarity.sq8_index_append(
+        rest.filter(F.col("vec_id") % 4 == 1), path, batch=1
+    )
+    assert spark.read.parquet(f"{path}/sq8.parquet").count() == emb.count()
+
+    full = str(tmp_path / "sq8_full")
+    similarity.build_sq8_index(emb, full, n_buckets=8)
+    got = sorted(
+        map(tuple, similarity.ann_sq8_from_index(spark, path, emb, 10, 5).collect())
+    )
+    want = sorted(
+        map(tuple, similarity.ann_sq8_from_index(spark, full, emb, 10, 5).collect())
+    )
+    assert got == want and got

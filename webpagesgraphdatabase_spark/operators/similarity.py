@@ -2103,13 +2103,58 @@ def ann_sq8(
 def build_sq8_index(emb: DataFrame, path: str, n_buckets: int = 16) -> None:
     """Persist the SQ8 codes at rest, hash-bucketed by vec_id so a
     targeted decode (or a future partial re-encode) prunes; the float
-    source of truth stays wherever ``emb`` lives."""
-    enc = sq8_encode(emb).withColumn(
-        "bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets))
+    source of truth stays wherever ``emb`` lives. The layout is
+    ``bucket=N/batch=M`` with the base build as batch 0, so
+    :func:`sq8_index_append` can grow it exactly-once."""
+    enc = (
+        sq8_encode(emb)
+        .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
+        .withColumn("batch", F.lit(0))
     )
-    enc.write.mode("overwrite").partitionBy("bucket").parquet(
+    enc.write.mode("overwrite").partitionBy("bucket", "batch").parquet(
         f"{path}/sq8.parquet"
     )
+    spark = emb.sparkSession
+    spark.range(1).select(F.lit(int(n_buckets)).alias("n_buckets")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta.parquet")
+
+
+def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> None:
+    """Incrementally add vectors to a :func:`build_sq8_index` layout —
+    the same exactly-once ingest discipline as ``ivf_index_append``:
+    the new batch encodes row-locally (no stored state needed beyond
+    the bucket count), lands in its own ``batch`` sub-partition under
+    every touched bucket, and the write is a DYNAMIC partition
+    overwrite keyed on that batch id, so a crash replay overwrites
+    exactly its own partitions instead of duplicating codes. Existing
+    batches' files are untouched (readers stay consistent).
+
+    ``batch=None`` allocates max(existing)+1 (metadata-only partition-
+    column scan). Callers own vec_id uniqueness across batches."""
+    spark = emb.sparkSession
+    n_buckets = int(
+        spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"]
+    )
+    store_path = f"{path}/sq8.parquet"
+    if batch is None:
+        prev = spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
+        batch = int(prev or 0) + 1
+    enc = (
+        sq8_encode(emb)
+        .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        enc.write.mode("overwrite").partitionBy("bucket", "batch").parquet(
+            store_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
 def ann_sq8_from_index(

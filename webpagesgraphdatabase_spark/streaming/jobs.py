@@ -567,3 +567,29 @@ def streaming_sessionize_native(
             "n_events",
         )
     )
+
+
+def streaming_sq8_ingest(
+    vec_stream: DataFrame, path: str, checkpoint_dir: str
+) -> None:
+    """Streaming twin of ``similarity.sq8_index_append``: each
+    micro-batch of (vec_id, embedding) rows encodes row-locally and
+    lands in the ``(bucket, batch)`` layout via dynamic partition
+    overwrite keyed on this micro-batch's id — a crash replay
+    overwrites exactly its own partitions (exactly-once growth, same
+    discipline as ``streaming_ivf_ingest``). Batch ids map to
+    ``bid + 1`` so the base build's batch 0 is never touched.
+    availableNow + blocking, like the other drain-style jobs here."""
+    from ..operators.similarity import sq8_index_append
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sq8_index_append(batch_df, path, batch=int(batch_id) + 1)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
