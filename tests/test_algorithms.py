@@ -330,3 +330,68 @@ def test_clustering_coefficients_hand_graph(spark):
     assert got["c"].coeff == pytest.approx(1 / 3, abs=1e-6)
     assert got["d"].coeff == 0.0 and got["d"].triangles == 0
     assert got["c"].degree == 3
+
+
+def test_pagerank_from_edges_directed_dangling(spark):
+    """Directed PageRank over an href-style edge list, checked against
+    a driver-local power iteration with dangling-mass redistribution:
+    identical ranks to 6 dp, total mass 1."""
+    from webpagesgraphdatabase_spark.graph.algorithms import pagerank_from_edges
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        # e is dangling (no out-edges); nothing links to d
+        ("a", "e"),
+    ]
+    df = spark.createDataFrame(edges, ["src_url", "dst_url"])
+    got = {r.node_id: r.rank for r in pagerank_from_edges(df, iterations=5).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: [d for s, d in edges if s == v] for v in nodes}
+    alpha, rank = 0.85, {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        dm = sum(rank[v] for v in nodes if not out[v])
+        new = {}
+        for v in nodes:
+            inflow = sum(rank[s] / len(out[s]) for s in nodes if v in out[s])
+            new[v] = (1 - alpha) / n + alpha * (inflow + dm / n)
+        rank = new
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1.5e-6), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_from_edges_ranks_crawled_link_graph(spark, tmp_path):
+    """End-to-end crawl ranking: WARC fixture -> link_graph ->
+    pagerank_from_edges; the page everything links to outranks the
+    leaves."""
+    from webpagesgraphdatabase_spark import warc as W
+    from webpagesgraphdatabase_spark.graph.algorithms import pagerank_from_edges
+
+    def page(uri, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs).encode()
+        return {
+            "record_id": f"<urn:uuid:{uri}>",
+            "warc_type": "response",
+            "target_uri": uri,
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(body),
+        }
+
+    hub = "https://s.example/hub"
+    recs = [
+        page("https://s.example/a", [hub, "/b"]),
+        page("https://s.example/b", [hub]),
+        page("https://s.example/c", [hub, "/a"]),
+        page(hub, []),
+    ]
+    (tmp_path / "c.warc").write_bytes(W.build_warc(recs))
+    g = W.warc_link_graph(W.read_warc(spark, str(tmp_path)))
+    ranks = {
+        r.node_id: r.rank
+        for r in pagerank_from_edges(g, iterations=8).collect()
+    }
+    assert max(ranks, key=ranks.get) == hub

@@ -681,3 +681,96 @@ def clustering_coefficients(
             ).alias("coeff"),
         )
     )
+
+
+def pagerank_from_edges(
+    edges: DataFrame,
+    iterations: int = 5,
+    alpha: float = 0.85,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Directed PageRank over an arbitrary (src, dst) edge list — the
+    crawl-ranking shape: feed it the href graph harvested from stored
+    markup (``functions.html.link_graph`` / ``warc.warc_link_graph``)
+    and rank pages by incoming-link structure, the original use of the
+    algorithm (Page et al. 1999).
+
+    Unlike :func:`pagerank` (undirected bipartite — no dangling nodes
+    by construction), a link graph is directed and pages with no
+    out-links are common, so each superstep redistributes the dangling
+    mass uniformly: r ← (1-α)/N + α·(Σ in-contribs + dangling/N).
+    Total mass stays 1 (asserted by the tests, not the operator).
+
+    Scale shape per superstep: one equi-join of the edge list against
+    the current ranks + a partial-agg sum per dst (the same shape as
+    :func:`pagerank`), plus a ONE-ROW aggregate for the dangling mass
+    broadcast back — never a per-node window, never a collect. Ranks
+    are rounded to 6 dp at the end only. Returns (node_id, rank)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    persisted = [e]
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .persist()
+        )
+        persisted.append(nodes)
+        n = nodes.count()
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        base = nodes.join(
+            outdeg.withColumnRenamed("src", "node_id"), "node_id", "left"
+        ).select("node_id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        base = base.persist()
+        persisted.append(base)
+        base.count()
+
+        ranks = base.select("node_id", F.lit(1.0 / n).alias("rank"))
+        for _ in range(iterations):
+            dangling = (
+                ranks.join(
+                    base.filter(F.col("deg") == 0), "node_id", "left_semi"
+                )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            contribs = (
+                e.join(
+                    base.withColumnRenamed("node_id", "src"), "src"
+                )
+                .join(ranks.withColumnRenamed("node_id", "src"), "src")
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(
+                    contribs.withColumnRenamed("dst", "node_id"),
+                    "node_id",
+                    "left",
+                )
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node_id",
+                    (
+                        F.lit((1.0 - alpha) / n)
+                        + F.lit(alpha)
+                        * (
+                            F.coalesce("inflow", F.lit(0.0))
+                            + F.col("dm") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+            ranks = ranks.localCheckpoint(eager=True)
+        # the final frame is a projection of the eager localCheckpoint,
+        # so the cached inputs are safe to release here
+        return ranks.select("node_id", F.round("rank", 6).alias("rank"))
+    finally:
+        for df in persisted:
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass

@@ -133,7 +133,8 @@ def robots_filter(
 
     The rules side broadcasts; the winner is ``max_by(allow, (plen,
     allow))`` — a partial-aggregatable struct-max, no per-host
-    window."""
+    window. Set semantics: the adjudicating groupBy collapses exact
+    duplicate input rows (a URL frontier is a set anyway)."""
     u = urls.withColumn("_host", F.regexp_extract(F.col(url_col), _HOST_RE, 1)).withColumn(
         "_path", F.coalesce(F.regexp_extract(F.col(url_col), _PATH_RE, 1), F.lit("/"))
     ).withColumn("_path", F.when(F.col("_path") == "", "/").otherwise(F.col("_path")))
