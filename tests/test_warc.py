@@ -147,3 +147,55 @@ def test_preload_warc_into_graph_idempotent(spark, tmp_path):
     assert row.raw_content == "Alpha & beta. b c"
     # idempotent: the anti-join drops the existing url
     assert serving.preload_warc(spark, store, str(tmp_path / "crawl.warc")) == 0
+
+
+def test_domain_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example/1", "xxxx"),
+            ("https://a.example/2", "xx"),
+            ("https://b.example/1", "x"),
+            ("not-a-url", "ignored"),
+        ],
+        ["url", "text"],
+    )
+    got = {r.domain: (r.n_docs, r.total_chars, r.mean_chars)
+           for r in W.domain_stats(docs).collect()}
+    assert got == {"a.example": (2, 6, 3.0), "b.example": (1, 1, 1.0)}
+
+
+def test_crawl_frontier_composition(spark):
+    from webpagesgraphdatabase_spark import robots as R
+
+    edges = spark.createDataFrame(
+        [
+            ("https://s.example/a", "https://s.example/new1"),
+            ("https://s.example/a", "https://s.example/seen"),
+            ("https://s.example/b", "https://s.example/new1"),  # dedup
+            ("https://s.example/b", "https://s.example/private/x"),
+            ("https://s.example/b", "https://t.example/n1"),
+            ("https://s.example/b", "https://t.example/n2"),
+            ("https://s.example/b", "https://t.example/n3"),
+        ],
+        ["src_url", "dst_url"],
+    )
+    seen = spark.createDataFrame([("https://s.example/seen",)], ["url"])
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("s.example", "User-agent: *\nDisallow: /private/")],
+            ["host", "body"],
+        )
+    )
+    got = {r.url for r in W.crawl_frontier(edges, seen, rules).collect()}
+    assert got == {
+        "https://s.example/new1",
+        "https://t.example/n1",
+        "https://t.example/n2",
+        "https://t.example/n3",
+    }
+    capped = W.crawl_frontier(edges, seen, rules, limit_per_domain=2)
+    by_host = {}
+    for r in capped.collect():
+        h = r.url.split("/")[2]
+        by_host[h] = by_host.get(h, 0) + 1
+    assert by_host["t.example"] == 2 and by_host["s.example"] == 1

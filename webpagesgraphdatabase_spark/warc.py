@@ -279,3 +279,63 @@ def http_response_block(
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode()
     return head + body
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain corpus rollup over URL-bearing document rows (e.g.
+    :func:`warc_documents` output): (domain, n_docs, total_chars,
+    mean_chars) — the aggregation domain blocklists/quotas key on.
+    One partial-aggregated groupBy on the extracted host."""
+    host = F.regexp_extract(F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+    return (
+        docs.select(host.alias("domain"), F.length("text").alias("nc"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.round(F.avg("nc"), 6).alias("mean_chars"),
+        )
+    )
+
+
+def crawl_frontier(
+    edges: DataFrame,
+    seen: DataFrame,
+    rules: DataFrame | None = None,
+    limit_per_domain: int | None = None,
+) -> DataFrame:
+    """The next crawl frontier from a harvested link graph: distinct
+    ``dst_url`` targets not yet in ``seen`` (anti-join on url), minus
+    robots-disallowed URLs when a :func:`robots.robots_rules` table is
+    given, optionally capped per domain (politeness budget: smallest
+    md5-ranked ``limit_per_domain`` URLs per host — deterministic, and
+    a window over the frontier's own per-domain candidates, which the
+    cap itself keeps bounded downstream; the first crawl round of a
+    giant host pays one ranked partition).
+
+    Scale shape: one anti-join shuffle on url (both sides are URL
+    sets, never page bodies); the robots adjudication broadcasts its
+    rule table."""
+    from pyspark.sql import Window
+
+    frontier = (
+        edges.select(F.col("dst_url").alias("url"))
+        .distinct()
+        .join(seen.select("url").distinct(), "url", "left_anti")
+    )
+    if rules is not None:
+        from . import robots as R
+
+        frontier = R.robots_filter(frontier, rules)
+    if limit_per_domain is not None:
+        host = F.regexp_extract(
+            F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
+        )
+        w = Window.partitionBy(host).orderBy(F.md5("url"), F.col("url"))
+        frontier = (
+            frontier.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit_per_domain)
+            .drop("_rn")
+        )
+    return frontier
