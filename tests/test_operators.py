@@ -2571,3 +2571,52 @@ def test_ann_sq8_recall_and_index_at_rest(spark, tmp_path):
     )
     stored = spark.read.parquet(f"{path}/sq8.parquet")
     assert dict(stored.dtypes)["codes"] == "array<tinyint>"
+
+
+def test_split_sentences_and_sentence_chunks(spark):
+    """Rule-based sentence split (terminator runs end a sentence,
+    abbreviation-blind by contract) and greedy sentence-bounded
+    chunking: no sentence is ever split across chunks; every chunk
+    except possibly the last stays under budget unless a single
+    sentence overflows it."""
+    from webpagesgraphdatabase_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One two three. Four five! Six? Seven eight nine ten."),
+            (2, "No terminator here"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    sents = (
+        docs.select("doc_id", packing.split_sentences().alias("s"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.s for r in sents}
+    assert by_id[1] == [
+        "One two three.", "Four five!", "Six?", "Seven eight nine ten.",
+    ]
+    assert by_id[2] == ["No terminator here"]
+    assert by_id[3] == []
+
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_sentences, r.n_chunk_tokens, r.chunk_text)
+        for r in packing.sentence_chunks(docs, max_tokens=5).collect()
+    }
+    # doc 1 token counts per sentence: 3, 2, 1, 4 -> running starts
+    # 0,3,5,6 -> chunks 0,0,1,1
+    assert got[(1, 0)] == (2, 5, "One two three. Four five!")
+    assert got[(1, 1)] == (2, 5, "Six? Seven eight nine ten.")
+    assert got[(2, 0)] == (1, 3, "No terminator here")
+    assert (3, 0) not in got
+    # a single over-budget sentence stays whole in its own chunk
+    long = spark.createDataFrame(
+        [(9, "a b c d e f g h. x y.")], ["doc_id", "text"]
+    )
+    rows = {
+        r.chunk_idx: r.chunk_text
+        for r in packing.sentence_chunks(long, max_tokens=4).collect()
+    }
+    assert rows[0] == "a b c d e f g h."
+    assert rows[2] == "x y."

@@ -261,3 +261,65 @@ def verify_shards(spark, path: str) -> DataFrame:
     return data.select(cols).exceptAll(stored.select(cols)).unionByName(
         stored.select(cols).exceptAll(data.select(cols))
     )
+
+
+#: sentences = maximal runs of non-terminators plus their trailing
+#: terminator run; no lookaround, so the same pattern runs on RE2
+_SENTENCE_RE = "[^.!?]+[.!?]*"
+
+
+def split_sentences(text_col: str = "text"):
+    """array<string> of trimmed, non-empty rule-based sentences:
+    terminator runs ([.!?]+) end a sentence. Abbreviation-blind by
+    design ("Dr. Smith" splits) — the honest rule-based contract;
+    row-local codegen, usable as a chunking unit."""
+    raw = F.regexp_extract_all(F.col(text_col), F.lit(_SENTENCE_RE), F.lit(0))
+    return F.filter(F.transform(raw, lambda s: F.trim(s)), lambda s: s != "")
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-bounded chunking — the RAG alternative to the fixed
+    sliding window (:func:`chunk_documents`): sentences pack greedily
+    into chunks of ≤ ``max_tokens`` tokens without splitting a
+    sentence (a single over-long sentence becomes its own chunk).
+    Returns (doc_id, chunk_idx, n_sentences, n_chunk_tokens,
+    chunk_text).
+
+    Chunk assignment is the running token count's integer division by
+    the budget — the standard one-pass approximation of greedy
+    bin-packing (a chunk may straddle a budget boundary mid-sentence
+    accumulation but never splits a sentence). Shape: one posexplode,
+    one per-doc window (bounded by the doc's own sentence count), one
+    keyed reassembly groupBy — no global sort."""
+    from pyspark.sql import Window
+
+    tokenizer = tokenizer or whitespace_tokens
+    sent = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(split_sentences("text")).alias("sent_idx", "sentence"),
+    ).withColumn("n_tok", F.size(tokenizer("sentence")))
+    w = Window.partitionBy("doc_id").orderBy("sent_idx")
+    assigned = sent.withColumn(
+        "chunk_idx",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(max_tokens))
+        .cast("long"),
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum("n_tok").cast("long").alias("n_chunk_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
