@@ -2620,3 +2620,42 @@ def test_split_sentences_and_sentence_chunks(spark):
     }
     assert rows[0] == "a b c d e f g h."
     assert rows[2] == "x y."
+
+
+def test_cdc_segments_shift_invariance_and_layout(spark):
+    """Content-defined boundaries: a document embedded at a different
+    offset reproduces byte-identical interior segments (the property
+    fixed-size chunking lacks); short docs form one segment; the
+    reassembled segments concatenate back to the original text."""
+    from webpagesgraphdatabase_spark.operators import textstats
+
+    base = " ".join(f"w{i % 23}x{i % 7}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "prefix tokens here " + base), (3, "a b"), (4, "")],
+        ["doc_id", "text"],
+    )
+    segs = textstats.cdc_segments(docs).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.seg_idx)
+    # reassembly: segments joined in order == original token stream
+    assert " ".join(r.seg_text for r in by_doc[1]) == base
+    # segmentation is content-defined: expected length ~ divisor
+    assert len(by_doc[1]) >= 3
+    # shift invariance: doc 2's interior segment hashes contain all of
+    # doc 1's except possibly the first (prefix-polluted) segment
+    h1 = [r.seg_hash for r in by_doc[1]]
+    h2 = set(r.seg_hash for r in by_doc[2])
+    assert set(h1[1:]) <= h2
+    # short doc: one segment, whole text
+    assert [r.seg_text for r in by_doc[3]] == ["a b"]
+    assert 4 not in by_doc  # empty doc -> no rows
+
+    stats = {r.doc_id: (r.n_cdc_segments, r.cdc_fp)
+             for r in textstats.cdc_stats(docs).collect()}
+    assert stats[1][0] == len(by_doc[1])
+    import hashlib
+    want = hashlib.md5("|".join(h1).encode()).hexdigest()
+    assert stats[1][1] == want

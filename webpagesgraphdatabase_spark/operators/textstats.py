@@ -586,3 +586,84 @@ def bigram_lm_scores(docs: DataFrame, k: float = 1.0) -> DataFrame:
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+def cdc_segments(docs: DataFrame, divisor: int = 16) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS idea at token level):
+    a segment boundary falls AFTER token ``e`` whenever the 4-token
+    rolling hash ending at ``e`` satisfies ``h % divisor == 0`` —
+    boundaries depend only on local content, so two documents sharing
+    a long substring produce byte-identical interior segments even at
+    different offsets (the shifted-duplicate case fixed-size chunking
+    misses; segment-hash dedup then catches it). Expected segment
+    length ≈ ``divisor`` tokens; no min/max clamp (documented
+    contract — clamping needs a sequential scan).
+
+    Returns (doc_id, seg_idx, n_seg_tokens, seg_text, seg_hash).
+    Documents shorter than the window form one segment; empty docs
+    produce no rows.
+
+    Plan shape: the same narrow (doc_id, pos, th) explode as
+    :func:`rolling_fingerprint`, the window hash via three ``lag``
+    columns + the boundary cumsum over (doc_id ORDER BY pos) — doc-
+    bounded windows, then one keyed reassembly groupBy. Deterministic
+    and engine-exact (integer arithmetic only)."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col()).alias("pos", "token"),
+        F.size(tokens_col()).alias("n"),
+    ).select("doc_id", "pos", "n", "token", F.expr(_TH).alias("th"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h_end = (
+        F.lag("th", 3).over(w) * RK_B3
+        + F.lag("th", 2).over(w) * RK_B2
+        + F.lag("th", 1).over(w) * RK_B
+        + F.col("th")
+    ) % RK_P
+    flagged = tok.withColumn(
+        "cut",
+        F.when((F.col("pos") >= 3) & (h_end % divisor == 0), 1).otherwise(0),
+    )
+    seg = F.coalesce(
+        F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        flagged.withColumn("seg_idx", seg.cast("long"))
+        .groupBy("doc_id", "seg_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_seg_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("seg_text"),
+        )
+        .withColumn("seg_hash", F.md5("seg_text"))
+    )
+
+
+def cdc_stats(docs: DataFrame, divisor: int = 16) -> DataFrame:
+    """Per-document fingerprint of the CDC layout — (doc_id,
+    n_cdc_segments, cdc_fp) with ``cdc_fp`` the md5 of the segment
+    hashes joined in segment order; the oracle-gate leg."""
+    return (
+        cdc_segments(docs, divisor)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cdc_segments"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seg_idx", "seg_hash"))
+                        ),
+                        lambda s: s["seg_hash"],
+                    ),
+                    "|",
+                )
+            ).alias("cdc_fp"),
+        )
+    )

@@ -55,7 +55,8 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs unchanged and joins on doc_id (spans left-joined — docs
     shorter than the window have no span windows). Also carries the
     BM25 top-10 for a fixed query (search.bm25_topk, r7) left-joined
-    on doc_id — rank/score null off the top-k."""
+    on doc_id — rank/score null off the top-k — and the content-
+    defined-chunking layout fingerprint (textstats.cdc_stats, r7)."""
     from pyspark.sql import functions as F
 
     from .operators import dedup, search
@@ -94,15 +95,25 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("bm25_rank"),
         F.round("score", 6).alias("bm25_score"),
     )
-    return joined.withColumn(
-        "dup_fraction",
-        F.round(
-            F.col("n_dup_windows")
-            * F.lit(1.0)
-            / F.greatest(F.col("n_spanwin"), F.lit(1)),
-            6,
-        ),
-    ).join(bm, "doc_id", "left")
+    cdc = textstats.cdc_stats(docs)
+    return (
+        joined.withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_dup_windows")
+                * F.lit(1.0)
+                / F.greatest(F.col("n_spanwin"), F.lit(1)),
+                6,
+            ),
+        )
+        .join(bm, "doc_id", "left")
+        .join(cdc, "doc_id", "left")
+        .withColumn(
+            "n_cdc_segments",
+            F.coalesce("n_cdc_segments", F.lit(0)).cast("long"),
+        )
+        .withColumn("cdc_fp", F.coalesce("cdc_fp", F.md5(F.lit(""))))
+    )
 
 
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,6 +1315,40 @@ bmtop AS (
            AS bm25_rank,
          round(score, 6) AS bm25_score
   FROM bmscored ORDER BY score DESC, doc_id LIMIT 10
+),
+-- content-defined chunking (textstats.cdc_segments, r7): a boundary
+-- falls after token e when the 4-token rolling hash ending at e is
+-- 0 mod 16; segments reassemble in order and hash per doc
+cdct AS (
+  SELECT t.doc_id, t.pos, t.token,
+         ('0x' || substr(md5(t.token), 1, 7))::BIGINT AS th
+  FROM tok t
+),
+cdcf AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN pos >= 3 AND
+              ((lag(th, 3) OVER w * {textstats.RK_B3}
+                + lag(th, 2) OVER w * {textstats.RK_B2}
+                + lag(th, 1) OVER w * {textstats.RK_B}
+                + th) % {textstats.RK_P}) % 16 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM cdct
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+cdcsegid AS (
+  SELECT doc_id, pos, token,
+         COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM cdcf
+),
+cdcsegs AS (
+  SELECT doc_id, seg, md5(string_agg(token, ' ' ORDER BY pos)) AS seg_hash
+  FROM cdcsegid GROUP BY doc_id, seg
+),
+cdcstat AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cdc_segments,
+         md5(string_agg(seg_hash, '|' ORDER BY seg)) AS cdc_fp
+  FROM cdcsegs GROUP BY doc_id
 )
 SELECT m.doc_id, m.fp, m.n_shingles, r.rolling_fp, r.n_windows,
        COALESCE(d.n_spanwin, 0) AS n_spanwin,
@@ -1312,11 +1357,14 @@ SELECT m.doc_id, m.fp, m.n_shingles, r.rolling_fp, r.n_windows,
        md5(COALESCE(st.deduped_text, '')) AS strip_md5,
        round(COALESCE(d.n_dup_windows, 0) * 1.0
              / GREATEST(COALESCE(d.n_spanwin, 0), 1), 6) AS dup_fraction,
-       bm.bm25_rank, bm.bm25_score
+       bm.bm25_rank, bm.bm25_score,
+       COALESCE(cd.n_cdc_segments, 0) AS n_cdc_segments,
+       COALESCE(cd.cdc_fp, md5('')) AS cdc_fp
 FROM minshingle m JOIN rolling r ON m.doc_id = r.doc_id
 LEFT JOIN spandoc d ON m.doc_id = d.doc_id
 LEFT JOIN strip st ON m.doc_id = st.doc_id
 LEFT JOIN bmtop bm ON m.doc_id = bm.doc_id
+LEFT JOIN cdcstat cd ON m.doc_id = cd.doc_id
 """,
     # --- multimodal (payload bytes == text chars: corpus is pure ASCII) ---
     "mm_byte_histogram": r"""
