@@ -2659,3 +2659,28 @@ def test_cdc_segments_shift_invariance_and_layout(spark):
     import hashlib
     want = hashlib.md5("|".join(h1).encode()).hexdigest()
     assert stats[1][1] == want
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below natural-ish prose; random
+    hex compresses worse than both; sizes match a local zlib pass."""
+    import zlib
+
+    from webpagesgraphdatabase_spark.operators import textstats
+
+    rep = "spam and eggs " * 200
+    prose = " ".join(f"w{i}token{i * 7 % 13}" for i in range(200))
+    import hashlib
+    noise = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, noise), (4, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in textstats.compression_ratio(docs).collect()}
+    for did, text in [(1, rep), (2, prose), (3, noise)]:
+        assert got[did].n_compressed == len(zlib.compress(text.encode(), 6)), did
+        assert got[did].n_bytes == len(text.encode())
+    assert got[1].compression_ratio < got[2].compression_ratio < got[3].compression_ratio
+    assert got[1].compression_ratio < 0.05
+    assert got[4].compression_ratio == 0.0

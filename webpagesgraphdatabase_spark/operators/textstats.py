@@ -9,6 +9,7 @@ reproduced exactly by the DuckDB oracles in the registry.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -666,4 +667,48 @@ def cdc_stats(docs: DataFrame, divisor: int = 16) -> DataFrame:
                 )
             ).alias("cdc_fp"),
         )
+    )
+
+
+def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compression_ratio): zlib-
+    compressed size over raw UTF-8 size — the classic redundancy
+    signal real curation stacks use alongside the Gopher repetition
+    stats (highly repetitive or templated text compresses far below
+    natural prose; near-random noise compresses above it). Returns
+    ratio rounded to 6 dp; empty docs read ratio 0.
+
+    Arrow-batched pandas UDF by necessity (a DEFLATE pass is stateful
+    per document, not column algebra) — one batch pass, no shuffle,
+    stream-safe. Unit-pinned rather than oracle-checked: DuckDB has no
+    zlib surface, and the zlib output is platform-stable only per
+    (library, level), which the test pins."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _csize(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else 0
+        )
+
+    out = docs.select(
+        "doc_id",
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        _csize(F.col("text")).alias("n_compressed"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_compressed") / F.col("n_bytes"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("compression_ratio"),
     )
