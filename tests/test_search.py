@@ -106,3 +106,34 @@ def test_index_at_rest_matches_and_prunes(spark, docs, tmp_path):
 def test_empty_query_raises(docs):
     with pytest.raises(ValueError):
         search.bm25_scores(docs, ())
+
+
+def test_text_index_append_exactly_once(spark, docs, tmp_path):
+    """Incremental indexing: base build + one appended batch serve
+    identical results to a one-shot index of the union corpus (stats
+    merge by integer addition, so even avgdl is bit-equal); replaying
+    the same batch id does not duplicate postings or stats."""
+    more = spark.createDataFrame(
+        [(10, "spark spark table"), (11, "hash window hash")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "idx")
+    search.build_text_index(docs, path, n_buckets=8)
+    search.text_index_append(more, path)
+    union = spark.createDataFrame(DOCS, ["doc_id", "text"]).unionByName(more)
+    full = str(tmp_path / "full")
+    search.build_text_index(union, full, n_buckets=8)
+
+    got = search.bm25_from_index(spark, path, ("spark", "hash"), k=6).collect()
+    want = search.bm25_from_index(spark, full, ("spark", "hash"), k=6).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert a.score == b.score  # bit-equal: same integer-sum division
+
+    # replay batch 1: dynamic overwrite of its own partitions only
+    search.text_index_append(more, path, batch=1)
+    stats = spark.read.parquet(f"{path}/stats.parquet")
+    assert stats.count() == 2
+    n_post = spark.read.parquet(f"{path}/postings.parquet").count()
+    n_full = spark.read.parquet(f"{full}/postings.parquet").count()
+    assert n_post == n_full

@@ -207,18 +207,7 @@ def bm25_search(
 # --------------------------------------------------------------------------
 
 
-def build_text_index(
-    docs: DataFrame,
-    path: str,
-    n_buckets: int = 64,
-    tokenizer: Tokenizer | None = None,
-    id_col: str = "doc_id",
-) -> None:
-    """Persist a BM25 index: postings Parquet partitioned by
-    ``bucket = pmod(xxhash64(term), n_buckets)`` (a query scans only
-    its terms' buckets — PartitionFilters, like the IVF list layout),
-    plus doc lengths and the one-row corpus stats."""
-    tokenizer = tokenizer or whitespace_tokens
+def _index_parts(docs, n_buckets, tokenizer, id_col, batch):
     per = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokenizer("text")).alias("dl"),
@@ -229,18 +218,87 @@ def build_text_index(
         .groupBy("term", "doc_id", "dl")
         .agg(F.count("*").cast("double").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .withColumn("batch", F.lit(int(batch)))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+    # sum_dl (not avgdl) so batch stats MERGE exactly: the global
+    # avgdl is one integer-sum division, identical to the live path's
+    stats = per.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).withColumn("batch", F.lit(int(batch)))
+    lens = per.select("doc_id", "dl").withColumn("batch", F.lit(int(batch)))
+    return postings, stats, lens
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a BM25 index: postings Parquet partitioned by
+    ``(bucket, batch)`` with ``bucket = pmod(xxhash64(term),
+    n_buckets)`` (a query scans only its terms\' buckets —
+    PartitionFilters, like the IVF list layout) and the base build as
+    batch 0, plus per-batch doc lengths and corpus stats so
+    :func:`text_index_append` can grow all three exactly-once."""
+    tokenizer = tokenizer or whitespace_tokens
+    postings, stats, lens = _index_parts(docs, n_buckets, tokenizer, id_col, 0)
+    postings.write.mode("overwrite").partitionBy("bucket", "batch").parquet(
         f"{path}/postings.parquet"
     )
-    per.select("doc_id", "dl").write.mode("overwrite").parquet(
+    lens.write.mode("overwrite").partitionBy("batch").parquet(
         f"{path}/doclens.parquet"
     )
-    per.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    ).write.mode("overwrite").parquet(f"{path}/stats.parquet")
+    stats.write.mode("overwrite").partitionBy("batch").parquet(
+        f"{path}/stats.parquet"
+    )
+
+
+def text_index_append(
+    docs: DataFrame,
+    path: str,
+    batch: int | None = None,
+    tokenizer: Tokenizer | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally index new documents — the same exactly-once
+    discipline as the IVF/SQ8 ingests: the batch\'s postings, doc
+    lengths, and stats row each land in their own ``batch`` partition
+    via DYNAMIC partition overwrite keyed on the batch id, so a crash
+    replay overwrites exactly its own partitions. Queries see exact
+    global statistics because batch stats carry (n_docs, sum_dl) and
+    merge by integer addition. Callers own doc_id uniqueness across
+    batches (re-indexing a changed doc is a replace of its batch, not
+    an upsert)."""
+    spark = docs.sparkSession
+    stats0 = spark.read.parquet(f"{path}/stats.parquet")
+    n_buckets = int(stats0.first()["n_buckets"])
+    if batch is None:
+        prev = stats0.agg(F.max("batch")).first()[0]
+        batch = int(prev or 0) + 1
+    tokenizer = tokenizer or whitespace_tokens
+    postings, stats, lens = _index_parts(
+        docs, n_buckets, tokenizer, id_col, batch
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        postings.write.mode("overwrite").partitionBy("bucket", "batch").parquet(
+            f"{path}/postings.parquet"
+        )
+        lens.write.mode("overwrite").partitionBy("batch").parquet(
+            f"{path}/doclens.parquet"
+        )
+        stats.write.mode("overwrite").partitionBy("batch").parquet(
+            f"{path}/stats.parquet"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
 def bm25_from_index(
@@ -254,8 +312,14 @@ def bm25_from_index(
     """Serve a query from a :func:`build_text_index` directory: the
     postings scan is filtered to the query terms' buckets (partition-
     pruned) then to the terms themselves (row-group pushdown)."""
-    stats = spark.read.parquet(f"{path}/stats.parquet")
-    n_buckets = int(stats.first()["n_buckets"])
+    raw_stats = spark.read.parquet(f"{path}/stats.parquet")
+    n_buckets = int(raw_stats.first()["n_buckets"])
+    # merge per-batch stats exactly: avgdl = Σ sum_dl / Σ n_docs (the
+    # identical integer-sum division the live path computes)
+    stats = raw_stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
     postings = spark.read.parquet(f"{path}/postings.parquet")
     terms = list(dict.fromkeys(query_terms))
     # xxhash64 is a JVM function: evaluate the |terms| bucket ids with
