@@ -652,3 +652,43 @@ def test_streaming_sq8_ingest_matches_batch_encode(spark, tmp_path):
         map(tuple, similarity.ann_sq8_from_index(spark, full, emb, 10, 5).collect())
     )
     assert got == want and got
+
+
+def test_streaming_text_index_ingest_matches_one_shot(spark, tmp_path):
+    """A document stream feeding streaming_text_index_ingest grows the
+    BM25 index micro-batch by micro-batch; served scores equal a
+    one-shot index of the union corpus bit-for-bit (integer-sum stats
+    merge)."""
+    from webpagesgraphdatabase_spark.operators import search
+    from webpagesgraphdatabase_spark.streaming.jobs import (
+        streaming_text_index_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "spark hash spark"), (2, "hash table scan")], ["doc_id", "text"]
+    )
+    more = [(3, "window data spark"), (4, "spark spark hash window")]
+    path = str(tmp_path / "tidx")
+    search.build_text_index(base, path, n_buckets=8)
+
+    src = tmp_path / "docs"
+    for i, row in enumerate(more):
+        spark.createDataFrame([row], ["doc_id", "text"]).write.parquet(
+            str(src / f"p{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    streaming_text_index_ingest(stream, path, str(tmp_path / "ckpt_tidx"))
+
+    union = base.unionByName(spark.createDataFrame(more, ["doc_id", "text"]))
+    full = str(tmp_path / "tidx_full")
+    search.build_text_index(union, full, n_buckets=8)
+    got = search.bm25_from_index(spark, path, ("spark", "hash"), k=10).collect()
+    want = search.bm25_from_index(spark, full, ("spark", "hash"), k=10).collect()
+    assert [(r.rank, r.doc_id, r.score) for r in got] == [
+        (r.rank, r.doc_id, r.score) for r in want
+    ]
+    assert len(got) == 4

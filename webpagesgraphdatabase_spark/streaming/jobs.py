@@ -593,3 +593,29 @@ def streaming_sq8_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_text_index_ingest(
+    doc_stream: DataFrame, path: str, checkpoint_dir: str
+) -> None:
+    """Streaming twin of ``search.text_index_append``: each
+    micro-batch of (doc_id, text) rows is tokenized, posted, and
+    landed in the ``(bucket, batch)`` index layout (plus its own
+    doclens/stats batch partitions) via dynamic partition overwrite
+    keyed on this micro-batch's id — exactly-once index growth, same
+    discipline as the IVF/SQ8 ingests, so a BM25 serving layer stays
+    fresh while a document stream feeds it. Batch ids map to
+    ``bid + 1``; availableNow + blocking."""
+    from ..operators.search import text_index_append
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        text_index_append(batch_df, path, batch=int(batch_id) + 1)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
