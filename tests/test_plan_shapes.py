@@ -179,3 +179,73 @@ def test_lsh_buckets_are_shuffle_free_codegen(spark):
     for plan in (single, multi):
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_and_sq8_encode_are_zero_shuffle(spark):
+    """r7: the sliding-window chunker and the SQ8 encoder are pure
+    row-local array algebra — no Exchange, no Python — so both are
+    stream-safe and scale as map-only passes."""
+    from webpagesgraphdatabase_spark.operators import similarity as sim
+
+    docs = _docs(spark)
+    chunk = packing.chunk_documents(docs, chunk_tokens=8, overlap=2)
+    stats = packing.chunk_stats(docs, chunk_tokens=8, overlap=2)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5)] * 8) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    enc = sim.sq8_encode(emb)
+    for df in (chunk, stats, enc):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_literal_path_single_stats_shuffle(spark):
+    """r7: the literal-query BM25 scorer pays exactly the one-row
+    stats aggregate (a single-partition exchange pair) — no join
+    shuffle, no Python, no cartesian beyond the 1-row broadcast."""
+    from webpagesgraphdatabase_spark.operators import search
+
+    plan = _plan(search.bm25_scores(_docs(spark), ("fast", "slow")))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchanges are the stats aggregate's partial/final pair
+    import re as _re
+
+    assert len(_re.findall(r"\bExchange\b", plan)) <= 2, plan
+
+
+def test_cdc_segments_doc_bounded_shuffles(spark):
+    """r7: CDC segmentation shuffles narrow (doc_id, pos, th) rows
+    keyed by doc — no Python, no cartesian; windows partition by
+    doc_id (never unpartitioned)."""
+    from webpagesgraphdatabase_spark.operators import textstats
+
+    plan = _plan(textstats.cdc_segments(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs and all("doc_id" in spec for spec in specs), specs
+
+
+def test_robots_filter_broadcasts_rules(spark):
+    """r7: the politeness adjudication joins against a BROADCAST rule
+    table and aggregates with a struct-max — no sort-merge join, no
+    per-host window."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /x")], ["host", "body"]
+        )
+    )
+    urls = spark.createDataFrame(
+        [(f"https://h.example/p{i}",) for i in range(10)], ["url"]
+    )
+    plan = _plan(R.robots_filter(urls, rules))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan.lower()
