@@ -395,3 +395,42 @@ def test_pagerank_from_edges_ranks_crawled_link_graph(spark, tmp_path):
         for r in pagerank_from_edges(g, iterations=8).collect()
     }
     assert max(ranks, key=ranks.get) == hub
+
+
+def test_hits_from_edges_hand_checked(spark):
+    """HITS on a small directed graph against a driver-local power
+    iteration (L2 normalization per step): equal to 6 dp; the page
+    everything points at is the top authority, the page linking to
+    the most authorities the top hub."""
+    import math
+
+    from webpagesgraphdatabase_spark.graph.algorithms import hits_from_edges
+
+    edges = [
+        ("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h3", "a1"),
+        ("h3", "a3"), ("a1", "a2"),
+    ]
+    df = spark.createDataFrame(edges, ["src_url", "dst_url"])
+    got = {
+        r.node_id: (r.hub, r.authority)
+        for r in hits_from_edges(df, iterations=5).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(5):
+        a = {v: sum(hub[s] for s, d in edges if d == v) for v in nodes}
+        z = math.sqrt(sum(x * x for x in a.values()))
+        a = {v: (x / z if z else 0.0) for v, x in a.items()}
+        h = {v: sum(a[d] for s, d in edges if s == v) for v in nodes}
+        z = math.sqrt(sum(x * x for x in h.values()))
+        h = {v: (x / z if z else 0.0) for v, x in h.items()}
+        hub, auth = h, a
+    for v in nodes:
+        assert got[v][0] == pytest.approx(hub[v], abs=1.5e-6), ("hub", v)
+        assert got[v][1] == pytest.approx(auth[v], abs=1.5e-6), ("auth", v)
+    assert max(got, key=lambda v: got[v][1]) == "a1"
+    # h1 -> {a1, a2} beats h3 -> {a1, a3}: a2 carries extra authority
+    # from a1's own outlink, a3 only h3's hub mass
+    assert max(got, key=lambda v: got[v][0]) == "h1"

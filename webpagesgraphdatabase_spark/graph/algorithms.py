@@ -774,3 +774,104 @@ def pagerank_from_edges(
                 df.unpersist(False)
             except Exception:
                 pass
+
+
+def hits_from_edges(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed
+    (src, dst) edge list — PageRank's companion for webpage link
+    graphs: a good *hub* links to good authorities, a good *authority*
+    is linked from good hubs. Returns (node_id, hub, authority), both
+    scores L2-normalized per iteration (the standard power-iteration
+    normalization; 6-dp rounding at the end only).
+
+    Per superstep: authority = Σ hub over in-edges, hub = Σ authority
+    over out-edges — two equi-join + partial-agg passes over the edge
+    list, each normalization a ONE-ROW aggregate broadcast back.
+    Same aggregateMessages shape as the PageRank loop; lineage cut per
+    superstep with an eager localCheckpoint."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    persisted = [e]
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .persist()
+        )
+        persisted.append(nodes)
+        nodes.count()
+
+        scores = nodes.select(
+            "node_id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        )
+        for _ in range(iterations):
+            auth = (
+                e.join(
+                    scores.select(
+                        F.col("node_id").alias("src"), F.col("hub").alias("h")
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum("h").alias("a_raw"))
+            )
+            scored_a = nodes.join(
+                auth.withColumnRenamed("dst", "node_id"), "node_id", "left"
+            ).select(
+                "node_id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+            )
+            a_norm = scored_a.agg(
+                F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("z")
+            )
+            scored_a = scored_a.crossJoin(F.broadcast(a_norm)).select(
+                "node_id",
+                F.when(F.col("z") > 0, F.col("a_raw") / F.col("z"))
+                .otherwise(F.lit(0.0))
+                .alias("authority"),
+            )
+            hub = (
+                e.join(
+                    scored_a.select(
+                        F.col("node_id").alias("dst"),
+                        F.col("authority").alias("a"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.sum("a").alias("h_raw"))
+            )
+            scored_h = nodes.join(
+                hub.withColumnRenamed("src", "node_id"), "node_id", "left"
+            ).select(
+                "node_id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+            )
+            h_norm = scored_h.agg(
+                F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("z")
+            )
+            scored_h = scored_h.crossJoin(F.broadcast(h_norm)).select(
+                "node_id",
+                F.when(F.col("z") > 0, F.col("h_raw") / F.col("z"))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+            )
+            scores = scored_h.join(scored_a, "node_id").localCheckpoint(
+                eager=True
+            )
+        return scores.select(
+            "node_id",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    finally:
+        for df in persisted:
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
