@@ -468,6 +468,12 @@ def main() -> None:
                 _search.bm25_topk(docs, ("spark", "hash", "window"), k=10)
             ),
         )
+        # content-defined chunking (r7): narrow token explode + lag
+        # window hash + doc-bounded cumsum + keyed reassembly
+        timed(
+            "t_cdc_segments",
+            lambda: _force(textstats.cdc_segments(docs)),
+        )
         # per-event-type bottom-k quantile sketch (r6): count-sized
         # hash-threshold prefilter + O(k)-row rank + percentile agg
         ev = load_table(spark, sf_dir, "events")
