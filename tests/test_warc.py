@@ -199,3 +199,69 @@ def test_crawl_frontier_composition(spark):
         h = r.url.split("/")[2]
         by_host[h] = by_host.get(h, 0) + 1
     assert by_host["t.example"] == 2 and by_host["s.example"] == 1
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    """The streaming reader parses the same records as the batch
+    reader over a closed archive directory."""
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.warc").write_bytes(W.build_warc(_records()))
+    out = []
+    q = (
+        W.read_warc_stream(spark, str(land))
+        .writeStream.foreachBatch(
+            lambda b, i: out.extend(
+                (r.record_id, r.warc_type, r.http_status, r.body_text)
+                for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = [
+        (r.record_id, r.warc_type, r.http_status, r.body_text)
+        for r in W.read_warc(spark, str(land)).collect()
+    ]
+    assert sorted(out) == sorted(want) and len(out) == 4
+
+
+def test_streaming_warc_preload_idempotent(spark, tmp_path):
+    """Continuous crawl landing: archives arriving over two
+    micro-batches preload into the graph; a second drain over the
+    same directory (fresh checkpoint = full replay) inserts nothing
+    new thanks to the skip-existing anti-join."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.warc").write_bytes(W.build_warc(_records()))
+    (land / "b.warc").write_bytes(
+        W.build_warc(
+            [
+                {
+                    "record_id": "<urn:uuid:p2>",
+                    "warc_type": "response",
+                    "target_uri": "https://site.example/second",
+                    "content_type": "application/http; msgtype=response",
+                    "block": W.http_response_block(
+                        b"<html><head><title>Two</title></head>"
+                        b"<body>second page</body></html>"
+                    ),
+                }
+            ]
+        )
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    W.streaming_warc_preload(spark, store, str(land), str(tmp_path / "ck1"))
+    links = {r.url: r.title for r in store.graph().links.collect()}
+    assert links == {
+        "https://site.example/a": "Page A",
+        "https://site.example/second": "Two",
+    }
+    # full replay with a fresh checkpoint: anti-join keeps it a no-op
+    W.streaming_warc_preload(spark, store, str(land), str(tmp_path / "ck2"))
+    assert store.graph().links.count() == 2

@@ -339,3 +339,74 @@ def crawl_frontier(
             .drop("_rn")
         )
     return frontier
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a ``binaryFile`` file
+    stream over a landing directory (new archives picked up per
+    micro-batch) through the same Arrow-batched parse pass —
+    :data:`WARC_RECORD_SCHEMA` records, ``isStreaming=True``. All
+    downstream derivations (``warc_documents``, ``warc_link_graph``)
+    are row-local and apply unchanged."""
+    import pandas as pd
+
+    files = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).load(path)
+
+    def parse(batches):
+        cols = [c.split(" ")[0] for c in WARC_RECORD_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for p, buf in zip(pdf["path"], pdf["content"]):
+                rows.extend(_record_rows(p, bytes(buf)))
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                columns=cols
+            )
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WARC_RECORD_SCHEMA
+    )
+
+
+def streaming_warc_preload(
+    spark: SparkSession, store, path: str, checkpoint_dir: str
+) -> None:
+    """Continuous crawl landing: each micro-batch of newly-arrived
+    WARC archives flows through the idempotent graph preload
+    (``serving.preload_warc``'s page shaping + the CSV machinery's
+    normalize/anti-join/merge). Replay-safe WITHOUT batch-id keying:
+    the preload's skip-existing anti-join makes re-delivered pages
+    no-ops, so crash replays insert nothing twice. availableNow +
+    blocking, like the other drain-style jobs."""
+    from . import serving
+    from .functions import html as _html
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pages = batch_df.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") >= 200)
+            & (F.col("http_status") < 300)
+            & F.col("http_content_type").startswith("text/html")
+            & F.col("target_uri").isNotNull()
+            & F.col("body_text").isNotNull()
+        ).select(
+            F.col("target_uri").alias("url"),
+            _html.html_title(F.col("body_text")).alias("title"),
+            _html.html_text(F.col("body_text")).alias("content"),
+            F.lit("").alias("category"),
+            F.lit("").alias("keyword"),
+            F.lit("").alias("category_explanation"),
+            F.lit("").alias("keyword_explanation"),
+        )
+        serving.preload_csv(store, pages)
+
+    q = (
+        read_warc_stream(spark, path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
