@@ -155,3 +155,24 @@ def test_normalize_unicode_forms(spark):
 
     with _pytest.raises(ValueError):
         fn.normalize_unicode(F.col("t"), "NFX")
+
+
+def test_resolve_href_column_equals_py_twin(spark):
+    """One Spark job pins the codegen resolver == the driver twin the
+    fuzz suite exercises, over a case matrix including the host-eating
+    regression (../../ above the root)."""
+    cases = [
+        ("https://host.example/", "../../a"),
+        ("https://host.example/a/b/c/p.html", "../../../x"),
+        ("https://host.example/a/", "../b/../c"),
+        ("https://h.example/x", "./y/./z"),
+        ("https://h.example/a/b/", "c/../d"),
+        ("https://h.example", "p"),
+        ("https://h.example/q#f", "#frag"),
+    ]
+    df = spark.createDataFrame(cases, ["base", "href"]).select(
+        "base", "href",
+        H.resolve_href(F.col("base"), F.col("href")).alias("got"),
+    )
+    for r in df.collect():
+        assert r.got == H.resolve_href_py(r.base, r.href), (r.base, r.href)

@@ -274,3 +274,44 @@ def test_mp4_header_roundtrip_any_params(dur, w, h):
 
     out = mi.parse_mp4(mi.encode_mp4_header(dur, w, h))
     assert out == {"duration_ms": dur, "width": w, "height": h}
+
+
+_SEG = st.sampled_from(["a", "bb", "page", "x1", "img2"])
+
+
+@st.composite
+def _base_url(draw):
+    segs = draw(st.lists(_SEG, min_size=0, max_size=3))
+    leaf = draw(st.sampled_from(["", "index.html", "p.php"]))
+    return "https://host.example/" + "/".join(segs) + ("/" if segs else "") + leaf
+
+
+@st.composite
+def _href(draw):
+    kind = draw(st.sampled_from(["abs", "proto", "root", "rel", "dotrel"]))
+    segs = draw(st.lists(_SEG, min_size=1, max_size=3))
+    path = "/".join(segs)
+    if kind == "abs":
+        return "https://other.example/" + path
+    if kind == "proto":
+        return "//cdn.example/" + path
+    if kind == "root":
+        return "/" + path
+    if kind == "dotrel":
+        ups = draw(st.integers(min_value=1, max_value=3))
+        return "../" * ups + path
+    return path
+
+
+@given(_base_url(), _href())
+@settings(max_examples=500, deadline=None)
+def test_resolve_href_matches_stdlib_urljoin(base, href):
+    """RFC 3986 reference resolution: the codegen chain's driver twin
+    agrees with urllib.parse.urljoin on the supported href classes
+    (absolute, protocol-relative, root-relative, relative, ../-chains
+    within the bounded depth)."""
+    from urllib.parse import urljoin
+
+    from webpagesgraphdatabase_spark.functions import html as H
+
+    assert H.resolve_href_py(base, href) == urljoin(base, href)

@@ -130,7 +130,10 @@ def resolve_href(base: Column, href: Column) -> Column:
     )
     for _ in range(_DOT_PASSES):
         merged = F.regexp_replace(merged, "://([^/]+)/\\.\\./", "://$1/")
-        merged = F.regexp_replace(merged, "/[^/.][^/]*/\\.\\./", "/")
+        # the leading char guard ([^/:]) keeps this from eating the
+        # HOST when a /../ sits directly after the origin (that case
+        # belongs to the pattern above) — found by the urljoin fuzz
+        merged = F.regexp_replace(merged, "([^/:])/[^/.][^/]*/\\.\\./", "$1/")
         merged = F.regexp_replace(merged, "/\\./", "/")
     return merged
 
@@ -155,3 +158,33 @@ def link_graph(
         .filter(F.col("dst_url") != F.col("src_url"))
         .distinct()
     )
+
+
+def resolve_href_py(base: str, href: str) -> str:
+    """Driver-local twin of :func:`resolve_href` (same regex chain,
+    same bounded dot-segment passes) — exists so the property suite
+    can fuzz resolution against ``urllib.parse.urljoin`` cheaply and a
+    single Spark job can pin Column ≡ twin."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", base)
+    scheme = m.group(1) if m else ""
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", base)
+    origin = m.group(1) if m else ""
+    has_path = bool(_re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+/", base))
+    basedir = _re.sub(r"[^/]*$", "", base) if has_path else origin + "/"
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", href):
+        merged = href
+    elif href.startswith("//"):
+        merged = scheme + ":" + href
+    elif href.startswith("/"):
+        merged = origin + href
+    elif href.startswith("#") or href == "":
+        merged = base
+    else:
+        merged = basedir + href
+    for _ in range(_DOT_PASSES):
+        merged = _re.sub(r"://([^/]+)/\.\./", r"://\1/", merged)
+        merged = _re.sub(r"([^/:])/[^/.][^/]*/\.\./", r"\1/", merged)
+        merged = _re.sub(r"/\./", "/", merged)
+    return merged
