@@ -497,3 +497,36 @@ def test_varlen_unsupported_shapes_raise(g):
     for q in bad:
         with pytest.raises(CypherSyntaxError):
             cypher(g, q)
+
+
+def test_where_string_predicates(g):
+    """openCypher string predicates (r7): CONTAINS / STARTS WITH /
+    ENDS WITH compile to codegen string ops; null properties drop
+    (three-valued logic, like the other comparisons)."""
+    got = {
+        r[0]
+        for r in cypher(
+            g, "MATCH (l:Link) WHERE l.url CONTAINS 'a' RETURN l.url"
+        ).collect()
+    }
+    assert "a" in got and all("a" in u for u in got)
+    starts = {
+        r[0]
+        for r in cypher(
+            g, "MATCH (l:Link) WHERE l.title STARTS WITH 't' RETURN l.url"
+        ).collect()
+    }
+    assert starts == {"a", "b"}  # the null-title link drops
+    ends = {
+        r[0]
+        for r in cypher(
+            g, "MATCH (l:Link) WHERE l.title ENDS WITH 'b' RETURN l.url"
+        ).collect()
+    }
+    assert ends == {"b"}
+    import pytest as _pytest
+
+    from webpagesgraphdatabase_spark.graph.cypher import CypherSyntaxError
+
+    with _pytest.raises(CypherSyntaxError):
+        cypher(g, "MATCH (l:Link) WHERE l.title STARTS 'x' RETURN l.url")

@@ -16,7 +16,8 @@ user can paste their queries unchanged:
 Scope (everything the reference executes, verified against every
 ``conn.execute`` call in ``main.py``): non-recursive chain patterns over
 Link/Category/Keyword with BELONGS_TO/HAS_KEYWORD, conjunctive WHERE
-with ``=``/``<>``/``<``/``>``/``<=``/``>=``/``IS [NOT] NULL``,
+with ``=``/``<>``/``<``/``>``/``<=``/``>=``/``IS [NOT] NULL``/
+``CONTAINS``/``STARTS WITH``/``ENDS WITH``,
 property-map equality, parameters, implicit-grouping COUNT, and the
 bounded variable-length reach shape
 ``MATCH (n)-[*1..h]-(m) RETURN n, COUNT(DISTINCT m)`` (compiled to
@@ -367,6 +368,14 @@ def _where(p: _P) -> list[_Cmp]:
             neg = p.take_kw("NOT")
             p.expect_kw("NULL")
             out.append(_Cmp(left, "notnull" if neg else "isnull", None))
+        elif p.take_kw("CONTAINS"):
+            out.append(_Cmp(left, "contains", _operand(p)))
+        elif p.take_kw("STARTS"):
+            p.expect_kw("WITH")
+            out.append(_Cmp(left, "startswith", _operand(p)))
+        elif p.take_kw("ENDS"):
+            p.expect_kw("WITH")
+            out.append(_Cmp(left, "endswith", _operand(p)))
         else:
             op = p.expect(_CMP, "comparison operator").group(1)
             out.append(_Cmp(left, op, _operand(p)))
@@ -526,6 +535,11 @@ def _cmp_to_column(fr: _Frame, c: _Cmp) -> Column:
         ">": left > right,
         "<=": left <= right,
         ">=": left >= right,
+        # Cypher string predicates: null operands propagate to null,
+        # which the WHERE filter drops — same as openCypher semantics
+        "contains": left.contains(right),
+        "startswith": left.startswith(right),
+        "endswith": left.endswith(right),
     }[c.op]
 
 
