@@ -2684,3 +2684,42 @@ def test_compression_ratio_signal(spark):
     assert got[1].compression_ratio < got[2].compression_ratio < got[3].compression_ratio
     assert got[1].compression_ratio < 0.05
     assert got[4].compression_ratio == 0.0
+
+
+def test_retention_matrix_hand_checked(spark):
+    """Cohort retention triangle on a hand-built event log: offset 0
+    counts the cohort size; later offsets count returning users only;
+    consistency with the user_cohort basis."""
+    from datetime import datetime as dt
+
+    from webpagesgraphdatabase_spark.operators import events as E
+
+    rows = [
+        # u1: cohort wk of Jan-01 (Mon), active wk0, wk1, wk3
+        (1, dt(2024, 1, 2), 1), (2, dt(2024, 1, 9), 1), (3, dt(2024, 1, 23), 1),
+        # u2: same cohort, only wk0 (two events, one distinct week)
+        (4, dt(2024, 1, 3), 2), (5, dt(2024, 1, 4), 2),
+        # u3: cohort wk of Jan-08, active wk0 and wk1
+        (6, dt(2024, 1, 10), 3), (7, dt(2024, 1, 16), 3),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    m = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_users
+        for r in E.retention_matrix(ev).collect()
+    }
+    assert m == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+    basis = {r.user_id: r for r in E.user_cohort(ev).collect()}
+    assert basis[1].n_active_weeks == 3 and basis[1].last_week_offset == 3
+    assert basis[2].n_active_weeks == 1 and basis[2].last_week_offset == 0
+    # matrix offset-0 row equals the number of users per cohort in the basis
+    from collections import Counter
+    sizes = Counter(r.cohort_week.date().isoformat() for r in basis.values())
+    for (cw, off), n in m.items():
+        if off == 0:
+            assert n == sizes[cw]

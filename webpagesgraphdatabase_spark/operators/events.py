@@ -449,3 +449,58 @@ def window_anomalies(
         .otherwise(0)
         .alias("anomaly"),
     )
+
+
+#: days per truncation period, for exact offset arithmetic between
+#: date_trunc'd boundaries (differences are exact multiples)
+_PERIOD_DAYS = {"week": 7, "day": 1}
+
+
+def user_cohort(events: DataFrame, period: str = "week") -> DataFrame:
+    """Per-user cohort basis — (user_id, cohort_week, n_active_weeks,
+    last_week_offset): the first-activity period (date_trunc Monday
+    boundary for weeks), how many distinct periods the user was active,
+    and the offset of their latest one. This is the per-entity frame
+    every cohort/retention report aggregates; it stays user-keyed so
+    the gate hash-checks it row-by-row.
+
+    Shape: one distinct over (user, period) then one partial-agg
+    groupBy — offsets are exact integer arithmetic between truncated
+    boundaries (difference is always a whole number of periods)."""
+    days = _PERIOD_DAYS[period]
+    p = F.date_trunc(period, F.col("ts"))
+    per = events.select("user_id", p.alias("p")).distinct()
+    return per.groupBy("user_id").agg(
+        F.min("p").alias("cohort_week"),
+        F.count("*").cast("long").alias("n_active_weeks"),
+        F.floor(F.datediff(F.max("p"), F.min("p")) / days)
+        .cast("long")
+        .alias("last_week_offset"),
+    )
+
+
+def retention_matrix(events: DataFrame, period: str = "week") -> DataFrame:
+    """The classic retention triangle — (cohort_week, week_offset,
+    n_users): of the users whose first activity fell in cohort_week,
+    how many were active again ``week_offset`` periods later
+    (offset 0 = the cohort size itself).
+
+    Derived entirely from :func:`user_cohort`'s inputs: distinct
+    (user, period) joined to each user's min period, offset by exact
+    integer arithmetic, one partial-agg count — no window, no skew
+    (the join key is user_id, never the hot cohort key)."""
+    days = _PERIOD_DAYS[period]
+    p = F.date_trunc(period, F.col("ts"))
+    per = events.select("user_id", p.alias("p")).distinct()
+    first = per.groupBy("user_id").agg(F.min("p").alias("cohort_week"))
+    return (
+        per.join(first, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff(F.col("p"), F.col("cohort_week")) / days)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -401,18 +401,26 @@ def _q_dedup_exact_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_user_rollup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity rollup joined with the ordered view→click→
     purchase funnel in one row per user: both operators run unchanged;
-    users who never viewed carry NULL stage timestamps and depth 0."""
+    users who never viewed carry NULL stage timestamps and depth 0.
+    Also carries the cohort/retention basis (events.user_cohort, r7):
+    first-activity week, distinct active weeks, last-week offset — the
+    user-keyed frame the retention triangle aggregates."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
     roll = events.user_rollup(ev)
     fun = events.funnel(ev)
-    return roll.join(fun, "user_id", "left").select(
-        roll["*"],
-        "ts_view",
-        "ts_click",
-        "ts_purchase",
-        F.coalesce(F.col("funnel_depth"), F.lit(0)).alias("funnel_depth"),
+    coh = events.user_cohort(ev)
+    return (
+        roll.join(fun, "user_id", "left")
+        .select(
+            roll["*"],
+            "ts_view",
+            "ts_click",
+            "ts_purchase",
+            F.coalesce(F.col("funnel_depth"), F.lit(0)).alias("funnel_depth"),
+        )
+        .join(coh, "user_id")
     )
 
 
@@ -1452,17 +1460,28 @@ s3 AS (
   WHERE e.event_type = 'purchase' AND e.ts > s2.ts_click
   GROUP BY e.user_id
 )
+, coh AS (
+  -- DuckDB date_trunc('week') yields DATE; Spark yields TIMESTAMP
+  SELECT user_id, CAST(min(p) AS TIMESTAMP) AS cohort_week,
+         CAST(count(*) AS BIGINT) AS n_active_weeks,
+         CAST(floor(date_diff('day', min(p), max(p)) / 7.0) AS BIGINT)
+           AS last_week_offset
+  FROM (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events)
+  GROUP BY user_id
+)
 SELECT r.user_id, r.n_events, r.n_types, r.total_value, r.first_ts, r.last_ts,
        s1.ts_view, s2.ts_click, s3.ts_purchase,
        CAST(
          (CASE WHEN s1.ts_view IS NOT NULL THEN 1 ELSE 0 END)
          + (CASE WHEN s2.ts_click IS NOT NULL THEN 1 ELSE 0 END)
          + (CASE WHEN s3.ts_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT
-       ) AS funnel_depth
+       ) AS funnel_depth,
+       c.cohort_week, c.n_active_weeks, c.last_week_offset
 FROM roll r
 LEFT JOIN s1 ON s1.user_id = r.user_id
 LEFT JOIN s2 ON s2.user_id = r.user_id
 LEFT JOIN s3 ON s3.user_id = r.user_id
+JOIN coh c ON c.user_id = r.user_id
 """,
     "e_top_events_per_user": """
 SELECT user_id, rank, event_id, value FROM (
