@@ -75,3 +75,27 @@ def test_robots_filter_preserves_extra_columns(spark):
     )
     got = [(r.url, r.k) for r in R.robots_filter(urls, rules).collect()]
     assert got == [("https://s.example/yes", 1)]
+
+
+def test_robots_spec_example_table(spark):
+    """The REP specification's worked precedence examples (longest
+    match wins; allow wins exact-length ties; $ anchors)."""
+
+    def allowed(allow, disallow, path):
+        body = f"User-agent: *\nAllow: {allow}\nDisallow: {disallow}"
+        rules = R.robots_rules(
+            spark.createDataFrame([("h.example", body)], ["host", "body"])
+        )
+        urls = spark.createDataFrame([(f"https://h.example{path}",)], ["url"])
+        return R.robots_filter(urls, rules).count() == 1
+
+    # (allow, disallow, path) -> expected
+    table = [
+        ("/p", "/", "/page", True),            # longest match /p
+        ("/folder", "/folder", "/folder/page", True),   # tie -> allow
+        ("/page", "/*.htm", "/page.htm", False),  # /*.htm is longer
+        ("/$", "/", "/", True),                # $ anchor beats /
+        ("/$", "/", "/page.htm", False),       # anchor doesn't match
+    ]
+    for allow, disallow, path, want in table:
+        assert allowed(allow, disallow, path) is want, (allow, disallow, path)
