@@ -2723,3 +2723,42 @@ def test_retention_matrix_hand_checked(spark):
     for (cw, off), n in m.items():
         if off == 0:
             assert n == sizes[cw]
+
+
+def test_ann_ivf_from_index_filtered(spark, tmp_path):
+    """Filtered vector search: with an allowed-id set, every neighbor
+    is allowed, and with full probing the result equals brute force
+    restricted to the allowed subset."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = similarity.ann_ivf_from_index(
+        spark, path, n_queries=6, k=3, n_probe=8, allowed=allowed
+    ).collect()
+    assert got and all(r.neighbor_id % 2 == 0 for r in got)
+    # full probe == exact brute force restricted to allowed neighbors:
+    # take a wide exact top-k over the union corpus, drop disallowed
+    # neighbors, re-rank the first 3 (k=20 >> 3 + |odd queries|, so the
+    # filtered prefix is exact)
+    sub = emb.join(allowed, "vec_id", "left_semi").unionByName(
+        emb.filter(F.col("vec_id") < 6)
+    ).distinct()
+    wide = sorted(
+        (
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in similarity.ann_bruteforce(sub, 6, 20).collect()
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    by_q = {}
+    for q, _, n in wide:
+        if n % 2 == 0:
+            by_q.setdefault(q, []).append(n)
+    want_ranked = {
+        (q, i + 1, n)
+        for q, ns in by_q.items()
+        for i, n in enumerate(ns[:3])
+    }
+    got_set = {(r.query_id, r.rank, r.neighbor_id) for r in got}
+    assert got_set == want_ranked

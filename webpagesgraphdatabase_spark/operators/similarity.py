@@ -641,6 +641,7 @@ def ann_ivf_from_index(
     n_queries: int = 10,
     k: int = 5,
     n_probe: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over a :func:`build_ivf_index` layout: (query_id, rank,
     neighbor_id) — same semantics as :func:`ann_ivf` with the same
@@ -691,8 +692,13 @@ def ann_ivf_from_index(
         )
     )
     pairs = spark.createDataFrame(probe_rows, "query_id long, cid long")
+    candidates = lists.filter(F.col("cid").isin(probed_cids))
+    if allowed is not None:
+        candidates = candidates.join(
+            allowed.select(F.col("vec_id")).distinct(), "vec_id", "left_semi"
+        )
     scored = (
-        lists.filter(F.col("cid").isin(probed_cids))  # partition pruning
+        candidates  # partition-pruned (+ optionally predicate-filtered)
         .join(F.broadcast(pairs), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(qb, "query_id")
