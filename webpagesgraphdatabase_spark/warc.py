@@ -410,3 +410,63 @@ def streaming_warc_preload(
         .start()
     )
     q.awaitTermination()
+
+
+def write_wet(
+    docs: DataFrame,
+    path: str,
+    date: str = "2026-01-01T00:00:00Z",
+    compress: str = "record",
+    url_col: str | None = None,
+) -> list[dict]:
+    """Export a document corpus as WET (WARC ``conversion`` records) —
+    the interchange sink matching :func:`read_warc`'s source: each
+    Arrow batch of (doc_id, text[, url]) rows becomes one
+    ``part-<digest>.warc[.gz]`` file under ``path``, written by the
+    executor that holds it (the path must be shared storage on a real
+    cluster; record-level gzip by default, like real WET). Record ids
+    derive from md5(doc_id) and ``date`` is caller-fixed, so the
+    export is deterministic; returns the file manifest
+    [{file, n_records}] (collected — one row per output file).
+
+    Round-trip contract (test-pinned): ``warc_documents(read_warc(
+    spark, path))`` recovers every (doc_id-hash, text) pair."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    suffix = ".warc.gz" if compress in ("record", "file") else ".warc"
+    cols = [c for c in ([url_col] if url_col else []) if c]
+
+    def writer(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for _, row in pdf.iterrows():
+                rid = hashlib.md5(str(row["doc_id"]).encode()).hexdigest()
+                recs.append(
+                    {
+                        "record_id": f"<urn:md5:{rid}>",
+                        "warc_type": "conversion",
+                        "target_uri": row[url_col] if url_col else None,
+                        "warc_date": date,
+                        "content_type": "text/plain",
+                        "block": (row["text"] or "").encode("utf-8"),
+                    }
+                )
+            buf = build_warc(recs, compress=compress)
+            digest = hashlib.md5(
+                "".join(r["record_id"] for r in recs).encode()
+            ).hexdigest()[:16]
+            fname = os.path.join(path, f"part-{digest}{suffix}")
+            with open(fname, "wb") as fh:
+                fh.write(buf)
+            yield pd.DataFrame([{"file": fname, "n_records": len(recs)}])
+
+    out = docs.select("doc_id", "text", *cols).mapInPandas(
+        writer, schema="file string, n_records long"
+    )
+    return [r.asDict() for r in out.collect()]
