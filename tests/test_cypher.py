@@ -530,3 +530,36 @@ def test_where_string_predicates(g):
 
     with _pytest.raises(CypherSyntaxError):
         cypher(g, "MATCH (l:Link) WHERE l.title STARTS 'x' RETURN l.url")
+
+
+def test_where_boolean_or_not_parens(g):
+    """openCypher boolean WHERE (r7): OR / NOT / parentheses with AND
+    binding tighter than OR; an equality under OR does NOT count as an
+    anchor binding for the unbound-anchor guard."""
+    rows = {
+        r[0]
+        for r in cypher(
+            g, "MATCH (l:Link) WHERE l.url = 'a' OR l.url = 'b' RETURN l.url"
+        ).collect()
+    }
+    assert rows == {"a", "b"}
+    rows = {
+        r[0]
+        for r in cypher(
+            g, "MATCH (l:Link) WHERE NOT l.url = 'a' RETURN l.url"
+        ).collect()
+    }
+    assert "a" not in rows and rows
+    # precedence: x OR (y AND z) vs the explicit parens form
+    q1 = "MATCH (l:Link) WHERE l.url = 'a' OR l.url = 'b' AND l.title = 'tb' RETURN l.url"
+    q2 = "MATCH (l:Link) WHERE l.url = 'a' OR (l.url = 'b' AND l.title = 'tb') RETURN l.url"
+    assert {r[0] for r in cypher(g, q1).collect()} == {
+        r[0] for r in cypher(g, q2).collect()
+    } == {"a", "b"}
+    # (a AND b) OR c groups differently from a AND (b OR c)
+    q3 = "MATCH (l:Link) WHERE (l.url = 'a' AND l.title = 'tb') OR l.url = 'b' RETURN l.url"
+    assert {r[0] for r in cypher(g, q3).collect()} == {"b"}
+    # null propagation: NOT (title = 'x') drops null-title rows
+    q4 = "MATCH (l:Link) WHERE NOT l.title = 'tb' RETURN l.url"
+    got = {r[0] for r in cypher(g, q4).collect()}
+    assert got == {"a"}  # the null-title link drops under 3VL

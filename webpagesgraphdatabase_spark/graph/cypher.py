@@ -15,8 +15,9 @@ user can paste their queries unchanged:
 
 Scope (everything the reference executes, verified against every
 ``conn.execute`` call in ``main.py``): non-recursive chain patterns over
-Link/Category/Keyword with BELONGS_TO/HAS_KEYWORD, conjunctive WHERE
-with ``=``/``<>``/``<``/``>``/``<=``/``>=``/``IS [NOT] NULL``/
+Link/Category/Keyword with BELONGS_TO/HAS_KEYWORD, boolean WHERE
+(AND/OR/NOT with parentheses; AND binds tighter) over
+``=``/``<>``/``<``/``>``/``<=``/``>=``/``IS [NOT] NULL``/
 ``CONTAINS``/``STARTS WITH``/``ENDS WITH``,
 property-map equality, parameters, implicit-grouping COUNT, and the
 bounded variable-length reach shape
@@ -360,28 +361,69 @@ def _operand(p: _P) -> tuple:
     return ("lit", p.value())
 
 
-def _where(p: _P) -> list[_Cmp]:
-    out = []
-    while True:
-        left = _operand(p)
-        if p.take_kw("IS"):
-            neg = p.take_kw("NOT")
-            p.expect_kw("NULL")
-            out.append(_Cmp(left, "notnull" if neg else "isnull", None))
-        elif p.take_kw("CONTAINS"):
-            out.append(_Cmp(left, "contains", _operand(p)))
-        elif p.take_kw("STARTS"):
-            p.expect_kw("WITH")
-            out.append(_Cmp(left, "startswith", _operand(p)))
-        elif p.take_kw("ENDS"):
-            p.expect_kw("WITH")
-            out.append(_Cmp(left, "endswith", _operand(p)))
-        else:
-            op = p.expect(_CMP, "comparison operator").group(1)
-            out.append(_Cmp(left, op, _operand(p)))
-        if not p.take_kw("AND"):
-            break
-    return out
+@dataclass
+class _Bool:
+    """Boolean combinator over predicates: op in ('and','or','not'),
+    children are _Bool or _Cmp nodes."""
+
+    op: str
+    children: list
+
+
+def _comparison(p: _P) -> _Cmp:
+    left = _operand(p)
+    if p.take_kw("IS"):
+        neg = p.take_kw("NOT")
+        p.expect_kw("NULL")
+        return _Cmp(left, "notnull" if neg else "isnull", None)
+    if p.take_kw("CONTAINS"):
+        return _Cmp(left, "contains", _operand(p))
+    if p.take_kw("STARTS"):
+        p.expect_kw("WITH")
+        return _Cmp(left, "startswith", _operand(p))
+    if p.take_kw("ENDS"):
+        p.expect_kw("WITH")
+        return _Cmp(left, "endswith", _operand(p))
+    op = p.expect(_CMP, "comparison operator").group(1)
+    return _Cmp(left, op, _operand(p))
+
+
+def _bool_factor(p: _P):
+    if p.take_kw("NOT"):
+        return _Bool("not", [_bool_factor(p)])
+    save = p.pos
+    if p.take_char("("):
+        # could be a parenthesized expression — or an operand never
+        # starts with '(', so this is unambiguous in WHERE position
+        inner = _bool_expr(p)
+        if not p.take_char(")"):
+            raise CypherSyntaxError("expected ')' in WHERE expression")
+        return inner
+    p.pos = save
+    return _comparison(p)
+
+
+def _bool_expr(p: _P):
+    terms = [_bool_factor(p)]
+    while p.take_kw("AND"):
+        terms.append(_bool_factor(p))
+    node = terms[0] if len(terms) == 1 else _Bool("and", terms)
+    if p.take_kw("OR"):
+        rhs = _bool_expr(p)
+        return _Bool("or", [node, rhs])
+    return node
+
+
+def _where(p: _P) -> list:
+    """Parse a WHERE expression (AND/OR/NOT with parentheses; AND
+    binds tighter than OR) and flatten the TOP-LEVEL conjunction into
+    a list — consumers filter each conjunct independently, and the
+    unbound-anchor guard inspects only plain top-level equalities (an
+    equality under OR/NOT guarantees nothing)."""
+    node = _bool_expr(p)
+    if isinstance(node, _Bool) and node.op == "and":
+        return node.children
+    return [node]
 
 
 class _Frame:
@@ -541,6 +583,20 @@ def _cmp_to_column(fr: _Frame, c: _Cmp) -> Column:
         "startswith": left.startswith(right),
         "endswith": left.endswith(right),
     }[c.op]
+
+
+def _pred_to_column(fr: _Frame, node) -> Column:
+    """Compile a WHERE node (_Cmp leaf or _Bool combinator) to a
+    Column; three-valued logic comes free from Spark's boolean ops."""
+    if isinstance(node, _Bool):
+        if node.op == "not":
+            return ~_pred_to_column(fr, node.children[0])
+        cols = [_pred_to_column(fr, ch) for ch in node.children]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if node.op == "and" else (out | c)
+        return out
+    return _cmp_to_column(fr, node)
 
 
 def _compile_reach(
@@ -721,7 +777,7 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
     _guard_unbound_anchors(nodes, groups, where)
     fr = _compile_match(g, nodes, hops, groups)
     for c in where:
-        cond = _cmp_to_column(fr, c)  # may join Link props into fr.df first
+        cond = _pred_to_column(fr, c)  # may join Link props into fr.df first
         fr.df = fr.df.filter(cond)
 
     # OPTIONAL MATCH clauses: each compiles standalone (its WHERE is
@@ -753,7 +809,7 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
         labels_all = _labels_of(nodes + o_nodes, hops + o_hops)
         sub = _compile_match(g, o_nodes, o_hops, o_groups, labels=labels_all)
         for c in o_where:
-            cond = _cmp_to_column(sub, c)  # may join props into sub.df
+            cond = _pred_to_column(sub, c)  # may join props into sub.df
             sub.df = sub.df.filter(cond)
         dup = [
             c
