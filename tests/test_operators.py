@@ -2762,3 +2762,28 @@ def test_ann_ivf_from_index_filtered(spark, tmp_path):
     }
     got_set = {(r.query_id, r.rank, r.neighbor_id) for r in got}
     assert got_set == want_ranked
+
+
+def test_cdc_dedup_catches_shifted_duplicates(spark):
+    """The shifted-duplicate case: doc 2 embeds doc 1's text at a
+    different token offset. Fixed-chunk paragraph_dedup sees no
+    duplicate segments (offsets shifted every chunk); cdc_dedup strips
+    the shared interior because content-defined boundaries realign."""
+    from webpagesgraphdatabase_spark.operators import dedup
+
+    base = " ".join(f"w{i % 23}x{i % 7}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "three extra prefix tokens " + base)],
+        ["doc_id", "text"],
+    )
+    fixed = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
+    cdc = {r.doc_id: r for r in dedup.cdc_dedup(docs).collect()}
+    # fixed segmentation misses every shifted copy
+    assert fixed[2].n_dropped == 0
+    # CDC drops most of doc 2's segments (all interior shared ones)
+    assert cdc[2].n_dropped >= cdc[2].n_segs - 2 > 0
+    # doc 1 is the canonical keeper: untouched in both
+    assert cdc[1].n_dropped == 0 and cdc[1].clean_text == base
+    # the survivors of doc 2 are exactly its non-shared prefix segment(s)
+    assert cdc[2].clean_text.startswith("three extra prefix tokens")
+    assert base[-40:] not in cdc[2].clean_text

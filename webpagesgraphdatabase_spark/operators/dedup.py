@@ -809,3 +809,68 @@ def strip_duplicated_spans(docs: DataFrame, window: int = 4) -> DataFrame:
             F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
         )
     )
+
+
+def cdc_dedup(docs: DataFrame, divisor: int = 16) -> DataFrame:
+    """Shifted-duplicate removal: :func:`paragraph_dedup`'s keep-first
+    global pass over CONTENT-DEFINED segments (``textstats.
+    cdc_segments``) instead of fixed chunks. Because CDC boundaries
+    depend only on local content, a document embedding another's text
+    at a different token offset still produces identical interior
+    segments — so the copy is detected and stripped, the case
+    fixed-size segmentation structurally misses (test-pinned against
+    paragraph_dedup on exactly that input).
+
+    Same output contract as paragraph_dedup: one row per input doc,
+    (doc_id, n_segs, n_dropped, clean_text), first occurrence ordered
+    by (doc_id, seg_idx) kept, fully-deduped docs read ``''``.
+
+    Scale shape: identical to paragraph_dedup's r6 form — first
+    occurrences via partial-aggregatable ``min(struct(...))`` grouped
+    on (xxhash64(seg), length); a segment duplicated 10⁷ times
+    map-side-combines to one candidate per partition, never a hot
+    window key."""
+    from .textstats import cdc_segments
+
+    segs = cdc_segments(docs, divisor).select(
+        "doc_id", "seg_idx", F.col("seg_text").alias("seg")
+    )
+    keyed = segs.select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        F.xxhash64("seg").alias("seg_h"),
+        F.length("seg").alias("seg_len"),
+    )
+    firsts = keyed.groupBy("seg_h", "seg_len").agg(
+        F.min(F.struct("doc_id", "seg_idx", "seg")).alias("f"),
+    )
+    per_doc_kept = (
+        firsts.select(F.col("f.doc_id").alias("doc_id"), "f.seg_idx", "f.seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    per_doc_tot = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    return (
+        docs.select(F.col("doc_id"))
+        .join(per_doc_tot, "doc_id", "left")
+        .join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segs"), F.lit(0)).alias("n_segs"),
+            (
+                F.coalesce(F.col("n_segs"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
