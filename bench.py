@@ -111,6 +111,27 @@ ANN_HEADLINE = {
 }
 
 
+# Entries whose CODE or semantics changed this round: their committed
+# prior measures different work, so "timing / calibrated prior" is
+# apples-to-oranges for them (r7: OPQ entering ann_pq_from_index's
+# query path pushed s_ann_pq_indexed to a meaningless 1.851×). They are
+# excluded from worst_calibrated_ratio and reported separately under
+# `rebaselined` with their ratio AND reason — never silently dropped.
+# Clear this dict at the start of every round; re-add only entries
+# whose implementation actually changed.
+CHANGED_ENTRIES: dict[str, str] = {
+    "s_ann_pq_indexed": "r8: index rebuilt with assign_mult=2, query "
+    "runs n_probe*2/refine=8 + candidate dedup (recall 0.48->0.80); "
+    "query path filters to |Q| rows before the OPQ transform",
+    "s_ann_pq_build": "r8: build now multi-assigns each code row into "
+    "its 2 nearest lists (assign_mult=2) — extra fan-out join + 2x "
+    "code rows written",
+    "s_ann_ivfpq_res_indexed": "r8: query runs n_probe*3/refine=8 + "
+    "candidate dedup; queries filtered to |Q| rows before the stored "
+    "OPQ transform (was a full-corpus mapInPandas round trip)",
+}
+
+
 def _opq_pq(emb, d: int):
     """The direct PQ path over the parametric-OPQ transform (PCA
     rotation + eigenvalue-balanced dimension permutation) — the
@@ -340,6 +361,34 @@ def main() -> None:
         stats[name] = {"median": round(median, 3), "p95": round(p95, 3), "n": n}
         groups[name] = cur_group[0]
 
+    def timed_build(name: str, run, repeats: int = 3):
+        # one-time builds/trains were the last n=1 raw-timed entries;
+        # s_pca_model's single time.time() pass produced r7's 2.99×
+        # unadjudicable false alarm — the exact failure mode graph_load
+        # had in r6 before median-of-3 closed it. Every build now gets
+        # the same median + stats treatment as query entries (the build
+        # overwrites its own output, so each pass re-does identical
+        # work); repeats=2 for the ~30 s builds per the r7 brief.
+        # Returns the last pass's value so serving twins run against a
+        # freshly-built artifact/model.
+        samples = []
+        val = None
+        for _ in range(repeats):
+            t0 = time.time()
+            val = run()
+            samples.append(time.time() - t0)
+        samples.sort()
+        n = len(samples)
+        median = samples[n // 2] if n % 2 else (samples[n // 2 - 1] + samples[n // 2]) / 2
+        timings[name] = round(median, 3)
+        stats[name] = {
+            "median": round(median, 3),
+            "p95": round(samples[min(n - 1, int(0.95 * n))], 3),
+            "n": n,
+        }
+        groups[name] = cur_group[0]
+        return val
+
     graph_dirs: list[str] = []
     try:
         # the one-time database build. r6's committed artifact carried a
@@ -423,9 +472,10 @@ def main() -> None:
         # scoring is the per-corpus pure map
         from webpagesgraphdatabase_spark.operators import textstats
 
-        t0 = time.time()
-        lr_model = textstats.train_quality_classifier(docs)
-        timings["t_quality_lr_train"] = round(time.time() - t0, 3)
+        lr_model = timed_build(
+            "t_quality_lr_train",
+            lambda: textstats.train_quality_classifier(docs),
+        )
         timed(
             "t_quality_lr_score",
             lambda: _force(textstats.quality_lr_score(docs, lr_model)),
@@ -551,9 +601,7 @@ def main() -> None:
         emb_dim = len(emb.select("embedding").first()["embedding"])
         # PCA/whitening (r5): sufficient-statistics model fit is timed
         # once (driver eigh is corpus-free), projection as a query
-        t0 = time.time()
-        pca = _similarity().pca_model(emb)
-        timings["s_pca_model"] = round(time.time() - t0, 3)
+        pca = timed_build("s_pca_model", lambda: _similarity().pca_model(emb))
         timed(
             "s_pca_whiten",
             lambda: _force(_similarity().pca_project(emb, pca, whiten=True)),
@@ -585,22 +633,42 @@ def main() -> None:
         sim = _similarity()
         pq_dir = tempfile.mkdtemp(prefix="bench_pq_")
         try:
-            t0 = time.time()
-            sim.build_pq_index(
-                emb, f"{pq_dir}/pq", corpus_count=n_emb, dim=emb_dim
+            # r8 serving config: multi-assignment at encode time
+            # (assign_mult=2 — each code row lands in its 2 nearest
+            # lists; 2× storage, zero extra probe cost) + 2× probes +
+            # an 8× re-rank shortlist. Measured at sf0.1: recall@5
+            # 0.48 → 0.80 — ABOVE the direct path's 0.64 (r7 verdict
+            # item 6 asked for within 0.05) at ~2/3 the old query time
+            # (the OPQ-era full-corpus mapInPandas is also gone: the
+            # query path now filters to |Q| rows before any transform).
+            pq_probe = sim.auto_n_probe(sim.auto_n_centroids(n_emb)) * 2
+            timed_build(
+                "s_ann_pq_build",
+                lambda: sim.build_pq_index(
+                    emb,
+                    f"{pq_dir}/pq",
+                    corpus_count=n_emb,
+                    dim=emb_dim,
+                    assign_mult=2,
+                ),
+                repeats=2,
             )
-            timings["s_ann_pq_build"] = round(time.time() - t0, 3)
             timed(
                 "s_ann_pq_indexed",
                 lambda: _force(
-                    sim.ann_pq_from_index(spark, f"{pq_dir}/pq", emb)
+                    sim.ann_pq_from_index(
+                        spark, f"{pq_dir}/pq", emb, n_probe=pq_probe, refine=8
+                    )
                 ),
             )
             # the plain index's own recall baseline, so the at-rest
             # variants below compare against it rather than against
             # the (unprobed, full-coverage) direct path's number
             extra_recall["s_ann_pq_indexed"] = recall_of(
-                sim.ann_pq_from_index(spark, f"{pq_dir}/pq", emb), exact
+                sim.ann_pq_from_index(
+                    spark, f"{pq_dir}/pq", emb, n_probe=pq_probe, refine=8
+                ),
+                exact,
             )
         finally:
             shutil.rmtree(pq_dir, ignore_errors=True)
@@ -614,25 +682,36 @@ def main() -> None:
         # honestly while the timing pins the at-rest plan shape.
         pqr_dir = tempfile.mkdtemp(prefix="bench_pq_res_")
         try:
-            t0 = time.time()
-            sim.build_pq_index(
-                emb,
-                f"{pqr_dir}/pq",
-                corpus_count=n_emb,
-                dim=emb_dim,
-                opq=True,
-                residual=True,
-                trained=True,
+            timed_build(
+                "s_ann_ivfpq_res_build",
+                lambda: sim.build_pq_index(
+                    emb,
+                    f"{pqr_dir}/pq",
+                    corpus_count=n_emb,
+                    dim=emb_dim,
+                    opq=True,
+                    residual=True,
+                    trained=True,
+                ),
+                repeats=2,
             )
-            timings["s_ann_ivfpq_res_build"] = round(time.time() - t0, 3)
+            # residual codes can't multi-assign (each is relative to
+            # its own list's centroid), so coverage comes from the
+            # query-side levers alone: 3× probes + 8× shortlist
+            res_probe = sim.auto_n_probe(sim.auto_n_centroids(n_emb)) * 3
             timed(
                 "s_ann_ivfpq_res_indexed",
                 lambda: _force(
-                    sim.ann_pq_from_index(spark, f"{pqr_dir}/pq", emb)
+                    sim.ann_pq_from_index(
+                        spark, f"{pqr_dir}/pq", emb, n_probe=res_probe, refine=8
+                    )
                 ),
             )
             extra_recall["s_ann_ivfpq_res"] = recall_of(
-                sim.ann_pq_from_index(spark, f"{pqr_dir}/pq", emb), exact
+                sim.ann_pq_from_index(
+                    spark, f"{pqr_dir}/pq", emb, n_probe=res_probe, refine=8
+                ),
+                exact,
             )
         finally:
             shutil.rmtree(pqr_dir, ignore_errors=True)
@@ -644,9 +723,12 @@ def main() -> None:
         sim = _similarity()
         ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
         try:
-            t0 = time.time()
-            sim.build_ivf_index(emb, f"{ivf_dir}/ivf", corpus_count=n_emb)
-            timings["s_ann_ivf_index_build"] = round(time.time() - t0, 3)
+            timed_build(
+                "s_ann_ivf_index_build",
+                lambda: sim.build_ivf_index(
+                    emb, f"{ivf_dir}/ivf", corpus_count=n_emb
+                ),
+            )
             timed(
                 "s_ann_ivf_indexed",
                 lambda: _force(sim.ann_ivf_from_index(spark, f"{ivf_dir}/ivf")),
@@ -654,11 +736,12 @@ def main() -> None:
             # the Lloyd-trained quantizer on the same serving shape:
             # training cost lands in the one-time build (as it does in
             # production), queries pay identical probe cost to untrained
-            t0 = time.time()
-            sim.build_ivf_index(
-                emb, f"{ivf_dir}/ivf_t", trained=True, corpus_count=n_emb
+            timed_build(
+                "s_ann_ivf_trained_build",
+                lambda: sim.build_ivf_index(
+                    emb, f"{ivf_dir}/ivf_t", trained=True, corpus_count=n_emb
+                ),
             )
-            timings["s_ann_ivf_trained_build"] = round(time.time() - t0, 3)
             timed(
                 "s_ann_ivf_trained_indexed",
                 lambda: _force(
@@ -839,11 +922,27 @@ def build_report(
                 return hf
 
             factors = {k: round(_pf(k), 3) for k in out["normalized_deltas"]}
-            ratios = {
+            all_ratios = {
                 k: timings[k] / factors[k] / prev_q[k]
                 for k in out["normalized_deltas"]
                 if prev_q.get(k) and factors[k] > 0
             }
+            # entries whose code changed this round compare against a
+            # prior measuring different work — report them separately
+            # (ratio + reason), never inside worst_calibrated_ratio
+            ratios = {
+                k: v for k, v in all_ratios.items() if k not in CHANGED_ENTRIES
+            }
+            rebase = {
+                k: round(v, 2)
+                for k, v in all_ratios.items()
+                if k in CHANGED_ENTRIES
+            }
+            if rebase:
+                out["rebaselined"] = rebase
+                out["_rebaselined_reasons"] = {
+                    k: CHANGED_ENTRIES[k] for k in rebase
+                }
             if ratios:
                 worst = max(ratios, key=ratios.get)
                 out["worst_calibrated_ratio"] = {
@@ -861,7 +960,7 @@ def build_report(
     # what survives the driver's stdout tail
     detail = dict(out)
     detail["stats"] = stats
-    for k in ("_per_query_factor", "_calibrated_ratios"):
+    for k in ("_per_query_factor", "_calibrated_ratios", "_rebaselined_reasons"):
         if k in detail:
             detail[k.lstrip("_")] = detail.pop(k)
             out.pop(k)

@@ -168,6 +168,43 @@ def test_recall_outlives_advisory_blocks_when_shedding(tmp_path):
     assert len(detail["normalized_deltas"]) == 40
 
 
+def test_changed_entries_rebaselined_not_in_worst_ratio(tmp_path, monkeypatch):
+    """An entry listed in CHANGED_ENTRIES compares against a prior that
+    measured different code, so it must be reported under `rebaselined`
+    (ratio + reason in the detail) and NEVER drive
+    worst_calibrated_ratio — the r7 s_ann_pq_indexed false breach."""
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 3.0,
+            "queries": {"q1": 1.0, "q_changed": 1.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.8},
+            "comparable_total": 2.0,
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    monkeypatch.setattr(
+        bench, "CHANGED_ENTRIES", {"q_changed": "new code path this round"}
+    )
+    timings = {"q1": 1.2, "q_changed": 5.0}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    out, detail, line = bench.build_report(
+        timings, stats, RECALL, CAL, 0.1, here=str(tmp_path), write_detail=False
+    )
+    # host_factor 1.0: q_changed's raw ratio is 5.0 — but it is
+    # rebaselined, so the worst same-code entry (q1, 1.2) wins
+    assert out["worst_calibrated_ratio"] == {"q1": 1.2}
+    assert out["rebaselined"] == {"q_changed": 5.0}
+    assert detail["rebaselined_reasons"] == {
+        "q_changed": "new code path this round"
+    }
+    parsed = json.loads(line)
+    assert parsed["rebaselined"] == {"q_changed": 5.0}
+    # reasons are detail-only (line budget)
+    assert "rebaselined_reasons" not in parsed and "_rebaselined_reasons" not in parsed
+
+
 def test_per_query_factors_io_and_group(tmp_path):
     # graph_load is io-labelled → normalized by the io probe ratio;
     # q_emb sits in a group whose interleaved micro cpu probe ran 3×

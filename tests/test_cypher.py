@@ -468,6 +468,26 @@ def test_varlen_reach_seeded_point_query(g):
     assert [tuple(r) for r in df2.collect()] == [("a", 3)]
 
 
+def test_varlen_reach_conjunctive_bindings_intersect(g):
+    """An inline property map AND a WHERE equality are conjunctive
+    (Cypher AND = intersection): two different bound values intersect
+    to the empty seed set — zero rows, never the union of both seeds
+    (the r7 ADVICE defect). Two bindings of the SAME value behave as
+    one."""
+    df = cypher(
+        g,
+        "MATCH (n:Link {url: 'a'})-[*1..2]-(m) WHERE n.url = 'c' "
+        "RETURN n.url, COUNT(DISTINCT m)",
+    )
+    assert df.collect() == []
+    df2 = cypher(
+        g,
+        "MATCH (n:Link {url: 'c'})-[*1..2]-(m) WHERE n.url = 'c' "
+        "RETURN n.url, COUNT(DISTINCT m)",
+    )
+    assert [tuple(r) for r in df2.collect()] == [("c", 4)]
+
+
 def test_varlen_reach_keyword_anchor(g):
     """Keyword-side anchors work symmetrically: k1 touches all three
     links at radius 1."""

@@ -2787,3 +2787,151 @@ def test_cdc_dedup_catches_shifted_duplicates(spark):
     # the survivors of doc 2 are exactly its non-shared prefix segment(s)
     assert cdc[2].clean_text.startswith("three extra prefix tokens")
     assert base[-40:] not in cdc[2].clean_text
+
+
+def _exact_filtered(emb, allowed_pred, n_queries, k):
+    """Expected (query_id, rank, neighbor_id) set: brute-force top-k
+    over the allowed subset (plus the query vectors themselves, which
+    never appear as neighbors unless allowed)."""
+    sub = emb.filter(allowed_pred).unionByName(
+        emb.filter(F.col("vec_id") < n_queries)
+    ).distinct()
+    wide = sorted(
+        (
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in similarity.ann_bruteforce(sub, n_queries, 300).collect()
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    by_q = {}
+    for q, _, n in wide:
+        if n % 2 == 0:
+            by_q.setdefault(q, []).append(n)
+    return {
+        (q, i + 1, n) for q, ns in by_q.items() for i, n in enumerate(ns[:k])
+    }
+
+
+def test_ann_sq8_from_index_filtered(spark, tmp_path):
+    """Filtered SQ8 at rest (r7 verdict item 5): the allowed semi-join
+    narrows the candidate scan, so with a shortlist covering the whole
+    allowed subset the result EQUALS brute force restricted to it —
+    the same discipline as the IVF filtered path."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "sq8")
+    similarity.build_sq8_index(emb, path)
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = similarity.ann_sq8_from_index(
+        spark, path, emb, n_queries=6, k=3, refine=90, allowed=allowed
+    ).collect()
+    assert got and all(r.neighbor_id % 2 == 0 for r in got)
+    want = _exact_filtered(emb, F.col("vec_id") % 2 == 0, 6, 3)
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in got} == want
+
+
+def test_ann_pq_from_index_filtered(spark, tmp_path):
+    """Filtered IVFPQ at rest: allowed semi-join on the code rows after
+    partition pruning; with full probing and a subset-covering
+    shortlist the result equals brute force over the allowed subset."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    path = similarity.build_pq_index(
+        emb, str(tmp_path / "pq"), m=8, ks=16, n_iters=1, corpus_count=n,
+        n_centroids=8,
+    )
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = similarity.ann_pq_from_index(
+        spark, path, emb, n_queries=6, k=3, n_probe=8, refine=90,
+        allowed=allowed,
+    ).collect()
+    assert got and all(r.neighbor_id % 2 == 0 for r in got)
+    want = _exact_filtered(emb, F.col("vec_id") % 2 == 0, 6, 3)
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in got} == want
+
+
+def test_build_pq_index_multi_assign(spark, tmp_path):
+    """assign_mult=2 lands each code row in its 2 nearest lists: ~2x
+    code rows at rest, candidates deduped at query time (k unique
+    neighbors per query), and recall at the SAME probe budget is never
+    below the single-assignment layout's."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    p1 = similarity.build_pq_index(
+        emb, str(tmp_path / "pq1"), m=8, ks=16, n_iters=1,
+        corpus_count=n, n_centroids=8,
+    )
+    p2 = similarity.build_pq_index(
+        emb, str(tmp_path / "pq2"), m=8, ks=16, n_iters=1,
+        corpus_count=n, n_centroids=8, assign_mult=2,
+    )
+    c1 = spark.read.parquet(f"{p1}/codes.parquet").count()
+    c2 = spark.read.parquet(f"{p2}/codes.parquet").count()
+    assert c1 == n and n < c2 <= 2 * n
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_bruteforce(emb, 10, 5).collect()
+    }
+
+    def run(p):
+        # refine large enough that the exact re-rank covers EVERY
+        # probed candidate: mult=2's candidate set is then a superset
+        # of mult=1's (each vector's top-1 list is among its top-2),
+        # so recall is monotone by construction — at small shortlists
+        # the extra candidates can displace true neighbors from the
+        # ADC shortlist and the comparison becomes noisy
+        rows = similarity.ann_pq_from_index(
+            spark, p, emb, n_queries=10, k=5, n_probe=2, refine=90
+        ).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        # dedup discipline: no neighbor may appear twice for a query
+        for ns in per_q.values():
+            assert len(ns) == len(set(ns))
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        return len(got & exact) / len(exact)
+
+    assert run(p2) >= run(p1)
+    # residual codes are relative to ONE list's centroid — multi-assign
+    # must refuse, not silently decode garbage
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.build_pq_index(
+            emb, str(tmp_path / "pq3"), m=8, ks=16, corpus_count=n,
+            residual=True, assign_mult=2,
+        )
+
+
+def test_compaction_watermark_blocks_folded_replay(spark, tmp_path):
+    """compact_ivf_lists persists the pre-fold max batch id; a replayed
+    append with a batch id at/below that watermark is a no-op (its
+    vectors already live in segment 0 — re-appending would duplicate
+    them), and batch=None allocates ABOVE the watermark."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(first, path, n_centroids=8)
+    similarity.ivf_index_append(second, path, batch=1)
+    report = similarity.compact_ivf_lists(spark, path)
+    assert report["watermark"] == 1
+    rows = spark.read.parquet(f"{path}/lists.parquet").count()
+    res = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    # checkpoint replay of the pre-compaction micro-batch: must no-op
+    similarity.ivf_index_append(second, path, batch=1)
+    lists = spark.read.parquet(f"{path}/lists.parquet")
+    assert lists.count() == rows
+    assert {r.batch for r in lists.select("batch").distinct().collect()} == {0}
+    assert res == sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, path, k=5).collect())
+    )
+    # fresh data with batch=None must land above the watermark, never
+    # in a partition the fold owns
+    extra = second.withColumn("vec_id", F.col("vec_id") + 10_000)
+    similarity.ivf_index_append(extra, path)
+    lists = spark.read.parquet(f"{path}/lists.parquet")
+    assert lists.count() == rows + second.count()
+    assert {r.batch for r in lists.select("batch").distinct().collect()} == {0, 2}

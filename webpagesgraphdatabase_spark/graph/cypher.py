@@ -667,9 +667,17 @@ def _compile_reach(
     seeds = None
     if seed_vals:
         # seeded expansion: the first frontier is semi-joined down
-        # before any join, so the point query pays its own closure only
-        ids = [(f"{prefix}{v}",) for v in seed_vals]
-        seeds = g.links.sparkSession.createDataFrame(ids, "node_id string")
+        # before any join, so the point query pays its own closure only.
+        # An inline map binding AND a WHERE equality are conjunctive
+        # (Cypher AND = intersection): two different bound values
+        # intersect to the empty seed set, never the union of both
+        distinct = sorted({str(v) for v in seed_vals})
+        ids = (
+            [(f"{prefix}{distinct[0]}",)] if len(distinct) == 1 else []
+        )
+        seeds = g.links.sparkSession.createDataFrame(
+            ids, "node_id string"
+        )
     reach = bounded_reach(g, max_hops=h, seeds=seeds)
     if prefix:
         reach = reach.filter(F.col("node_id").startswith(prefix))

@@ -283,22 +283,17 @@ def text_index_append(
     postings, stats, lens = _index_parts(
         docs, n_buckets, tokenizer, id_col, batch
     )
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        postings.write.mode("overwrite").partitionBy("bucket", "batch").parquet(
-            f"{path}/postings.parquet"
-        )
-        lens.write.mode("overwrite").partitionBy("batch").parquet(
-            f"{path}/doclens.parquet"
-        )
-        stats.write.mode("overwrite").partitionBy("batch").parquet(
-            f"{path}/stats.parquet"
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # per-writer dynamic overwrite (not the session conf): a concurrent
+    # write in the same SparkSession must not inherit dynamic semantics
+    postings.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket", "batch").parquet(f"{path}/postings.parquet")
+    lens.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch").parquet(f"{path}/doclens.parquet")
+    stats.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch").parquet(f"{path}/stats.parquet")
 
 
 def bm25_from_index(

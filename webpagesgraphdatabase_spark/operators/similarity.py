@@ -338,10 +338,13 @@ def kmeans_centroids(
     return cents
 
 
-def _argmax_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+def _argmax_assign(v: DataFrame, cents: DataFrame, mult: int = 1) -> DataFrame:
     """(vec_id, cid): nearest-centroid assignment of ``v`` (vec_id,
     embedding, nrm) against broadcast ``cents`` (cid, cemb, cnrm);
-    ties → smallest cid."""
+    ties → smallest cid. ``mult`` > 1 keeps the top-``mult`` centroids
+    per vector (multi-assignment — the coverage lever for at-rest ANN
+    layouts: a vector findable from any of its ``mult`` nearest lists
+    costs ``mult``× storage but zero extra probe work)."""
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
@@ -353,7 +356,7 @@ def _argmax_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= int(mult))
         .select("vec_id", "cid")
     )
 
@@ -362,11 +365,13 @@ def ivf_assign(
     emb: DataFrame,
     n_centroids: int = N_CENTROIDS,
     cents: DataFrame | None = None,
+    mult: int = 1,
 ) -> DataFrame:
     """Inverted lists: (vec_id, cid) assigning every vector to its
     highest-cosine centroid (ties → smallest cid). ``cents`` overrides
     the quantizer (e.g. :func:`kmeans_centroids`); default is the
-    seeded sample.
+    seeded sample. ``mult`` > 1 multi-assigns each vector to its top
+    ``mult`` lists (see :func:`_argmax_assign`).
 
     Scale shape: the centroid table is tiny and **broadcast**, so
     assignment is a map-side cross join + argmax — the corpus itself
@@ -375,7 +380,7 @@ def ivf_assign(
     if cents is None:
         cents = ivf_centroids(emb, n_centroids)
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    return _argmax_assign(v, cents)
+    return _argmax_assign(v, cents, mult=mult)
 
 
 def _probe_lists(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
@@ -554,36 +559,56 @@ def ivf_index_append(emb: DataFrame, path: str, batch: int | None = None) -> str
     stay consistent, and the reader's cid partition pruning is
     unaffected (cid stays the leading partition key).
 
-    ``batch=None`` allocates max(existing)+1 — a metadata-only scan of
-    the partition column. Callers own vec_id uniqueness across batches
-    (as with any upsertless append sink); the streaming twin
-    (``streaming.jobs.streaming_ivf_ingest``) derives batch ids from
-    its checkpoint."""
+    ``batch=None`` allocates max(existing, compaction watermark)+1 — a
+    metadata-only scan of the partition column. Callers own vec_id
+    uniqueness across batches (as with any upsertless append sink); the
+    streaming twin (``streaming.jobs.streaming_ivf_ingest``) derives
+    batch ids from its checkpoint. Batch ids ≤ the stored compaction
+    watermark (see :func:`compact_ivf_lists`) are treated as replays of
+    already-folded batches and skipped — without that guard a
+    checkpoint replay of a pre-compaction micro-batch would rewrite a
+    partition whose vectors already live in segment 0, duplicating
+    them in the index."""
     spark = emb.sparkSession
     stored = spark.read.parquet(f"{path}/centroids.parquet")
     lists_path = f"{path}/lists.parquet"
+    wm = _read_compaction_watermark(path)
     if batch is None:
         prev = spark.read.parquet(lists_path).agg(F.max("batch")).first()[0]
-        batch = int(prev or 0) + 1
+        batch = max(int(prev or 0), wm) + 1
+    elif int(batch) <= wm:
+        return path
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     out = (
         v.join(_argmax_assign(v, stored), "vec_id")
         .withColumn("batch", F.lit(int(batch)))
     )
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # per-writer dynamic overwrite (not the session conf): a concurrent
+    # write in the same SparkSession must not inherit dynamic semantics
+    (
+        out.repartition("cid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "batch")
+        .parquet(lists_path)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            out.repartition("cid")
-            .write.mode("overwrite")
-            .partitionBy("cid", "batch")
-            .parquet(lists_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return path
+
+
+#: compaction high-water-mark marker inside an IVF index dir — the
+#: largest batch id whose vectors have been folded into segment 0
+_COMPACTION_WM = "_compaction_watermark.json"
+
+
+def _read_compaction_watermark(path: str) -> int:
+    import json
+    import os
+
+    p = os.path.join(path, _COMPACTION_WM)
+    if not os.path.isfile(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["watermark"])
 
 
 def compact_ivf_lists(spark, path: str) -> dict:
@@ -601,7 +626,17 @@ def compact_ivf_lists(spark, path: str) -> dict:
     two renames, under the same single-writer assumption as every
     other index mutation here (readers mid-swap should hold their
     DataFrame, which pins the old files on POSIX). Returns before /
-    after file counts."""
+    after file counts.
+
+    Folding resets the batch-id space to 0, so the pre-compaction
+    high-water mark is persisted FIRST (``_compaction_watermark.json``,
+    temp + ``os.replace``): without it a streaming checkpoint replay of
+    a pre-compaction micro-batch — or a ``batch=None`` append
+    allocating max+1 = 1 — would rewrite a batch partition whose
+    vectors already live in segment 0, duplicating them in the index.
+    :func:`ivf_index_append` skips batch ids ≤ the watermark and
+    allocates fresh ids above it (test-pinned)."""
+    import json
     import os
     import shutil
 
@@ -616,6 +651,13 @@ def compact_ivf_lists(spark, path: str) -> dict:
         )
 
     before = _count_files(lists_path)
+    prev_max = spark.read.parquet(lists_path).agg(F.max("batch")).first()[0]
+    wm = max(int(prev_max or 0), _read_compaction_watermark(path))
+    wm_path = os.path.join(path, _COMPACTION_WM)
+    wm_tmp = wm_path + ".tmp"
+    with open(wm_tmp, "w") as f:
+        json.dump({"watermark": wm}, f)
+    os.replace(wm_tmp, wm_path)
     tmp = f"{path}/lists.compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
@@ -631,7 +673,11 @@ def compact_ivf_lists(spark, path: str) -> dict:
     os.rename(lists_path, old)
     os.rename(tmp, lists_path)
     shutil.rmtree(old, ignore_errors=True)
-    return {"files_before": before, "files_after": _count_files(lists_path)}
+    return {
+        "files_before": before,
+        "files_after": _count_files(lists_path),
+        "watermark": wm,
+    }
 
 
 def ann_ivf_from_index(
@@ -1574,27 +1620,64 @@ def _write_opq_transform(spark, path: str, model: dict, perm: list[int]) -> None
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/opq.parquet")
 
 
+#: driver-side cache of loaded OPQ transforms, keyed by (dir, newest
+#: data-file mtime) — the transform is one (d·d + 2d + m)-float row, so
+#: re-reading it from parquet on EVERY query call is pure overhead on
+#: the serving path (the IVF-centroids discipline: tiny per-index state
+#: lives with the driver once loaded; the mtime key invalidates on
+#: rebuild)
+_OPQ_CACHE: dict = {}
+
+
+def _opq_dir_mtime(p: str):
+    import os
+
+    try:
+        return max(
+            (
+                os.path.getmtime(os.path.join(dp, f))
+                for dp, _, fns in os.walk(p)
+                for f in fns
+            ),
+            default=None,
+        )
+    except OSError:
+        return None
+
+
 def _load_opq_transform(spark, path: str):
     """(model, perm) if the index at ``path`` was built with OPQ, else
     None. Missing transform = plain PQ index; any other read failure
     propagates (silently skipping the transform would ADC raw queries
-    against rotated codes — wrong scores, no error)."""
+    against rotated codes — wrong scores, no error). Cached driver-side
+    per (dir, mtime) — see ``_OPQ_CACHE``."""
     from pyspark.errors import AnalysisException
 
+    p = f"{path}/opq.parquet"
+    key = (p, _opq_dir_mtime(p))
+    if key in _OPQ_CACHE:
+        return _OPQ_CACHE[key]
     try:
-        r = spark.read.parquet(f"{path}/opq.parquet").first()
+        r = spark.read.parquet(p).first()
     except AnalysisException:
-        return None
+        r = None
     import numpy as np
 
-    model = {
-        "mean": np.asarray(r["mean"], dtype=np.float64),
-        "components": np.asarray(
-            [list(c) for c in r["components"]], dtype=np.float64
-        ),
-        "eigvals": np.asarray(r["eigvals"], dtype=np.float64),
-    }
-    return model, [int(p) for p in r["perm"]]
+    if r is None:
+        out = None
+    else:
+        model = {
+            "mean": np.asarray(r["mean"], dtype=np.float64),
+            "components": np.asarray(
+                [list(c) for c in r["components"]], dtype=np.float64
+            ),
+            "eigvals": np.asarray(r["eigvals"], dtype=np.float64),
+        }
+        out = (model, [int(p_) for p_ in r["perm"]])
+    if len(_OPQ_CACHE) > 32:
+        _OPQ_CACHE.clear()
+    _OPQ_CACHE[key] = out
+    return out
 
 
 def build_pq_index(
@@ -1609,6 +1692,7 @@ def build_pq_index(
     opq: bool = False,
     residual: bool = False,
     trained: bool = False,
+    assign_mult: int = 1,
 ) -> str:
     """IVFPQ index at rest under ``path`` — the FAISS-shaped serving
     layout (coarse quantizer over the compressed code table):
@@ -1653,8 +1737,25 @@ def build_pq_index(
     marker the query path detects) and ``vnrm`` (the vector's exact
     norm, metadata for IP-metric callers). Pair with ``trained=True``
     (Lloyd coarse centroids, the :func:`build_ivf_index` discipline):
-    residual size tracks coarse-quantizer quality."""
+    residual size tracks coarse-quantizer quality.
+
+    ``assign_mult`` > 1 multi-assigns each vector's code row into its
+    top-``assign_mult`` coarse lists (the encode-time coverage lever: a
+    true neighbor sitting just across a Voronoi boundary becomes
+    findable from either side's probe set). Storage grows
+    ``assign_mult``×; per-query probe cost is unchanged, and the query
+    path dedupes candidates reached via more than one probed list.
+    Non-residual layouts only (a residual code is relative to ONE
+    list's centroid — duplicating it under another list would decode
+    garbage), enforced with ``ValueError``."""
     spark = emb.sparkSession
+    if assign_mult < 1:
+        raise ValueError("assign_mult must be >= 1")
+    if residual and assign_mult > 1:
+        raise ValueError(
+            "multi-assignment requires non-residual codes: a residual "
+            "is taken against its own list's centroid"
+        )
     count = emb.count() if corpus_count is None else corpus_count
     if n_centroids is None:
         n_centroids = auto_n_centroids(count)
@@ -1674,10 +1775,12 @@ def build_pq_index(
     coarse = spark.read.parquet(f"{path}/coarse.parquet")
     # assignment feeds the residual projection, the training corpus,
     # and the final code write — persisted for the build's duration
-    # (all consumers execute inside this function)
-    assign = ivf_assign(emb, n_centroids, cents=coarse).select(
-        "vec_id", F.col("cid").alias("ccid")
-    ).persist()
+    # (all consumers execute inside this function). assign_mult > 1
+    # (non-residual only) lands the SAME code row under each of the
+    # vector's top lists — encode happens once, the join fans it out.
+    assign = ivf_assign(
+        emb, n_centroids, cents=coarse, mult=assign_mult
+    ).select("vec_id", F.col("cid").alias("ccid")).persist()
     try:
         if residual:
             cent = coarse.select(
@@ -1764,6 +1867,7 @@ def ann_pq_from_index(
     k: int = 5,
     n_probe: int | None = None,
     refine: int = 4,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVFPQ query over a :func:`build_pq_index` layout: probe the
     ``n_probe`` closest coarse lists, ADC-score ONLY their members'
@@ -1777,7 +1881,14 @@ def ann_pq_from_index(
     ADC run in the rotated space the codes live in, the final re-rank
     on the raw vectors). The probed ccids are collected
     (≤ |Q|·n_probe ints) and applied as an ``isin`` partition filter —
-    ``PartitionFilters`` in the explain, no full-index read."""
+    ``PartitionFilters`` in the explain, no full-index read.
+
+    ``allowed`` restricts the search to a metadata-filtered subset —
+    the same candidate-narrowing left-semi join as
+    :func:`ann_ivf_from_index` / :func:`ann_sq8_from_index`, applied to
+    the code rows after partition pruning so the ADC scan, shortlist,
+    and top-k all run over the subset only (never a post-filter that
+    under-fills k)."""
     coarse = spark.read.parquet(f"{path}/coarse.parquet")
     book = spark.read.parquet(f"{path}/codebook.parquet")
     codes = spark.read.parquet(f"{path}/codes.parquet")
@@ -1791,17 +1902,21 @@ def ann_pq_from_index(
         n_probe = auto_n_probe(coarse.count())
 
     opq = _load_opq_transform(spark, path)
-    emb_idx = emb
+    # filter to the query rows BEFORE any OPQ projection: pca_project
+    # is a mapInPandas, which Catalyst cannot push a filter through, so
+    # projecting emb first would round-trip the ENTIRE corpus through
+    # Arrow to keep |Q| rows (measured as r7's s_ann_pq_indexed
+    # regression); the re-rank's raw vectors (v) still cover the corpus
+    q_raw = emb.filter(F.col("vec_id") < n_queries)
     if opq is not None:
         model, perm = opq
-        emb_idx = apply_dim_permutation(pca_project(emb, model), perm)
-    vq = emb_idx.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
+        q_raw = apply_dim_permutation(pca_project(q_raw, model), perm)
     v = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    queries = vq.filter(F.col("vec_id") < n_queries)
+    queries = q_raw.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     probes = _probe_lists(queries, coarse, n_probe)
     probe_rows = probes.collect()  # bounded: |Q| · n_probe
     probed_ccids = sorted({r.cid for r in probe_rows})
@@ -1889,9 +2004,13 @@ def ann_pq_from_index(
             lambda acc, x: acc + x,
         )
 
+    cand = codes.filter(F.col("ccid").isin(probed_ccids))  # partition pruning
+    if allowed is not None:
+        cand = cand.join(
+            allowed.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
     base = (
-        codes.filter(F.col("ccid").isin(probed_ccids))  # partition pruning
-        .join(F.broadcast(pairs), "ccid")
+        cand.join(F.broadcast(pairs), "ccid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(luts), "query_id")
     )
@@ -1916,6 +2035,15 @@ def ann_pq_from_index(
                 / (F.col("qnrm") * F.sqrt(lookup_sum(F.col("cn2"))))
             ).alias("adc_cos"),
         )
+    # a multi-assigned layout (build_pq_index assign_mult > 1) reaches
+    # the same neighbor through more than one probed list with an
+    # identical score — collapse before the shortlist cut so duplicates
+    # never consume shortlist slots or surface twice in the top-k
+    # (partial-aggregatable hash agg over the bounded candidate set;
+    # semantically a no-op at mult=1)
+    adc = adc.groupBy("query_id", "neighbor_id").agg(
+        F.max("adc_cos").alias("adc_cos")
+    )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("adc_cos").desc(), F.col("neighbor_id").asc()
     )
@@ -2043,6 +2171,7 @@ def ann_sq8(
     k: int = 5,
     refine: int = SQ8_REFINE,
     enc: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """SQ8 ANN with exact re-rank: (query_id, rank, neighbor_id), the
     shared ``ann_*`` schema (queries = ``vec_id < n_queries``, ties by
@@ -2052,8 +2181,19 @@ def ann_sq8(
     codes (+ one double norm) — a quarter of the float payload; the
     float vectors are read again only for the |Q|·k·refine shortlist
     re-rank. Pass a precomputed ``enc`` (:func:`sq8_encode`) for the
-    amortized serving path."""
+    amortized serving path.
+
+    ``allowed`` (any DataFrame with a ``vec_id`` column) restricts the
+    search to that metadata-filtered subset — the filtered-ANN
+    discipline shared with :func:`ann_ivf_from_index`: a left-semi join
+    narrows the CANDIDATE scan itself (so the top-k is the true top-k
+    of the subset), never a post-filter of an unfiltered top-k (which
+    under-fills k whenever the unfiltered winners are disallowed)."""
     enc = sq8_encode(emb) if enc is None else enc
+    if allowed is not None:
+        enc = enc.join(
+            allowed.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
     v = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
@@ -2151,16 +2291,11 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
         .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
         .withColumn("batch", F.lit(int(batch)))
     )
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        enc.write.mode("overwrite").partitionBy("bucket", "batch").parquet(
-            store_path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # per-writer dynamic overwrite (not the session conf): a concurrent
+    # write in the same SparkSession must not inherit dynamic semantics
+    enc.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket", "batch").parquet(store_path)
 
 
 def ann_sq8_from_index(
@@ -2170,11 +2305,19 @@ def ann_sq8_from_index(
     n_queries: int = 10,
     k: int = 5,
     refine: int = SQ8_REFINE,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve SQ8 ANN from a :func:`build_sq8_index` directory: the
     approximate scan reads the 4x-compressed code table; ``emb``
-    supplies query vectors and the shortlist's exact re-rank."""
+    supplies query vectors and the shortlist's exact re-rank.
+
+    ``allowed`` restricts the search to a metadata-filtered subset of
+    the corpus with the same candidate-narrowing semi-join semantics as
+    :func:`ann_ivf_from_index` (test-pinned ≡ brute-force over the
+    subset) — SQ8 is the highest-recall serving point, so the filtered
+    query a real user reaches for first runs here too (r7 verdict
+    item 5)."""
     enc = spark.read.parquet(f"{path}/sq8.parquet").select(
         "vec_id", "codes", "cnrm"
     )
-    return ann_sq8(emb, n_queries, k, refine=refine, enc=enc)
+    return ann_sq8(emb, n_queries, k, refine=refine, enc=enc, allowed=allowed)

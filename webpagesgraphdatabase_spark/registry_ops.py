@@ -384,17 +384,39 @@ def _q_dedup_exact_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup in one row per distinct text (keyed by the exact-dedup keeper):
     both operators run unchanged over the full corpus; the segment-level
     columns (n_segs / n_dropped / clean text after boilerplate removal)
-    are hash-checked alongside the exact-dup counts."""
+    are hash-checked alongside the exact-dup counts.
+
+    Also carries the CDC shifted-duplicate keep-set (dedup.cdc_dedup,
+    r7 — its keep-set composition was the one operator without an
+    oracle row, r7 verdict item 4): per keeper doc, the content-defined
+    segment count, how many segments a global keep-first pass dropped,
+    and the md5 of the reassembled kept text — which pins exactly WHICH
+    segments survived, not just how many."""
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
     ex = dedup.dedup_exact(docs)
     para = dedup.paragraph_dedup(docs)
-    return ex.join(para, ex.keep_id == para.doc_id).select(
-        "text_hash",
-        "keep_id",
-        "n_copies",
-        "n_segs",
-        "n_dropped",
-        para.clean_text.alias("clean_text_pd"),
+    cdc = dedup.cdc_dedup(docs).select(
+        F.col("doc_id").alias("cdc_doc_id"),
+        F.col("n_segs").alias("n_cdc_segs"),
+        F.col("n_dropped").alias("n_cdc_dropped"),
+        F.md5(F.col("clean_text")).alias("clean_cdc_md5"),
+    )
+    return (
+        ex.join(para, ex.keep_id == para.doc_id)
+        .join(cdc, ex.keep_id == cdc.cdc_doc_id)
+        .select(
+            "text_hash",
+            "keep_id",
+            "n_copies",
+            "n_segs",
+            "n_dropped",
+            para.clean_text.alias("clean_text_pd"),
+            "n_cdc_segs",
+            "n_cdc_dropped",
+            "clean_cdc_md5",
+        )
     )
 
 
@@ -885,7 +907,7 @@ buckets AS (
 ORACLES: dict[str, str] = {
     # --- dedup ---
     "d_dedup_exact": _TOKS
-    + r""",
+    + f""",
 ex AS (
   SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
   FROM documents GROUP BY md5(text)
@@ -913,12 +935,64 @@ perdoc AS (
          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS clean_text
   FROM flagged GROUP BY doc_id
+),
+-- cdc_dedup keep-set (r8): the same keep-first pass over CONTENT-
+-- DEFINED segments (boundary after token e when the 4-token rolling
+-- hash ending at e is 0 mod 16 — the t_fingerprints cdc chain), so the
+-- shifted-duplicate keep-set composition is hash-checked, not just the
+-- segment fingerprints (r7 verdict item 4)
+ctok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
+  FROM toks
+),
+ccdct AS (
+  SELECT doc_id, pos, token,
+         ('0x' || substr(md5(token), 1, 7))::BIGINT AS th
+  FROM ctok
+),
+ccdcf AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN pos >= 3 AND
+              ((lag(th, 3) OVER w * {textstats.RK_B3}
+                + lag(th, 2) OVER w * {textstats.RK_B2}
+                + lag(th, 1) OVER w * {textstats.RK_B}
+                + th) % {textstats.RK_P}) % 16 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM ccdct
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+ccdcseg AS (
+  SELECT doc_id, pos, token,
+         COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_idx
+  FROM ccdcf
+),
+cdcsegtext AS (
+  SELECT doc_id, seg_idx, string_agg(token, ' ' ORDER BY pos) AS seg
+  FROM ccdcseg GROUP BY doc_id, seg_idx
+),
+cdcflag AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM cdcsegtext
+),
+cdcperdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_cdc_segs,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cdc_dropped,
+         md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                 ORDER BY seg_idx), '')) AS clean_cdc_md5
+  FROM cdcflag GROUP BY doc_id
 )
 SELECT ex.text_hash, ex.keep_id, ex.n_copies,
        COALESCE(p.n_segs, 0) AS n_segs,
        COALESCE(p.n_dropped, 0) AS n_dropped,
-       COALESCE(p.clean_text, '') AS clean_text_pd
+       COALESCE(p.clean_text, '') AS clean_text_pd,
+       COALESCE(c.n_cdc_segs, 0) AS n_cdc_segs,
+       COALESCE(c.n_cdc_dropped, 0) AS n_cdc_dropped,
+       COALESCE(c.clean_cdc_md5, md5('')) AS clean_cdc_md5
 FROM ex LEFT JOIN perdoc p ON p.doc_id = ex.keep_id
+LEFT JOIN cdcperdoc c ON c.doc_id = ex.keep_id
 """,
     "d_minhash_signatures": _MINHASH + "\nSELECT doc_id, perm, minhash FROM minhash",
     "d_lsh_candidates": _CANDS + "\nSELECT doc_a, doc_b FROM cands",

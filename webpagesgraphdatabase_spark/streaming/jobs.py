@@ -409,11 +409,15 @@ def run_to_parquet_with_zonemap(
         if os.path.isfile(mpath):
             with open(mpath) as f:
                 manifest = json.load(f)
-        prefix = bdir.rstrip("/") + "/"
+        # manifest keys are stripped 'file:' URIs ('///abs/path');
+        # normalize both sides (as read_store_pruned does) or the
+        # stale-entry purge never matches and a crash-replayed batch
+        # (new part-file UUIDs) leaves dangling entries behind
+        prefix = os.path.normpath(bdir) + "/"
         manifest["files"] = {
             f: st
             for f, st in manifest["files"].items()
-            if not f.startswith(prefix)
+            if not os.path.normpath(f).startswith(prefix)
         }
         manifest["files"].update(part)
         tmp = mpath + ".tmp"

@@ -462,8 +462,15 @@ def write_wet(
                 "".join(r["record_id"] for r in recs).encode()
             ).hexdigest()[:16]
             fname = os.path.join(path, f"part-{digest}{suffix}")
-            with open(fname, "wb") as fh:
+            # per-attempt temp + atomic os.replace: a retried or
+            # speculatively-executed task attempt racing a sibling on
+            # the same deterministic part name must never leave a torn
+            # file for the round-trip read (both attempts write
+            # identical bytes, so last-replace-wins is benign)
+            tmp = f"{fname}.{os.getpid()}.{id(pdf)}.tmp"
+            with open(tmp, "wb") as fh:
                 fh.write(buf)
+            os.replace(tmp, fname)
             yield pd.DataFrame([{"file": fname, "n_records": len(recs)}])
 
     out = docs.select("doc_id", "text", *cols).mapInPandas(
