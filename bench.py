@@ -594,6 +594,60 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(wh_dir, ignore_errors=True)
+
+        # the closed crawl loop (r8): one archive of the documents
+        # corpus through land → CDC dedup → idempotent graph preload →
+        # exactly-once BM25 + SQ8 index append — the number a crawl
+        # scheduler pays per archive. Fresh store/index dirs per pass
+        # (the graph_load discipline) so the preload's anti-join never
+        # sees its own earlier pass.
+        from webpagesgraphdatabase_spark import warc as _W
+
+        crawl_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+        crawl_tmp: list[str] = []
+        try:
+            doc_rows = docs.select("doc_id", "text").collect()
+            payload = _W.build_warc(
+                [
+                    {
+                        "record_id": f"<urn:doc:{r.doc_id}>",
+                        "warc_type": "response",
+                        "target_uri": f"https://bench.example/{r.doc_id}",
+                        "warc_date": "2026-01-01T00:00:00Z",
+                        "content_type": "application/http; msgtype=response",
+                        "block": _W.http_response_block(
+                            (
+                                "<html><head><title>d</title></head><body>"
+                                + (r.text or "")
+                                + "</body></html>"
+                            ).encode("utf-8", "replace")
+                        ),
+                    }
+                    for r in doc_rows
+                ],
+                compress="record",
+            )
+            with open(f"{crawl_dir}/bench.warc.gz", "wb") as fh:
+                fh.write(payload)
+
+            def run_crawl():
+                d = tempfile.mkdtemp(prefix="bench_crawl_run_")
+                crawl_tmp.append(d)
+                st = GraphStore(spark, f"{d}/wh")
+                st.init_schema()
+                _W.crawl_round(
+                    spark,
+                    st,
+                    f"{crawl_dir}/bench.warc.gz",
+                    text_index=f"{d}/ti",
+                    sq8_index=f"{d}/si",
+                )
+
+            timed("w_crawl_round", run_crawl)
+        finally:
+            shutil.rmtree(crawl_dir, ignore_errors=True)
+            for d in crawl_tmp:
+                shutil.rmtree(d, ignore_errors=True)
         group_mark("embed")
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -500,15 +500,19 @@ def test_varlen_reach_keyword_anchor(g):
 
 
 def test_varlen_unsupported_shapes_raise(g):
-    """Unbounded *, non-1 lower bounds, directed arrows, non-keyword
-    rels, and constrained targets all refuse with CypherSyntaxError."""
+    """Unbounded *, non-1 lower bounds, direction/label-inconsistent
+    anchors, and constrained targets all refuse with
+    CypherSyntaxError. (Directed arrows and BELONGS_TO labels became
+    SUPPORTED in r8 — see the directed tests below.)"""
     bad = [
         "MATCH (n:Link)-[*]-(m) RETURN n.url, COUNT(DISTINCT m)",
         "MATCH (n:Link)-[*1..]-(m) RETURN n.url, COUNT(DISTINCT m)",
         "MATCH (n:Link)-[*2..3]-(m) RETURN n.url, COUNT(DISTINCT m)",
-        "MATCH (n:Link)-[*1..2]->(m) RETURN n.url, COUNT(DISTINCT m)",
+        # a Keyword has no outgoing HAS_KEYWORD arrows; a Link no
+        # incoming ones — vacuous statements refuse, never empty-return
+        "MATCH (n:Keyword)-[*1..2]->(m) RETURN n.name, COUNT(DISTINCT m)",
         "MATCH (n:Link)<-[*1..2]-(m) RETURN n.url, COUNT(DISTINCT m)",
-        "MATCH (n:Link)-[:BELONGS_TO*1..2]-(m) RETURN n.url, COUNT(DISTINCT m)",
+        "MATCH (n:Keyword)-[:BELONGS_TO*1..2]-(m) RETURN n.name, COUNT(DISTINCT m)",
         "MATCH (n:Link)-[*1..2]-(m:Keyword) RETURN n.url, COUNT(DISTINCT m)",
         "MATCH (n:Link)-[*1..2]-(m) RETURN n.url, COUNT(m)",
         "MATCH (n:Link)-[*1..2]-(m) RETURN n.url",
@@ -517,6 +521,63 @@ def test_varlen_unsupported_shapes_raise(g):
     for q in bad:
         with pytest.raises(CypherSyntaxError):
             cypher(g, q)
+
+
+def test_varlen_directed_matches_bounded_reach_edge_frame(g):
+    """-[:HAS_KEYWORD*1..2]-> expands along the arrows only (r7
+    verdict item 8): ≡ bounded_reach over the forward typed edge frame,
+    row-for-row (the Done criterion)."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph.algorithms import bounded_reach
+
+    got = {
+        tuple(r)
+        for r in cypher(
+            g,
+            "MATCH (n:Link)-[:HAS_KEYWORD*1..2]->(m) "
+            "RETURN n.url AS u, COUNT(DISTINCT m) AS c",
+        ).collect()
+    }
+    fwd = g.has_keyword.select(
+        F.concat(F.lit("Link:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit("Keyword:"), F.col("dst_keyword")).alias("dst"),
+    )
+    want = {
+        (r.node_id.removeprefix("Link:"), r.n_reach_2)
+        for r in bounded_reach(g, max_hops=2, edges=fwd).collect()
+        if r.node_id.startswith("Link:")
+    }
+    assert got == want and got
+    # on this bipartite schema a directed radius-2 equals radius 1
+    # (Keywords have no outgoing arrows) — the semantics, not a bug
+    r1 = {
+        tuple(r)
+        for r in cypher(
+            g,
+            "MATCH (n:Link)-[:HAS_KEYWORD*1..1]->(m) "
+            "RETURN n.url AS u, COUNT(DISTINCT m) AS c",
+        ).collect()
+    }
+    assert got == r1
+
+
+def test_varlen_directed_backward_and_belongs_to(g):
+    """<-[:HAS_KEYWORD*1..1]- anchored at a Keyword counts its links;
+    the BELONGS_TO label traverses the Link<->Category side."""
+    df = cypher(
+        g,
+        "MATCH (n:Keyword {name: 'k1'})<-[*1..1]-(m) "
+        "RETURN n.name AS k, COUNT(DISTINCT m) AS c",
+    )
+    assert [tuple(r) for r in df.collect()] == [("k1", 3)]
+    df2 = cypher(
+        g,
+        "MATCH (n:Link)-[:BELONGS_TO*1..1]->(m) "
+        "RETURN n.url AS u, COUNT(DISTINCT m) AS c ORDER BY u",
+    )
+    rows = [tuple(r) for r in df2.collect()]
+    assert rows and all(c == 1 for _, c in rows)
 
 
 def test_where_string_predicates(g):

@@ -2935,3 +2935,34 @@ def test_compaction_watermark_blocks_folded_replay(spark, tmp_path):
     lists = spark.read.parquet(f"{path}/lists.parquet")
     assert lists.count() == rows + second.count()
     assert {r.batch for r in lists.select("batch").distinct().collect()} == {0, 2}
+
+
+def test_hash_embed_deterministic_and_normalized(spark):
+    """Feature-hashing embedder: unit-norm vectors, deterministic
+    across runs, cosine reflects token overlap (shared-token docs
+    closer than disjoint ones), empty docs produce no row."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota kappa"),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.vec_id: list(r.embedding) for r in
+           similarity.hash_embed(docs, dim=32).collect()}
+    assert set(out) == {1, 2, 3}
+    for v in out.values():
+        assert len(v) == 32
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(out[1], out[2]) > cos(out[1], out[3]) + 0.2
+    again = {r.vec_id: list(r.embedding) for r in
+             similarity.hash_embed(docs, dim=32).collect()}
+    assert again == out

@@ -294,3 +294,160 @@ def test_write_wet_roundtrip(spark, tmp_path):
     assert sorted(os.path.basename(m["file"]) for m in manifest) == sorted(
         os.path.basename(m["file"]) for m in manifest2
     )
+
+
+def _crawl_records():
+    def page(rid, path_, title, body, links=()):
+        anchors = "".join(f'<a href="{h}">x</a>' for h in links)
+        html_doc = (
+            f"<html><head><title>{title}</title></head>"
+            f"<body><p>{body}</p>{anchors}</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": f"https://site.example{path_}",
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    return [
+        page(
+            "a", "/a", "Page A",
+            "alpha tokens common to nobody else here today",
+            links=["/b", "/new-target", "https://other.example/c"],
+        ),
+        page(
+            "b", "/b", "Page B",
+            "beta words entirely distinct from the first page text",
+            links=["/seen-already", "/private/x"],
+        ),
+        # robots-disallowed page: must reach neither graph nor indexes
+        page("p", "/private/p", "Secret", "hidden body text"),
+        {
+            # Common Crawl URL-level dedup hint: content already
+            # archived elsewhere — the frontier must skip it unfetched
+            "record_id": "<urn:uuid:rv>",
+            "warc_type": "revisit",
+            "target_uri": "https://site.example/seen-already",
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=revisit",
+            "block": b"",
+        },
+    ]
+
+
+def _rules(spark):
+    from webpagesgraphdatabase_spark import robots as R
+
+    return R.robots_rules(
+        spark.createDataFrame(
+            [("site.example", "User-agent: *\nDisallow: /private/\n")],
+            ["host", "body"],
+        )
+    )
+
+
+def _index_state(spark, text_index, sq8_index):
+    posts = sorted(
+        map(tuple, spark.read.parquet(f"{text_index}/postings.parquet")
+            .select("term", "doc_id", "tf", "bucket", "batch").collect())
+    )
+    lens = sorted(
+        map(tuple, spark.read.parquet(f"{text_index}/doclens.parquet")
+            .select("doc_id", "dl", "batch").collect())
+    )
+    sq8 = sorted(
+        (int(r.vec_id), tuple(r.codes), int(r.bucket), int(r.batch))
+        for r in spark.read.parquet(f"{sq8_index}/sq8.parquet").collect()
+    )
+    return posts, lens, sq8
+
+
+def _graph_state(store):
+    g = store.graph()
+    return {
+        "links": sorted(map(tuple, g.links.collect())),
+        "has_keyword": sorted(map(tuple, g.has_keyword.collect())),
+        "belongs_to": sorted(map(tuple, g.belongs_to.collect())),
+    }
+
+
+def test_crawl_round_end_to_end_and_replay_identical(spark, tmp_path):
+    """The closed crawl loop (r7 verdict item 3): one call lands the
+    archive, politeness-filters, CDC-dedups, preloads the graph,
+    appends the BM25 + SQ8 indexes exactly-once, and emits the next
+    frontier. A second call over the SAME archive (the crash-replay /
+    re-delivery case) must leave graph and indexes row-identical."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    (tmp_path / "crawl.warc").write_bytes(W.build_warc(_crawl_records()))
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti, si = str(tmp_path / "ti"), str(tmp_path / "si")
+    rep = W.crawl_round(
+        spark, store, str(tmp_path / "crawl.warc"),
+        rules=_rules(spark), text_index=ti, sq8_index=si,
+    )
+    assert rep["n_links_inserted"] == 2  # a and b; /private/p filtered
+    assert rep["n_docs_indexed"] == 2
+    assert rep["n_revisits"] == 1
+    urls = {r.url for r in store.graph().links.collect()}
+    assert urls == {"https://site.example/a", "https://site.example/b"}
+
+    # the BM25 index serves (exact stats across the ensure-skeleton's
+    # zero row + this batch) and never saw the disallowed page
+    hits = S.bm25_from_index(spark, ti, ("alpha",), k=3).collect()
+    assert len(hits) == 1
+    assert not S.bm25_from_index(spark, ti, ("hidden",), k=3).collect()
+
+    # frontier: new out-links only — not the pages themselves (in the
+    # graph now), not the revisit target (dedup hint), not robots-
+    # disallowed paths
+    frontier = {r.url for r in rep["frontier"].collect()}
+    assert frontier == {
+        "https://site.example/new-target",
+        "https://other.example/c",
+    }
+
+    g1 = _graph_state(store)
+    i1 = _index_state(spark, ti, si)
+    # replay: same archive, same deterministic batch id
+    rep2 = W.crawl_round(
+        spark, store, str(tmp_path / "crawl.warc"),
+        rules=_rules(spark), text_index=ti, sq8_index=si,
+    )
+    assert rep2["batch"] == rep["batch"]
+    assert rep2["n_links_inserted"] == 0
+    assert _graph_state(store) == g1
+    assert _index_state(spark, ti, si) == i1
+
+
+def test_streaming_crawl_round_replay_identical(spark, tmp_path):
+    """Streaming twin: a fresh checkpoint replays every micro-batch
+    with the same ids — graph and indexes must come out row-identical
+    to the first drain (exactly-once via batch-keyed overwrite + the
+    preload's idempotent anti-join)."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.warc").write_bytes(W.build_warc(_crawl_records()))
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti, si = str(tmp_path / "ti"), str(tmp_path / "si")
+
+    def drain(ck):
+        W.streaming_crawl_round(
+            spark, store, str(land), str(tmp_path / ck),
+            rules=_rules(spark), text_index=ti, sq8_index=si,
+        )
+
+    drain("ck1")
+    g1, i1 = _graph_state(store), _index_state(spark, ti, si)
+    assert g1["links"]
+    drain("ck2")  # fresh checkpoint = full replay, same batch ids
+    assert _graph_state(store) == g1
+    assert _index_state(spark, ti, si) == i1

@@ -264,6 +264,7 @@ def bounded_reach(
     max_hops: int = 2,
     exact: bool = True,
     seeds: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Variable-length path query — the Cypher shape
     ``MATCH (n)-[*1..h]-(m) RETURN n, count(DISTINCT m)`` for every
@@ -308,7 +309,11 @@ def bounded_reach(
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    e1 = bipartite_edges(g).select("src", "dst")
+    # ``edges`` overrides the default undirected bipartite frame — the
+    # directed/labelled Cypher var-length forms (-[:REL*1..h]->) pass
+    # a single-direction edge list here; expansion semantics are
+    # otherwise identical (reachable via 1..h edges of the frame)
+    e1 = (bipartite_edges(g) if edges is None else edges).select("src", "dst")
 
     first = e1
     if seeds is not None:

@@ -77,10 +77,13 @@ _REL_BWD = re.compile(r"<-\s*\[\s*:\s*(\w+)\s*\]\s*-")
 # keeps it from swallowing the forward form's prefix)
 _REL_UND = re.compile(r"-\s*\[\s*:\s*(\w+)\s*\]\s*-(?!>)")
 _NUMBER = re.compile(r"-?\d+(\.\d+)?")
-# variable-length hop, undirected form only: -[*1..h]- / -[:REL*1..h]-
+# variable-length hops: undirected -[*1..h]- / -[:REL*1..h]-, and the
+# directed forms -[:REL*1..h]-> / <-[:REL*1..h]- (r7 verdict item 8)
 _REL_VAR = re.compile(r"-\s*\[\s*(?::\s*(\w+)\s*)?\*([^\]]*)\]\s*-(?!>)")
+_REL_VAR_FWD = re.compile(r"-\s*\[\s*(?::\s*(\w+)\s*)?\*([^\]]*)\]\s*->")
+_REL_VAR_BWD = re.compile(r"<-\s*\[\s*(?::\s*(\w+)\s*)?\*([^\]]*)\]\s*-")
 _VAR_SPEC = re.compile(r"^\s*(\d+)\s*\.\.\s*(\d+)\s*$")
-# leftover var-length bracket (directed / malformed): targeted error
+# leftover var-length bracket (malformed): targeted error
 _VAR_PROBE = re.compile(r"(<-|-)\s*\[[^\]]*\*")
 _STRING = re.compile(r"'((?:[^'\\]|\\.)*)'")
 _PARAM = re.compile(r"\$(\w+)")
@@ -221,17 +224,25 @@ class _P:
                 if bm:
                     rel, forward = bm.group(1), False
                 else:
-                    vm = self.take(_REL_VAR)
-                    if vm:
-                        rel, forward = vm.group(1) or "HAS_KEYWORD", None
-                        var_len = _parse_var_spec(vm.group(2), rel)
+                    # directed var-length before undirected: the
+                    # undirected pattern's (?!>) keeps it from
+                    # swallowing the forward form's prefix, but order
+                    # still matters for the backward form
+                    vbm = self.take(_REL_VAR_BWD)
+                    vfm = None if vbm else self.take(_REL_VAR_FWD)
+                    vm = None if (vbm or vfm) else self.take(_REL_VAR)
+                    if vbm or vfm or vm:
+                        m_ = vbm or vfm or vm
+                        forward = True if vfm else (False if vbm else None)
+                        rel = m_.group(1) or "HAS_KEYWORD"
+                        var_len = _parse_var_spec(m_.group(2), rel)
                     else:
                         um = self.take(_REL_UND)
                         if not um:
                             if _VAR_PROBE.match(self.text, self.pos):
                                 raise CypherSyntaxError(
-                                    "variable-length relationships must use "
-                                    "the undirected form -[*1..h]-"
+                                    "malformed variable-length "
+                                    "relationship (expected [*1..h])"
                                 )
                             break
                         rel, forward = um.group(1), None
@@ -282,11 +293,8 @@ def _parse_var_spec(spec: str, rel: str) -> int:
             "variable-length lower bound must be 1 (reach counts are "
             "cumulative radii: [*1..h])"
         )
-    if rel != "HAS_KEYWORD":
-        raise CypherSyntaxError(
-            "variable-length paths traverse the Link<->Keyword graph "
-            "(HAS_KEYWORD) only"
-        )
+    if rel not in REL_ENDPOINTS:
+        raise CypherSyntaxError(f"unknown relationship type {rel}")
     return hi
 
 
@@ -608,18 +616,22 @@ def _compile_reach(
 ) -> DataFrame:
     """Compile the variable-length reach-count statement shape
 
-        MATCH (n[:Link|:Keyword][{key: v}])-[*1..h]-(m)
+        MATCH (n[:Label][{key: v}])-[[:REL]*1..h]-[>](m)
         [WHERE n.key = v] RETURN n[.key] [AS a], COUNT(DISTINCT m) [AS b]
         [ORDER BY ...] [LIMIT n]
 
-    to :func:`..algorithms.bounded_reach` over the Link<->Keyword
-    graph: COUNT(DISTINCT m) is the radius-h reach count ``n_reach_h``,
-    and a key binding (inline map or WHERE equality) becomes the
-    ``seeds`` frame — the first frontier is semi-joined down before any
-    expansion, so a point query never pays the corpus closure. Shapes
-    beyond this (extra chains, constrained targets, non-key
-    predicates) raise :class:`CypherSyntaxError` — they would need the
-    pair sets themselves, which the reach operator deliberately never
+    to :func:`..algorithms.bounded_reach`: COUNT(DISTINCT m) is the
+    radius-h reach count ``n_reach_h``, and a key binding (inline map
+    or WHERE equality) becomes the ``seeds`` frame — the first frontier
+    is semi-joined down before any expansion, so a point query never
+    pays the corpus closure. The rel label picks the typed edge table
+    (HAS_KEYWORD default, BELONGS_TO supported) and an arrowhead makes
+    the expansion directed (``-[:REL*1..h]->`` follows the arrows,
+    ``<-...-`` goes against them; no arrow = both directions — the
+    classic bipartite closure). Shapes beyond this (extra chains,
+    constrained targets, non-key predicates) raise
+    :class:`CypherSyntaxError` — they would need the pair sets
+    themselves, which the reach operator deliberately never
     materializes to the driver."""
     from .algorithms import bounded_reach
 
@@ -628,16 +640,32 @@ def _compile_reach(
             "a variable-length MATCH must be a single two-node pattern"
         )
     n, m2 = nodes
-    h = hops[0].var_len
+    hop = hops[0]
+    h = hop.var_len
     if m2.label or m2.props:
         raise CypherSyntaxError(
             "the variable-length reach target must be an unconstrained "
             "variable (reach counts span both node types)"
         )
-    if n.label not in (None, "Link", "Keyword"):
+    # direction + rel label determine the edge frame (r7 verdict
+    # item 8): undirected HAS_KEYWORD keeps the classic bipartite
+    # Link<->Keyword closure; -[:REL*1..h]-> expands along the rel's
+    # arrows only (and <-...- against them). The anchor's label must
+    # sit on the side its arrows leave from, or the statement is
+    # vacuous — refused rather than silently empty.
+    src_l, dst_l = REL_ENDPOINTS[hop.rel]
+    if hop.forward is True:
+        anchor_ok = (None, src_l)
+    elif hop.forward is False:
+        anchor_ok = (None, dst_l)
+    else:
+        anchor_ok = (None, src_l, dst_l)
+    if n.label not in anchor_ok:
         raise CypherSyntaxError(
-            "variable-length paths traverse the Link<->Keyword graph; "
-            f"anchor label {n.label} is not part of it"
+            f"variable-length -[:{hop.rel}*1..{h}]"
+            f"{'->' if hop.forward else '-'} cannot start at a "
+            f"{n.label} node (its edges touch {src_l}/{dst_l} only, "
+            "in the pattern's direction)"
         )
     key = NODE_KEY.get(n.label) if n.label else None
     seed_vals: list[object] = []
@@ -678,7 +706,26 @@ def _compile_reach(
         seeds = g.links.sparkSession.createDataFrame(
             ids, "node_id string"
         )
-    reach = bounded_reach(g, max_hops=h, seeds=seeds)
+    edges = None
+    if hop.forward is not None or hop.rel != "HAS_KEYWORD":
+        # non-default traversal: build the rel's typed edge frame in
+        # the requested direction (the default undirected HAS_KEYWORD
+        # case keeps edges=None → bounded_reach's own bipartite frame,
+        # byte-identical to the pre-r8 plan)
+        etab = g.has_keyword if hop.rel == "HAS_KEYWORD" else g.belongs_to
+        dst_col = "dst_keyword" if hop.rel == "HAS_KEYWORD" else "dst_category"
+        fwd = etab.select(
+            F.concat(F.lit(f"{src_l}:"), F.col("src_url")).alias("src"),
+            F.concat(F.lit(f"{dst_l}:"), F.col(dst_col)).alias("dst"),
+        )
+        rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if hop.forward is True:
+            edges = fwd
+        elif hop.forward is False:
+            edges = rev
+        else:
+            edges = fwd.unionByName(rev)
+    reach = bounded_reach(g, max_hops=h, seeds=seeds, edges=edges)
     if prefix:
         reach = reach.filter(F.col("node_id").startswith(prefix))
         key_col = F.col("node_id").substr(F.lit(len(prefix) + 1), F.lit(2**30))

@@ -257,6 +257,26 @@ def build_text_index(
     )
 
 
+def ensure_text_index(spark, path: str, n_buckets: int = 64) -> None:
+    """Create an EMPTY :func:`build_text_index` layout if ``path``
+    holds none — the ingest-first shape: a crawl/stream sink can
+    :func:`text_index_append` exactly-once batches into an index that
+    never had a base build. Writes one zero-stats batch-0 row (n_docs
+    0, sum_dl 0 — merges as identity under the integer-sum stats
+    discipline); postings/doclens stores appear with the first
+    appended batch. No-op when stats already exist."""
+    import os
+
+    if os.path.isdir(f"{path}/stats.parquet"):
+        return
+    spark.createDataFrame(
+        [(0.0, 0, int(n_buckets), 0)],
+        "n_docs double, sum_dl long, n_buckets int, batch int",
+    ).write.mode("overwrite").partitionBy("batch").parquet(
+        f"{path}/stats.parquet"
+    )
+
+
 def text_index_append(
     docs: DataFrame,
     path: str,

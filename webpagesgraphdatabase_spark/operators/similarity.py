@@ -2266,6 +2266,80 @@ def build_sq8_index(emb: DataFrame, path: str, n_buckets: int = 16) -> None:
     ).parquet(f"{path}/meta.parquet")
 
 
+def ensure_sq8_index(spark, path: str, n_buckets: int = 16) -> None:
+    """Create an EMPTY :func:`build_sq8_index` layout (meta only) if
+    ``path`` holds none — the ingest-first shape: a crawl/stream sink
+    can :func:`sq8_index_append` exactly-once batches into an index
+    that never had a base build. No-op when meta already exists (so it
+    is safe inside every ingest round); the code store itself appears
+    with the first appended batch."""
+    import os
+
+    if os.path.isdir(f"{path}/meta.parquet"):
+        return
+    spark.range(1).select(F.lit(int(n_buckets)).alias("n_buckets")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta.parquet")
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic feature-hashing text embedder (the hashing trick,
+    Weinberger et al. ICML'09): each whitespace token adds ±1 (sign
+    from an independent hash) at bucket ``xxhash64(token) % dim``; the
+    result is L2-normalized — (vec_id, embedding array<float>).
+
+    This is the container's stand-in for a neural encoder (no model
+    weights ship here), but it is NOT a stub: it's the classic
+    scalable featurizer, fully deterministic across runs/engines, and
+    its cosine geometry reflects token overlap — enough to drive the
+    SQ8/IVF/PQ serving paths end-to-end in the crawl loop. Docs with
+    zero tokens produce no row (a zero vector has no direction).
+
+    Plan shape: explode → two partial-aggregatable groupBys (token
+    buckets, then per-doc map) → row-local dense fill + normalize.
+    No window, no skew key (vec_id is unique)."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    sign = F.when(
+        F.pmod(F.xxhash64(F.concat(F.lit("s|"), F.col("tok"))), F.lit(2)) == 0,
+        F.lit(-1.0),
+    ).otherwise(F.lit(1.0))
+    feat = (
+        docs.select(F.col(id_col).alias("vec_id"), F.explode(toks).alias("tok"))
+        .select(
+            "vec_id",
+            F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("b"),
+            sign.alias("s"),
+        )
+        .groupBy("vec_id", "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    dense = feat.groupBy("vec_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)
+        ),
+    )
+    out = dense.select("vec_id", raw.alias("_raw")).withColumn(
+        "_nrm", _norm(F.col("_raw"))
+    )
+    return out.filter(F.col("_nrm") > 0).select(
+        "vec_id",
+        F.transform(
+            F.col("_raw"), lambda x: (x / F.col("_nrm")).cast("float")
+        ).alias("embedding"),
+    )
+
+
 def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> None:
     """Incrementally add vectors to a :func:`build_sq8_index` layout —
     the same exactly-once ingest discipline as ``ivf_index_append``:
@@ -2284,7 +2358,16 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
     )
     store_path = f"{path}/sq8.parquet"
     if batch is None:
-        prev = spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
+        # an ensure_sq8_index skeleton has meta but no code store yet —
+        # the first append then starts the batch-id space at 1
+        from pyspark.errors import AnalysisException
+
+        try:
+            prev = (
+                spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
+            )
+        except AnalysisException:
+            prev = 0
         batch = int(prev or 0) + 1
     enc = (
         sq8_encode(emb)

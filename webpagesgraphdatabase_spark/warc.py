@@ -412,6 +412,247 @@ def streaming_warc_preload(
     q.awaitTermination()
 
 
+# --------------------------------------------------------------------------
+# the closed crawl loop: land → politeness → dedup → graph → indexes
+# --------------------------------------------------------------------------
+
+
+def _archive_batch_id(spark: SparkSession, warc_path: str) -> int:
+    """Deterministic positive batch id for an archive (or glob of
+    archives): md5 over the sorted (basename, size) listing, folded to
+    31 bits. Replaying the SAME archive yields the same id — which is
+    what makes every partition-keyed index append overwrite its own
+    partitions instead of duplicating (exactly-once without a
+    transaction log). Distinct archives collide with probability
+    ~n²/2³² — negligible at per-round archive counts; callers that
+    orchestrate many rounds against one index can pass explicit batch
+    ids instead. The listing is one metadata-only scan (no file
+    contents), one row per archive file."""
+    import hashlib
+    import os
+
+    rows = (
+        spark.read.format("binaryFile")
+        .load(warc_path)
+        .select("path", "length")
+        .collect()
+    )
+    sig = ",".join(
+        f"{os.path.basename(r.path)}:{r.length}"
+        for r in sorted(rows, key=lambda r: r.path)
+    )
+    return int(hashlib.md5(sig.encode()).hexdigest()[:8], 16) % (2**31 - 2) + 1
+
+
+def _crawl_ingest(
+    recs: DataFrame,
+    store,
+    batch: int,
+    rules: DataFrame | None = None,
+    text_index: str | None = None,
+    sq8_index: str | None = None,
+    embed=None,
+    embed_dim: int = 64,
+) -> dict:
+    """One ingest pass over a records frame — the shared core of
+    :func:`crawl_round` (batch) and :func:`streaming_crawl_round`
+    (foreachBatch). Exactly-once end to end:
+
+    - graph preload is the idempotent anti-join merge (re-delivered
+      pages insert nothing);
+    - BM25/SQ8 index appends are keyed on ``batch`` — a replay
+      dynamic-overwrites exactly its own partitions.
+
+    ``recs`` is persisted for the pass (three derivations share the
+    one Arrow parse) and unpersisted before returning."""
+    from . import robots as R
+    from . import serving
+    from .operators import search as _search
+    from .operators import similarity as _sim
+    from .operators.dedup import cdc_dedup
+
+    spark = recs.sparkSession
+    recs = recs.persist()
+    try:
+        if rules is not None:
+            # politeness gates every URL-bearing record (RFC 9309);
+            # records without a target (warcinfo etc.) pass through —
+            # they contribute no documents anyway
+            allowed = R.robots_filter(
+                recs.filter(F.col("target_uri").isNotNull())
+                .select(F.col("target_uri").alias("url"))
+                .distinct(),
+                rules,
+            ).withColumnRenamed("url", "target_uri")
+            recs = recs.filter(F.col("target_uri").isNull()).unionByName(
+                recs.join(allowed, "target_uri", "left_semi")
+            )
+
+        # graph preload (idempotent merge — the S6 machinery)
+        pages = recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") >= 200)
+            & (F.col("http_status") < 300)
+            & F.col("http_content_type").startswith("text/html")
+            & F.col("target_uri").isNotNull()
+            & F.col("body_text").isNotNull()
+        ).select(
+            F.col("target_uri").alias("url"),
+            html.html_title(F.col("body_text")).alias("title"),
+            html.html_text(F.col("body_text")).alias("content"),
+            F.lit("").alias("category"),
+            F.lit("").alias("keyword"),
+            F.lit("").alias("category_explanation"),
+            F.lit("").alias("keyword_explanation"),
+        )
+        n_inserted = serving.preload_csv(store, pages)
+
+        # CDC shift-invariant dedup feeds the indexes: boilerplate and
+        # cross-doc duplicated spans are stripped BEFORE anything is
+        # indexed; fully-deduped docs vanish
+        docs = warc_documents(recs)
+        cleaned = (
+            docs.join(
+                cdc_dedup(docs).select("doc_id", "clean_text"), "doc_id"
+            )
+            .filter(F.col("clean_text") != "")
+            .select("doc_id", F.col("clean_text").alias("text"), "url")
+        )
+        n_indexed = 0
+        if text_index is not None or sq8_index is not None:
+            cleaned = cleaned.persist()
+            n_indexed = cleaned.count()
+        if text_index is not None:
+            _search.ensure_text_index(spark, text_index)
+            _search.text_index_append(cleaned, text_index, batch=batch)
+        if sq8_index is not None:
+            _sim.ensure_sq8_index(spark, sq8_index)
+            emb = (embed or (lambda d: _sim.hash_embed(d, dim=embed_dim)))(
+                cleaned
+            )
+            _sim.sq8_index_append(emb, sq8_index, batch=batch)
+        if text_index is not None or sq8_index is not None:
+            cleaned.unpersist()
+        return {
+            "batch": int(batch),
+            "n_links_inserted": int(n_inserted),
+            "n_docs_indexed": int(n_indexed),
+        }
+    finally:
+        recs.unpersist()
+
+
+def crawl_round(
+    spark: SparkSession,
+    store,
+    warc_path: str,
+    rules: DataFrame | None = None,
+    text_index: str | None = None,
+    sq8_index: str | None = None,
+    embed=None,
+    embed_dim: int = 64,
+    limit_per_domain: int | None = None,
+    batch: int | None = None,
+) -> dict:
+    """The closed crawl loop over one archive (r7 verdict item 3):
+    land → robots politeness → CDC dedup → idempotent graph preload →
+    exactly-once BM25 + SQ8 index append → next frontier. Every piece
+    existed separately since r7; this wires them into the job a crawl
+    scheduler actually runs, replay-safe end to end (test-pinned: a
+    second pass over the same archive leaves graph and indexes
+    row-identical).
+
+    ``batch`` defaults to a deterministic hash of the archive listing
+    (:func:`_archive_batch_id`), so a crash replay reuses the id and
+    the index appends overwrite their own partitions. ``embed`` maps a
+    (doc_id, text, url) frame to (vec_id, embedding) rows; default is
+    the deterministic :func:`~.operators.similarity.hash_embed`.
+
+    The returned report carries the NEXT frontier (lazy DataFrame):
+    harvested out-links, minus everything already in the graph, minus
+    this round's own pages, minus ``revisit`` record targets (Common
+    Crawl's URL-level dedup hint — a revisit means the content is
+    already archived elsewhere; re-fetching it wastes the budget),
+    robots-filtered and optionally capped per domain."""
+    if batch is None:
+        batch = _archive_batch_id(spark, warc_path)
+    recs = read_warc(spark, warc_path)
+    report = _crawl_ingest(
+        recs,
+        store,
+        batch,
+        rules=rules,
+        text_index=text_index,
+        sq8_index=sq8_index,
+        embed=embed,
+        embed_dim=embed_dim,
+    )
+    # frontier: out-links not yet seen. "Seen" = the graph's stored
+    # URLs (which now include this round's pages) plus revisit targets
+    # (dedup hints: known-archived content is never re-fetched).
+    recs = read_warc(spark, warc_path)
+    edges = warc_link_graph(recs)
+    revisits = (
+        recs.filter(
+            (F.col("warc_type") == "revisit")
+            & F.col("target_uri").isNotNull()
+        )
+        .select(F.col("target_uri").alias("url"))
+        .distinct()
+    )
+    seen = store.graph().links.select("url").unionByName(revisits)
+    report["n_revisits"] = revisits.count()
+    report["frontier"] = crawl_frontier(
+        edges, seen, rules=rules, limit_per_domain=limit_per_domain
+    )
+    return report
+
+
+def streaming_crawl_round(
+    spark: SparkSession,
+    store,
+    path: str,
+    checkpoint_dir: str,
+    rules: DataFrame | None = None,
+    text_index: str | None = None,
+    sq8_index: str | None = None,
+    embed=None,
+    embed_dim: int = 64,
+) -> None:
+    """Streaming twin of :func:`crawl_round`'s ingest: new archives in
+    a landing directory flow through the same politeness → CDC dedup →
+    graph preload → index append core, with the micro-batch id (offset
+    by +1 above the ensure-skeleton's batch 0) as the exactly-once
+    index key — a crash-replayed micro-batch re-delivers the same id
+    and overwrites exactly its own partitions, the
+    ``streaming_ivf_ingest`` discipline. One writer per index: feed an
+    index from this stream OR from batch :func:`crawl_round` calls,
+    not both (their id spaces are independent). availableNow +
+    blocking, like the other drain-style jobs."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _crawl_ingest(
+            batch_df,
+            store,
+            int(batch_id) + 1,
+            rules=rules,
+            text_index=text_index,
+            sq8_index=sq8_index,
+            embed=embed,
+            embed_dim=embed_dim,
+        )
+
+    q = (
+        read_warc_stream(spark, path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def write_wet(
     docs: DataFrame,
     path: str,
