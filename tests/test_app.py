@@ -324,6 +324,52 @@ def test_similar_route_serves_vector_search(store, spark, tmp_path):
     assert 1 <= len(body["probed_lists"]) <= 4
 
 
+def test_similar_route_filtered_search(store, spark, tmp_path):
+    """allowed_ids narrows the CANDIDATE scan (filtered vector search,
+    the ann_ivf_from_index allowed= discipline over HTTP): every
+    neighbor is allowed, k fills from the subset, and an oversized or
+    non-integer list refuses."""
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.build_ivf_index(
+        emb, str(tmp_path / "ivf_f"), corpus_count=emb.count()
+    )
+    app = create_app(store, ann_index_path=idx)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    target = emb.filter("vec_id = 7").first()
+    allowed = [2, 4, 6, 8, 10, 12, 14, 16]
+    r = c.post(
+        "/similar",
+        json={
+            "vector": list(target["embedding"]),
+            "k": 3,
+            "n_probe": 64,
+            "allowed_ids": allowed,
+        },
+    )
+    assert r.status_code == 200, r.get_json()
+    got = [n["vec_id"] for n in r.get_json()["neighbors"]]
+    assert got and all(v in allowed for v in got)
+    # vec 7 itself is disallowed — the subset's winners fill k anyway
+    assert 7 not in got and len(got) == 3
+    bad = c.post(
+        "/similar",
+        json={"vector": list(target["embedding"]), "allowed_ids": ["x"]},
+    )
+    assert bad.status_code == 400
+    huge = c.post(
+        "/similar",
+        json={
+            "vector": list(target["embedding"]),
+            "allowed_ids": list(range(10_001)),
+        },
+    )
+    assert huge.status_code == 400
+
+
 def test_similar_route_validates_input(store, spark, tmp_path):
     from webpagesgraphdatabase_spark.operators import similarity
 

@@ -543,12 +543,19 @@ def create_app(
     @app.route("/similar", methods=["POST"])
     def similar():
         """Vector similarity search over the configured at-rest IVF
-        index: JSON body {vector, k?, n_probe?} -> the k
+        index: JSON body {vector, k?, n_probe?, allowed_ids?} -> the k
         highest-cosine stored vectors. The serving shape: centroid
         probe on the driver (centroids are index metadata, cached at
         first use), then a partition-pruned scan of ONLY the probed
         lists' files with exact cosine inside Spark — per-request work
-        is O(n_probe · list size), never the corpus."""
+        is O(n_probe · list size), never the corpus.
+
+        ``allowed_ids`` (≤10k ints) restricts the search to a
+        metadata-filtered subset — the filtered-ANN discipline of
+        ``ann_ivf_from_index(allowed=...)``: the filter narrows the
+        CANDIDATE scan (an isin literal pushed into it), so the top-k
+        is the true top-k of the subset, never a post-filter that
+        under-fills k."""
         if ann_index_path is None:
             return jsonify({"error": "no ANN index configured"}), 503
         body = request.get_json(silent=True) or {}
@@ -564,6 +571,17 @@ def create_app(
             n_probe = min(int(body.get("n_probe", 4)), 64)
         except (TypeError, ValueError):
             return jsonify({"error": "k / n_probe must be integers"}), 400
+        allowed = body.get("allowed_ids")
+        if allowed is not None:
+            if not isinstance(allowed, list) or len(allowed) > 10_000:
+                return (
+                    jsonify({"error": "allowed_ids must be a list of <=10000 ids"}),
+                    400,
+                )
+            try:
+                allowed = [int(x) for x in allowed]
+            except (TypeError, ValueError):
+                return jsonify({"error": "allowed_ids must be integers"}), 400
 
         import numpy as np
 
@@ -599,9 +617,12 @@ def create_app(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        cand = lists.filter(F.col("cid").isin(probed))  # partition pruning
+        if allowed is not None:
+            # candidate-narrowing filter (never a top-k post-filter)
+            cand = cand.filter(F.col("vec_id").isin(allowed))
         top = (
-            lists.filter(F.col("cid").isin(probed))  # partition pruning
-            .select("vec_id", (dot / (F.col("nrm") * F.lit(qn))).alias("cos"))
+            cand.select("vec_id", (dot / (F.col("nrm") * F.lit(qn))).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
             .limit(k)
             .collect()
