@@ -1002,6 +1002,16 @@ def build_report(
                 out["worst_calibrated_ratio"] = {
                     worst: round(ratios[worst], 2)
                 }
+                # the same entry's UNnormalized ratio, so the artifact
+                # itself adjudicates calibration artifacts: a
+                # sub-second latency-bound entry can't speed up as much
+                # as a throughput probe claims (fixed planning/launch
+                # overhead), so its calibrated ratio can read >1 while
+                # the raw time went DOWN — raw ≤ 1 means no regression
+                # exists, whatever the factor says
+                out["worst_raw_ratio"] = {
+                    worst: round(timings[worst] / prev_q[worst], 2)
+                }
                 # full per-query factor/ratio table is detail-only (the
                 # driver line carries just the worst entry)
                 out["_per_query_factor"] = factors

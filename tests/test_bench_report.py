@@ -101,8 +101,11 @@ def test_detail_sidecar_preferred_and_normalized_deltas(tmp_path):
     assert parsed["nd_elided_below"] == 0.05
     assert detail["comparable_total"] == 6.2
     assert detail["comparable_total_normalized"] == 3.1
-    # q1 calibrated ratio (2.2/2)/1.0 = 1.1 is the worst
+    # q1 calibrated ratio (2.2/2)/1.0 = 1.1 is the worst; the raw
+    # (unnormalized) ratio rides along so calibration artifacts
+    # self-adjudicate in the artifact
     assert out["worst_calibrated_ratio"] == {"q1": 1.1}
+    assert out["worst_raw_ratio"] == {"q1": 2.2}
     # raw deltas live in the detail sidecar only
     assert "deltas" in detail and "deltas" not in parsed
     assert detail["stats"] is STATS

@@ -2966,3 +2966,35 @@ def test_hash_embed_deterministic_and_normalized(spark):
     again = {r.vec_id: list(r.embedding) for r in
              similarity.hash_embed(docs, dim=32).collect()}
     assert again == out
+
+
+def test_compact_sq8_store_identical_results_and_replay_noop(spark, tmp_path):
+    """SQ8 compaction: per-bucket fold to batch 0, bit-identical query
+    results, replayed folded batches no-op via the shared watermark."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "sq8")
+    similarity.build_sq8_index(first, path, n_buckets=4)
+    similarity.sq8_index_append(second, path, batch=1)
+    res = sorted(
+        map(tuple, similarity.ann_sq8_from_index(spark, path, emb, 6, 3).collect())
+    )
+    report = similarity.compact_sq8_store(spark, path)
+    assert report["watermark"] == 1
+    assert report["files_after"] <= report["files_before"]
+    store = spark.read.parquet(f"{path}/sq8.parquet")
+    n = store.count()
+    assert {r.batch for r in store.select("batch").distinct().collect()} == {0}
+    assert res == sorted(
+        map(tuple, similarity.ann_sq8_from_index(spark, path, emb, 6, 3).collect())
+    )
+    # replay of the folded batch: no duplicated codes
+    similarity.sq8_index_append(second, path, batch=1)
+    assert spark.read.parquet(f"{path}/sq8.parquet").count() == n
+    # fresh data lands above the watermark
+    extra = second.withColumn("vec_id", F.col("vec_id") + 10_000)
+    similarity.sq8_index_append(extra, path)
+    store = spark.read.parquet(f"{path}/sq8.parquet")
+    assert store.count() == n + second.count()
+    assert {r.batch for r in store.select("batch").distinct().collect()} == {0, 2}

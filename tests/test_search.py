@@ -137,3 +137,48 @@ def test_text_index_append_exactly_once(spark, docs, tmp_path):
     n_post = spark.read.parquet(f"{path}/postings.parquet").count()
     n_full = spark.read.parquet(f"{full}/postings.parquet").count()
     assert n_post == n_full
+
+
+def test_compact_text_index_identical_scores_and_replay_noop(
+    spark, docs, tmp_path
+):
+    """Compaction folds the three stores to one segment with
+    bit-identical query scores; the watermark makes a replayed
+    pre-compaction batch a no-op (re-appending would double postings
+    AND corpus stats — scores would silently drift)."""
+    more = spark.createDataFrame(
+        [(10, "spark spark table"), (11, "hash window hash")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "idx")
+    search.build_text_index(docs, path, n_buckets=8)
+    search.text_index_append(more, path, batch=1)
+    before = search.bm25_from_index(spark, path, ("spark", "hash"), k=6).collect()
+    report = search.compact_text_index(spark, path)
+    assert report["watermark"] == 1
+    assert report["files_after"] <= report["files_before"]
+    stats = spark.read.parquet(f"{path}/stats.parquet")
+    assert stats.count() == 1  # folded to one batch-0 row
+    row = stats.first()
+    assert row["n_docs"] == 6.0 and row["batch"] == 0
+    after = search.bm25_from_index(spark, path, ("spark", "hash"), k=6).collect()
+    assert [(r.rank, r.doc_id) for r in after] == [
+        (r.rank, r.doc_id) for r in before
+    ]
+    for a, b in zip(after, before):
+        assert a.score == b.score
+    # checkpoint replay of the folded batch: must no-op entirely
+    n_post = spark.read.parquet(f"{path}/postings.parquet").count()
+    search.text_index_append(more, path, batch=1)
+    assert spark.read.parquet(f"{path}/postings.parquet").count() == n_post
+    assert spark.read.parquet(f"{path}/stats.parquet").count() == 1
+    # fresh data allocates ABOVE the watermark
+    search.text_index_append(
+        spark.createDataFrame([(20, "spark anew")], ["doc_id", "text"]), path
+    )
+    batches = {
+        r.batch
+        for r in spark.read.parquet(f"{path}/stats.parquet")
+        .select("batch").distinct().collect()
+    }
+    assert batches == {0, 2}

@@ -23,3 +23,68 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+#: compaction high-water-mark marker inside an index dir — the largest
+#: batch id whose rows have been folded into segment 0 (shared by the
+#: IVF / SQ8 / BM25 index layouts; one id space per index dir)
+COMPACTION_WM = "_compaction_watermark.json"
+
+
+def read_compaction_watermark(path: str) -> int:
+    """The index dir's compaction watermark (0 if never compacted).
+    Appends must skip batch ids at/below it — a checkpoint replay of a
+    pre-compaction micro-batch would otherwise rewrite a partition
+    whose rows already live in segment 0, duplicating them."""
+    import json
+    import os
+
+    p = os.path.join(path, COMPACTION_WM)
+    if not os.path.isfile(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["watermark"])
+
+
+def write_compaction_watermark(path: str, watermark: int) -> None:
+    """Persist the watermark atomically (temp + ``os.replace``) BEFORE
+    the fold rewrites batch ids — crash after the marker but before the
+    fold is safe (appends just skip ids that still exist); crash after
+    the fold without the marker is the duplication hazard."""
+    import json
+    import os
+
+    p = os.path.join(path, COMPACTION_WM)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"watermark": int(watermark)}, f)
+    os.replace(tmp, p)
+
+
+def swap_in_rewrite(write_fn, target: str, tmp: str) -> None:
+    """Two-rename store swap: ``write_fn(tmp)`` builds the rewritten
+    store in a temp dir, then the live dir moves aside and the rewrite
+    moves in (readers mid-swap should hold their DataFrame, which pins
+    the old files on POSIX — the single-writer discipline every index
+    mutation here assumes)."""
+    import os
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    old = target + ".old.tmp"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def count_parquet_files(d: str) -> int:
+    import os
+
+    return sum(
+        1
+        for dp, _, fns in os.walk(d)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )

@@ -293,12 +293,20 @@ def text_index_append(
     merge by integer addition. Callers own doc_id uniqueness across
     batches (re-indexing a changed doc is a replace of its batch, not
     an upsert)."""
+    from ._util import read_compaction_watermark
+
     spark = docs.sparkSession
     stats0 = spark.read.parquet(f"{path}/stats.parquet")
     n_buckets = int(stats0.first()["n_buckets"])
+    wm = read_compaction_watermark(path)
     if batch is None:
         prev = stats0.agg(F.max("batch")).first()[0]
-        batch = int(prev or 0) + 1
+        batch = max(int(prev or 0), wm) + 1
+    elif int(batch) <= wm:
+        # replay of a batch already folded into segment 0 by
+        # compact_text_index — re-appending would double its postings,
+        # doc lengths, AND corpus stats (scores would silently drift)
+        return
     tokenizer = tokenizer or whitespace_tokens
     postings, stats, lens = _index_parts(
         docs, n_buckets, tokenizer, id_col, batch
@@ -314,6 +322,81 @@ def text_index_append(
     stats.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch").parquet(f"{path}/stats.parquet")
+
+
+def compact_text_index(spark, path: str) -> dict:
+    """Fold an ingest-fragmented BM25 index back into one segment —
+    the :func:`~.similarity.compact_ivf_lists` discipline for the
+    three-store text layout: postings and doclens relabel to batch 0
+    (doc_id uniqueness across batches is the append contract, so no
+    merge is needed), the per-batch stats rows SUM into one batch-0 row
+    (they merge by integer addition by design), and the pre-fold max
+    batch id persists as the shared watermark FIRST so a checkpoint
+    replay of a folded batch no-ops in :func:`text_index_append`
+    instead of double-counting postings and corpus stats. Query scores
+    are bit-identical before and after (test-pinned)."""
+    from ._util import (
+        count_parquet_files,
+        read_compaction_watermark,
+        swap_in_rewrite,
+        write_compaction_watermark,
+    )
+
+    posts = f"{path}/postings.parquet"
+    lens = f"{path}/doclens.parquet"
+    stats = f"{path}/stats.parquet"
+    before = sum(count_parquet_files(p) for p in (posts, lens, stats))
+    prev_max = spark.read.parquet(stats).agg(F.max("batch")).first()[0]
+    wm = max(int(prev_max or 0), read_compaction_watermark(path))
+    write_compaction_watermark(path, wm)
+    swap_in_rewrite(
+        lambda tmp: (
+            spark.read.parquet(posts)
+            .withColumn("batch", F.lit(0))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "batch")
+            .parquet(tmp)
+        ),
+        posts,
+        f"{path}/postings.compact.tmp",
+    )
+    swap_in_rewrite(
+        lambda tmp: (
+            spark.read.parquet(lens)
+            .withColumn("batch", F.lit(0))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(tmp)
+        ),
+        lens,
+        f"{path}/doclens.compact.tmp",
+    )
+    swap_in_rewrite(
+        lambda tmp: (
+            spark.read.parquet(stats)
+            .agg(
+                F.sum("n_docs").cast("double").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+                F.first("n_buckets").cast("int").alias("n_buckets"),
+            )
+            .withColumn("batch", F.lit(0))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(tmp)
+        ),
+        stats,
+        f"{path}/stats.compact.tmp",
+    )
+    return {
+        "files_before": before,
+        "files_after": sum(
+            count_parquet_files(p) for p in (posts, lens, stats)
+        ),
+        "watermark": wm,
+    }
 
 
 def bm25_from_index(

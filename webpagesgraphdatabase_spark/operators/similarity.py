@@ -595,20 +595,10 @@ def ivf_index_append(emb: DataFrame, path: str, batch: int | None = None) -> str
     return path
 
 
-#: compaction high-water-mark marker inside an IVF index dir — the
-#: largest batch id whose vectors have been folded into segment 0
-_COMPACTION_WM = "_compaction_watermark.json"
-
-
 def _read_compaction_watermark(path: str) -> int:
-    import json
-    import os
+    from ._util import read_compaction_watermark
 
-    p = os.path.join(path, _COMPACTION_WM)
-    if not os.path.isfile(p):
-        return 0
-    with open(p) as f:
-        return int(json.load(f)["watermark"])
+    return read_compaction_watermark(path)
 
 
 def compact_ivf_lists(spark, path: str) -> dict:
@@ -636,46 +626,32 @@ def compact_ivf_lists(spark, path: str) -> dict:
     vectors already live in segment 0, duplicating them in the index.
     :func:`ivf_index_append` skips batch ids ≤ the watermark and
     allocates fresh ids above it (test-pinned)."""
-    import json
-    import os
-    import shutil
+    from ._util import (
+        count_parquet_files,
+        swap_in_rewrite,
+        write_compaction_watermark,
+    )
 
     lists_path = f"{path}/lists.parquet"
-
-    def _count_files(d: str) -> int:
-        return sum(
-            1
-            for dp, _, fns in os.walk(d)
-            for fn in fns
-            if fn.endswith(".parquet")
-        )
-
-    before = _count_files(lists_path)
+    before = count_parquet_files(lists_path)
     prev_max = spark.read.parquet(lists_path).agg(F.max("batch")).first()[0]
     wm = max(int(prev_max or 0), _read_compaction_watermark(path))
-    wm_path = os.path.join(path, _COMPACTION_WM)
-    wm_tmp = wm_path + ".tmp"
-    with open(wm_tmp, "w") as f:
-        json.dump({"watermark": wm}, f)
-    os.replace(wm_tmp, wm_path)
-    tmp = f"{path}/lists.compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(lists_path)
-        .withColumn("batch", F.lit(0))
-        .repartition("cid")
-        .write.mode("overwrite")
-        .partitionBy("cid", "batch")
-        .parquet(tmp)
+    write_compaction_watermark(path, wm)
+    swap_in_rewrite(
+        lambda tmp: (
+            spark.read.parquet(lists_path)
+            .withColumn("batch", F.lit(0))
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid", "batch")
+            .parquet(tmp)
+        ),
+        lists_path,
+        f"{path}/lists.compact.tmp",
     )
-    old = f"{path}/lists.old.tmp"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(lists_path, old)
-    os.rename(tmp, lists_path)
-    shutil.rmtree(old, ignore_errors=True)
     return {
         "files_before": before,
-        "files_after": _count_files(lists_path),
+        "files_after": count_parquet_files(lists_path),
         "watermark": wm,
     }
 
@@ -2357,6 +2333,7 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
         spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"]
     )
     store_path = f"{path}/sq8.parquet"
+    wm = _read_compaction_watermark(path)
     if batch is None:
         # an ensure_sq8_index skeleton has meta but no code store yet —
         # the first append then starts the batch-id space at 1
@@ -2368,7 +2345,11 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
             )
         except AnalysisException:
             prev = 0
-        batch = int(prev or 0) + 1
+        batch = max(int(prev or 0), wm) + 1
+    elif int(batch) <= wm:
+        # replay of a batch already folded into segment 0 by
+        # compact_sq8_store — re-appending would duplicate its codes
+        return
     enc = (
         sq8_encode(emb)
         .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
@@ -2379,6 +2360,47 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
     enc.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket", "batch").parquet(store_path)
+
+
+def compact_sq8_store(spark, path: str) -> dict:
+    """Fold an ingest-fragmented SQ8 store back into one segment —
+    :func:`compact_ivf_lists`' twin for the ``(bucket, batch)`` code
+    layout: after many :func:`sq8_index_append` / streaming-ingest
+    batches each bucket spreads over per-batch small files (per-file
+    open/footer cost on every approximate scan). One distributed read →
+    per-bucket coalesce → rewrite as batch 0, with the SAME watermark
+    discipline: the pre-fold max batch id persists first, so a
+    checkpoint replay of a folded batch no-ops in
+    :func:`sq8_index_append` instead of duplicating codes. Codes are
+    not re-encoded — query results are bit-identical (test-pinned)."""
+    from ._util import (
+        count_parquet_files,
+        swap_in_rewrite,
+        write_compaction_watermark,
+    )
+
+    store_path = f"{path}/sq8.parquet"
+    before = count_parquet_files(store_path)
+    prev_max = spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
+    wm = max(int(prev_max or 0), _read_compaction_watermark(path))
+    write_compaction_watermark(path, wm)
+    swap_in_rewrite(
+        lambda tmp: (
+            spark.read.parquet(store_path)
+            .withColumn("batch", F.lit(0))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "batch")
+            .parquet(tmp)
+        ),
+        store_path,
+        f"{path}/sq8.compact.tmp",
+    )
+    return {
+        "files_before": before,
+        "files_after": count_parquet_files(store_path),
+        "watermark": wm,
+    }
 
 
 def ann_sq8_from_index(
