@@ -419,6 +419,49 @@ def test_cypher_route_varlen_reach(client, store):
     assert r2.status_code == 400 and "unbounded" in r2.get_json()["error"]
 
 
+def test_search_route_serves_from_at_rest_index(store, spark, tmp_path):
+    """With text_index_path configured, /search serves from the
+    bucketed at-rest index (partition-pruned postings scan) — the
+    ranking a live corpus scan of the same docs produces, without
+    re-tokenizing the corpus per request."""
+    from pyspark.sql import functions as F
+
+    import webpagesgraphdatabase_spark.serving as serving
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    rows = spark.createDataFrame(
+        [
+            ("https://i.example/both", "T", "spark hash spark join", "", "", "", ""),
+            ("https://i.example/one", "T", "hash table scan", "", "", "", ""),
+            ("https://i.example/none", "T", "window data", "", "", "", ""),
+        ],
+        ["url", "title", "content", "category", "keyword",
+         "category_explanation", "keyword_explanation"],
+    )
+    serving.preload_csv(store, rows)
+    corpus = store.graph().links.select(
+        F.col("url").alias("doc_id"),
+        F.lower(F.coalesce(F.col("raw_content"), F.lit(""))).alias("text"),
+    )
+    ti = str(tmp_path / "ti")
+    S.build_text_index(corpus, ti, n_buckets=8)
+    app = create_app(store, text_index_path=ti)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.post("/search", json={"terms": "Spark, hash", "k": 5})
+    assert r.status_code == 200
+    got = r.get_json()["results"]
+    urls = [x["url"] for x in got]
+    assert urls[0] == "https://i.example/both"
+    assert "https://i.example/one" in urls
+    assert "https://i.example/none" not in urls
+    # index path ≡ the live path's ranking on the same corpus
+    live = S.bm25_topk(corpus, ("spark", "hash"), k=5).collect()
+    assert [(x["rank"], x["url"]) for x in got] == [
+        (r2["rank"], r2["doc_id"]) for r2 in live
+    ]
+
+
 def test_search_route_bm25(client, store):
     """/search ranks stored pages by BM25 over their content; the
     doc containing both terms outranks the single-term doc."""

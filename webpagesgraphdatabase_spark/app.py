@@ -377,13 +377,18 @@ def create_app(
     categorizer: Callable[[str], str] = stub_chat_categorizer,
     snapshot_path: str | None = None,
     ann_index_path: str | None = None,
+    text_index_path: str | None = None,
 ):
     """Build the Flask app over ``store``. ``fetcher``/``cleaner``/
     ``categorizer`` default to the deterministic stubs (no network in
     tests or this container); ``snapshot_path`` enables the
     save-after-write CSV snapshot (``main.py:350,430,493``);
     ``ann_index_path`` (a :func:`..operators.similarity.build_ivf_index`
-    layout) enables the ``/similar`` vector-search route."""
+    layout) enables the ``/similar`` vector-search route;
+    ``text_index_path`` (a :func:`..operators.search.build_text_index`
+    layout keyed by url — e.g. built from the Link table or grown by
+    the crawl loop) switches ``/search`` from the live corpus scan to
+    the partition-pruned at-rest index."""
     from flask import Flask, jsonify, render_template_string, request
 
     app = Flask("webpagesgraphdatabase_spark")
@@ -638,11 +643,15 @@ def create_app(
 
     @app.route("/search", methods=["POST"])
     def search_route():
-        """BM25 keyword search over the stored pages' content
-        (``operators/search.py`` bm25_topk over the Link table,
-        id = url): JSON body {terms, k?} -> ranked urls. Per-request
-        work is the literal-query path — row-local tf/dl, one
-        corpus-stats row, TakeOrdered top-k; the collect is k rows."""
+        """BM25 keyword search: JSON body {terms, k?} -> ranked urls.
+
+        With ``text_index_path`` configured, requests serve from the
+        AT-REST index (``bm25_from_index``): the postings scan
+        partition-prunes to the query terms' buckets — per-request
+        work is O(terms' postings), never a corpus tokenize. Without
+        it, the live literal-query path runs over the Link table
+        (row-local tf/dl, one corpus-stats row, TakeOrdered top-k).
+        Either way the collect is k rows."""
         import re as _re
 
         from pyspark.sql import functions as F
@@ -667,11 +676,18 @@ def create_app(
         except (TypeError, ValueError):
             return jsonify({"error": "k must be an integer"}), 400
         terms = tuple(dict.fromkeys(t.lower() for t in terms[:10]))
-        corpus = store.graph().links.select(
-            F.col("url").alias("doc_id"),
-            F.lower(F.coalesce(F.col("raw_content"), F.lit(""))).alias("text"),
-        )
-        rows = _search.bm25_topk(corpus, terms, k=k).collect()
+        if text_index_path is not None:
+            rows = _search.bm25_from_index(
+                store.spark, text_index_path, terms, k=k
+            ).collect()
+        else:
+            corpus = store.graph().links.select(
+                F.col("url").alias("doc_id"),
+                F.lower(
+                    F.coalesce(F.col("raw_content"), F.lit(""))
+                ).alias("text"),
+            )
+            rows = _search.bm25_topk(corpus, terms, k=k).collect()
         return jsonify(
             {
                 "results": [
