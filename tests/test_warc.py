@@ -451,3 +451,60 @@ def test_streaming_crawl_round_replay_identical(spark, tmp_path):
     drain("ck2")  # fresh checkpoint = full replay, same batch ids
     assert _graph_state(store) == g1
     assert _index_state(spark, ti, si) == i1
+
+
+def test_crawl_round_two_archives_distinct_batches(spark, tmp_path):
+    """Two DIFFERENT archives ingest under distinct deterministic batch
+    ids: graph and indexes grow (no cross-archive clobbering), and
+    replaying archive 1 after archive 2 landed still no-ops — the
+    multi-round crawl schedule."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    def page_rec(rid, url, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": url,
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    (tmp_path / "a1.warc").write_bytes(
+        W.build_warc([page_rec("x1", "https://s.example/x1",
+                               "first archive unique words here")])
+    )
+    (tmp_path / "a2.warc").write_bytes(
+        W.build_warc([page_rec("x2", "https://s.example/x2",
+                               "second archive different vocabulary")])
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti, si = str(tmp_path / "ti"), str(tmp_path / "si")
+    r1 = W.crawl_round(spark, store, str(tmp_path / "a1.warc"),
+                       text_index=ti, sq8_index=si)
+    r2 = W.crawl_round(spark, store, str(tmp_path / "a2.warc"),
+                       text_index=ti, sq8_index=si)
+    assert r1["batch"] != r2["batch"]
+    assert r1["n_links_inserted"] == 1 and r2["n_links_inserted"] == 1
+    urls = {r.url for r in store.graph().links.collect()}
+    assert urls == {"https://s.example/x1", "https://s.example/x2"}
+    # both archives' docs are searchable from one index
+    assert S.bm25_from_index(spark, ti, ("unique",), k=2).collect()
+    assert S.bm25_from_index(spark, ti, ("vocabulary",), k=2).collect()
+    sq8 = spark.read.parquet(f"{si}/sq8.parquet")
+    assert sq8.count() == 2
+    assert len({r.batch for r in sq8.select("batch").distinct().collect()}) == 2
+    # replaying archive 1 AFTER archive 2 landed still no-ops
+    state = sorted(map(tuple, sq8.collect()))
+    r1b = W.crawl_round(spark, store, str(tmp_path / "a1.warc"),
+                        text_index=ti, sq8_index=si)
+    assert r1b["batch"] == r1["batch"] and r1b["n_links_inserted"] == 0
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{si}/sq8.parquet").collect())
+    ) == state

@@ -505,7 +505,14 @@ def build_ivf_index(
     plan, this is the serving plan. The partitioned write shuffles on
     ``cid``; list sizes are ~sqrt(N) at auto sizing so partitions stay
     balanced, and a skewed list is still bounded by its true member
-    count."""
+    count.
+
+    Deliberately NO ``assign_mult`` here (unlike :func:`build_pq_index`):
+    IVF lists store the RAW float vectors, so multi-assignment doubles
+    the dominant storage cost — at 100 TB that trade is wrong. Recall
+    levers for this layout are query-side (``n_probe``), the hybrid
+    union re-rank, or the SQ8/PQ compressed tiers where duplicating a
+    code row is cheap."""
     if n_centroids is None:
         n_centroids = auto_n_centroids(
             emb.count() if corpus_count is None else corpus_count
