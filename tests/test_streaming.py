@@ -763,3 +763,66 @@ def test_streaming_zonemap_replay_purges_stale_entries(spark, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_streaming_ingest_replay_after_compaction_no_duplicates(spark, tmp_path):
+    """THE r7-advice replay hazard, end to end at the streaming level:
+    drain a vector stream into the IVF index, compact (folds every
+    batch to segment 0, resetting the id space), then re-drain the
+    same source with a FRESH checkpoint — every micro-batch replays
+    with its old id. Without the persisted watermark each replay would
+    rewrite a batch partition whose vectors already live in segment 0
+    (duplicate vectors, changed results); with it the index is
+    row-identical and queries unchanged. Same pin for SQ8."""
+    from webpagesgraphdatabase_spark.operators import similarity
+    from webpagesgraphdatabase_spark.streaming.jobs import (
+        streaming_ivf_ingest,
+        streaming_sq8_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    src = tmp_path / "vecs"
+    rest.filter(F.col("vec_id") % 4 == 1).write.parquet(str(src / "a"))
+    rest.filter(F.col("vec_id") % 4 == 3).write.parquet(str(src / "b"))
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+
+    ivf = str(tmp_path / "ivf")
+    similarity.build_ivf_index(first, ivf, n_centroids=8)
+    streaming_ivf_ingest(stream(), ivf, str(tmp_path / "ck_ivf1"))
+    n = spark.read.parquet(f"{ivf}/lists.parquet").count()
+    res = sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, ivf, k=5).collect())
+    )
+    similarity.compact_ivf_lists(spark, ivf)
+    # fresh checkpoint: full replay of both micro-batches, same ids
+    streaming_ivf_ingest(stream(), ivf, str(tmp_path / "ck_ivf2"))
+    lists = spark.read.parquet(f"{ivf}/lists.parquet")
+    assert lists.count() == n
+    assert {r.batch for r in lists.select("batch").distinct().collect()} == {0}
+    assert res == sorted(
+        map(tuple, similarity.ann_ivf_from_index(spark, ivf, k=5).collect())
+    )
+
+    sq8 = str(tmp_path / "sq8")
+    similarity.build_sq8_index(first, sq8, n_buckets=4)
+    streaming_sq8_ingest(stream(), sq8, str(tmp_path / "ck_s1"))
+    n2 = spark.read.parquet(f"{sq8}/sq8.parquet").count()
+    res2 = sorted(
+        map(tuple, similarity.ann_sq8_from_index(spark, sq8, emb, 6, 3).collect())
+    )
+    similarity.compact_sq8_store(spark, sq8)
+    streaming_sq8_ingest(stream(), sq8, str(tmp_path / "ck_s2"))
+    store2 = spark.read.parquet(f"{sq8}/sq8.parquet")
+    assert store2.count() == n2
+    assert {r.batch for r in store2.select("batch").distinct().collect()} == {0}
+    assert res2 == sorted(
+        map(tuple, similarity.ann_sq8_from_index(spark, sq8, emb, 6, 3).collect())
+    )
