@@ -2998,3 +2998,30 @@ def test_compact_sq8_store_identical_results_and_replay_noop(spark, tmp_path):
     store = spark.read.parquet(f"{path}/sq8.parquet")
     assert store.count() == n + second.count()
     assert {r.batch for r in store.select("batch").distinct().collect()} == {0, 2}
+
+
+def test_build_pq_index_plain_rebuild_clears_stale_opq(spark, tmp_path):
+    """Rebuilding a PLAIN index over a previous opq=True layout must
+    remove the stale transform — otherwise the query path rotates
+    queries against unrotated codes (silently wrong scores)."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    p = str(tmp_path / "pq")
+    similarity.build_pq_index(
+        emb, p, m=8, ks=16, n_iters=1, corpus_count=n, n_centroids=8, opq=True
+    )
+    assert os.path.isdir(f"{p}/opq.parquet")
+    similarity.build_pq_index(
+        emb, p, m=8, ks=16, n_iters=1, corpus_count=n, n_centroids=8
+    )
+    assert not os.path.isdir(f"{p}/opq.parquet")
+    # and the rebuilt plain index equals a fresh plain build
+    fresh = str(tmp_path / "pq2")
+    similarity.build_pq_index(
+        emb, fresh, m=8, ks=16, n_iters=1, corpus_count=n, n_centroids=8
+    )
+    a = similarity.ann_pq_from_index(spark, p, emb, n_queries=6, k=4).collect()
+    b = similarity.ann_pq_from_index(spark, fresh, emb, n_queries=6, k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1749,6 +1749,14 @@ def build_pq_index(
         perm = pq_dim_permutation(model, m)
         _write_opq_transform(spark, path, model, perm)
         emb = apply_dim_permutation(pca_project(emb, model), perm)
+    else:
+        # a rebuild-in-place over a previous opq=True layout must not
+        # leave the stale transform behind: the query path applies
+        # whatever opq.parquet it finds, and rotating queries against
+        # UNrotated codes is silently wrong scores, no error
+        import shutil as _sh
+
+        _sh.rmtree(f"{path}/opq.parquet", ignore_errors=True)
     coarse_cents = (
         kmeans_centroids(emb, n_centroids, n_iters)
         if trained

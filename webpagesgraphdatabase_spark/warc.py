@@ -472,7 +472,8 @@ def _crawl_ingest(
     from .operators.dedup import cdc_dedup
 
     spark = recs.sparkSession
-    recs = recs.persist()
+    base = recs.persist()  # keep the handle: unpersist must hit THIS
+    recs = base
     try:
         if rules is not None:
             # politeness gates every URL-bearing record (RFC 9309);
@@ -539,7 +540,7 @@ def _crawl_ingest(
             "n_docs_indexed": int(n_indexed),
         }
     finally:
-        recs.unpersist()
+        base.unpersist()
 
 
 def crawl_round(
