@@ -508,3 +508,43 @@ def test_crawl_round_two_archives_distinct_batches(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(f"{si}/sq8.parquet").collect())
     ) == state
+
+
+def test_crawl_round_landing_mode_single_parse(spark, tmp_path):
+    """landing= lands the records as Parquet keyed by batch id (the
+    at-scale single-parse mode); results are identical to the direct
+    mode, the landing dir holds the full records frame, and a replay
+    overwrites the same landing dir."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    (tmp_path / "crawl.warc").write_bytes(W.build_warc(_crawl_records()))
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    land = str(tmp_path / "landing")
+    rep = W.crawl_round(
+        spark, store, str(tmp_path / "crawl.warc"),
+        rules=_rules(spark), text_index=str(tmp_path / "ti"),
+        sq8_index=str(tmp_path / "si"), landing=land,
+    )
+    assert rep["n_links_inserted"] == 2 and rep["n_docs_indexed"] == 2
+    import os
+
+    sub = os.listdir(land)
+    assert len(sub) == 1 and sub[0] == f"b{rep['batch']:010d}"
+    landed = spark.read.parquet(f"{land}/{sub[0]}")
+    assert landed.count() == len(_crawl_records())
+    frontier = {r.url for r in rep["frontier"].collect()}
+    assert frontier == {
+        "https://site.example/new-target",
+        "https://other.example/c",
+    }
+    # replay: same batch id, same landing dir, graph unchanged
+    g1 = _graph_state(store)
+    rep2 = W.crawl_round(
+        spark, store, str(tmp_path / "crawl.warc"),
+        rules=_rules(spark), text_index=str(tmp_path / "ti"),
+        sq8_index=str(tmp_path / "si"), landing=land,
+    )
+    assert rep2["batch"] == rep["batch"] and rep2["n_links_inserted"] == 0
+    assert os.listdir(land) == sub
+    assert _graph_state(store) == g1

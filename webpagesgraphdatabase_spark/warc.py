@@ -554,6 +554,7 @@ def crawl_round(
     embed_dim: int = 64,
     limit_per_domain: int | None = None,
     batch: int | None = None,
+    landing: str | None = None,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -569,6 +570,15 @@ def crawl_round(
     (doc_id, text, url) frame to (vec_id, embedding) rows; default is
     the deterministic :func:`~.operators.similarity.hash_embed`.
 
+    ``landing`` is the at-scale mode: the archive's records land as
+    Parquet under ``landing/b<batch>`` FIRST (mode=overwrite keyed on
+    the batch id — replay-safe like every other sink here), and both
+    the ingest and the frontier derivation scan the columnar landing
+    with pushdown — the archive's byte-oriented parse runs exactly
+    once. Without it the ingest parses from a persisted frame and the
+    frontier derivation re-parses (fine for one-shot use; at 100 TB
+    pass ``landing``).
+
     The returned report carries the NEXT frontier (lazy DataFrame):
     harvested out-links, minus everything already in the graph, minus
     this round's own pages, minus ``revisit`` record targets (Common
@@ -577,9 +587,22 @@ def crawl_round(
     robots-filtered and optionally capped per domain."""
     if batch is None:
         batch = _archive_batch_id(spark, warc_path)
-    recs = read_warc(spark, warc_path)
+    if landing is not None:
+        import os
+
+        ldir = os.path.join(landing, f"b{int(batch):010d}")
+        read_warc(spark, warc_path).write.mode("overwrite").parquet(ldir)
+
+        def records() -> DataFrame:
+            return spark.read.parquet(ldir)
+
+    else:
+
+        def records() -> DataFrame:
+            return read_warc(spark, warc_path)
+
     report = _crawl_ingest(
-        recs,
+        records(),
         store,
         batch,
         rules=rules,
@@ -591,7 +614,7 @@ def crawl_round(
     # frontier: out-links not yet seen. "Seen" = the graph's stored
     # URLs (which now include this round's pages) plus revisit targets
     # (dedup hints: known-archived content is never re-fetched).
-    recs = read_warc(spark, warc_path)
+    recs = records()
     edges = warc_link_graph(recs)
     revisits = (
         recs.filter(
