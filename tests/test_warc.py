@@ -548,3 +548,61 @@ def test_crawl_round_landing_mode_single_parse(spark, tmp_path):
     assert rep2["batch"] == rep["batch"] and rep2["n_links_inserted"] == 0
     assert os.listdir(land) == sub
     assert _graph_state(store) == g1
+
+
+def test_crawl_round_doc_filter_gates_indexing(spark, tmp_path):
+    """A doc_filter (here: a textstats quality-score threshold over the
+    CDC-cleaned text) gates what reaches the indexes — the graph still
+    receives every allowed page, but junk documents never index; the
+    gate composes with replay (same filter, same batch id → no-op)."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+    from webpagesgraphdatabase_spark.operators import textstats
+
+    def page(rid, path_, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": f"https://q.example{path_}",
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    long_body = " ".join(f"substantive token{i} content" for i in range(40))
+    (tmp_path / "c.warc").write_bytes(
+        W.build_warc([page("g", "/good", long_body), page("j", "/junk", "ok")])
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+
+    def quality_gate(docs):
+        scored = textstats.quality_score(docs).select("doc_id", "quality")
+        return docs.join(
+            scored.filter(F.col("quality") >= 0.5), "doc_id", "left_semi"
+        )
+
+    ti = str(tmp_path / "ti")
+    rep = W.crawl_round(
+        spark, store, str(tmp_path / "c.warc"),
+        text_index=ti, doc_filter=quality_gate,
+    )
+    # both pages enter the graph; only the substantive one indexes
+    assert rep["n_links_inserted"] == 2
+    assert rep["n_docs_indexed"] == 1
+    assert S.bm25_from_index(spark, ti, ("substantive",), k=2).collect()
+    assert not S.bm25_from_index(spark, ti, ("ok",), k=2).collect()
+    # replay with the same deterministic filter: exactly-once holds
+    posts = spark.read.parquet(f"{ti}/postings.parquet").count()
+    rep2 = W.crawl_round(
+        spark, store, str(tmp_path / "c.warc"),
+        text_index=ti, doc_filter=quality_gate,
+    )
+    assert rep2["batch"] == rep["batch"]
+    assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts

@@ -453,6 +453,7 @@ def _crawl_ingest(
     sq8_index: str | None = None,
     embed=None,
     embed_dim: int = 64,
+    doc_filter=None,
 ) -> dict:
     """One ingest pass over a records frame — the shared core of
     :func:`crawl_round` (batch) and :func:`streaming_crawl_round`
@@ -519,6 +520,14 @@ def _crawl_ingest(
             .filter(F.col("clean_text") != "")
             .select("doc_id", F.col("clean_text").alias("text"), "url")
         )
+        if doc_filter is not None:
+            # quality/curation gate before anything is indexed: any
+            # (doc_id, text, url) -> subset transform — e.g. a
+            # textstats quality-score threshold, a Gopher repetition
+            # bound, or the trained LR classifier. Deterministic
+            # filters keep the replay exactly-once (same input, same
+            # batch id, same surviving set).
+            cleaned = doc_filter(cleaned)
         n_indexed = 0
         if text_index is not None or sq8_index is not None:
             cleaned = cleaned.persist()
@@ -555,6 +564,7 @@ def crawl_round(
     limit_per_domain: int | None = None,
     batch: int | None = None,
     landing: str | None = None,
+    doc_filter=None,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -610,6 +620,7 @@ def crawl_round(
         sq8_index=sq8_index,
         embed=embed,
         embed_dim=embed_dim,
+        doc_filter=doc_filter,
     )
     # frontier: out-links not yet seen. "Seen" = the graph's stored
     # URLs (which now include this round's pages) plus revisit targets
@@ -642,6 +653,7 @@ def streaming_crawl_round(
     sq8_index: str | None = None,
     embed=None,
     embed_dim: int = 64,
+    doc_filter=None,
 ) -> None:
     """Streaming twin of :func:`crawl_round`'s ingest: new archives in
     a landing directory flow through the same politeness → CDC dedup →
@@ -664,6 +676,7 @@ def streaming_crawl_round(
             sq8_index=sq8_index,
             embed=embed,
             embed_dim=embed_dim,
+            doc_filter=doc_filter,
         )
 
     q = (
