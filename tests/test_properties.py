@@ -315,3 +315,81 @@ def test_resolve_href_matches_stdlib_urljoin(base, href):
     from webpagesgraphdatabase_spark.functions import html as H
 
     assert H.resolve_href_py(base, href) == urljoin(base, href)
+
+
+# --- WARC container round-trip (r8) ---------------------------------------
+
+_warc_rec = st.fixed_dictionaries(
+    {
+        "record_id": st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\r\n", min_codepoint=33
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        "warc_type": st.sampled_from(
+            ["response", "conversion", "revisit", "warcinfo", "request"]
+        ),
+        "target_uri": st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_characters="\r\n", min_codepoint=33
+                ),
+                min_size=1,
+                max_size=60,
+            ),
+        ),
+        "content_type": st.sampled_from(
+            ["text/plain", "application/http; msgtype=response", "image/gif"]
+        ),
+        "block": st.binary(max_size=300),
+    }
+)
+
+
+@given(
+    recs=st.lists(_warc_rec, min_size=1, max_size=6),
+    compress=st.sampled_from(["none", "file", "record"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_container_roundtrip_property(recs, compress):
+    """build_warc → iter_warc_records recovers EVERY record's id,
+    type, target and exact block bytes, under every compression mode,
+    for arbitrary binary blocks (incl. bytes that look like CRLFs or
+    WARC headers — Content-Length framing must never resynchronize on
+    block content)."""
+    from webpagesgraphdatabase_spark import warc as W
+
+    buf = W.build_warc(recs, compress=compress)
+    got = list(W.iter_warc_records(buf))
+    assert len(got) == len(recs)
+    for want, rec in zip(recs, got):
+        assert rec["record_id"] == want["record_id"]
+        assert rec["warc_type"] == want["warc_type"]
+        assert rec["target_uri"] == (want["target_uri"] or None)
+        assert rec["block"] == want["block"]
+        assert rec["content_length"] == len(want["block"])
+
+
+@given(
+    status=st.integers(min_value=100, max_value=599),
+    ctype=st.sampled_from(
+        ["text/html", "text/html; charset=utf-8", "application/json"]
+    ),
+    body=st.binary(max_size=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_http_payload_roundtrip_property(status, ctype, body):
+    """http_response_block → parse_http_payload recovers status, the
+    base content type, and the exact body bytes — even when the body
+    itself contains CRLFCRLF (the head/body split must bind to the
+    FIRST blank line, never resynchronize inside the body)."""
+    from webpagesgraphdatabase_spark import warc as W
+
+    block = W.http_response_block(body, status=status, content_type=ctype)
+    got_status, got_ctype, got_body = W.parse_http_payload(block)
+    assert got_status == status
+    assert got_ctype == ctype
+    assert got_body == body
