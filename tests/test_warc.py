@@ -606,3 +606,74 @@ def test_crawl_round_doc_filter_gates_indexing(spark, tmp_path):
     )
     assert rep2["batch"] == rep["batch"]
     assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts
+
+
+def test_crawl_round_cross_batch_content_dedup(spark, tmp_path):
+    """fingerprints= closes the content-level dedup gap across rounds:
+    an archive re-shipping an earlier round's document under a NEW url
+    preloads the page (URLs differ) but never re-indexes the content;
+    replays of either round stay exactly-once."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    def page(rid, url, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": url,
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    shared = "identical reshipped body with plenty of unique tokens"
+    (tmp_path / "a1.warc").write_bytes(
+        W.build_warc([page("x", "https://d.example/x1", shared)])
+    )
+    (tmp_path / "a2.warc").write_bytes(
+        W.build_warc(
+            [
+                page("xcopy", "https://d.example/x2", shared),
+                page("y", "https://d.example/y", "fresh other document words"),
+            ]
+        )
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti, fpd = str(tmp_path / "ti"), str(tmp_path / "fp")
+    r1 = W.crawl_round(spark, store, str(tmp_path / "a1.warc"),
+                       text_index=ti, fingerprints=fpd)
+    assert r1["n_docs_indexed"] == 1 and r1["n_cross_dup"] == 0
+    r2 = W.crawl_round(spark, store, str(tmp_path / "a2.warc"),
+                       text_index=ti, fingerprints=fpd)
+    # the reshipped copy is dropped from indexing; the fresh doc lands
+    assert r2["n_cross_dup"] == 1 and r2["n_docs_indexed"] == 1
+    # both urls are in the graph regardless (page-level, not content)
+    urls = {r.url for r in store.graph().links.collect()}
+    assert urls == {
+        "https://d.example/x1",
+        "https://d.example/x2",
+        "https://d.example/y",
+    }
+    # the shared content is indexed exactly once
+    hits = S.bm25_from_index(spark, ti, ("reshipped",), k=5).collect()
+    assert len(hits) == 1
+    # fingerprint store: one hash per batch, survivors only
+    fp = spark.read.parquet(f"{fpd}/fp.parquet")
+    assert fp.count() == 2
+    # replays of both rounds stay exactly-once
+    posts = spark.read.parquet(f"{ti}/postings.parquet").count()
+    fp_state = sorted(map(tuple, fp.collect()))
+    r1b = W.crawl_round(spark, store, str(tmp_path / "a1.warc"),
+                        text_index=ti, fingerprints=fpd)
+    r2b = W.crawl_round(spark, store, str(tmp_path / "a2.warc"),
+                        text_index=ti, fingerprints=fpd)
+    assert r1b["n_cross_dup"] == 0 and r2b["n_cross_dup"] == 1
+    assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{fpd}/fp.parquet").collect())
+    ) == fp_state

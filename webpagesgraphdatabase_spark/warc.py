@@ -454,6 +454,7 @@ def _crawl_ingest(
     embed=None,
     embed_dim: int = 64,
     doc_filter=None,
+    fingerprints: str | None = None,
 ) -> dict:
     """One ingest pass over a records frame — the shared core of
     :func:`crawl_round` (batch) and :func:`streaming_crawl_round`
@@ -462,7 +463,21 @@ def _crawl_ingest(
     - graph preload is the idempotent anti-join merge (re-delivered
       pages insert nothing);
     - BM25/SQ8 index appends are keyed on ``batch`` — a replay
-      dynamic-overwrites exactly its own partitions.
+      dynamic-overwrites exactly its own partitions;
+    - the CROSS-batch content dedup (``fingerprints``) anti-joins this
+      batch's cleaned-text hashes against every OTHER batch's stored
+      fingerprints, then lands its own keyed on ``batch`` — excluding
+      the current batch from the comparison is what keeps a replay
+      exactly-once (a replay must never see its own prior fingerprints
+      and drop everything).
+
+    ``fingerprints`` (a directory) closes the content-level gap that
+    ``revisit`` records close at the URL level: an archive re-shipping
+    a document already indexed under another URL/record in an EARLIER
+    round would otherwise index it twice. The store is md5-of-cleaned-
+    text keyed (CDC strips within-batch duplicated spans first, so the
+    hash is shift/boilerplate-stable); the anti-join shuffles URL-set-
+    sized hash frames, never bodies.
 
     ``recs`` is persisted for the pass (three derivations share the
     one Arrow parse) and unpersisted before returning."""
@@ -528,6 +543,48 @@ def _crawl_ingest(
             # filters keep the replay exactly-once (same input, same
             # batch id, same surviving set).
             cleaned = doc_filter(cleaned)
+        n_cross_dup = 0
+        if fingerprints is not None:
+            import os
+
+            fdir = f"{fingerprints}/fp.parquet"
+            fp = cleaned.select(
+                "doc_id", F.md5("text").alias("text_hash")
+            ).persist()
+            try:
+                n_before = fp.count()
+                if os.path.isdir(fdir):
+                    seen_h = (
+                        spark.read.parquet(fdir)
+                        .filter(F.col("batch") != int(batch))
+                        .select("text_hash")
+                        .distinct()
+                    )
+                    keep = fp.join(seen_h, "text_hash", "left_anti")
+                    cleaned = cleaned.join(
+                        keep.select("doc_id"), "doc_id", "left_semi"
+                    )
+                    kept_fp = keep
+                    n_cross_dup = n_before - keep.count()
+                else:
+                    kept_fp = fp
+                # land the SURVIVORS' fingerprints keyed on this batch:
+                # replay overwrites exactly its own partition and (its
+                # own batch being excluded above) re-derives the same
+                # surviving set — exactly-once. Canonical column order:
+                # the anti-join path re-orders (join key first), and
+                # partitions written with differing orders make the
+                # store's read schema depend on which file Spark picks
+                (
+                    kept_fp.select("doc_id", "text_hash")
+                    .withColumn("batch", F.lit(int(batch)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch")
+                    .parquet(fdir)
+                )
+            finally:
+                fp.unpersist()
         n_indexed = 0
         if text_index is not None or sq8_index is not None:
             cleaned = cleaned.persist()
@@ -547,6 +604,7 @@ def _crawl_ingest(
             "batch": int(batch),
             "n_links_inserted": int(n_inserted),
             "n_docs_indexed": int(n_indexed),
+            "n_cross_dup": int(n_cross_dup),
         }
     finally:
         base.unpersist()
@@ -565,6 +623,7 @@ def crawl_round(
     batch: int | None = None,
     landing: str | None = None,
     doc_filter=None,
+    fingerprints: str | None = None,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -588,6 +647,13 @@ def crawl_round(
     once. Without it the ingest parses from a persisted frame and the
     frontier derivation re-parses (fine for one-shot use; at 100 TB
     pass ``landing``).
+
+    ``fingerprints`` (a directory) enables CROSS-round content dedup:
+    a document whose cleaned text was already indexed in an earlier
+    round — under any URL or record id — is skipped (md5-of-cleaned-
+    text anti-join against every other batch's stored fingerprints;
+    the report's ``n_cross_dup`` counts the drops). Complements
+    ``revisit`` records, which de-duplicate at the URL level only.
 
     The returned report carries the NEXT frontier (lazy DataFrame):
     harvested out-links, minus everything already in the graph, minus
@@ -621,6 +687,7 @@ def crawl_round(
         embed=embed,
         embed_dim=embed_dim,
         doc_filter=doc_filter,
+        fingerprints=fingerprints,
     )
     # frontier: out-links not yet seen. "Seen" = the graph's stored
     # URLs (which now include this round's pages) plus revisit targets
@@ -654,6 +721,7 @@ def streaming_crawl_round(
     embed=None,
     embed_dim: int = 64,
     doc_filter=None,
+    fingerprints: str | None = None,
 ) -> None:
     """Streaming twin of :func:`crawl_round`'s ingest: new archives in
     a landing directory flow through the same politeness → CDC dedup →
@@ -677,6 +745,7 @@ def streaming_crawl_round(
             embed=embed,
             embed_dim=embed_dim,
             doc_filter=doc_filter,
+            fingerprints=fingerprints,
         )
 
     q = (
