@@ -3025,3 +3025,40 @@ def test_build_pq_index_plain_rebuild_clears_stale_opq(spark, tmp_path):
     a = similarity.ann_pq_from_index(spark, p, emb, n_queries=6, k=4).collect()
     b = similarity.ann_pq_from_index(spark, fresh, emb, n_queries=6, k=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_near_matches_banded(spark):
+    """Pigeonhole-complete banded near-match: ≤ bits differing
+    positions always share a band (found); far signatures are not;
+    bits >= n_bands refuses (completeness would break)."""
+    import pytest
+
+    base = "01" * 32
+    two_off = list(base)
+    two_off[0] = "1"; two_off[40] = "0"
+    two_off = "".join(two_off)
+    # flip 3 positions in EACH of the 4 16-bit bands: 12 differences,
+    # no band identical
+    far = list(base)
+    for b in range(4):
+        for j in range(3):
+            i = b * 16 + j * 5
+            far[i] = "1" if far[i] == "0" else "0"
+    far = "".join(far)
+    new = spark.createDataFrame(
+        [(1, two_off), (2, far)], ["doc_id", "simhash"]
+    )
+    prior = spark.createDataFrame([(100, base)], ["doc_id", "simhash"])
+    got = {
+        r.doc_id
+        for r in dedup.simhash_near_matches(new, prior, bits=3).collect()
+    }
+    assert got == {1}
+    # exact equality matches at bits=0
+    new0 = spark.createDataFrame([(3, base)], ["doc_id", "simhash"])
+    assert {
+        r.doc_id
+        for r in dedup.simhash_near_matches(new0, prior, bits=0).collect()
+    } == {3}
+    with pytest.raises(ValueError):
+        dedup.simhash_near_matches(new, prior, bits=4, n_bands=4)

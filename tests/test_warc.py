@@ -677,3 +677,80 @@ def test_crawl_round_cross_batch_content_dedup(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(f"{fpd}/fp.parquet").collect())
     ) == fp_state
+
+
+def test_crawl_round_near_dup_cross_batch(spark, tmp_path):
+    """near_dup_bits extends the cross-round gate to NEAR duplicates:
+    a later round's lightly-edited copy of an earlier round's document
+    (one token changed) is dropped when its SimHash sits within the
+    bound, while a genuinely different doc still lands."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import dedup as D
+
+    def page(rid, url, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": url,
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    orig = " ".join(f"stable corpus token{i}" for i in range(30))
+    edited = orig.replace("token7", "changed7")
+    other = " ".join(f"unrelated vocabulary word{i}" for i in range(30))
+    # derive the TRUE hamming distance between orig and edited so the
+    # bound provably separates near (edited) from far (other)
+    sigs = {
+        r.doc_id: r.simhash
+        for r in D.simhash(
+            spark.createDataFrame(
+                [(1, orig), (2, edited), (3, other)], ["doc_id", "text"]
+            )
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    near = ham(sigs[1], sigs[2])
+    far = ham(sigs[1], sigs[3])
+    assert near < far  # the premise of the test data
+    bits = near  # bound that admits the edit but not the stranger
+    if bits >= 4:  # keep pigeonhole completeness with default bands
+        bits = 3
+    if near > bits:
+        import pytest
+
+        pytest.skip("synthetic edit drifted too many bits on this corpus")
+
+    (tmp_path / "a1.warc").write_bytes(
+        W.build_warc([page("o", "https://n.example/orig", orig)])
+    )
+    (tmp_path / "a2.warc").write_bytes(
+        W.build_warc(
+            [
+                page("e", "https://n.example/edited", edited),
+                page("u", "https://n.example/other", other),
+            ]
+        )
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti, fpd = str(tmp_path / "ti"), str(tmp_path / "fp")
+    r1 = W.crawl_round(spark, store, str(tmp_path / "a1.warc"),
+                       text_index=ti, fingerprints=fpd, near_dup_bits=bits)
+    assert r1["n_docs_indexed"] == 1
+    r2 = W.crawl_round(spark, store, str(tmp_path / "a2.warc"),
+                       text_index=ti, fingerprints=fpd, near_dup_bits=bits)
+    # the edited near-copy is dropped; the unrelated doc lands
+    assert r2["n_cross_dup"] == 1 and r2["n_docs_indexed"] == 1
+    fp = spark.read.parquet(f"{fpd}/fp.parquet")
+    assert fp.count() == 2  # orig + other; edited never stored

@@ -467,6 +467,69 @@ def simhash(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_near_matches(
+    new_sigs: DataFrame,
+    prior_sigs: DataFrame,
+    bits: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """doc_ids of NEW signatures having a prior signature within
+    ``bits`` Hamming distance — the Manku/Jain/Das Sarma WWW'07 scheme
+    ("Detecting Near-Duplicates for Web Crawling"): split the 64-bit
+    signature into ``n_bands`` bands; by pigeonhole any pair differing
+    in ≤ ``bits`` < ``n_bands`` positions agrees EXACTLY on at least
+    one band, so candidates come from equi-joins on (band_idx, band
+    value) and only candidates pay the full 64-position comparison.
+    Inputs are (doc_id, simhash) frames (:func:`simhash` output);
+    returns distinct new-side doc_ids.
+
+    Scale shape: the explode is n_bands rows per signature (signatures,
+    never documents), the join key is (band_idx, 16-bit band) — ~2²⁰
+    effective buckets — and the Hamming check is row-local array
+    algebra. A degenerate band shared by many near-empty docs is the
+    known hot key of the scheme; the per-band join still bounds work to
+    true candidate pairs (Manku's tables do exactly this)."""
+    if not 0 <= bits < n_bands:
+        raise ValueError(
+            "completeness needs bits < n_bands (pigeonhole: ≤ bits "
+            "differences over n_bands bands leave one band identical)"
+        )
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    band_arr = F.expr(
+        f"transform(sequence(0, {n_bands - 1}),"
+        f" i -> substring(simhash, i * {width} + 1, {width}))"
+    )
+
+    def explode_bands(df: DataFrame, id_name: str, sig_name: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_name),
+            F.col("simhash").alias(sig_name),
+            F.posexplode(band_arr).alias("band_idx", "band"),
+        )
+
+    cand = explode_bands(new_sigs, "new_id", "_sh_new").join(
+        explode_bands(prior_sigs, "old_id", "_sh_old"),
+        ["band_idx", "band"],
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("_sh_new"), ""),
+                F.split(F.col("_sh_old"), ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.filter(hamming <= bits)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     num: int = 1,

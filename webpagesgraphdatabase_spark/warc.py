@@ -455,6 +455,7 @@ def _crawl_ingest(
     embed_dim: int = 64,
     doc_filter=None,
     fingerprints: str | None = None,
+    near_dup_bits: int | None = None,
 ) -> dict:
     """One ingest pass over a records frame — the shared core of
     :func:`crawl_round` (batch) and :func:`streaming_crawl_round`
@@ -547,20 +548,32 @@ def _crawl_ingest(
         if fingerprints is not None:
             import os
 
+            from .operators.dedup import simhash, simhash_near_matches
+
             fdir = f"{fingerprints}/fp.parquet"
-            fp = cleaned.select(
-                "doc_id", F.md5("text").alias("text_hash")
-            ).persist()
+            fp = (
+                cleaned.select("doc_id", F.md5("text").alias("text_hash"))
+                .join(simhash(cleaned), "doc_id")
+                .persist()
+            )
             try:
                 n_before = fp.count()
                 if os.path.isdir(fdir):
-                    seen_h = (
-                        spark.read.parquet(fdir)
-                        .filter(F.col("batch") != int(batch))
-                        .select("text_hash")
-                        .distinct()
+                    prior = spark.read.parquet(fdir).filter(
+                        F.col("batch") != int(batch)
                     )
-                    keep = fp.join(seen_h, "text_hash", "left_anti")
+                    keep = fp.join(
+                        prior.select("text_hash").distinct(),
+                        "text_hash",
+                        "left_anti",
+                    )
+                    if near_dup_bits is not None:
+                        near = simhash_near_matches(
+                            keep.select("doc_id", "simhash"),
+                            prior.select("doc_id", "simhash"),
+                            bits=near_dup_bits,
+                        )
+                        keep = keep.join(near, "doc_id", "left_anti")
                     cleaned = cleaned.join(
                         keep.select("doc_id"), "doc_id", "left_semi"
                     )
@@ -576,7 +589,7 @@ def _crawl_ingest(
                 # partitions written with differing orders make the
                 # store's read schema depend on which file Spark picks
                 (
-                    kept_fp.select("doc_id", "text_hash")
+                    kept_fp.select("doc_id", "text_hash", "simhash")
                     .withColumn("batch", F.lit(int(batch)))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
@@ -624,6 +637,7 @@ def crawl_round(
     landing: str | None = None,
     doc_filter=None,
     fingerprints: str | None = None,
+    near_dup_bits: int | None = None,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -654,6 +668,9 @@ def crawl_round(
     text anti-join against every other batch's stored fingerprints;
     the report's ``n_cross_dup`` counts the drops). Complements
     ``revisit`` records, which de-duplicate at the URL level only.
+    ``near_dup_bits`` extends the gate to NEAR duplicates: new docs
+    within that Hamming distance of any prior round's stored SimHash
+    (banded candidate join, Manku et al. WWW'07) are dropped too.
 
     The returned report carries the NEXT frontier (lazy DataFrame):
     harvested out-links, minus everything already in the graph, minus
@@ -688,6 +705,7 @@ def crawl_round(
         embed_dim=embed_dim,
         doc_filter=doc_filter,
         fingerprints=fingerprints,
+        near_dup_bits=near_dup_bits,
     )
     # frontier: out-links not yet seen. "Seen" = the graph's stored
     # URLs (which now include this round's pages) plus revisit targets
@@ -722,6 +740,7 @@ def streaming_crawl_round(
     embed_dim: int = 64,
     doc_filter=None,
     fingerprints: str | None = None,
+    near_dup_bits: int | None = None,
 ) -> None:
     """Streaming twin of :func:`crawl_round`'s ingest: new archives in
     a landing directory flow through the same politeness → CDC dedup →
@@ -746,6 +765,7 @@ def streaming_crawl_round(
             embed_dim=embed_dim,
             doc_filter=doc_filter,
             fingerprints=fingerprints,
+            near_dup_bits=near_dup_bits,
         )
 
     q = (
