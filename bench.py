@@ -108,6 +108,10 @@ ANN_HEADLINE = {
     # int8 scalar quantization (r7): approximate pass over the 4x-
     # compressed codes, exact re-rank over a 4x shortlist
     "s_ann_sq8": lambda emb, n, d: _similarity().ann_sq8(emb, 10, 5),
+    # binary sign quantization (r8): 1 bit/dim packed to words (32x at
+    # rest), asymmetric float-vs-±1 scoring, 16x-shortlist exact
+    # re-rank — the extreme compression point on the board
+    "s_ann_bin": lambda emb, n, d: _similarity().ann_bin(emb, 10, 5, dim=d),
 }
 
 
@@ -120,6 +124,9 @@ ANN_HEADLINE = {
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
 CHANGED_ENTRIES: dict[str, str] = {
+    "t_lang_quality": "r8: registry row gained the DSIR importance-"
+    "weight leg (hashed-ngram target/raw distributions + per-doc "
+    "log-weight fold) — one extra feature-explode aggregation pass",
     "s_ann_pq_indexed": "r8: index rebuilt with assign_mult=2, query "
     "runs n_probe*2/refine=8 + candidate dedup (recall 0.48->0.80); "
     "query path filters to |Q| rows before the OPQ transform",
@@ -180,6 +187,9 @@ ANN_RECALL = {
     # SQ8 (r7): per-dim 7-bit quantization keeps near-exact recall —
     # the storage-tier point the PQ/hybrid numbers compare against
     "s_ann_sq8": ANN_HEADLINE["s_ann_sq8"],
+    # binary (r8): the 32x point — what 1 bit/dim + asymmetric scoring
+    # + 16x re-rank buys relative to SQ8's 4x / PQ's 16x
+    "s_ann_bin": ANN_HEADLINE["s_ann_bin"],
 }
 
 
@@ -674,6 +684,32 @@ def main() -> None:
         )
         for name, fn in ANN_HEADLINE.items():
             timed(name, lambda fn=fn: _force(fn(emb, n_emb, emb_dim)))
+
+        # hybrid retrieval (r8): per fixed query, BM25 top-20 over the
+        # documents corpus fused with the exact-cosine top-20 of the
+        # aligned query vector via reciprocal-rank fusion — the same
+        # composition the s_ann_methods registry leg hash-checks
+        def _rrf_hybrid():
+            from pyspark.sql import functions as F
+
+            from webpagesgraphdatabase_spark.operators import search
+            from webpagesgraphdatabase_spark.registry_ops import (
+                RRF_QUERY_TERMS,
+            )
+
+            rdocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            legs = None
+            for qid, terms in enumerate(RRF_QUERY_TERMS):
+                leg = search.bm25_topk(rdocs, terms, k=20).select(
+                    F.lit(qid).alias("query_id"), "doc_id", "rank"
+                )
+                legs = leg if legs is None else legs.unionByName(leg)
+            vec = _similarity().ann_bruteforce(
+                emb, len(RRF_QUERY_TERMS), 20
+            ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+            _force(search.rrf_fuse([legs, vec], topk=5))
+
+        timed("s_rrf_hybrid", _rrf_hybrid)
         group_mark("index")
 
         # product quantization at rest (r6): IVFPQ build (coarse

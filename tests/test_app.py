@@ -494,3 +494,124 @@ def test_search_route_bm25(client, store):
     assert (
         client.post("/search", json={"terms": "x", "k": "y"}).status_code == 400
     )
+
+
+# --- /hybrid: RRF fusion of the text and vector indexes ---------------
+
+
+def _hybrid_app(store, spark, tmp_path):
+    """Both indexes over a shared integer key space: text doc_id =
+    embedding vec_id (stringified at fusion time by the route)."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.operators import search as S
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 50)
+    )
+    ivf = similarity.build_ivf_index(
+        emb, str(tmp_path / "ivf"), corpus_count=emb.count()
+    )
+    # doc 7 is the only strong text match for 'alpha beta'; docs 11/12
+    # are weaker single-term matches
+    corpus = spark.createDataFrame(
+        [(7, "alpha beta alpha beta"), (11, "alpha noise words here"),
+         (12, "beta other tokens live"), (13, "unrelated text entirely")],
+        ["doc_id", "text"],
+    )
+    ti = str(tmp_path / "ti")
+    S.build_text_index(corpus, ti, n_buckets=4)
+    app = create_app(store, ann_index_path=ivf, text_index_path=ti)
+    app.config["TESTING"] = True
+    return app.test_client(), emb
+
+
+def test_hybrid_route_fuses_both_legs(store, spark, tmp_path):
+    """Query = doc 7's own vector + its own terms: id '7' must win
+    (top text rank AND top vector rank), every reported rrf_score must
+    equal 1/(60+text_rank) + 1/(60+vector_rank) over the provenance
+    ranks the route itself reports, and single-leg docs carry null for
+    the missing leg."""
+    c, emb = _hybrid_app(store, spark, tmp_path)
+    target = emb.filter("vec_id = 7").first()
+    r = c.post(
+        "/hybrid",
+        json={"terms": "alpha beta", "vector": list(target["embedding"]), "k": 5},
+    )
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    results = body["results"]
+    assert results[0]["id"] == "7"
+    assert results[0]["text_rank"] == 1 and results[0]["vector_rank"] == 1
+    for e in results:
+        want = 0.0
+        if e["text_rank"] is not None:
+            want += 1.0 / (60 + e["text_rank"])
+        if e["vector_rank"] is not None:
+            want += 1.0 / (60 + e["vector_rank"])
+        assert e["rrf_score"] == pytest.approx(want, abs=1e-6)
+    # ranks are 1..n and scores non-increasing
+    assert [e["rank"] for e in results] == list(range(1, len(results) + 1))
+    scores = [e["rrf_score"] for e in results]
+    assert scores == sorted(scores, reverse=True)
+    # the text-only doc 13 never retrieved; 11/12 appear via text leg
+    ids = {e["id"] for e in results}
+    assert "13" not in ids or results[-1]["id"] == "13"
+
+
+def test_hybrid_route_leg_parity(store, spark, tmp_path):
+    """The per-leg provenance ranks must equal what /search and
+    /similar return for the same inputs at the same depth."""
+    c, emb = _hybrid_app(store, spark, tmp_path)
+    target = emb.filter("vec_id = 7").first()
+    vec = list(target["embedding"])
+    r = c.post("/hybrid", json={"terms": "alpha beta", "vector": vec, "k": 5})
+    results = r.get_json()["results"]
+    s = c.post("/search", json={"terms": "alpha beta", "k": 20}).get_json()
+    text_ranks = {x["url"]: x["rank"] for x in s["results"]}
+    v = c.post("/similar", json={"vector": vec, "k": 20}).get_json()
+    vec_ranks = {
+        str(x["vec_id"]): i for i, x in enumerate(v["neighbors"], start=1)
+    }
+    for e in results:
+        if e["text_rank"] is not None:
+            assert text_ranks[_as_doc(e["id"])] == e["text_rank"]
+        if e["vector_rank"] is not None:
+            assert vec_ranks[e["id"]] == e["vector_rank"]
+
+
+def _as_doc(s):
+    # the test corpus keys text docs by int; /search echoes them as ints
+    return int(s)
+
+
+def test_hybrid_route_unconfigured_is_503(store, spark, tmp_path):
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    corpus = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    ti = str(tmp_path / "ti")
+    S.build_text_index(corpus, ti, n_buckets=2)
+    # text index only — still 503, both are required
+    app = create_app(store, text_index_path=ti)
+    app.config["TESTING"] = True
+    r = app.test_client().post(
+        "/hybrid", json={"terms": "a", "vector": [1.0]}
+    )
+    assert r.status_code == 503
+
+
+def test_hybrid_route_validates_input(store, spark, tmp_path):
+    c, emb = _hybrid_app(store, spark, tmp_path)
+    dim = len(emb.first()["embedding"])
+    assert c.post("/hybrid", json={"vector": [1.0] * dim}).status_code == 400
+    assert c.post("/hybrid", json={"terms": "a"}).status_code == 400
+    assert (
+        c.post("/hybrid", json={"terms": "a", "vector": ["x"]}).status_code
+        == 400
+    )
+    assert (
+        c.post("/hybrid", json={"terms": "a", "vector": [1.0]}).status_code
+        == 400
+    )  # dim mismatch

@@ -3062,3 +3062,242 @@ def test_simhash_near_matches_banded(spark):
     } == {3}
     with pytest.raises(ValueError):
         dedup.simhash_near_matches(new, prior, bits=4, n_bands=4)
+
+
+def test_bin_encode_pack_roundtrip(spark):
+    """Packed sign words unpack to exactly sign(x > 0) as ±1 — the
+    bit-level bridge the oracle relies on (it scores the unpacked
+    list; Spark serves the packed words)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    enc = similarity.bin_encode(emb)
+    stored = dict(enc.dtypes)["words"]
+    assert stored == "array<bigint>"
+    chk = emb.join(enc, "vec_id").select(
+        F.transform(
+            "embedding",
+            lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ).alias("ref"),
+        similarity.bin_sign_col(F.col("words"), dim).alias("got"),
+    )
+    assert chk.filter(F.col("ref") != F.col("got")).count() == 0
+
+
+def test_bin_encode_short_tail_word(spark):
+    """A dimension count that is not a multiple of 64 packs its tail
+    into a short word; unpacking still round-trips every sign."""
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (0, [1.0, -2.0, 3.0] * 25),   # dim 75: one full word + 11-bit tail
+        (1, [-1.0, 0.5, -0.25] * 25),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    enc = similarity.bin_encode(emb)
+    chk = emb.join(enc, "vec_id").select(
+        F.transform(
+            "embedding",
+            lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ).alias("ref"),
+        similarity.bin_sign_col(F.col("words"), 75).alias("got"),
+    )
+    assert chk.filter(F.col("ref") != F.col("got")).count() == 0
+
+
+def test_ann_bin_asym_matches_numpy_twin(spark):
+    """The asymmetric binary path (float query vs ±1 signs, shortlist,
+    exact re-rank) reproduces a driver-local NumPy implementation of
+    the same semantics exactly."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = similarity.ann_bin(emb, 5, 5).collect()
+    a = np.array([r.embedding for r in emb.orderBy("vec_id").collect()])
+    n = a / np.linalg.norm(a, axis=1, keepdims=True)
+    s = np.where(a > 0, 1.0, -1.0)
+    for qid in range(5):
+        sc = (a[qid] @ s.T).astype(np.float64)
+        sc[qid] = -np.inf
+        idx = np.lexsort((np.arange(len(a)), -sc))[: 5 * similarity.BIN_REFINE]
+        sims = n[idx] @ n[qid]
+        top = list(idx[np.lexsort((idx, -sims))[:5]])
+        got = [
+            r.neighbor_id
+            for r in sorted(
+                (r for r in res if r.query_id == qid), key=lambda r: r.rank
+            )
+        ]
+        assert got == top
+
+
+def test_ann_bin_hamming_mode_and_popcount(spark):
+    """score='hamming' ranks candidates by packed-word popcount; the
+    distance expression agrees with the unpacked bit-difference count
+    on every pair it scores."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = similarity.ann_bin(emb, 3, 5, score="hamming").collect()
+    assert {r.query_id for r in res} == {0, 1, 2}
+    a = np.array([r.embedding for r in emb.orderBy("vec_id").collect()])
+    n = a / np.linalg.norm(a, axis=1, keepdims=True)
+    bits = a > 0
+    for qid in range(3):
+        h = (bits[qid] != bits).sum(1).astype(float)
+        h[qid] = np.inf
+        idx = np.lexsort((np.arange(len(a)), h))[: 5 * similarity.BIN_REFINE]
+        sims = n[idx] @ n[qid]
+        top = list(idx[np.lexsort((idx, -sims))[:5]])
+        got = [
+            r.neighbor_id
+            for r in sorted(
+                (r for r in res if r.query_id == qid), key=lambda r: r.rank
+            )
+        ]
+        assert got == top
+
+
+def test_ann_bin_rejects_unknown_score(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="unknown score"):
+        similarity.ann_bin(emb, 2, 2, score="cosine")
+
+
+def test_ann_bin_filtered_equals_bruteforce_over_subset(spark):
+    """allowed= narrows the candidate scan (left-semi): the result is
+    the exact binary-ANN answer computed over only the allowed subset,
+    never a post-filter of the unfiltered answer."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    allowed = emb.filter(
+        (F.col("vec_id") % 2 == 0) | (F.col("vec_id") < 5)
+    ).select("vec_id")
+    got = similarity.ann_bin(emb, 5, 5, allowed=allowed)
+    # queries (vec_id < 5) are all inside the allowed set, so the
+    # filtered run must equal the full run over the subset corpus
+    sub = emb.join(allowed, "vec_id", "left_semi")
+    want = similarity.ann_bin(sub, 5, 5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_ann_bin_index_at_rest(spark, tmp_path):
+    """build_bin_index persists packed words (32x vs float32 at rest);
+    the served path returns rows identical to the live path."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "bin")
+    similarity.build_bin_index(emb, path)
+    stored = spark.read.parquet(f"{path}/bin.parquet")
+    assert dict(stored.dtypes)["words"] == "array<bigint>"
+    served = similarity.ann_bin_from_index(spark, path, emb, 5, 5)
+    live = similarity.ann_bin(emb, 5, 5)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+
+
+def test_rrf_fuse_hand_check(spark):
+    """RRF on a tiny hand-built pair of ranked lists: fused score is
+    1/(60+r1) + 1/(60+r2) for docs in both lists, single-term
+    otherwise; ties break by doc_id."""
+    from webpagesgraphdatabase_spark.operators import search
+
+    text = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    got = {
+        r.doc_id: (r.rank, r.rrf_score)
+        for r in search.rrf_fuse([text, vec], topk=4).collect()
+    }
+    # doc 11: 1/62 + 1/61 (best), doc 10: 1/61 + 1/63, 12: 1/63, 13: 1/62
+    assert [d for d, (rk, _) in sorted(got.items(), key=lambda kv: kv[1][0])] == [
+        11,
+        10,
+        13,
+        12,
+    ]
+    assert got[11][1] == pytest.approx(1 / 62 + 1 / 61, rel=1e-12)
+    assert got[10][1] == pytest.approx(1 / 61 + 1 / 63, rel=1e-12)
+    assert got[13][1] == pytest.approx(1 / 62, rel=1e-12)
+
+
+def test_rrf_fuse_requires_input(spark):
+    from webpagesgraphdatabase_spark.operators import search
+
+    with pytest.raises(ValueError, match="at least one"):
+        search.rrf_fuse([])
+
+
+def test_dsir_weights_discriminate_target(spark):
+    """DSIR log-weights against the English target: en docs keep at a
+    much higher rate than non-en (the whole point of importance
+    resampling), logw is rounded to 6 decimals, and keep thresholds
+    the rounded value."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.dsir_weights(docs, F.col("lang") == "en").collect()
+    assert len(out) == docs.count()
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    keep_en = [r.dsir_keep for r in out if langs[r.doc_id] == "en"]
+    keep_other = [r.dsir_keep for r in out if langs[r.doc_id] != "en"]
+    assert sum(keep_en) / len(keep_en) > 2 * sum(keep_other) / len(keep_other)
+    for r in out:
+        assert r.dsir_keep == (r.dsir_logw > 0)
+        assert r.dsir_logw == round(r.dsir_logw, 6)
+
+
+def test_dsir_short_and_empty_docs(spark):
+    """Sub-2-token docs emit no bigrams (the sequence(1,0) descending
+    trap), zero-token docs get logw 0.0 / keep False."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(0, "solo", "en"), (1, "", "en"), (2, "   ", "de"),
+         (3, "two tokens", "en"), (4, "a b c d e", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r.doc_id: r for r in sampling.dsir_weights(
+        docs, F.col("lang") == "en").collect()}
+    assert len(out) == 5
+    assert out[1].dsir_logw == 0.0 and not out[1].dsir_keep
+    assert out[2].dsir_logw == 0.0 and not out[2].dsir_keep
+    # feature counts: doc 0 -> 1 unigram, doc 3 -> 2 uni + 1 bigram
+    fb = sampling._dsir_features(docs)
+    counts = {r.doc_id: r.n for r in fb.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts[0] == 1 and counts[3] == 3 and counts[4] == 9
+    assert 1 not in counts and 2 not in counts
+
+
+def test_dsir_top_fraction(spark):
+    """Fraction-based selection keeps ~frac of the corpus, all above
+    the threshold, and rejects a degenerate frac."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    kept = sampling.dsir_top_fraction(docs, F.col("lang") == "en", frac=0.2)
+    k = kept.count()
+    assert 0.1 * n <= k <= 0.35 * n  # approx threshold, generous band
+    w = {r.doc_id: r.dsir_logw for r in sampling.dsir_weights(
+        docs, F.col("lang") == "en").collect()}
+    thr = min(r.dsir_logw for r in kept.collect())
+    assert all(w[r.doc_id] >= thr for r in kept.collect())
+    with pytest.raises(ValueError, match="frac"):
+        sampling.dsir_top_fraction(docs, F.col("lang") == "en", frac=1.5)

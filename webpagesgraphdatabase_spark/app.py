@@ -590,6 +590,26 @@ def create_app(
 
         import numpy as np
 
+        qv = np.asarray(q, dtype=float)
+        try:
+            top, probed = _ivf_query(qv, k, n_probe, allowed)
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 400
+        return jsonify(
+            {
+                "neighbors": [
+                    {"vec_id": r["vec_id"], "cos": round(r["cos"], 6)} for r in top
+                ],
+                "probed_lists": probed,
+            }
+        )
+
+    def _ivf_query(qv, k: int, n_probe: int, allowed):
+        """Shared IVF serving core for /similar and /hybrid: driver-
+        cached centroid probe, partition-pruned list scan, exact
+        cosine, k-row collect. Raises ValueError on a dim mismatch."""
+        import numpy as np
+
         from pyspark.sql import functions as F
 
         spark = store.spark
@@ -599,16 +619,10 @@ def create_app(
             _ann_state["cmat"] = np.array([r["cemb"] for r in rows], dtype=float)
             _ann_state["cnrm"] = np.linalg.norm(_ann_state["cmat"], axis=1)
             _ann_state["cents"] = True
-        qv = np.asarray(q, dtype=float)
         if qv.shape[0] != _ann_state["cmat"].shape[1]:
-            return (
-                jsonify(
-                    {
-                        "error": f"vector dim {qv.shape[0]} != index dim "
-                        f"{_ann_state['cmat'].shape[1]}"
-                    }
-                ),
-                400,
+            raise ValueError(
+                f"vector dim {qv.shape[0]} != index dim "
+                f"{_ann_state['cmat'].shape[1]}"
             )
         qn = float(np.linalg.norm(qv)) or 1.0
         sims = (_ann_state["cmat"] @ qv) / (_ann_state["cnrm"] * qn + 1e-300)
@@ -632,14 +646,7 @@ def create_app(
             .limit(k)
             .collect()
         )
-        return jsonify(
-            {
-                "neighbors": [
-                    {"vec_id": r["vec_id"], "cos": round(r["cos"], 6)} for r in top
-                ],
-                "probed_lists": probed,
-            }
-        )
+        return top, probed
 
     @app.route("/search", methods=["POST"])
     def search_route():
@@ -701,6 +708,102 @@ def create_app(
             }
         )
 
+    @app.route("/hybrid", methods=["POST"])
+    def hybrid():
+        """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+        SIGIR'09) of the BM25 text leg and the IVF vector leg — JSON
+        body {terms, vector, k?, n_probe?, rrf_k?} -> ranked ids with
+        per-leg provenance. Each leg retrieves 4k deep (capped 100),
+        then the fused score of a document is Σ 1/(rrf_k + leg_rank) —
+        rank fusion needs no score calibration between BM25's
+        unbounded scores and cosine's [-1, 1].
+
+        The two indexes must share a document key space (e.g. both
+        built by the crawl loop keyed by url, or both integer
+        ids); the vector leg's vec_id is compared as a string to the
+        text index's doc key. Per-request work = the /search postings
+        prune + the /similar probed-lists scan; the fusion itself is
+        arithmetic over ≤2·4k collected rows on the driver."""
+        if ann_index_path is None or text_index_path is None:
+            return (
+                jsonify(
+                    {
+                        "error": "hybrid needs both the ANN and text "
+                        "indexes configured"
+                    }
+                ),
+                503,
+            )
+        import re as _re
+
+        import numpy as np
+
+        from .operators import search as _search
+
+        body = request.get_json(silent=True) or {}
+        terms = body.get("terms")
+        if isinstance(terms, str):
+            terms = [t for t in _re.split(r"[,\s]+", terms.strip()) if t]
+        if (
+            not isinstance(terms, list)
+            or not terms
+            or not all(isinstance(t, str) and t for t in terms)
+        ):
+            return (
+                jsonify({"error": "terms (non-empty list or string) required"}),
+                400,
+            )
+        vec = body.get("vector")
+        if not isinstance(vec, list) or not vec:
+            return jsonify({"error": "vector (non-empty list) required"}), 400
+        try:
+            qv = np.asarray([float(x) for x in vec], dtype=float)
+        except (TypeError, ValueError):
+            return jsonify({"error": "vector must be numeric"}), 400
+        try:
+            k = min(int(body.get("k", 10)), 100)
+            n_probe = min(int(body.get("n_probe", 4)), 64)
+            rrf_k = max(1, min(int(body.get("rrf_k", 60)), 1000))
+        except (TypeError, ValueError):
+            return (
+                jsonify({"error": "k / n_probe / rrf_k must be integers"}),
+                400,
+            )
+        terms = tuple(dict.fromkeys(t.lower() for t in terms[:10]))
+        depth = min(4 * k, 100)
+        trows = _search.bm25_from_index(
+            store.spark, text_index_path, terms, k=depth
+        ).collect()
+        try:
+            vrows, probed = _ivf_query(qv, depth, n_probe, None)
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 400
+        fused: dict[str, dict] = {}
+        for r in trows:
+            e = fused.setdefault(str(r["doc_id"]), {"score": 0.0})
+            e["score"] += 1.0 / (rrf_k + r["rank"])
+            e["text_rank"] = int(r["rank"])
+        for rank, r in enumerate(vrows, start=1):
+            e = fused.setdefault(str(r["vec_id"]), {"score": 0.0})
+            e["score"] += 1.0 / (rrf_k + rank)
+            e["vector_rank"] = rank
+        ordered = sorted(fused.items(), key=lambda kv: (-kv[1]["score"], kv[0]))
+        return jsonify(
+            {
+                "results": [
+                    {
+                        "rank": i,
+                        "id": key,
+                        "rrf_score": round(e["score"], 6),
+                        "text_rank": e.get("text_rank"),
+                        "vector_rank": e.get("vector_rank"),
+                    }
+                    for i, (key, e) in enumerate(ordered[:k], start=1)
+                ],
+                "probed_lists": probed,
+            }
+        )
+
     @app.route("/instructions", methods=["GET"])
     def instructions():
         lines = [
@@ -715,6 +818,8 @@ def create_app(
             "over the configured IVF index.",
             "POST /search with JSON {terms, k} for BM25 keyword search "
             "over stored page content.",
+            "POST /hybrid with JSON {terms, vector, k} for reciprocal-"
+            "rank-fusion hybrid retrieval over both indexes.",
         ]
         if _wants_html():  # templates/instructions.html parity
             return render_template_string(_INSTRUCTIONS_TEMPLATE, instructions=lines)

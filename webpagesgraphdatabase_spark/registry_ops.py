@@ -31,6 +31,16 @@ COSINE_THRESHOLD = 0.42  # corpus max pair cosine ~0.51 (near-random vectors)
 ANN_QUERIES = 10
 ANN_K = 5
 
+# Hybrid-retrieval (RRF) fixed query set: query q's text leg is this
+# literal term triple, its vector leg is embedding vec_id = q (the doc
+# and vector id spaces are aligned in the synthetic corpus). All terms
+# occur in the corpus vocabulary.
+RRF_QUERY_TERMS: tuple[tuple[str, str, str], ...] = (
+    ("spark", "hash", "window"),
+    ("join", "merge", "sort"),
+    ("stream", "batch", "vector"),
+)
+
 
 def _on(table: str, fn: Callable, *args) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,10 +128,12 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text classifications in one row (joined on
-    doc_id): language ID + quality features + token counts + PII scrub.
-    Inner join on all sides — empty documents (filtered by
-    quality_score) drop identically. Each operator runs unchanged; the
-    join keeps all four hash-checked within the ~50-row gate window.
+    doc_id): language ID + quality features + token counts + PII scrub
+    + trigram/bigram LM fluency + (r8) DSIR importance weights against
+    the English target subset. Inner join on all sides — empty
+    documents (filtered by quality_score) drop identically. Each
+    operator runs unchanged; the join keeps them all hash-checked
+    within the ~50-row gate window.
 
     The PII leg plants deterministic doc_id-derived PII (the synthetic
     corpus has none naturally — see :func:`..operators.pii.plant_pii`),
@@ -133,6 +145,9 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pii_cols = pii.pii_scrub(pii.plant_pii(docs), "text_pii")
+    # DSIR importance weights (r8): target = the English subset —
+    # "which documents look like the data we want more of"
+    dsir = sampling.dsir_weights(docs, F.col("lang") == "en")
     return (
         textstats.lang_id(docs)
         .join(textstats.quality_score(docs), "doc_id")
@@ -141,6 +156,7 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(textstats.trigram_score(docs), "doc_id")
         # bigram-LM fluency (left: docs with <2 tokens have no bigrams)
         .join(textstats.bigram_lm_scores(docs), "doc_id", "left")
+        .join(dsir, "doc_id")
         .select(
             "doc_id",
             "pred_lang",
@@ -163,6 +179,8 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_bigrams", F.lit(0).cast("long")).alias(
                 "n_bigrams"
             ),
+            "dsir_logw",
+            "dsir_keep",
         )
     )
 
@@ -192,15 +210,19 @@ def _q_pack_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four ANN strategies in one registry row (method, query_id,
-    rank, neighbor_id, recall_hits): exact brute force (the correctness
-    baseline), hyperplane-LSH, IVF, and SQ8 (int8 scalar quantization
-    with exact re-rank, r7) — LSH planes and IVF lists auto-sized from
-    the corpus count (floor(log2(N/64)) / floor(sqrt(N)), reproduced in
-    the oracle from count(*)). ``recall_hits`` is the
-    recall@k diagnostic: per (method, query), how many of that method's
-    top-k are in the exact top-k (= ANN_K for the exact rows). Each
-    operator runs unchanged; the union keeps all three hash-checked
+    """All six retrieval strategies in one registry row (method,
+    query_id, rank, neighbor_id, recall_hits): exact brute force (the
+    correctness baseline), hyperplane-LSH, IVF, SQ8 (int8 scalar
+    quantization with exact re-rank, r7), binary sign quantization
+    (1 bit/dim packed to words, asymmetric float-vs-±1 scoring, r8),
+    and hybrid BM25+vector reciprocal-rank fusion (r8) — LSH planes
+    and IVF lists auto-sized from the corpus count (floor(log2(N/64))
+    / floor(sqrt(N)), reproduced in the oracle from count(*)).
+    ``recall_hits`` is the recall@k diagnostic: per (method, query),
+    how many of that method's top-k are in the exact top-k (= ANN_K
+    for the exact rows; for the rrf leg it reads as "how much of the
+    fused list the text signal moved away from pure-cosine"). Each
+    operator runs unchanged; the union keeps all six hash-checked
     within the ~50-row gate window."""
     from pyspark.sql import functions as F
 
@@ -210,11 +232,34 @@ def _q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run its own count()/first() sizing jobs
     n = emb.count()
     dim = len(emb.select("embedding").first()["embedding"])
+    from .operators import search
+
+    # hybrid RRF leg (r8): per fixed query, BM25 top-4k over documents
+    # (fixed-order scoring — the oracle-exact bm25_topk shape) fused
+    # with the exact-cosine top-4k for the aligned query vector via
+    # reciprocal-rank fusion; the fused sum is two doubles, order-free
+    docs = load_table(spark, sf_dir, "documents")
+    text_legs = None
+    for qid, terms in enumerate(RRF_QUERY_TERMS):
+        leg = search.bm25_topk(docs, terms, k=ANN_K * 4).select(
+            F.lit(qid).alias("query_id"), "doc_id", "rank"
+        )
+        text_legs = leg if text_legs is None else text_legs.unionByName(leg)
+    vec_leg = similarity.ann_bruteforce(
+        emb, len(RRF_QUERY_TERMS), ANN_K * 4
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    rrf = search.rrf_fuse([text_legs, vec_leg], topk=ANN_K).select(
+        "query_id", "rank", F.col("doc_id").alias("neighbor_id")
+    )
+
     parts = [
         ("exact", similarity.ann_bruteforce(emb, ANN_QUERIES, ANN_K)),
         ("lsh", similarity.ann_lsh(emb, ANN_QUERIES, ANN_K, corpus_count=n, dim=dim)),
         ("ivf", similarity.ann_ivf(emb, ANN_QUERIES, ANN_K, corpus_count=n)),
         ("sq8", similarity.ann_sq8(emb, ANN_QUERIES, ANN_K)),
+        # binary sign quantization, asymmetric (float-query) scoring
+        ("bin", similarity.ann_bin(emb, ANN_QUERIES, ANN_K, dim=dim)),
+        ("rrf", rrf),
     ]
     out = None
     for method, df in parts:
@@ -1815,9 +1860,139 @@ GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """,
 }
 
-# The three ANN strategies share one registry row (see _q_ann_methods):
-# each keeps its full standalone SQL, tagged and unioned. DuckDB allows
-# a WITH inside a parenthesized subquery, so the bodies nest unchanged.
+# Binary sign quantization (similarity.bin_encode/ann_bin, r8): the
+# signature is sign(x > 0) packed to 64-bit words on the Spark side;
+# the oracle scores the identical semantics from the unpacked ±1 list
+# (the packed-word round trip is pinned in test_operators). Asymmetric
+# scoring: the float query against the candidate's ±1 vector, then
+# k·refine shortlist and exact re-rank — the ADC analogue for 1 bit.
+ORACLES["s_ann_bin"] = (
+    _EMB
+    + f""",
+bins AS (
+  SELECT vec_id,
+         list_transform(e, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS s
+  FROM n
+),
+binapprox AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.s) AS ascore
+  FROM n q JOIN bins c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {ANN_QUERIES}
+),
+binshort AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, neighbor_id ASC) AS rn
+    FROM binapprox
+  ) WHERE rn <= {ANN_K * 16}
+),
+binrr AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS cos
+  FROM binshort s
+  JOIN n q ON q.vec_id = s.query_id
+  JOIN n x ON x.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM binrr
+) WHERE rank <= {ANN_K}
+"""
+)
+
+
+def _rrf_text_leg_sql(qid: int, terms: tuple[str, str, str]) -> str:
+    """One fixed query's BM25 top-(4k) leg — the bmper/bmstats/bmscored
+    shape of the t_fingerprints oracle (fixed-order 3-term sum, Lucene
+    idf), nested so each query carries its own stats."""
+    t0, t1, t2 = terms
+    return f"""
+  SELECT {qid} AS query_id, doc_id, rank FROM (
+    WITH rtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    rper AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, t -> t = '{t0}')) AS tf0,
+             len(list_filter(toks, t -> t = '{t1}')) AS tf1,
+             len(list_filter(toks, t -> t = '{t2}')) AS tf2
+      FROM rtoks
+    ),
+    rstats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM rper
+    ),
+    rscored AS (
+      SELECT doc_id,
+             (CASE WHEN tf0 > 0 THEN ln(1.0 + (n_docs - df0 + 0.5)/(df0 + 0.5))
+                   * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ELSE 0.0 END)
+           + (CASE WHEN tf1 > 0 THEN ln(1.0 + (n_docs - df1 + 0.5)/(df1 + 0.5))
+                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ELSE 0.0 END)
+           + (CASE WHEN tf2 > 0 THEN ln(1.0 + (n_docs - df2 + 0.5)/(df2 + 0.5))
+                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ELSE 0.0 END) AS score
+      FROM rper, rstats
+      WHERE tf0 + tf1 + tf2 > 0
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM rscored ORDER BY score DESC, doc_id LIMIT {ANN_K * 4}
+  )"""
+
+
+# Hybrid retrieval (search.rrf_fuse, r8): reciprocal-rank fusion of the
+# per-query BM25 top-4k (fixed literal term triples) and the exact-
+# cosine top-4k for the aligned query vector; fused score = sum of two
+# 1/(60+rank) doubles (order-insensitive), top-k by (score desc, doc).
+ORACLES["s_ann_rrf"] = (
+    _EMB
+    + f""",
+rtext AS ({"  UNION ALL".join(_rrf_text_leg_sql(q, t) for q, t in enumerate(RRF_QUERY_TERMS))}
+),
+rvec AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                      c.vec_id ASC) AS rank
+    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {len(RRF_QUERY_TERMS)}
+  ) WHERE rank <= {ANN_K * 4}
+),
+ru AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM rtext
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, 1.0 / (60 + rank) FROM rvec
+),
+rf AS (
+  SELECT query_id, doc_id, sum(contrib) AS rrf_score
+  FROM ru GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, doc_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM rf
+) WHERE rank <= {ANN_K}
+"""
+)
+
+# The six retrieval strategies share one registry row (see
+# _q_ann_methods): each keeps its full standalone SQL, tagged and
+# unioned. DuckDB allows a WITH inside a parenthesized subquery, so the
+# bodies nest unchanged.
 _ANN_UNION = "\nUNION ALL\n".join(
     f"SELECT '{method}' AS method, t.* FROM (" + ORACLES.pop(key) + ") t"
     for method, key in (
@@ -1825,6 +2000,8 @@ _ANN_UNION = "\nUNION ALL\n".join(
         ("lsh", "s_ann_lsh"),
         ("ivf", "s_ann_ivf"),
         ("sq8", "s_ann_sq8"),
+        ("bin", "s_ann_bin"),
+        ("rrf", "s_ann_rrf"),
     )
 )
 # recall@k diagnostic: per (method, query), how many of the method's
@@ -2012,19 +2189,67 @@ GROUP BY b.doc_id
 """
 )
 
+# DSIR importance weights (sampling.dsir_weights, r8 — Xie et al.
+# NeurIPS'23): hashed unigram+bigram features (2-hex-char md5 bucket,
+# 256 buckets), add-one-smoothed target (lang='en') vs raw
+# distributions, per-doc log-weight = Σ n_b·(ln p_b − ln q_b); the
+# keep verdict thresholds the ROUNDED weight in both engines.
+_DSIR_PART = (
+    _TOKS
+    + r""",
+dfe AS (
+  SELECT doc_id, unnest(toks) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+  FROM toks, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+),
+dfb AS (SELECT doc_id, substr(md5(f), 1, 2) AS b FROM dfe),
+dtgt AS (
+  SELECT dfb.doc_id, dfb.b FROM dfb
+  JOIN documents d ON dfb.doc_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+dtc AS (SELECT b, count(*) AS tc FROM dtgt GROUP BY b),
+drc AS (SELECT b, count(*) AS rc FROM dfb GROUP BY b),
+dtot AS (
+  SELECT (SELECT count(*) FROM dtgt) AS tt,
+         (SELECT count(*) FROM dfb) AS tr
+),
+dlam AS (
+  SELECT drc.b,
+         ln((COALESCE(dtc.tc, 0) + 1.0) / (tt + 256))
+       - ln((drc.rc + 1.0) / (tr + 256)) AS lam
+  FROM drc LEFT JOIN dtc ON drc.b = dtc.b, dtot
+),
+dper AS (SELECT doc_id, b, count(*) AS n FROM dfb GROUP BY doc_id, b),
+dlogw AS (
+  SELECT dper.doc_id, sum(dper.n * dlam.lam) AS raw_logw
+  FROM dper JOIN dlam ON dper.b = dlam.b
+  GROUP BY dper.doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(w.raw_logw, 0.0), 6) AS dsir_logw,
+       round(COALESCE(w.raw_logw, 0.0), 6) > 0 AS dsir_keep
+FROM documents d LEFT JOIN dlogw w ON d.doc_id = w.doc_id
+"""
+)
+
 ORACLES["t_lang_quality"] = (
     "SELECT l.doc_id, l.pred_lang, l.score, q.n_tokens, q.mean_token_len,\n"
     "       q.stopword_ratio, q.quality, c.ws_tokens, c.re_tokens, c.n_chars,\n"
     "       p.n_email, p.n_ip, p.n_phone, p.n_id, p.clean_text,\n"
     "       t.n_tri, t.tri_score,\n"
     "       COALESCE(m.lm_logp, 0.0) AS lm_logp,\n"
-    "       COALESCE(m.n_bigrams, 0) AS n_bigrams\n"
+    "       COALESCE(m.n_bigrams, 0) AS n_bigrams,\n"
+    "       s.dsir_logw, s.dsir_keep\n"
     "FROM (" + ORACLES.pop("t_lang_id") + ") l\n"
     "JOIN (" + ORACLES.pop("t_quality_score") + ") q ON l.doc_id = q.doc_id\n"
     "JOIN (" + ORACLES.pop("t_token_counts") + ") c ON l.doc_id = c.doc_id\n"
     "JOIN (" + _PII_PART + ") p ON l.doc_id = p.doc_id\n"
     "JOIN (" + _TRIGRAM_PART + ") t ON l.doc_id = t.doc_id\n"
-    "LEFT JOIN (" + _LM_PART + ") m ON l.doc_id = m.doc_id"
+    "LEFT JOIN (" + _LM_PART + ") m ON l.doc_id = m.doc_id\n"
+    "JOIN (" + _DSIR_PART + ") s ON l.doc_id = s.doc_id"
 )
 
 # Within-doc repetition (Gopher boilerplate signal): 2-gram occurrence
