@@ -3301,3 +3301,59 @@ def test_dsir_top_fraction(spark):
     assert all(w[r.doc_id] >= thr for r in kept.collect())
     with pytest.raises(ValueError, match="frac"):
         sampling.dsir_top_fraction(docs, F.col("lang") == "en", frac=1.5)
+
+
+def test_train_sample_bounds_and_determinism(spark):
+    """_train_sample: a corpus at/under the cap passes through
+    untouched; above it, the hash-filter keeps ~1.2·cap rows, the
+    SAME rows on every call and partitioning."""
+    from pyspark.sql import functions as F
+
+    emb = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    assert similarity._train_sample(emb, None) is emb
+    assert similarity._train_sample(emb, 5000, corpus_count=3000) is emb
+    s1 = similarity._train_sample(emb, 500, corpus_count=3000)
+    n1 = s1.count()
+    assert 350 <= n1 <= 900  # ~1.2*cap with binomial spread
+    ids1 = {r.vec_id for r in s1.collect()}
+    ids2 = {
+        r.vec_id
+        for r in similarity._train_sample(
+            emb.repartition(7), 500, corpus_count=3000
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_kmeans_train_cap_still_serves(spark):
+    """Capped Lloyd training (the at-scale quantizer discipline) still
+    yields n_centroids centroids and an IVF whose full-probe search is
+    exact — training on a sample changes WHERE the centroids sit,
+    never the search contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 8)) * 5
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.1])
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.kmeans_centroids(
+        emb, n_centroids=4, n_iters=2, train_cap=150, corpus_count=600
+    )
+    got = cents.collect()
+    assert len(got) == 4
+    # full-probe capped-trained IVF == brute force (search contract)
+    res = similarity.ann_ivf(
+        emb, 5, 3, n_centroids=4, n_probe=4, trained=True,
+        corpus_count=600,
+    )
+    exact = similarity.ann_bruteforce(emb, 5, 3)
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, exact.collect())
+    )

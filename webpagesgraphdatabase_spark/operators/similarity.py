@@ -272,8 +272,42 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     )
 
 
+#: training points per centroid/codeword kept by the Lloyd loops —
+#: the standard quantizer-training subsample discipline (beyond this
+#: the extra points sharpen centroids negligibly while every Lloyd
+#: iteration pays a full corpus pass). At the bench/test scales the
+#: caps exceed the corpus, so sampling is a no-op there by design.
+TRAIN_POINTS_PER_CENTROID = 256
+
+
+def _train_sample(
+    emb: DataFrame, cap: int | None, corpus_count: int | None = None
+) -> DataFrame:
+    """A deterministic, bounded training subset: rows whose
+    ``pmod(xxhash64(vec_id), 1e6)`` falls under ~1.2·cap/N of the hash
+    space (the slack keeps the expected sample ≥ cap; training needs
+    "about cap points", not exactly cap). Identical membership on
+    every run and partitioning — no RNG, no sort, one codegen filter
+    the scan absorbs. ``cap=None`` or a corpus at/under the cap
+    returns ``emb`` unchanged."""
+    if cap is None:
+        return emb
+    n = corpus_count if corpus_count is not None else emb.count()
+    if n <= cap:
+        return emb
+    frac = min(1.0, 1.2 * cap / n)
+    return emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(1_000_000))
+        < F.lit(int(frac * 1_000_000))
+    )
+
+
 def kmeans_centroids(
-    emb: DataFrame, n_centroids: int = N_CENTROIDS, n_iters: int = 3
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iters: int = 3,
+    train_cap: int | str | None = "auto",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Trained coarse quantizer: Lloyd's k-means as DataFrame
     supersteps, seeded from :func:`ivf_centroids` (so ``n_iters=0``
@@ -303,10 +337,22 @@ def kmeans_centroids(
     Trained centroids are *not* bit-deterministic across partitionings
     (float summation order in the mean), which is why the oracle-checked
     registry row keeps the seeded-sample quantizer; this is the
-    recall-quality mode (``ann_ivf(trained=True)``)."""
+    recall-quality mode (``ann_ivf(trained=True)``).
+
+    ``train_cap`` bounds the Lloyd loop to a deterministic hash-sample
+    of ~cap vectors (:func:`_train_sample`) — the standard at-scale
+    quantizer discipline: training cost becomes O(cap·n_iters)
+    regardless of corpus size, while seeding and (callers')
+    assignment/encode still see the full corpus. The default
+    ``"auto"`` resolves to ``TRAIN_POINTS_PER_CENTROID · n_centroids``
+    (a no-op at the bench/test corpus sizes, a hard bound at 100 TB);
+    ``None`` disables sampling outright."""
+    if train_cap == "auto":
+        train_cap = TRAIN_POINTS_PER_CENTROID * n_centroids
     cents = ivf_centroids(emb, n_centroids).persist()
     cents.count()
-    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    tr = _train_sample(emb, train_cap, corpus_count)
+    v = tr.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     for _ in range(n_iters):
         assigned = _argmax_assign(v, cents)
         means = (
@@ -442,7 +488,7 @@ def ann_ivf(
     if n_probe is None:
         n_probe = auto_n_probe(n_centroids)
     cents = (
-        kmeans_centroids(emb, n_centroids, n_iters)
+        kmeans_centroids(emb, n_centroids, n_iters, corpus_count=corpus_count)
         if trained
         else ivf_centroids(emb, n_centroids)
     )
@@ -518,7 +564,7 @@ def build_ivf_index(
             emb.count() if corpus_count is None else corpus_count
         )
     cents = (
-        kmeans_centroids(emb, n_centroids, n_iters)
+        kmeans_centroids(emb, n_centroids, n_iters, corpus_count=corpus_count)
         if trained
         else ivf_centroids(emb, n_centroids)
     )
@@ -991,7 +1037,7 @@ def ann_hybrid(
 
     # IVF candidates: members of each query's probed inverted lists
     cents = (
-        kmeans_centroids(emb, n_centroids, n_iters)
+        kmeans_centroids(emb, n_centroids, n_iters, corpus_count=corpus_count)
         if trained
         else ivf_centroids(emb, n_centroids)
     )
@@ -1300,6 +1346,8 @@ def train_pq(
     ks: int = 32,
     n_iters: int = 3,
     dim: int | None = None,
+    train_cap: int | str | None = "auto",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """PQ codebook: (m, cid, cemb array<double>) — ``ks`` codewords per
     subspace, Lloyd-trained. ALL subspaces train in the same superstep
@@ -1310,7 +1358,15 @@ def train_pq(
     M independent k-means for the price of one. Seeding follows
     :func:`ivf_centroids`' discipline (the ks vectors with the smallest
     md5(vec_id), sliced per subspace), so ``n_iters=0`` is
-    deterministic and training-free."""
+    deterministic and training-free.
+
+    ``train_cap`` (default ``"auto"`` = ``TRAIN_POINTS_PER_CENTROID ·
+    ks``) bounds the Lloyd iterations to a deterministic hash-sample —
+    the codebook trains on ~cap vectors however large the corpus is;
+    :func:`pq_encode` still encodes every row. No-op at bench/test
+    corpus sizes by construction."""
+    if train_cap == "auto":
+        train_cap = TRAIN_POINTS_PER_CENTROID * ks
     if dim is None:
         dim = len(emb.select("embedding").first()["embedding"])
     if dim % m:
@@ -1335,7 +1391,7 @@ def train_pq(
     book.count()
     if n_iters:
         sv = (
-            emb.select(
+            _train_sample(emb, train_cap, corpus_count).select(
                 "vec_id", F.posexplode(_subvec_col(m, dsub)).alias("m", "sub")
             )
         ).persist()
@@ -1758,7 +1814,7 @@ def build_pq_index(
 
         _sh.rmtree(f"{path}/opq.parquet", ignore_errors=True)
     coarse_cents = (
-        kmeans_centroids(emb, n_centroids, n_iters)
+        kmeans_centroids(emb, n_centroids, n_iters, corpus_count=corpus_count)
         if trained
         else ivf_centroids(emb, n_centroids)
     )
@@ -1795,7 +1851,7 @@ def build_pq_index(
             )
         else:
             enc = emb
-        train_pq(enc, m, ks, n_iters, dim=dim).write.mode("overwrite").parquet(
+        train_pq(enc, m, ks, n_iters, dim=dim, corpus_count=corpus_count).write.mode("overwrite").parquet(
             f"{path}/codebook.parquet"
         )
         book = spark.read.parquet(f"{path}/codebook.parquet")
