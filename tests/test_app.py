@@ -615,3 +615,35 @@ def test_hybrid_route_validates_input(store, spark, tmp_path):
         c.post("/hybrid", json={"terms": "a", "vector": [1.0]}).status_code
         == 400
     )  # dim mismatch
+
+
+def test_hybrid_route_filtered(store, spark, tmp_path):
+    """allowed_ids narrows BOTH legs: every fused result id is
+    allowed, and the per-leg provenance ranks renumber within the
+    subset (candidate narrowing, not post-filtering)."""
+    c, emb = _hybrid_app(store, spark, tmp_path)
+    target = emb.filter("vec_id = 7").first()
+    r = c.post(
+        "/hybrid",
+        json={
+            "terms": "alpha beta",
+            "vector": list(target["embedding"]),
+            "k": 5,
+            "allowed_ids": [11, 12, 13, 20, 22, 24],
+        },
+    )
+    assert r.status_code == 200, r.get_json()
+    results = r.get_json()["results"]
+    assert results, "filtered hybrid returned nothing"
+    assert {e["id"] for e in results} <= {"11", "12", "13", "20", "22", "24"}
+    # text leg ranks renumber within the allowed docs: doc 11 is the
+    # best allowed text match for 'alpha', so its text_rank is 1
+    by_id = {e["id"]: e for e in results}
+    assert by_id["11"]["text_rank"] == 1
+    # validation: oversized / non-int lists refused
+    bad = c.post(
+        "/hybrid",
+        json={"terms": "a", "vector": list(target["embedding"]),
+              "allowed_ids": ["x"]},
+    )
+    assert bad.status_code == 400

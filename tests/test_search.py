@@ -182,3 +182,40 @@ def test_compact_text_index_identical_scores_and_replay_noop(
         .select("batch").distinct().collect()
     }
     assert batches == {0, 2}
+
+
+def test_bm25_from_index_allowed_filter(spark, tmp_path):
+    """Filtered index retrieval keeps CORPUS statistics (idf/avgdl) and
+    narrows candidates: the filtered top-k equals the allowed-only
+    prefix of the unfiltered full ranking; int and string filter key
+    types both work against the int-keyed index."""
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    corpus = spark.createDataFrame(
+        [(i, f"spark hash {'spark ' * (i % 4)}tail{i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "ti")
+    S.build_text_index(corpus, path, n_buckets=4)
+    full = S.bm25_from_index(spark, path, ("spark", "hash"), k=12).collect()
+    allowed_ids = [0, 3, 5, 6, 9]
+    allowed = spark.createDataFrame(
+        [(i,) for i in allowed_ids], ["doc_id"]
+    )
+    got = S.bm25_from_index(
+        spark, path, ("spark", "hash"), k=3, allowed=allowed
+    ).collect()
+    want = [r["doc_id"] for r in full if r["doc_id"] in set(allowed_ids)][:3]
+    assert [r["doc_id"] for r in got] == want
+    # scores equal the unfiltered scores (corpus stats preserved)
+    full_scores = {r["doc_id"]: r["score"] for r in full}
+    for r in got:
+        assert r["score"] == full_scores[r["doc_id"]]
+    # string-typed filter keys match the int-keyed index identically
+    allowed_s = spark.createDataFrame(
+        [(str(i),) for i in allowed_ids], ["doc_id"]
+    )
+    got_s = S.bm25_from_index(
+        spark, path, ("spark", "hash"), k=3, allowed=allowed_s
+    ).collect()
+    assert [r["doc_id"] for r in got_s] == want

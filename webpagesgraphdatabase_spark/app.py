@@ -712,8 +712,11 @@ def create_app(
     def hybrid():
         """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
         SIGIR'09) of the BM25 text leg and the IVF vector leg — JSON
-        body {terms, vector, k?, n_probe?, rrf_k?} -> ranked ids with
-        per-leg provenance. Each leg retrieves 4k deep (capped 100),
+        body {terms, vector, k?, n_probe?, rrf_k?, allowed_ids?} ->
+        ranked ids with per-leg provenance. ``allowed_ids`` narrows
+        BOTH legs' candidate scans (the filtered-ANN discipline of
+        /similar extended to the postings side), so the fused top-k is
+        the true top-k of the subset. Each leg retrieves 4k deep (capped 100),
         then the fused score of a document is Σ 1/(rrf_k + leg_rank) —
         rank fusion needs no score calibration between BM25's
         unbounded scores and cosine's [-1, 1].
@@ -769,13 +772,35 @@ def create_app(
                 jsonify({"error": "k / n_probe / rrf_k must be integers"}),
                 400,
             )
+        allowed = body.get("allowed_ids")
+        if allowed is not None:
+            if not isinstance(allowed, list) or len(allowed) > 10_000:
+                return (
+                    jsonify(
+                        {"error": "allowed_ids must be a list of <=10000 ids"}
+                    ),
+                    400,
+                )
+            try:
+                allowed = [int(x) for x in allowed]
+            except (TypeError, ValueError):
+                return jsonify({"error": "allowed_ids must be integers"}), 400
         terms = tuple(dict.fromkeys(t.lower() for t in terms[:10]))
         depth = min(4 * k, 100)
+        allowed_df = None
+        if allowed is not None:
+            from pyspark.sql import functions as F
+
+            allowed_df = store.spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(int(x)) for x in allowed])
+                ).alias("doc_id")
+            )
         trows = _search.bm25_from_index(
-            store.spark, text_index_path, terms, k=depth
+            store.spark, text_index_path, terms, k=depth, allowed=allowed_df
         ).collect()
         try:
-            vrows, probed = _ivf_query(qv, depth, n_probe, None)
+            vrows, probed = _ivf_query(qv, depth, n_probe, allowed)
         except ValueError as exc:
             return jsonify({"error": str(exc)}), 400
         fused: dict[str, dict] = {}

@@ -406,10 +406,18 @@ def bm25_from_index(
     k: int = 10,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve a query from a :func:`build_text_index` directory: the
     postings scan is filtered to the query terms' buckets (partition-
-    pruned) then to the terms themselves (row-group pushdown)."""
+    pruned) then to the terms themselves (row-group pushdown).
+
+    ``allowed`` (any frame with a ``doc_id`` column) restricts results
+    to that subset via a semi-join on the hit postings — CORPUS-level
+    idf/avgdl are kept (the standard filtered-retrieval contract: the
+    filter narrows who can be returned, not what the collection
+    statistics are), so the filtered top-k equals the allowed-only
+    prefix of the unfiltered full ranking — test-pinned."""
     raw_stats = spark.read.parquet(f"{path}/stats.parquet")
     n_buckets = int(raw_stats.first()["n_buckets"])
     # merge per-batch stats exactly: avgdl = Σ sum_dl / Σ n_docs (the
@@ -441,7 +449,21 @@ def bm25_from_index(
     hit = postings.filter(
         F.col("bucket").isin(*buckets) & F.col("term").isin(*terms)
     )
+    # df comes from the UNfiltered postings (corpus statistics); the
+    # allowed semi-join then narrows the scoring candidates only. The
+    # join keys compare as strings so an int-keyed filter works
+    # against a url-keyed index and vice versa — the hit set is
+    # already term-pruned, so the cast costs nothing that matters
     df_t = hit.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    if allowed is not None:
+        a = allowed.select(
+            F.col("doc_id").cast("string").alias("_allowed_doc")
+        ).distinct()
+        hit = hit.join(
+            a,
+            F.col("doc_id").cast("string") == F.col("_allowed_doc"),
+            "left_semi",
+        )
     scored = (
         hit.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
