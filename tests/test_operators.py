@@ -3357,3 +3357,77 @@ def test_kmeans_train_cap_still_serves(spark):
     assert sorted(map(tuple, res.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_bin_index_append_and_compaction_exactly_once(spark, tmp_path):
+    """The binary index grows exactly-once: an append replay of the
+    same batch id is idempotent, compaction folds batches to segment 0
+    with bit-identical query results, and a replay of a folded batch
+    no-ops via the watermark."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+    path = str(tmp_path / "bin")
+    similarity.build_bin_index(base, path)
+    similarity.bin_index_append(extra, path, batch=1)
+    grown = sorted(
+        map(tuple, similarity.ann_bin_from_index(spark, path, emb, 5, 5).collect())
+    )
+    oneshot_path = str(tmp_path / "bin1")
+    similarity.build_bin_index(emb, oneshot_path)
+    oneshot = sorted(
+        map(
+            tuple,
+            similarity.ann_bin_from_index(spark, oneshot_path, emb, 5, 5).collect(),
+        )
+    )
+    assert grown == oneshot
+    # replaying batch 1 (same rows, same id) leaves the store identical
+    similarity.bin_index_append(extra, path, batch=1)
+    n_rows = spark.read.parquet(f"{path}/bin.parquet").count()
+    assert n_rows == emb.count()
+    # compact: results bit-identical, all rows in batch 0
+    rep = similarity.compact_bin_store(spark, path)
+    assert rep["files_after"] <= rep["files_before"]
+    st = spark.read.parquet(f"{path}/bin.parquet")
+    assert st.select(F.max("batch")).first()[0] == 0
+    compacted = sorted(
+        map(tuple, similarity.ann_bin_from_index(spark, path, emb, 5, 5).collect())
+    )
+    assert compacted == grown
+    # a replay of the folded batch must NO-OP (watermark guard)
+    similarity.bin_index_append(extra, path, batch=1)
+    assert spark.read.parquet(f"{path}/bin.parquet").count() == emb.count()
+
+
+def test_streaming_bin_ingest_exactly_once(spark, tmp_path):
+    """The streaming twin lands micro-batches through the same append
+    path: after the drain, the served index equals a one-shot build
+    over the union."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.streaming import jobs as sj
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    src = str(tmp_path / "src")
+    extra.repartition(1).write.parquet(src)
+    path = str(tmp_path / "bin")
+    similarity.build_bin_index(base, path)
+    stream = spark.readStream.schema(extra.schema).parquet(src)
+    sj.streaming_bin_ingest(stream, path, str(tmp_path / "ckpt"))
+    served = sorted(
+        map(tuple, similarity.ann_bin_from_index(spark, path, emb, 5, 5).collect())
+    )
+    oneshot_path = str(tmp_path / "bin1")
+    similarity.build_bin_index(emb, oneshot_path)
+    oneshot = sorted(
+        map(
+            tuple,
+            similarity.ann_bin_from_index(spark, oneshot_path, emb, 5, 5).collect(),
+        )
+    )
+    assert served == oneshot

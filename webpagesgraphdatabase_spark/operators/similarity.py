@@ -2727,3 +2727,77 @@ def ann_bin_from_index(
         enc=enc,
         allowed=allowed,
     )
+
+
+def bin_index_append(emb: DataFrame, path: str, batch: int | None = None) -> None:
+    """Incrementally add vectors to a :func:`build_bin_index` layout —
+    the exactly-once ingest discipline shared with
+    :func:`sq8_index_append`: signatures encode row-locally, land in
+    their own ``batch`` sub-partition under every touched bucket, and
+    the write is a per-writer DYNAMIC partition overwrite keyed on the
+    batch id (crash replays overwrite exactly their own partitions).
+    Replays of batches already folded by :func:`compact_bin_store`
+    no-op via the shared compaction watermark. ``batch=None``
+    allocates max(existing, watermark)+1."""
+    spark = emb.sparkSession
+    n_buckets = int(
+        spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"]
+    )
+    store_path = f"{path}/bin.parquet"
+    wm = _read_compaction_watermark(path)
+    if batch is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            prev = (
+                spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
+            )
+        except AnalysisException:
+            prev = 0
+        batch = max(int(prev or 0), wm) + 1
+    elif int(batch) <= wm:
+        return
+    enc = (
+        bin_encode(emb)
+        .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
+        .withColumn("batch", F.lit(int(batch)))
+    )
+    enc.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket", "batch").parquet(store_path)
+
+
+def compact_bin_store(spark, path: str) -> dict:
+    """Fold an ingest-fragmented binary-signature store back into one
+    segment — :func:`compact_sq8_store`'s twin for the packed-word
+    layout, same watermark-first discipline so a checkpoint replay of
+    a folded batch no-ops in :func:`bin_index_append`. Signatures are
+    not re-encoded — query results are bit-identical."""
+    from ._util import (
+        count_parquet_files,
+        swap_in_rewrite,
+        write_compaction_watermark,
+    )
+
+    store_path = f"{path}/bin.parquet"
+    before = count_parquet_files(store_path)
+    prev_max = spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
+    wm = max(int(prev_max or 0), _read_compaction_watermark(path))
+    write_compaction_watermark(path, wm)
+    swap_in_rewrite(
+        lambda tmp: (
+            spark.read.parquet(store_path)
+            .withColumn("batch", F.lit(0))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "batch")
+            .parquet(tmp)
+        ),
+        store_path,
+        f"{path}/bin.compact.tmp",
+    )
+    return {
+        "files_before": before,
+        "files_after": count_parquet_files(store_path),
+        "watermark": wm,
+    }

@@ -623,3 +623,26 @@ def streaming_text_index_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_bin_ingest(
+    vec_stream: DataFrame, path: str, checkpoint_dir: str
+) -> None:
+    """Streaming twin of ``similarity.bin_index_append`` — the packed
+    binary-signature store grows with the same exactly-once dynamic-
+    overwrite discipline as ``streaming_sq8_ingest`` (micro-batch id
+    + 1 as the batch partition, base build stays batch 0, replays of
+    compaction-folded batches no-op via the shared watermark)."""
+    from ..operators.similarity import bin_index_append
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bin_index_append(batch_df, path, batch=int(batch_id) + 1)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
