@@ -159,23 +159,28 @@ def temperature_weights(
 DSIR_BUCKETS = 256
 
 
-def _dsir_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, b): one row per feature INSTANCE — whitespace unigrams
-    plus adjacent bigrams, each hashed to a 2-hex-char md5 bucket
-    (256 buckets). The hashed-n-gram feature map of Xie et al.,
-    NeurIPS'23 (DSIR), with md5 as the engine-portable hash."""
+def _dsir_features(
+    docs: DataFrame, text_col: str = "text", extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, b [, *extra]): one row per feature INSTANCE —
+    whitespace unigrams plus adjacent bigrams, each hashed to a
+    2-hex-char md5 bucket (256 buckets). The hashed-n-gram feature map
+    of Xie et al., NeurIPS'23 (DSIR), with md5 as the engine-portable
+    hash. ``extra`` columns pass through the explode row-locally (so a
+    per-doc flag never needs a corpus-sized join afterwards)."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
     uni = F.col("tok")
     feats = docs.select(
-        "doc_id", F.explode(toks).alias("tok")
-    ).select("doc_id", uni.alias("f"))
+        "doc_id", *extra, F.explode(toks).alias("tok")
+    ).select("doc_id", *extra, uni.alias("f"))
     # bigrams: positions 1..n-1 of the token array joined with a
     # space; sequence(1, 0) would generate a DESCENDING [1, 0] for
     # sub-2-token docs, so those emit an empty array instead
     bi = docs.select(
         "doc_id",
+        *extra,
         F.explode(
             F.when(
                 F.size(toks) >= 2,
@@ -191,7 +196,7 @@ def _dsir_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("f"),
     )
     return feats.unionByName(bi).select(
-        "doc_id", F.substring(F.md5(F.col("f")), 1, 2).alias("b")
+        "doc_id", *extra, F.substring(F.md5(F.col("f")), 1, 2).alias("b")
     )
 
 
@@ -218,74 +223,71 @@ def dsir_weights(
     shuffle-free selection rule; fraction-based selection at scale
     goes through :func:`dsir_top_fraction` (approxQuantile threshold).
 
-    Scale shape: the feature explode is the only corpus-sized stage;
-    both distributions partial-aggregate to ≤256-row tables that
-    broadcast back; the per-doc weight folds its ≤256 (bucket, count)
-    cells in bucket-sorted order — a DETERMINISTIC float summation
-    order, so the oracle reproduces the exact double. No global sort,
-    no hot-key window anywhere."""
-    fb = _dsir_features(docs, text_col).persist()
-    try:
-        tgt = fb.join(
-            docs.filter(target_filter).select(id_col), "doc_id", "left_semi"
-        )
-        tc = tgt.groupBy("b").agg(F.count("*").alias("tc"))
-        rc = fb.groupBy("b").agg(F.count("*").alias("rc"))
-        tot_t = tgt.count()
-        tot_r = fb.count()
-        lam = (
-            rc.join(tc, "b", "left")
-            .select(
-                "b",
-                (
-                    F.log(
-                        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
-                        / F.lit(float(tot_t + DSIR_BUCKETS))
-                    )
-                    - F.log(
-                        (F.col("rc") + F.lit(1.0))
-                        / F.lit(float(tot_r + DSIR_BUCKETS))
-                    )
-                ).alias("lam"),
+    Scale shape — two passes over the feature explode, everything
+    LAZY (no eager count jobs, no checkpoint): pass 1 is ONE combined
+    groupBy(bucket) carrying the raw count and (via an is-target flag
+    attached at the source) the target count, from whose ≤256 rows the
+    totals fold as a 1-row broadcast; pass 2 is the per-doc bucket
+    count joined against the broadcast λ table. The per-doc weight
+    folds its ≤256 (bucket, count) cells in bucket-sorted order — a
+    DETERMINISTIC float summation order, so the oracle reproduces the
+    exact double. No global sort, no hot-key window anywhere."""
+    flagged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col),
+        target_filter.alias("_is_tgt"),
+    )
+    # the target flag rides the explode row-locally — never a
+    # corpus-sized join or broadcast to re-attach it
+    fb = _dsir_features(flagged, text_col, extra=("_is_tgt",))
+    counts = fb.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.col("_is_tgt").cast("long")).alias("tc"),
+    )
+    totals = counts.agg(
+        F.sum("rc").alias("tot_r"), F.sum("tc").alias("tot_t")
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("tot_t"), F.lit(0)) + F.lit(float(DSIR_BUCKETS)))
             )
-        )
-        per = (
-            fb.groupBy("doc_id", "b")
-            .agg(F.count("*").alias("n"))
-            .join(F.broadcast(lam), "b")
-            .select(
-                "doc_id", "b", (F.col("n") * F.col("lam")).alias("v")
+            - F.log(
+                (F.col("rc") + F.lit(1.0))
+                / (F.col("tot_r") + F.lit(float(DSIR_BUCKETS)))
             )
+        ).alias("lam"),
+    )
+    per = (
+        _dsir_features(flagged, text_col)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(lam), "b")
+        .select("doc_id", "b", (F.col("n") * F.col("lam")).alias("v"))
+    )
+    logw = per.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "v"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("raw_logw")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(logw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("raw_logw", F.lit(0.0)), 6).alias(
+                "dsir_logw"
+            ),
         )
-        logw = (
-            per.groupBy("doc_id")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("b", "v"))),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["v"],
-                ).alias("raw_logw")
-            )
-        )
-        out = (
-            docs.select(F.col(id_col).alias("doc_id"))
-            .join(logw, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.round(F.coalesce("raw_logw", F.lit(0.0)), 6).alias(
-                    "dsir_logw"
-                ),
-            )
-            # keep thresholds the ROUNDED weight: both engines compare
-            # the same 6-decimal double, so a last-ulp summation
-            # difference can never flip the verdict at the boundary
-            .withColumn("dsir_keep", F.col("dsir_logw") > 0)
-        )
-        # materialize before unpersisting the feature frame the plan reads
-        out = out.localCheckpoint(eager=True)
-    finally:
-        fb.unpersist()
-    return out
+        # keep thresholds the ROUNDED weight: both engines compare
+        # the same 6-decimal double, so a last-ulp summation
+        # difference can never flip the verdict at the boundary
+        .withColumn("dsir_keep", F.col("dsir_logw") > 0)
+    )
 
 
 def dsir_top_fraction(
