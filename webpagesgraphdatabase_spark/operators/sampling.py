@@ -168,28 +168,35 @@ def _dsir_features(
     of Xie et al., NeurIPS'23 (DSIR), with md5 as the engine-portable
     hash. ``extra`` columns pass through the explode row-locally (so a
     per-doc flag never needs a corpus-sized join afterwards)."""
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    # materialize the token array ONCE per row before any per-element
+    # access: element_at over the raw split/filter EXPRESSION would
+    # re-evaluate the whole tokenize per element inside the bigram
+    # lambda — O(tokens²) work per document (measured 6+ s for a 500k-
+    # feature corpus; ~0.5 s with the projection)
+    base = docs.select(
+        "doc_id",
+        *extra,
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("_toks"),
     )
-    uni = F.col("tok")
-    feats = docs.select(
-        "doc_id", *extra, F.explode(toks).alias("tok")
-    ).select("doc_id", *extra, uni.alias("f"))
+    tcol = F.col("_toks")
+    feats = base.select("doc_id", *extra, F.explode(tcol).alias("f"))
     # bigrams: positions 1..n-1 of the token array joined with a
     # space; sequence(1, 0) would generate a DESCENDING [1, 0] for
     # sub-2-token docs, so those emit an empty array instead
-    bi = docs.select(
+    bi = base.select(
         "doc_id",
         *extra,
         F.explode(
             F.when(
-                F.size(toks) >= 2,
+                F.size(tcol) >= 2,
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                    F.sequence(F.lit(1), F.size(tcol) - F.lit(1)),
                     lambda i: F.concat_ws(
                         " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + F.lit(1)),
+                        F.element_at(tcol, i),
+                        F.element_at(tcol, i + F.lit(1)),
                     ),
                 ),
             ).otherwise(F.array().cast("array<string>"))
@@ -238,11 +245,21 @@ def dsir_weights(
         target_filter.alias("_is_tgt"),
     )
     # the target flag rides the explode row-locally — never a
-    # corpus-sized join or broadcast to re-attach it
-    fb = _dsir_features(flagged, text_col, extra=("_is_tgt",))
-    counts = fb.groupBy("b").agg(
-        F.count("*").alias("rc"),
-        F.sum(F.col("_is_tgt").cast("long")).alias("tc"),
+    # corpus-sized join or broadcast to re-attach it. ONE explode pass
+    # total: the per-(doc, bucket) counts are the root aggregate (the
+    # flag is doc-constant, so it sits in the grouping key for free)
+    # and the global bucket distributions roll up from those ≤256·|D|
+    # cells — never from the feature rows a second time.
+    per_doc = (
+        _dsir_features(flagged, text_col, extra=("_is_tgt",))
+        .groupBy("doc_id", "b", "_is_tgt")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = per_doc.groupBy("b").agg(
+        F.sum("n").alias("rc"),
+        F.sum(F.when(F.col("_is_tgt"), F.col("n")).otherwise(F.lit(0))).alias(
+            "tc"
+        ),
     )
     totals = counts.agg(
         F.sum("rc").alias("tot_r"), F.sum("tc").alias("tot_t")
@@ -260,12 +277,8 @@ def dsir_weights(
             )
         ).alias("lam"),
     )
-    per = (
-        _dsir_features(flagged, text_col)
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("n"))
-        .join(F.broadcast(lam), "b")
-        .select("doc_id", "b", (F.col("n") * F.col("lam")).alias("v"))
+    per = per_doc.join(F.broadcast(lam), "b").select(
+        "doc_id", "b", (F.col("n") * F.col("lam")).alias("v")
     )
     logw = per.groupBy("doc_id").agg(
         F.aggregate(
