@@ -647,3 +647,47 @@ def test_hybrid_route_filtered(store, spark, tmp_path):
               "allowed_ids": ["x"]},
     )
     assert bad.status_code == 400
+
+
+def test_similar_route_more_like_this_and_mmr(store, spark, tmp_path):
+    """vec_id runs 'more like this' (stored vector looked up, its own
+    row excluded); mmr_lambda=1.0 returns the plain top-k; a missing
+    vec_id is a 404; a bad mmr_lambda is a 400."""
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.build_ivf_index(
+        emb, str(tmp_path / "ivf"), corpus_count=emb.count()
+    )
+    app = create_app(store, ann_index_path=idx)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    r = c.post("/similar", json={"vec_id": 7, "k": 3})
+    assert r.status_code == 200, r.get_json()
+    ids = [n["vec_id"] for n in r.get_json()["neighbors"]]
+    assert 7 not in ids and len(ids) == 3
+    # parity: the same search by explicit vector, self-row dropped
+    target = emb.filter("vec_id = 7").first()
+    rv = c.post("/similar", json={"vector": list(target["embedding"]), "k": 4})
+    want = [n["vec_id"] for n in rv.get_json()["neighbors"] if n["vec_id"] != 7][:3]
+    assert ids == want
+
+    # mmr_lambda=1.0 == relevance order (same ids, same order)
+    r1 = c.post(
+        "/similar",
+        json={"vector": list(target["embedding"]), "k": 3, "mmr_lambda": 1.0},
+    )
+    plain = c.post(
+        "/similar", json={"vector": list(target["embedding"]), "k": 3}
+    )
+    assert [n["vec_id"] for n in r1.get_json()["neighbors"]] == [
+        n["vec_id"] for n in plain.get_json()["neighbors"]
+    ]
+    assert c.post("/similar", json={"vec_id": 10**9}).status_code == 404
+    assert (
+        c.post(
+            "/similar", json={"vec_id": 7, "mmr_lambda": 2.0}
+        ).status_code
+        == 400
+    )

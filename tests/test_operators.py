@@ -3431,3 +3431,25 @@ def test_streaming_bin_ingest_exactly_once(spark, tmp_path):
         )
     )
     assert served == oneshot
+
+
+def test_mmr_select_diversifies(spark):
+    """MMR hand-check: with two near-duplicate top candidates and one
+    diverse lower-relevance one, lam=0.5 picks the diverse item second
+    while lam=1.0 keeps pure relevance order; ties break by id; lam
+    outside [0,1] raises."""
+    import math
+
+    cands = [
+        (1, 0.90, [1.0, 0.0]),
+        (2, 0.89, [1.0, 0.01]),   # near-duplicate of 1
+        (3, 0.50, [0.0, 1.0]),    # diverse
+    ]
+    assert similarity.mmr_select(cands, 2, lam=0.5) == [1, 3]
+    assert similarity.mmr_select(cands, 3, lam=1.0) == [1, 2, 3]
+    assert similarity.mmr_select([], 3) == []
+    # deterministic first pick on a relevance tie: smaller id
+    tie = [(9, 0.5, [1.0, 0.0]), (4, 0.5, [0.0, 1.0])]
+    assert similarity.mmr_select(tie, 1)[0] == 4
+    with pytest.raises(ValueError, match="lam"):
+        similarity.mmr_select(cands, 2, lam=1.5)

@@ -560,13 +560,33 @@ def create_app(
         ``ann_ivf_from_index(allowed=...)``: the filter narrows the
         CANDIDATE scan (an isin literal pushed into it), so the top-k
         is the true top-k of the subset, never a post-filter that
-        under-fills k."""
+        under-fills k.
+
+        ``vec_id`` instead of ``vector`` runs "more like this": the
+        stored vector is point-looked-up (1-row collect) and searched;
+        its own row is excluded from the neighbors. ``mmr_lambda``
+        (0..1) diversifies the result with Maximal Marginal Relevance
+        over a 4k-deep candidate pool (similarity.mmr_select — driver
+        arithmetic over ≤100 collected rows); 1.0 is plain relevance
+        order."""
         if ann_index_path is None:
             return jsonify({"error": "no ANN index configured"}), 503
         body = request.get_json(silent=True) or {}
         vec = body.get("vector")
+        ref_id = body.get("vec_id")
+        if vec is None and ref_id is not None:
+            try:
+                ref_id = int(ref_id)
+            except (TypeError, ValueError):
+                return jsonify({"error": "vec_id must be an integer"}), 400
+            vec = _ivf_lookup_vector(ref_id)
+            if vec is None:
+                return jsonify({"error": f"vec_id {ref_id} not in index"}), 404
         if not isinstance(vec, list) or not vec:
-            return jsonify({"error": "vector (non-empty list) required"}), 400
+            return (
+                jsonify({"error": "vector (non-empty list) or vec_id required"}),
+                400,
+            )
         try:
             q = [float(x) for x in vec]
         except (TypeError, ValueError):
@@ -576,6 +596,14 @@ def create_app(
             n_probe = min(int(body.get("n_probe", 4)), 64)
         except (TypeError, ValueError):
             return jsonify({"error": "k / n_probe must be integers"}), 400
+        mmr_lambda = body.get("mmr_lambda")
+        if mmr_lambda is not None:
+            try:
+                mmr_lambda = float(mmr_lambda)
+            except (TypeError, ValueError):
+                return jsonify({"error": "mmr_lambda must be a number"}), 400
+            if not 0.0 <= mmr_lambda <= 1.0:
+                return jsonify({"error": "mmr_lambda must be in [0, 1]"}), 400
         allowed = body.get("allowed_ids")
         if allowed is not None:
             if not isinstance(allowed, list) or len(allowed) > 10_000:
@@ -591,10 +619,29 @@ def create_app(
         import numpy as np
 
         qv = np.asarray(q, dtype=float)
+        depth = min(4 * k, 100) if mmr_lambda is not None else k
+        # more-like-this excludes the query row itself; over-fetch one
+        fetch = depth + (1 if ref_id is not None else 0)
         try:
-            top, probed = _ivf_query(qv, k, n_probe, allowed)
+            top, probed = _ivf_query(
+                qv, fetch, n_probe, allowed, with_vecs=mmr_lambda is not None
+            )
         except ValueError as exc:
             return jsonify({"error": str(exc)}), 400
+        if ref_id is not None:
+            top = [r for r in top if r["vec_id"] != ref_id][:depth]
+        if mmr_lambda is not None:
+            from .operators.similarity import mmr_select
+
+            order = mmr_select(
+                [(r["vec_id"], r["cos"], list(r["embedding"])) for r in top],
+                k,
+                lam=mmr_lambda,
+            )
+            by_id = {r["vec_id"]: r for r in top}
+            top = [by_id[i] for i in order]
+        else:
+            top = top[:k]
         return jsonify(
             {
                 "neighbors": [
@@ -604,10 +651,12 @@ def create_app(
             }
         )
 
-    def _ivf_query(qv, k: int, n_probe: int, allowed):
+    def _ivf_query(qv, k: int, n_probe: int, allowed, with_vecs: bool = False):
         """Shared IVF serving core for /similar and /hybrid: driver-
         cached centroid probe, partition-pruned list scan, exact
-        cosine, k-row collect. Raises ValueError on a dim mismatch."""
+        cosine, k-row collect. Raises ValueError on a dim mismatch.
+        ``with_vecs`` also returns each hit's stored embedding (for
+        the MMR diversifier — still a ≤k-row collect)."""
         import numpy as np
 
         from pyspark.sql import functions as F
@@ -640,13 +689,30 @@ def create_app(
         if allowed is not None:
             # candidate-narrowing filter (never a top-k post-filter)
             cand = cand.filter(F.col("vec_id").isin(allowed))
+        cols = ["vec_id", (dot / (F.col("nrm") * F.lit(qn))).alias("cos")]
+        if with_vecs:
+            cols.append(F.col("embedding"))
         top = (
-            cand.select("vec_id", (dot / (F.col("nrm") * F.lit(qn))).alias("cos"))
+            cand.select(*cols)
             .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
             .limit(k)
             .collect()
         )
         return top, probed
+
+    def _ivf_lookup_vector(vid: int):
+        """Point lookup of a stored vector by id — the 'more like
+        this' entry point. One filter scan of the list table (vec_id
+        pushed to parquet), 1-row collect; returns None if absent."""
+        from pyspark.sql import functions as F
+
+        row = (
+            store.spark.read.parquet(f"{ann_index_path}/lists.parquet")
+            .filter(F.col("vec_id") == int(vid))
+            .select("embedding")
+            .first()
+        )
+        return None if row is None else list(row["embedding"])
 
     @app.route("/search", methods=["POST"])
     def search_route():
@@ -839,8 +905,8 @@ def create_app(
             "POST /delete_link with form field 'url' to DETACH DELETE.",
             "POST /cypher with JSON {query, params} to run a read-only "
             "Cypher statement (row-capped).",
-            "POST /similar with JSON {vector, k} for ANN vector search "
-            "over the configured IVF index.",
+            "POST /similar with JSON {vector|vec_id, k, mmr_lambda?} for ANN "
+            "vector search / more-like-this over the configured IVF index.",
             "POST /search with JSON {terms, k} for BM25 keyword search "
             "over stored page content.",
             "POST /hybrid with JSON {terms, vector, k} for reciprocal-"

@@ -2801,3 +2801,53 @@ def compact_bin_store(spark, path: str) -> dict:
         "files_after": count_parquet_files(store_path),
         "watermark": wm,
     }
+
+
+def mmr_select(
+    candidates: list[tuple],
+    k: int,
+    lam: float = 0.5,
+) -> list:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    re-ordering of a RETRIEVED candidate list: greedily pick the item
+    maximizing ``lam·relevance − (1−lam)·max_cos(item, selected)`` —
+    the standard search-result diversifier. ``candidates`` is
+    [(id, relevance, vector)], vectors any sequence of floats; returns
+    the selected ids in MMR order (``lam=1`` degrades to plain
+    relevance order).
+
+    Driver-side by design: MMR is quadratic in the CANDIDATE count and
+    sequential in k, so it belongs after the distributed top-N
+    retrieval, over the ≤~100 rows a serving request already
+    collected — never over a corpus. Deterministic: ties break by id.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    import numpy as np
+
+    if not candidates:
+        return []
+    ids = [c[0] for c in candidates]
+    rel = np.asarray([float(c[1]) for c in candidates])
+    mat = np.asarray([c[2] for c in candidates], dtype=float)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0] = 1.0
+    unit = mat / nrm[:, None]
+    n = len(ids)
+    selected: list[int] = []
+    remaining = list(range(n))
+    while remaining and len(selected) < k:
+        if not selected:
+            # ties by id for determinism
+            best = min(remaining, key=lambda i: (-rel[i], ids[i]))
+        else:
+            sims = unit[remaining] @ unit[selected].T
+            max_sim = sims.max(axis=1)
+            scores = lam * rel[remaining] - (1.0 - lam) * max_sim
+            best = min(
+                zip(remaining, scores),
+                key=lambda t: (-t[1], ids[t[0]]),
+            )[0]
+        selected.append(best)
+        remaining.remove(best)
+    return [ids[i] for i in selected]
