@@ -754,3 +754,73 @@ def test_crawl_round_near_dup_cross_batch(spark, tmp_path):
     assert r2["n_cross_dup"] == 1 and r2["n_docs_indexed"] == 1
     fp = spark.read.parquet(f"{fpd}/fp.parquet")
     assert fp.count() == 2  # orig + other; edited never stored
+
+
+def test_crawl_round_dsir_doc_filter(spark, tmp_path):
+    """DSIR as the crawl loop's selection gate: the filter keeps pages
+    whose hashed-ngram importance weight against a reference corpus is
+    positive — 'looks like the data we want' — and stays deterministic,
+    so the replay contract holds. The reference corpus rides the
+    closure; the crawl batch supplies the raw side."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import sampling
+
+    def page(rid, path_, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": f"https://d.example{path_}",
+            "warc_date": "2026-08-14T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    wanted = "spark shuffle partition broadcast join " * 10
+    junk = "zzz qqq xxx vvv kkk " * 10
+    (tmp_path / "d.warc").write_bytes(
+        W.build_warc([page("w", "/wanted", wanted), page("x", "/junk", junk)])
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    # reference corpus: what good documents look like
+    ref = spark.createDataFrame(
+        [(10_000 + i, f"spark join broadcast shuffle partition text {i}")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+
+    def dsir_gate(docs):
+        # target = the reference corpus, raw = reference ∪ this batch;
+        # keep batch docs that score more target-like than raw-like
+        pool = docs.select("doc_id", "text").unionByName(ref)
+        w = sampling.dsir_weights(pool, F.col("doc_id") >= 10_000)
+        return docs.join(
+            w.filter(F.col("dsir_keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+    ti = str(tmp_path / "ti")
+    rep = W.crawl_round(
+        spark, store, str(tmp_path / "d.warc"),
+        text_index=ti, doc_filter=dsir_gate,
+    )
+    assert rep["n_links_inserted"] == 2      # graph gets every page
+    assert rep["n_docs_indexed"] == 1        # only the target-like one indexes
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    assert S.bm25_from_index(spark, ti, ("shuffle",), k=2).collect()
+    assert not S.bm25_from_index(spark, ti, ("zzz",), k=2).collect()
+    # deterministic gate → replay exactly-once
+    posts = spark.read.parquet(f"{ti}/postings.parquet").count()
+    W.crawl_round(
+        spark, store, str(tmp_path / "d.warc"),
+        text_index=ti, doc_filter=dsir_gate,
+    )
+    assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts
