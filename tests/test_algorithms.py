@@ -434,3 +434,46 @@ def test_hits_from_edges_hand_checked(spark):
     # h1 -> {a1, a2} beats h3 -> {a1, a3}: a2 carries extra authority
     # from a1's own outlink, a3 only h3's hub mass
     assert max(got, key=lambda v: got[v][0]) == "h1"
+
+
+def test_bfs_distances_driver_and_superstep_agree(spark):
+    """BFS hop distances: the driver fast path and the distributed
+    frontier-superstep loop return identical (node, dist) sets on a
+    hand-built graph with two components; unreached nodes are absent;
+    multi-source takes the nearest seed."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph import algorithms as A
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    seed = spark.createDataFrame([("a",)], ["node_id"])
+    want = {("a", 0), ("b", 1), ("c", 2), ("d", 3)}
+    fast = {
+        (r.node_id, r.dist)
+        for r in A.bfs_distances_from_edges(edges, seed).collect()
+    }
+    slow = {
+        (r.node_id, r.dist)
+        for r in A.bfs_distances_from_edges(
+            edges, seed, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == want and slow == want  # x/y unreached, absent
+
+    multi = spark.createDataFrame([("a",), ("d",)], ["node_id"])
+    got = {
+        (r.node_id, r.dist)
+        for r in A.bfs_distances_from_edges(edges, multi).collect()
+    }
+    assert got == {("a", 0), ("d", 0), ("b", 1), ("c", 1)}
+    # max_hops truncates the frontier expansion — on BOTH paths
+    for dme in (0, None):
+        capped = {
+            (r.node_id, r.dist)
+            for r in A.bfs_distances_from_edges(
+                edges, seed, max_hops=1, driver_max_edges=dme
+            ).collect()
+        }
+        assert capped == {("a", 0), ("b", 1)}

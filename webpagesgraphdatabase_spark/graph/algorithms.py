@@ -880,3 +880,118 @@ def hits_from_edges(
                 df.unpersist(False)
             except Exception:
                 pass
+
+
+def _bfs_driver(
+    edges: DataFrame, rows: list, sources: list, max_hops: int
+) -> DataFrame:
+    """Exact BFS over a collected undirected edge list — the union-find
+    fast path's sibling for distances. Returns (node_id, dist) for every
+    node reached within ``max_hops`` (the same cap the superstep loop
+    honors, so the two paths agree on any graph); same endpoint types
+    as the input edges."""
+    from collections import deque
+
+    from pyspark.sql import types as T
+
+    adj: dict = {}
+    for r in rows:
+        a, b = r[0], r[1]
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    dist = {s: 0 for s in sources if s in adj}
+    dq = deque(dist)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    node_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node_id", node_type, False),
+            T.StructField("dist", T.LongType(), False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(n, int(d)) for n, d in dist.items()], schema
+    )
+
+
+def bfs_distances_from_edges(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 20,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
+) -> DataFrame:
+    """Single-source (or multi-source) shortest hop counts over an
+    undirected (src, dst) edge list: (node_id, dist), unreached nodes
+    absent. ``sources`` is any frame with a ``node_id`` column (dist 0).
+
+    Same two physical strategies as :func:`components_from_edges`, and
+    the same size probe IS the fast path's collect:
+
+    - **≤ driver_max_edges** — adjacency BFS on the driver (the whole
+      frontier machinery costs microseconds where the distributed loop
+      would pay ~diameter fixed-cost jobs).
+    - **larger** — frontier supersteps: each hop joins the frontier to
+      the edge list, anti-joins already-settled nodes, and appends the
+      new layer at dist h. Every shuffle carries only frontier-sized
+      key rows; the settled set grows monotonically, so a node is
+      joined as frontier exactly once — total work O(|E|·1) amortized
+      across hops, never O(|E|·hops).
+    """
+    fwd = edges.select("src", "dst")
+    if driver_max_edges is not None:
+        head = fwd.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            srcs = [r[0] for r in sources.select("node_id").collect()]
+            return _bfs_driver(edges, head, srcs, max_hops)
+    und = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    dist = (
+        sources.select("node_id")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .persist()
+    )
+    dist.count()
+    frontier = dist.select("node_id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier.node_id == und.src)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(dist.select("node_id"), "node_id", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+            .persist()
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            nxt.unpersist()
+            break
+        new_dist = dist.unionByName(nxt).persist()
+        new_dist.count()
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt.select("node_id")
+    und.unpersist()
+    return dist
+
+
+def bfs_distances(g, max_hops: int = 20) -> DataFrame:
+    """Hop distance from the smallest Link node over the Link↔Keyword
+    bipartite graph — the deterministic data-derived seed discipline of
+    the PPR leg (registry.py), so the DuckDB oracle reproduces the seed
+    with ``min(src) WHERE src LIKE 'Link:%'``. Returns (node_id, dist)
+    for reached nodes."""
+    fwd = g.has_keyword.select(
+        F.concat(F.lit("Link:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit("Keyword:"), F.col("dst_keyword")).alias("dst"),
+    )
+    seed = fwd.agg(F.min("src").alias("node_id"))
+    return bfs_distances_from_edges(fwd, seed, max_hops)

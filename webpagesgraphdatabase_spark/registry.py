@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from . import registry_fn, registry_mut, registry_ops
 from .graph import queries as Q
 from .graph.algorithms import (
+    bfs_distances,
     bounded_reach,
     connected_components,
     keyword_cooccurrence_edges,
@@ -157,6 +158,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         )
         .withColumn(
             "triangles", F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+        )
+        # BFS hop distance from the smallest Link node (r8): the SSSP
+        # leg, seeded with the PPR row's data-derived discipline;
+        # nodes outside the seed's component read -1
+        .join(
+            bfs_distances(g).withColumnRenamed("dist", "dist_from_seed"),
+            "node_id",
+            "left",
+        )
+        .withColumn(
+            "dist_from_seed",
+            F.coalesce(F.col("dist_from_seed"), F.lit(-1).cast("long")),
         )
     ),
 }
@@ -468,14 +481,30 @@ tri_nodes AS (
     UNION ALL SELECT b FROM tri
     UNION ALL SELECT c FROM tri
   ) GROUP BY node
+),
+seedn AS (SELECT min(src) AS s FROM edges WHERE src LIKE 'Link:%'),
+-- BFS layer enumeration: (node, d) pairs dedup through UNION, d
+-- bounded by the same 20-hop cap as the Spark superstep loop
+bfsw AS (
+  SELECT s AS node_id, 0 AS d FROM seedn
+  UNION
+  SELECT e.dst AS node_id, b.d + 1
+  FROM bfsw b JOIN edges e ON e.src = b.node_id
+  WHERE b.d < 20
+),
+bfsd AS (
+  SELECT node_id, CAST(min(d) AS BIGINT) AS dist_from_seed
+  FROM bfsw GROUP BY node_id
 )
 SELECT c.node_id, c.component, r1.n_reach_1, r2.n_reach_2, lp.community,
-       COALESCE(t.triangles, 0) AS triangles
+       COALESCE(t.triangles, 0) AS triangles,
+       COALESCE(bd.dist_from_seed, -1) AS dist_from_seed
 FROM comp c
 JOIN r1 ON c.node_id = r1.src
 JOIN r2 ON c.node_id = r2.src
 JOIN lp3 lp ON c.node_id = lp.node_id
 LEFT JOIN tri_nodes t ON c.node_id = 'Keyword:' || t.node
+LEFT JOIN bfsd bd ON c.node_id = bd.node_id
 """
 ).replace("WITH link_base", "WITH RECURSIVE link_base", 1)
 
