@@ -644,3 +644,59 @@ def test_where_boolean_or_not_parens(g):
     q4 = "MATCH (l:Link) WHERE NOT l.title = 'tb' RETURN l.url"
     got = {r[0] for r in cypher(g, q4).collect()}
     assert got == {"a"}  # the null-title link drops under 3VL
+
+
+def test_shortest_path_statement(g):
+    """MATCH p = shortestPath(...) RETURN length(p): hop counts over
+    the bipartite graph — Link a and Link b share keyword k1 (2 hops),
+    a to its own keyword is 1 hop, a to an unreachable-within-cap pair
+    returns zero rows (Cypher no-match), and the hop cap binds."""
+    rows = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-"
+        "(m:Link {url: 'b'})) RETURN length(p)",
+    ).collect()
+    assert [r["length(p)"] for r in rows] == [2]
+    rows = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD*1..4]-"
+        "(m:Keyword {name: 'k1'})) RETURN length(p) AS d",
+    ).collect()
+    assert [r["d"] for r in rows] == [1]
+    # a -k1- {b, c} -k2- : distance a->k2 is 3; a 2-hop cap finds nothing
+    assert (
+        cypher(
+            g,
+            "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..2]-"
+            "(m:Keyword {name: 'k2'})) RETURN length(p)",
+        ).count()
+        == 0
+    )
+    rows = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-"
+        "(m:Keyword {name: 'k2'})) RETURN length(p) AS d",
+    ).collect()
+    assert [r["d"] for r in rows] == [3]
+
+
+def test_shortest_path_refusals(g):
+    """Unbound endpoints, directed arrows, missing var-length spec, and
+    mismatched path variables refuse with CypherSyntaxError."""
+    bad = [
+        # unbound target
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m)) "
+        "RETURN length(p)",
+        # directed
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD*1..3]->"
+        "(m:Keyword {name: 'k1'})) RETURN length(p)",
+        # single hop (no var-length)
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD]-"
+        "(m:Keyword {name: 'k1'})) RETURN length(p)",
+        # wrong path var in RETURN
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-"
+        "(m:Keyword {name: 'k1'})) RETURN length(q)",
+    ]
+    for q in bad:
+        with pytest.raises(CypherSyntaxError):
+            cypher(g, q)

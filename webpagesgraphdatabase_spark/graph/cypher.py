@@ -814,12 +814,90 @@ def _compile_reach(
     return out
 
 
+_SHORTEST_HEAD = re.compile(r"(\w+)\s*=\s*shortestPath\s*\(", re.IGNORECASE)
+
+
+def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
+    """Compile the shortest-path statement shape
+
+        MATCH p = shortestPath((n:L {key: v})-[[:REL]*1..h]-(m:L {key: v}))
+        RETURN length(p) [AS alias]
+
+    to :func:`..algorithms.bfs_distances_from_edges`: both endpoints
+    must be key-bound (a path search needs its two ends), the hop must
+    be the bounded undirected form (``[*1..h]`` — the front end's
+    standing rule; BFS honors h as its hop cap), and the result is one
+    row with the hop count, or zero rows when no path exists within h
+    (Cypher's no-match semantics). The BFS itself never enumerates
+    paths — frontier supersteps with a settled-set anti-join, so the
+    statement stays corpus-safe at any radius."""
+    from .algorithms import bfs_distances_from_edges
+
+    nodes, hops, groups = p.patterns()
+    if not p.take_char(")"):
+        raise CypherSyntaxError("expected ) closing shortestPath(...)")
+    if len(nodes) != 2 or len(hops) != 1 or len(groups) != 1:
+        raise CypherSyntaxError(
+            "shortestPath takes a single two-node pattern"
+        )
+    hop = hops[0]
+    if hop.var_len is None:
+        raise CypherSyntaxError(
+            "shortestPath requires the bounded var-length form [*1..h]"
+        )
+    if hop.forward is not None:
+        raise CypherSyntaxError(
+            "shortestPath supports the undirected form only"
+        )
+    ends = []
+    for node in nodes:
+        key = NODE_KEY.get(node.label) if node.label else None
+        if not node.label or set(node.props or {}) != {key}:
+            raise CypherSyntaxError(
+                "both shortestPath endpoints must bind their key "
+                "property (a path search needs its two ends)"
+            )
+        ends.append(f"{node.label}:{node.props[key]}")
+    src_l, dst_l = REL_ENDPOINTS[hop.rel]
+    etab = g.has_keyword if hop.rel == "HAS_KEYWORD" else g.belongs_to
+    dst_col = "dst_keyword" if hop.rel == "HAS_KEYWORD" else "dst_category"
+    fwd = etab.select(
+        F.concat(F.lit(f"{src_l}:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit(f"{dst_l}:"), F.col(dst_col)).alias("dst"),
+    )
+    p.expect_kw("RETURN")
+    m = p.take(
+        re.compile(r"length\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+    )
+    if not m or m.group(1) != pvar:
+        raise CypherSyntaxError(
+            f"shortestPath RETURN must be length({pvar})"
+        )
+    alias = f"length({pvar})"
+    if p.take_kw("AS"):
+        alias = p.expect(_IDENT, "alias").group(0)
+    if not p.at_end():
+        raise CypherSyntaxError(
+            "shortestPath statements end at RETURN length(p) [AS alias]"
+        )
+    seeds = g.links.sparkSession.createDataFrame(
+        [(ends[0],)], "node_id string"
+    )
+    dist = bfs_distances_from_edges(fwd, seeds, max_hops=hop.var_len)
+    return dist.filter(F.col("node_id") == ends[1]).select(
+        F.col("dist").alias(alias)
+    )
+
+
 def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFrame:
     """Execute a read-only Cypher statement (MATCH … [WHERE …] RETURN …
     [ORDER BY …] [LIMIT n]) against the graph. See module docstring for
     the supported subset; raises :class:`CypherSyntaxError` outside it."""
     p = _P(query, params)
     p.expect_kw("MATCH")
+    m_sp = p.take(_SHORTEST_HEAD)
+    if m_sp:
+        return _compile_shortest_path(g, p, m_sp.group(1))
     nodes, hops, groups = p.patterns()
     if any(h.var_len for h in hops):
         return _compile_reach(g, p, nodes, hops, groups)
