@@ -691,3 +691,33 @@ def test_similar_route_more_like_this_and_mmr(store, spark, tmp_path):
         ).status_code
         == 400
     )
+
+
+def test_cypher_route_shortest_path(client, store):
+    """shortestPath works over HTTP: two stored links that share an
+    enrichment keyword read hop distance 2 on the bipartite graph."""
+    from pyspark.sql import functions as F
+
+    import webpagesgraphdatabase_spark.serving as serving
+
+    rows = store.spark.createDataFrame(
+        [
+            ("https://sp.example/a", "TA", "x" * 150, "Database", "shared", "", ""),
+            ("https://sp.example/b", "TB", "y" * 150, "News", "shared", "", ""),
+        ],
+        ["url", "title", "content", "category", "keyword",
+         "category_explanation", "keyword_explanation"],
+    )
+    serving.preload_csv(store, rows)
+    r = client.post(
+        "/cypher",
+        json={
+            "query": "MATCH p = shortestPath((n:Link {url: "
+            "'https://sp.example/a'})-[*1..4]-(m:Link {url: "
+            "'https://sp.example/b'})) RETURN length(p) AS hops"
+        },
+    )
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    assert body["columns"] == ["hops"]
+    assert body["rows"] == [[2]]

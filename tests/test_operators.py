@@ -3453,3 +3453,40 @@ def test_mmr_select_diversifies(spark):
     assert similarity.mmr_select(tie, 1)[0] == 4
     with pytest.raises(ValueError, match="lam"):
         similarity.mmr_select(cands, 2, lam=1.5)
+
+
+def test_bin_encode_randomized_dims_roundtrip(spark):
+    """Packed-signature round trip over 60 random vectors with random
+    dimensions 1..130 (crossing the 64-bit word boundary both ways,
+    zeros included): unpack == sign(x > 0) for every row, in ONE Spark
+    job (seeded numpy, deterministic)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for i in range(60):
+        dim = int(rng.integers(1, 131))
+        v = rng.normal(size=dim)
+        v[rng.random(dim) < 0.15] = 0.0  # exact zeros: sign bit must be 0
+        rows.append((i, dim, [float(x) for x in v]))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    emb = spark.createDataFrame(rows, schema)
+    enc = similarity.bin_encode(emb)
+    got = {r.vec_id: r.words for r in enc.collect()}
+    for i, dim, v in rows:
+        bits = [1 if x > 0 else 0 for x in v]
+        want = []
+        for j in range(0, dim, 64):
+            word = 0
+            for b in bits[j:j + 64]:
+                word = ((word << 1) | b) & 0xFFFFFFFFFFFFFFFF
+            if word >= 1 << 63:
+                word -= 1 << 64
+            want.append(word)
+        assert list(got[i]) == want, f"row {i} dim {dim}"
