@@ -99,3 +99,33 @@ def test_robots_spec_example_table(spark):
     ]
     for allow, disallow, path, want in table:
         assert allowed(allow, disallow, path) is want, (allow, disallow, path)
+
+
+def test_sitemap_directives_extraction(spark):
+    """Sitemap: lines extract group-independently (before, inside, and
+    after user-agent groups), case-insensitively, with comments
+    stripped; hosts without directives contribute nothing."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    body = (
+        "Sitemap: https://a.example/s1.xml\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "SITEMAP: https://a.example/s2.xml  # trailing comment\n"
+        "# sitemap: https://a.example/commented.xml\n"
+        "User-agent: bot\n"
+        "sitemap:https://a.example/s3.xml\n"
+    )
+    frames = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nAllow: /\n")],
+        ["host", "body"],
+    )
+    got = {
+        (r.host, r.sitemap_url)
+        for r in R.sitemap_directives(frames).collect()
+    }
+    assert got == {
+        ("a.example", "https://a.example/s1.xml"),
+        ("a.example", "https://a.example/s2.xml"),
+        ("a.example", "https://a.example/s3.xml"),
+    }

@@ -824,3 +824,62 @@ def test_crawl_round_dsir_doc_filter(spark, tmp_path):
         text_index=ti, doc_filter=dsir_gate,
     )
     assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts
+
+
+def test_sitemap_entries_and_frontier_seeding(spark):
+    """Sitemap XML parsing (urlset locs, sitemapindex flag, XML entity
+    decode) and frontier seeding: sitemap-discovered URLs join the
+    candidate pool and pass the same seen anti-join and robots filter
+    as link-harvested ones."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark import robots as R
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://s.example/page1 </loc></url>"
+        "<url><loc>https://s.example/page2?a=1&amp;b=2</loc></url>"
+        "<url><loc>https://s.example/private/x</loc></url>"
+        "</urlset>"
+    )
+    index = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>https://s.example/more.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    pages = spark.createDataFrame(
+        [("https://s.example/sitemap.xml", urlset),
+         ("https://s.example/index.xml", index)],
+        ["url", "text"],
+    )
+    ent = W.sitemap_entries(pages)
+    got = {(r.loc, r.is_index) for r in ent.collect()}
+    assert got == {
+        ("https://s.example/page1", False),
+        ("https://s.example/page2?a=1&b=2", False),
+        ("https://s.example/private/x", False),
+        ("https://s.example/more.xml", True),
+    }
+    # frontier: page1 already seen; /private disallowed by robots
+    edges = spark.createDataFrame(
+        [("https://s.example/", "https://s.example/linked")],
+        ["src_url", "dst_url"],
+    )
+    seen = spark.createDataFrame([("https://s.example/page1",)], ["url"])
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("s.example", "User-agent: *\nDisallow: /private\n")],
+            ["host", "body"],
+        )
+    )
+    frontier = {
+        r.url
+        for r in W.crawl_frontier(
+            edges, seen, rules=rules,
+            sitemaps=ent.filter(~F.col("is_index")),
+        ).collect()
+    }
+    assert frontier == {
+        "https://s.example/linked",
+        "https://s.example/page2?a=1&b=2",
+    }

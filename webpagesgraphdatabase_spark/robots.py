@@ -160,3 +160,21 @@ def robots_filter(
     return matched.filter(
         F.col("winner").isNull() | (F.col("winner.allow_i") == 1)
     ).select(*urls.columns)
+
+
+def sitemap_directives(robots: DataFrame) -> DataFrame:
+    """(host, sitemap_url) from (host, body) robots.txt rows: the
+    ``Sitemap:`` directive (Sitemaps protocol; RFC 9309 treats unknown
+    lines as extensions) is GROUP-INDEPENDENT — it applies regardless
+    of user-agent sections, so extraction is a flat line scan, not a
+    group parse. Pure codegen: comments strip with one multiline
+    regexp_replace, directives extract with one regexp_extract_all —
+    no Python, no shuffle."""
+    no_comments = F.regexp_replace(F.col("body"), r"(?m)#.*$", "")
+    urls = F.regexp_extract_all(
+        no_comments, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), 1
+    )
+    return (
+        robots.select("host", F.explode(urls).alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+    )

@@ -304,6 +304,7 @@ def crawl_frontier(
     seen: DataFrame,
     rules: DataFrame | None = None,
     limit_per_domain: int | None = None,
+    sitemaps: DataFrame | None = None,
 ) -> DataFrame:
     """The next crawl frontier from a harvested link graph: distinct
     ``dst_url`` targets not yet in ``seen`` (anti-join on url), minus
@@ -314,14 +315,23 @@ def crawl_frontier(
     cap itself keeps bounded downstream; the first crawl round of a
     giant host pays one ranked partition).
 
+    ``sitemaps`` (any frame with a ``loc`` column — e.g.
+    :func:`sitemap_entries` page rows) contributes additional
+    candidate URLs beyond the harvested link graph: sitemap discovery
+    is how a polite crawler finds pages nothing links to yet. They
+    pass through the same seen anti-join / robots filter / domain cap
+    as link-derived candidates.
+
     Scale shape: one anti-join shuffle on url (both sides are URL
     sets, never page bodies); the robots adjudication broadcasts its
     rule table."""
     from pyspark.sql import Window
 
+    cand = edges.select(F.col("dst_url").alias("url"))
+    if sitemaps is not None:
+        cand = cand.unionByName(sitemaps.select(F.col("loc").alias("url")))
     frontier = (
-        edges.select(F.col("dst_url").alias("url"))
-        .distinct()
+        cand.distinct()
         .join(seen.select("url").distinct(), "url", "left_anti")
     )
     if rules is not None:
@@ -844,3 +854,47 @@ def write_wet(
         writer, schema="file string, n_records long"
     )
     return [r.asDict() for r in out.collect()]
+
+
+def sitemap_entries(
+    pages: DataFrame, url_col: str = "url", xml_col: str = "text"
+) -> DataFrame:
+    """(sitemap_url, loc, is_index) from fetched sitemap XML bodies
+    (Sitemaps protocol): every ``<loc>`` value, flagged ``is_index``
+    when the body is a ``<sitemapindex>`` (its locs are FURTHER
+    sitemaps to fetch, not page URLs). Sitemap XML is flat by spec, so
+    a backreference-free regexp chain covers it — pure codegen, the
+    same discipline as functions/html.py; entity-decode covers the
+    five XML predefined entities."""
+    loc = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"), 1
+    )
+    is_index = F.col(xml_col).rlike(r"(?is)<\s*sitemapindex[\s>]")
+    decoded = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, "&lt;", "<"), "&gt;", ">"
+                ),
+                "&quot;",
+                '"',
+            ),
+            "&apos;",
+            "'",
+        ),
+        "&amp;",
+        "&",
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(loc).alias("raw_loc"),
+            is_index.alias("is_index"),
+        )
+        .select(
+            "sitemap_url",
+            decoded(F.col("raw_loc")).alias("loc"),
+            "is_index",
+        )
+        .filter(F.col("loc") != "")
+    )
