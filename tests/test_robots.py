@@ -129,3 +129,30 @@ def test_sitemap_directives_extraction(spark):
         ("a.example", "https://a.example/s2.xml"),
         ("a.example", "https://a.example/s3.xml"),
     }
+
+
+def test_crawl_delay_parsing_and_frame(spark):
+    """Crawl-delay: group-scoped (the governing group's value wins),
+    float-parsed, invalid/negative ignored; the frame extractor emits
+    only hosts that declare one."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    body = (
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+        "User-agent: fastbot\nCrawl-delay: 0.5\n"
+    )
+    assert R.parse_crawl_delay(body) == 2.5
+    assert R.parse_crawl_delay(body, "FastBot/2.0") == 0.5
+    assert R.parse_crawl_delay("User-agent: *\nCrawl-delay: nope\n") is None
+    assert R.parse_crawl_delay("User-agent: *\nCrawl-delay: -3\n") is None
+    assert R.parse_crawl_delay("User-agent: *\nDisallow: /\n") is None
+    got = {
+        (r.host, r.crawl_delay)
+        for r in R.crawl_delays(
+            spark.createDataFrame(
+                [("a.example", body), ("b.example", "User-agent: *\n")],
+                ["host", "body"],
+            )
+        ).collect()
+    }
+    assert got == {("a.example", 2.5)}

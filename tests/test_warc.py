@@ -883,3 +883,50 @@ def test_sitemap_entries_and_frontier_seeding(spark):
         "https://s.example/linked",
         "https://s.example/page2?a=1&b=2",
     }
+
+
+def test_crawl_frontier_delay_budget(spark):
+    """A declared Crawl-delay tightens the per-host budget: at
+    round_seconds=10 a 2-second delay admits 5 URLs, a 100-second
+    delay still admits 1 (a delay slows a host, it never bans it),
+    and hosts without a delay keep the flat cap."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark import robots as R
+
+    edges = spark.createDataFrame(
+        [("https://h.example/", f"https://slow.example/p{i}") for i in range(8)]
+        + [("https://h.example/", f"https://crawl.example/p{i}") for i in range(8)]
+        + [("https://h.example/", f"https://free.example/p{i}") for i in range(8)],
+        ["src_url", "dst_url"],
+    )
+    seen = spark.createDataFrame([("none://",)], ["url"])
+    delays = spark.createDataFrame(
+        [("slow.example", 100.0), ("crawl.example", 2.0)],
+        ["host", "crawl_delay"],
+    )
+    got = [
+        r.url
+        for r in W.crawl_frontier(
+            edges, seen, delays=delays, limit_per_domain=6,
+            round_seconds=10.0,
+        ).collect()
+    ]
+    by_host = {}
+    for u in got:
+        by_host.setdefault(u.split("/")[2], []).append(u)
+    assert len(by_host["slow.example"]) == 1
+    assert len(by_host["crawl.example"]) == 5
+    assert len(by_host["free.example"]) == 6  # flat cap only
+    # no flat cap: only delayed hosts are budgeted
+    got2 = [
+        r.url
+        for r in W.crawl_frontier(
+            edges, seen, delays=delays, round_seconds=10.0
+        ).collect()
+    ]
+    by2 = {}
+    for u in got2:
+        by2.setdefault(u.split("/")[2], []).append(u)
+    assert len(by2["free.example"]) == 8
+    assert len(by2["crawl.example"]) == 5

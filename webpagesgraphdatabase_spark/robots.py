@@ -36,14 +36,15 @@ _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$"
 
 
-def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """Rules for ``agent`` as (allow, path_pattern) pairs, RFC 9309
-    group selection: the most specific matching ``User-agent`` token
-    wins (substring match, case-insensitive), ``*`` is the fallback.
-    Comments (#) and unknown directives are ignored."""
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+def _select_group(txt: str, agent: str) -> list[tuple[str, str]]:
+    """The (directive, value) lines of the robots group that governs
+    ``agent`` — RFC 9309 group selection: the most specific matching
+    ``User-agent`` token wins (substring match, case-insensitive),
+    ``*`` is the fallback. Comments (#) strip; directives the callers
+    don't know stay in the list (they filter)."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     agents: list[str] = []
-    rules: list[tuple[bool, str]] = []
+    rules: list[tuple[str, str]] = []
     in_group_header = True
     for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -60,17 +61,14 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
                 agents, rules = [], []
             in_group_header = True
             agents.append(value.lower())
-        elif name in ("allow", "disallow"):
+        else:
             in_group_header = False
-            # empty Disallow = allow all (RFC 9309 §2.2.2); an empty
-            # pattern matches nothing, so just skip it
-            if value:
-                rules.append((name == "allow", value))
+            rules.append((name, value))
     if agents:
         groups.append((agents, rules))
 
     tok = agent.lower()
-    best: list[tuple[bool, str]] | None = None
+    best: list[tuple[str, str]] | None = None
     best_len = -1
     for group_agents, group_rules in groups:
         for a in group_agents:
@@ -82,6 +80,34 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
                 best = group_rules
                 break
     return best or []
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Rules for ``agent`` as (allow, path_pattern) pairs — the
+    RFC 9309 group selection of :func:`_select_group`, filtered to
+    Allow/Disallow. An empty Disallow means "allow everything"
+    (§2.2.2); an empty pattern matches nothing, so it is skipped."""
+    return [
+        (name == "allow", value)
+        for name, value in _select_group(txt, agent)
+        if name in ("allow", "disallow") and value
+    ]
+
+
+def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
+    """The governing group's ``Crawl-delay`` (de-facto extension, not
+    in RFC 9309 — which is why :func:`parse_robots` ignores it) as
+    seconds, or None when absent/unparseable/negative. First valid
+    occurrence in the group wins."""
+    for name, value in _select_group(txt, agent):
+        if name == "crawl-delay":
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                return d
+    return None
 
 
 def _pattern_to_regex(pattern: str) -> str:
@@ -177,4 +203,26 @@ def sitemap_directives(robots: DataFrame) -> DataFrame:
     return (
         robots.select("host", F.explode(urls).alias("sitemap_url"))
         .filter(F.col("sitemap_url") != "")
+    )
+
+
+def crawl_delays(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, crawl_delay) for hosts whose governing group declares
+    one — the same small-Arrow-batch shape as :func:`robots_rules`;
+    the result is per-host tiny and broadcasts."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                d = parse_crawl_delay(body or "", agent)
+                if d is not None:
+                    rows.append({"host": host, "crawl_delay": d})
+            yield pd.DataFrame(
+                rows, columns=["host", "crawl_delay"]
+            ) if rows else pd.DataFrame(columns=["host", "crawl_delay"])
+
+    return robots.select("host", "body").mapInPandas(
+        extract, schema="host string, crawl_delay double"
     )

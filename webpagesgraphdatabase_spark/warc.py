@@ -305,6 +305,8 @@ def crawl_frontier(
     rules: DataFrame | None = None,
     limit_per_domain: int | None = None,
     sitemaps: DataFrame | None = None,
+    delays: DataFrame | None = None,
+    round_seconds: float = 300.0,
 ) -> DataFrame:
     """The next crawl frontier from a harvested link graph: distinct
     ``dst_url`` targets not yet in ``seen`` (anti-join on url), minus
@@ -338,15 +340,47 @@ def crawl_frontier(
         from . import robots as R
 
         frontier = R.robots_filter(frontier, rules)
-    if limit_per_domain is not None:
+    if limit_per_domain is not None or delays is not None:
+        # per-host fetch budget: the flat cap, tightened by a declared
+        # Crawl-delay (robots.crawl_delays) — a host asking for d
+        # seconds between fetches yields at most round_seconds/d pages
+        # per round (never below 1: a delay slows a host, it does not
+        # ban it — Disallow does that). The delay table is per-host
+        # tiny and broadcasts.
         host = F.regexp_extract(
             F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
         )
-        w = Window.partitionBy(host).orderBy(F.md5("url"), F.col("url"))
+        frontier = frontier.withColumn("_host", host)
+        cap = (
+            F.lit(int(limit_per_domain))
+            if limit_per_domain is not None
+            else F.lit(None).cast("long")
+        )
+        if delays is not None:
+            frontier = frontier.join(
+                F.broadcast(
+                    delays.select(
+                        F.col("host").alias("_host"), "crawl_delay"
+                    )
+                ),
+                "_host",
+                "left",
+            )
+            budget = F.when(
+                F.col("crawl_delay") > 0,
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
+                ),
+            ).otherwise(F.lit(None).cast("long"))
+            cap = F.least(
+                F.coalesce(cap, budget), F.coalesce(budget, cap)
+            )
+        w = Window.partitionBy("_host").orderBy(F.md5("url"), F.col("url"))
         frontier = (
             frontier.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= limit_per_domain)
-            .drop("_rn")
+            .filter(cap.isNull() | (F.col("_rn") <= cap))
+            .select("url")
         )
     return frontier
 
