@@ -477,3 +477,23 @@ def test_bfs_distances_driver_and_superstep_agree(spark):
             ).collect()
         }
         assert capped == {("a", 0), ("b", 1)}
+
+
+def test_bfs_distances_directed(spark):
+    """directed=True follows arrows only — b is 1 hop from a, but a is
+    unreachable FROM b; both physical paths agree."""
+    from webpagesgraphdatabase_spark.graph import algorithms as A
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "a")], ["src", "dst"]
+    )
+    seed = spark.createDataFrame([("a",)], ["node_id"])
+    want = {("a", 0), ("b", 1), ("c", 2)}  # d unreached (arrow points in)
+    for dme in (None, 0):
+        got = {
+            (r.node_id, r.dist)
+            for r in A.bfs_distances_from_edges(
+                edges, seed, directed=True, driver_max_edges=dme
+            ).collect()
+        }
+        assert got == want

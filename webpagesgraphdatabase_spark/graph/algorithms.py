@@ -883,13 +883,14 @@ def hits_from_edges(
 
 
 def _bfs_driver(
-    edges: DataFrame, rows: list, sources: list, max_hops: int
+    edges: DataFrame, rows: list, sources: list, max_hops: int,
+    directed: bool = False,
 ) -> DataFrame:
-    """Exact BFS over a collected undirected edge list — the union-find
-    fast path's sibling for distances. Returns (node_id, dist) for every
+    """Exact BFS over a collected edge list — the union-find fast
+    path's sibling for distances. Returns (node_id, dist) for every
     node reached within ``max_hops`` (the same cap the superstep loop
     honors, so the two paths agree on any graph); same endpoint types
-    as the input edges."""
+    as the input edges. ``directed`` follows src→dst arrows only."""
     from collections import deque
 
     from pyspark.sql import types as T
@@ -898,7 +899,10 @@ def _bfs_driver(
     for r in rows:
         a, b = r[0], r[1]
         adj.setdefault(a, []).append(b)
-        adj.setdefault(b, []).append(a)
+        if not directed:
+            adj.setdefault(b, []).append(a)
+        else:
+            adj.setdefault(b, [])
     dist = {s: 0 for s in sources if s in adj}
     dq = deque(dist)
     while dq:
@@ -926,10 +930,13 @@ def bfs_distances_from_edges(
     sources: DataFrame,
     max_hops: int = 20,
     driver_max_edges: int = DRIVER_MAX_EDGES,
+    directed: bool = False,
 ) -> DataFrame:
-    """Single-source (or multi-source) shortest hop counts over an
-    undirected (src, dst) edge list: (node_id, dist), unreached nodes
-    absent. ``sources`` is any frame with a ``node_id`` column (dist 0).
+    """Single-source (or multi-source) shortest hop counts over a
+    (src, dst) edge list: (node_id, dist), unreached nodes absent.
+    ``sources`` is any frame with a ``node_id`` column (dist 0).
+    ``directed=True`` follows the arrows only — click distance from a
+    homepage over a harvested href graph is the canonical use.
 
     Same two physical strategies as :func:`components_from_edges`, and
     the same size probe IS the fast path's collect:
@@ -949,9 +956,13 @@ def bfs_distances_from_edges(
         head = fwd.limit(driver_max_edges + 1).collect()
         if len(head) <= driver_max_edges:
             srcs = [r[0] for r in sources.select("node_id").collect()]
-            return _bfs_driver(edges, head, srcs, max_hops)
-    und = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            return _bfs_driver(edges, head, srcs, max_hops, directed)
+    und = (
+        fwd
+        if directed
+        else fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     ).persist()
     dist = (
         sources.select("node_id")
