@@ -930,3 +930,79 @@ def test_crawl_frontier_delay_budget(spark):
         by2.setdefault(u.split("/")[2], []).append(u)
     assert len(by2["free.example"]) == 8
     assert len(by2["crawl.example"]) == 5
+
+
+def test_crawl_round_auto_politeness(spark, tmp_path):
+    """auto_politeness=True derives the WHOLE politeness layer from
+    the archive's own records: robots rules filter the frontier,
+    Crawl-delay caps the per-host budget, and sitemap locs seed
+    candidates nothing links to."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    def rec(rid, uri, body, ctype="text/html; charset=utf-8"):
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": uri,
+            "warc_date": "2026-08-15T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(body, content_type=ctype),
+        }
+
+    robots_txt = (
+        b"User-agent: *\nDisallow: /private\nCrawl-delay: 5\n"
+        b"Sitemap: https://ap.example/sitemap.xml\n"
+    )
+    sitemap_xml = (
+        b'<?xml version="1.0"?><urlset>'
+        b"<url><loc>https://ap.example/orphan1</loc></url>"
+        b"<url><loc>https://ap.example/orphan2</loc></url>"
+        b"<url><loc>https://ap.example/private/secret</loc></url>"
+        b"</urlset>"
+    )
+    links = "".join(
+        f'<a href="https://ap.example/linked{i}">x</a>' for i in range(6)
+    )
+    page = (
+        "<html><head><title>t</title></head><body><p>"
+        + ("crawl content word " * 30)
+        + "</p>"
+        + links
+        + '<a href="https://ap.example/private/p">x</a></body></html>'
+    ).encode()
+    (tmp_path / "ap.warc").write_bytes(
+        W.build_warc(
+            [
+                rec("r", "https://ap.example/robots.txt", robots_txt,
+                    "text/plain"),
+                rec("s", "https://ap.example/sitemap.xml", sitemap_xml,
+                    "application/xml"),
+                rec("p", "https://ap.example/", page),
+            ]
+        )
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    rep = W.crawl_round(
+        spark, store, str(tmp_path / "ap.warc"),
+        auto_politeness=True, round_seconds=20.0,
+    )
+    frontier = [r.url for r in rep["frontier"].collect()]
+    # delay 5s at a 20s round => at most 4 URLs for this host
+    assert len(frontier) == 4
+    assert all("/private" not in u for u in frontier)
+    # sitemap orphans compete within the same budgeted pool
+    candidates = {f"https://ap.example/linked{i}" for i in range(6)} | {
+        "https://ap.example/orphan1",
+        "https://ap.example/orphan2",
+    }
+    assert set(frontier) <= candidates
+    # without the delay budget the orphans are definitely present
+    rep2 = W.crawl_round(
+        spark, store, str(tmp_path / "ap.warc"),
+        auto_politeness=True, round_seconds=1e6,
+        batch=rep["batch"],
+    )
+    f2 = {r.url for r in rep2["frontier"].collect()}
+    assert {"https://ap.example/orphan1", "https://ap.example/orphan2"} <= f2
+    assert all("/private" not in u for u in f2)

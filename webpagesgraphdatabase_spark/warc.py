@@ -151,9 +151,10 @@ def _record_rows(path: str, buf: bytes) -> Iterator[dict]:
         if rec["warc_type"] == "response":
             status, ctype, body = parse_http_payload(block)
         base_type = (ctype or rec["content_type"] or "").split(";")[0].strip()
-        is_text = base_type.startswith("text/") or base_type in (
-            "application/json",
-            "application/xhtml+xml",
+        is_text = (
+            base_type.startswith("text/")
+            or base_type in ("application/json", "application/xml")
+            or base_type.endswith("+xml")  # xhtml+xml, atom+xml, sitemaps
         )
         # WET conversion records are text by definition
         if rec["warc_type"] == "conversion":
@@ -682,6 +683,8 @@ def crawl_round(
     doc_filter=None,
     fingerprints: str | None = None,
     near_dup_bits: int | None = None,
+    auto_politeness: bool = False,
+    round_seconds: float = 300.0,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -766,8 +769,31 @@ def crawl_round(
     )
     seen = store.graph().links.select("url").unionByName(revisits)
     report["n_revisits"] = revisits.count()
+    delays = None
+    sitemaps = None
+    if auto_politeness:
+        # self-contained politeness: the archive usually carries the
+        # robots.txt and sitemap responses the crawler fetched, so the
+        # round adjudicates itself — rules (when not supplied),
+        # Crawl-delay budgets, and sitemap seeds all derive from the
+        # archive's own records
+        from . import robots as R
+
+        rb = robots_bodies(recs)
+        if rules is None:
+            rules = R.robots_rules(rb)
+        delays = R.crawl_delays(rb)
+        sitemaps = sitemap_entries(sitemap_pages(recs)).filter(
+            ~F.col("is_index")
+        )
     report["frontier"] = crawl_frontier(
-        edges, seen, rules=rules, limit_per_domain=limit_per_domain
+        edges,
+        seen,
+        rules=rules,
+        limit_per_domain=limit_per_domain,
+        sitemaps=sitemaps,
+        delays=delays,
+        round_seconds=round_seconds,
     )
     return report
 
@@ -931,4 +957,47 @@ def sitemap_entries(
             "is_index",
         )
         .filter(F.col("loc") != "")
+    )
+
+
+def robots_bodies(records: DataFrame) -> DataFrame:
+    """(host, body) from the archive's OWN ``/robots.txt`` responses
+    (2xx, body present) — a crawl archive usually contains the
+    politeness files it fetched, so a round can adjudicate itself
+    without any side channel. Pure filters over the parsed records."""
+    host = F.regexp_extract(
+        F.col("target_uri"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
+    )
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") >= 200)
+            & (F.col("http_status") < 300)
+            & F.col("target_uri").rlike(
+                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+/robots\.txt$"
+            )
+            & F.col("body_text").isNotNull()
+        )
+        .select(host.alias("host"), F.col("body_text").alias("body"))
+    )
+
+
+def sitemap_pages(records: DataFrame) -> DataFrame:
+    """(url, text) rows of fetched sitemap XML in the archive — 2xx
+    responses whose content type says XML or whose body carries a
+    ``<urlset``/``<sitemapindex`` root (content sniff: sitemaps are
+    routinely served as text/plain). Feed to :func:`sitemap_entries`.
+    """
+    looks_xml = F.col("http_content_type").rlike(
+        "^(application|text)/(xml|.*\\+xml)"
+    ) | F.col("body_text").rlike(r"(?is)<\s*(urlset|sitemapindex)[\s>]")
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") >= 200)
+            & (F.col("http_status") < 300)
+            & F.col("body_text").isNotNull()
+            & looks_xml
+        )
+        .select(F.col("target_uri").alias("url"), F.col("body_text").alias("text"))
     )
