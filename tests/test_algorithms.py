@@ -479,6 +479,25 @@ def test_bfs_distances_driver_and_superstep_agree(spark):
         assert capped == {("a", 0), ("b", 1)}
 
 
+def test_bfs_distances_isolated_seed_agrees_on_both_paths(spark):
+    """A seed absent from the edge list (isolated/unknown node) is
+    still emitted at dist 0 by BOTH physical strategies — the answer
+    must not depend on which side of driver_max_edges the graph falls."""
+    from webpagesgraphdatabase_spark.graph import algorithms as A
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seed = spark.createDataFrame([("lonely",), ("a",)], ["node_id"])
+    want = {("lonely", 0), ("a", 0), ("b", 1)}
+    for dme in (None, 0):
+        got = {
+            (r.node_id, r.dist)
+            for r in A.bfs_distances_from_edges(
+                edges, seed, driver_max_edges=dme
+            ).collect()
+        }
+        assert got == want, f"driver_max_edges={dme}"
+
+
 def test_bfs_distances_directed(spark):
     """directed=True follows arrows only — b is 1 hop from a, but a is
     unreachable FROM b; both physical paths agree."""

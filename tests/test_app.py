@@ -691,6 +691,14 @@ def test_similar_route_more_like_this_and_mmr(store, spark, tmp_path):
         ).status_code
         == 400
     )
+    # vector + vec_id together is ambiguous (vec_id would silently
+    # drive self-exclusion without validation) — rejected outright
+    both = c.post(
+        "/similar",
+        json={"vector": list(target["embedding"]), "vec_id": 7, "k": 3},
+    )
+    assert both.status_code == 400
+    assert "not both" in both.get_json()["error"]
 
 
 def test_cypher_route_shortest_path(client, store):
@@ -721,3 +729,17 @@ def test_cypher_route_shortest_path(client, store):
     body = r.get_json()
     assert body["columns"] == ["hops"]
     assert body["rows"] == [[2]]
+    # free endpoint over HTTP: distances from a to every Link
+    r2 = client.post(
+        "/cypher",
+        json={
+            "query": "MATCH p = shortestPath((n:Link {url: "
+            "'https://sp.example/a'})-[*1..4]-(m)) "
+            "RETURN m.url AS url, length(p) AS hops"
+        },
+    )
+    assert r2.status_code == 200, r2.get_json()
+    b2 = r2.get_json()
+    assert b2["columns"] == ["url", "hops"]
+    assert ["https://sp.example/b", 2] in b2["rows"]
+    assert all(row[0] != "https://sp.example/a" for row in b2["rows"])

@@ -680,11 +680,114 @@ def test_shortest_path_statement(g):
     assert [r["d"] for r in rows] == [3]
 
 
+def test_shortest_path_free_endpoint(g):
+    """One bound end, one free: distances from the seed to EVERY node
+    of the free endpoint's label — 'how far is X from everything'. The
+    label is explicit or inferred from the projected key property
+    (url → Link, name → the rel's non-Link endpoint); the seed itself
+    is excluded ([*1..h] paths have ≥1 hop); either pattern position
+    may hold the bound end; compiled onto bfs_distances_from_edges."""
+    from webpagesgraphdatabase_spark.graph import algorithms as A
+
+    q = (
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-(m)) "
+        "RETURN m.url AS u, length(p) AS d"
+    )
+    df = cypher(g, q)
+    assert df.columns == ["u", "d"]
+    got = {(r.u, r.d) for r in df.collect()}
+    assert got == {("b", 2), ("c", 2)}
+    # ≡ the BFS API on the same bipartite edge set
+    fwd = g.has_keyword.select(
+        F.concat(F.lit("Link:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit("Keyword:"), F.col("dst_keyword")).alias("dst"),
+    )
+    seed = g.links.sparkSession.createDataFrame([("Link:a",)], ["node_id"])
+    want = {
+        (r.node_id[len("Link:"):], r.dist)
+        for r in A.bfs_distances_from_edges(fwd, seed, max_hops=4).collect()
+        if r.node_id.startswith("Link:") and r.node_id != "Link:a"
+    }
+    assert got == want
+    # name → the rel's non-Link endpoint (Keyword for HAS_KEYWORD)
+    got_k = {
+        (r[0], r[1])
+        for r in cypher(
+            g,
+            "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-(m)) "
+            "RETURN m.name, length(p)",
+        ).collect()
+    }
+    assert got_k == {("k1", 1), ("k2", 3)}
+    # explicit label agrees; default output names are Kùzu-style
+    df2 = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-(m:Keyword)) "
+        "RETURN m.name, length(p)",
+    )
+    assert df2.columns == ["m.name", "length(p)"]
+    assert {tuple(r) for r in df2.collect()} == got_k
+    # the bound end may sit in either pattern position
+    got_rev = {
+        (r[0], r[1])
+        for r in cypher(
+            g,
+            "MATCH p = shortestPath((m)-[*1..4]-(n:Link {url: 'a'})) "
+            "RETURN m.url, length(p)",
+        ).collect()
+    }
+    assert got_rev == {("b", 2), ("c", 2)}
+    # BELONGS_TO: categories within reach of Link a
+    got_c = {
+        (r[0], r[1])
+        for r in cypher(
+            g,
+            "MATCH p = shortestPath((n:Link {url: 'a'})-[:BELONGS_TO*1..3]-(m)) "
+            "RETURN m.name, length(p)",
+        ).collect()
+    }
+    assert got_c == {("X", 1)}
+    # hop cap binds: only the 1-hop keyword survives *1..1
+    got_cap = {
+        (r[0], r[1])
+        for r in cypher(
+            g,
+            "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..1]-(m)) "
+            "RETURN m.name, length(p)",
+        ).collect()
+    }
+    assert got_cap == {("k1", 1)}
+
+
+def test_shortest_path_free_endpoint_refusals(g):
+    """Both ends free, label/property mismatches, and a missing
+    length(p) projection refuse with CypherSyntaxError."""
+    bad = [
+        # both endpoints free
+        "MATCH p = shortestPath((n)-[*1..3]-(m)) RETURN m.name, length(p)",
+        # free endpoint's label is not an endpoint of the rel
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD*1..3]-"
+        "(m:Category)) RETURN m.name, length(p)",
+        # projected property is not the free endpoint's key
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m:Keyword)) "
+        "RETURN m.title, length(p)",
+        # un-inferable property on an unlabelled free end
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m)) "
+        "RETURN m.title, length(p)",
+        # missing length(p)
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m)) "
+        "RETURN m.url",
+    ]
+    for q in bad:
+        with pytest.raises(CypherSyntaxError):
+            cypher(g, q)
+
+
 def test_shortest_path_refusals(g):
     """Unbound endpoints, directed arrows, missing var-length spec, and
     mismatched path variables refuse with CypherSyntaxError."""
     bad = [
-        # unbound target
+        # free target but RETURN projects only length(p)
         "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m)) "
         "RETURN length(p)",
         # directed

@@ -34,6 +34,33 @@ def test_parse_robots_group_selection():
     assert R.parse_robots("User-agent: *\nDisallow:") == []
 
 
+def test_non_group_directives_do_not_split_ua_runs():
+    """RFC 9309 §2.2.4: records other than allow/disallow (Sitemap,
+    unknown extensions) must not interfere with group parsing — a
+    Sitemap line between two User-agent lines leaves them stacked on
+    the same rule block."""
+    body = (
+        "User-agent: a\n"
+        "Sitemap: https://h.example/s.xml\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+    )
+    assert R.parse_robots(body, "a") == [(False, "/x")]
+    assert R.parse_robots(body, "b") == [(False, "/x")]
+    # unknown extension directives are equally transparent
+    body2 = "User-agent: a\nNoindex: /y\nUser-agent: b\nDisallow: /z\n"
+    assert R.parse_robots(body2, "a") == [(False, "/z")]
+    # ...but group-member records still end the header run
+    body3 = "User-agent: a\nDisallow: /only-a\nUser-agent: b\nDisallow: /only-b\n"
+    assert R.parse_robots(body3, "a") == [(False, "/only-a")]
+    assert R.parse_robots(body3, "b") == [(False, "/only-b")]
+    # crawl-delay is de-facto per-group: it also ends the run
+    body4 = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /w\n"
+    assert R.parse_robots(body4, "a") == []
+    assert R.parse_crawl_delay(body4, "a") == 1.0
+    assert R.parse_robots(body4, "b") == [(False, "/w")]
+
+
 def test_pattern_to_regex():
     assert R._pattern_to_regex("/a/*.pdf$") == "^/a/.*\\.pdf$"
     assert R._pattern_to_regex("/plain") == "^/plain"

@@ -932,6 +932,32 @@ def test_crawl_frontier_delay_budget(spark):
     assert len(by2["crawl.example"]) == 5
 
 
+def test_crawl_frontier_duplicate_delay_rows_no_fanout(spark):
+    """robots_bodies can emit several (host, body) rows per host
+    (refetches, http+https twins) → several delay rows; the frontier
+    join must not fan out URLs or let duplicates eat the budget, and
+    the conservative (largest) delay wins."""
+    edges = spark.createDataFrame(
+        [("https://h.example/", f"https://dup.example/p{i}") for i in range(8)],
+        ["src_url", "dst_url"],
+    )
+    seen = spark.createDataFrame([("none://",)], ["url"])
+    delays = spark.createDataFrame(
+        [("dup.example", 2.0), ("dup.example", 5.0), ("dup.example", 2.0)],
+        ["host", "crawl_delay"],
+    )
+    got = [
+        r.url
+        for r in W.crawl_frontier(
+            edges, seen, delays=delays, round_seconds=10.0
+        ).collect()
+    ]
+    # no duplicate URLs from the join fan-out
+    assert len(got) == len(set(got))
+    # 5 s delay (conservative max) at 10 s round → 2 distinct pages
+    assert len(got) == 2
+
+
 def test_crawl_round_auto_politeness(spark, tmp_path):
     """auto_politeness=True derives the WHOLE politeness layer from
     the archive's own records: robots rules filter the frontier,

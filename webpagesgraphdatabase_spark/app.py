@@ -574,6 +574,13 @@ def create_app(
         body = request.get_json(silent=True) or {}
         vec = body.get("vector")
         ref_id = body.get("vec_id")
+        if vec is not None and ref_id is not None:
+            # Ambiguous: vec_id would silently drive self-exclusion on an
+            # explicit-vector query without ever being validated.
+            return (
+                jsonify({"error": "supply either vector or vec_id, not both"}),
+                400,
+            )
         if vec is None and ref_id is not None:
             try:
                 ref_id = int(ref_id)

@@ -903,7 +903,11 @@ def _bfs_driver(
             adj.setdefault(b, []).append(a)
         else:
             adj.setdefault(b, [])
-    dist = {s: 0 for s in sources if s in adj}
+    # Every source starts at dist 0 even when absent from the edge list
+    # (isolated/unknown seed) — the distributed superstep path emits the
+    # seed frame unconditionally, and the two paths must agree on any
+    # graph regardless of which side of driver_max_edges it falls.
+    dist = {s: 0 for s in sources}
     dq = deque(dist)
     while dq:
         u = dq.popleft()
@@ -972,6 +976,7 @@ def bfs_distances_from_edges(
     )
     dist.count()
     frontier = dist.select("node_id")
+    prev_nxt = None
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(und, frontier.node_id == und.src)
@@ -988,8 +993,16 @@ def bfs_distances_from_edges(
         new_dist = dist.unionByName(nxt).persist()
         new_dist.count()
         dist.unpersist()
+        # The previous hop's frontier is folded into new_dist now —
+        # release it so deep graphs don't accumulate one cached frame
+        # per BFS level for the rest of the session.
+        if prev_nxt is not None:
+            prev_nxt.unpersist()
+        prev_nxt = nxt
         dist = new_dist
         frontier = nxt.select("node_id")
+    if prev_nxt is not None:
+        prev_nxt.unpersist()
     und.unpersist()
     return dist
 

@@ -818,19 +818,29 @@ _SHORTEST_HEAD = re.compile(r"(\w+)\s*=\s*shortestPath\s*\(", re.IGNORECASE)
 
 
 def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
-    """Compile the shortest-path statement shape
+    """Compile the two shortest-path statement shapes
 
         MATCH p = shortestPath((n:L {key: v})-[[:REL]*1..h]-(m:L {key: v}))
         RETURN length(p) [AS alias]
 
-    to :func:`..algorithms.bfs_distances_from_edges`: both endpoints
-    must be key-bound (a path search needs its two ends), the hop must
-    be the bounded undirected form (``[*1..h]`` — the front end's
-    standing rule; BFS honors h as its hop cap), and the result is one
-    row with the hop count, or zero rows when no path exists within h
-    (Cypher's no-match semantics). The BFS itself never enumerates
-    paths — frontier supersteps with a settled-set anti-join, so the
-    statement stays corpus-safe at any radius."""
+        MATCH p = shortestPath((n:L {key: v})-[[:REL]*1..h]-(m[:L]))
+        RETURN m.<key> [AS alias], length(p) [AS alias]
+
+    to :func:`..algorithms.bfs_distances_from_edges`. The first form
+    (both endpoints key-bound) answers "how far is X from Y": one row
+    with the hop count, or zero rows when no path exists within h
+    (Cypher's no-match semantics). The second form leaves one endpoint
+    free — "how far is X from everything" — and returns the whole
+    distance table restricted to the free endpoint's label (inferred
+    from the projected key property when unlabelled: ``url`` → Link,
+    ``name`` → the relationship's non-Link endpoint); the seed itself
+    is excluded because ``[*1..h]`` paths have at least one hop. Either
+    endpoint of the pattern may be the bound one.
+
+    The hop must be the bounded undirected form (``[*1..h]`` — the
+    front end's standing rule; BFS honors h as its hop cap). The BFS
+    never enumerates paths — frontier supersteps with a settled-set
+    anti-join, so the statement stays corpus-safe at any radius."""
     from .algorithms import bfs_distances_from_edges
 
     nodes, hops, groups = p.patterns()
@@ -849,15 +859,22 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         raise CypherSyntaxError(
             "shortestPath supports the undirected form only"
         )
-    ends = []
+    ends: list[str | None] = []
     for node in nodes:
+        if not node.props:
+            ends.append(None)  # free endpoint
+            continue
         key = NODE_KEY.get(node.label) if node.label else None
-        if not node.label or set(node.props or {}) != {key}:
+        if not node.label or set(node.props) != {key}:
             raise CypherSyntaxError(
-                "both shortestPath endpoints must bind their key "
-                "property (a path search needs its two ends)"
+                "a bound shortestPath endpoint must bind exactly its "
+                "key property"
             )
         ends.append(f"{node.label}:{node.props[key]}")
+    if ends[0] is None and ends[1] is None:
+        raise CypherSyntaxError(
+            "shortestPath needs at least one key-bound endpoint"
+        )
     src_l, dst_l = REL_ENDPOINTS[hop.rel]
     etab = g.has_keyword if hop.rel == "HAS_KEYWORD" else g.belongs_to
     dst_col = "dst_keyword" if hop.rel == "HAS_KEYWORD" else "dst_category"
@@ -866,6 +883,81 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         F.concat(F.lit(f"{dst_l}:"), F.col(dst_col)).alias("dst"),
     )
     p.expect_kw("RETURN")
+
+    if None in ends:
+        # free-endpoint form: distances from the bound seed to every
+        # node of the free endpoint's label, via the RETURN projection
+        bound_id = ends[0] if ends[0] is not None else ends[1]
+        free = nodes[ends.index(None)]
+        if free.label and free.label not in (src_l, dst_l):
+            raise CypherSyntaxError(
+                f"free endpoint label {free.label!r} is not an endpoint "
+                f"of {hop.rel}"
+            )
+        v = p.expect(_IDENT, "free endpoint variable").group(0)
+        if v != free.var:
+            raise CypherSyntaxError(
+                f"free-endpoint shortestPath RETURN must project "
+                f"{free.var}.<key> then length({pvar})"
+            )
+        if not p.take_char("."):
+            raise CypherSyntaxError(
+                f"expected property access on {free.var}"
+            )
+        prop = p.expect(_IDENT, "property name").group(0)
+        if free.label:
+            if prop != NODE_KEY[free.label]:
+                raise CypherSyntaxError(
+                    f"free endpoint projects its key property only "
+                    f"({NODE_KEY[free.label]!r})"
+                )
+            free_label = free.label
+        elif prop == "url":
+            free_label = "Link"
+        elif prop == "name":
+            free_label = dst_l  # the relationship's non-Link endpoint
+        else:
+            raise CypherSyntaxError(
+                f"cannot infer the free endpoint's label from "
+                f"property {prop!r} (use url or name, or label the node)"
+            )
+        key_alias = f"{v}.{prop}"
+        if p.take_kw("AS"):
+            key_alias = p.expect(_IDENT, "alias").group(0)
+        if not p.take_char(","):
+            raise CypherSyntaxError(
+                f"free-endpoint shortestPath RETURN must also project "
+                f"length({pvar})"
+            )
+        m = p.take(re.compile(r"length\s*\(\s*(\w+)\s*\)", re.IGNORECASE))
+        if not m or m.group(1) != pvar:
+            raise CypherSyntaxError(
+                f"shortestPath RETURN must end with length({pvar})"
+            )
+        len_alias = f"length({pvar})"
+        if p.take_kw("AS"):
+            len_alias = p.expect(_IDENT, "alias").group(0)
+        if not p.at_end():
+            raise CypherSyntaxError(
+                "shortestPath statements end at RETURN ... length(p)"
+            )
+        seeds = g.links.sparkSession.createDataFrame(
+            [(bound_id,)], "node_id string"
+        )
+        dist = bfs_distances_from_edges(fwd, seeds, max_hops=hop.var_len)
+        pref = free_label + ":"
+        return (
+            dist.filter(
+                (F.col("node_id") != bound_id)
+                & F.col("node_id").startswith(pref)
+            )
+            .select(
+                F.col("node_id").substr(F.lit(len(pref) + 1), F.length("node_id"))
+                .alias(key_alias),
+                F.col("dist").alias(len_alias),
+            )
+        )
+
     m = p.take(
         re.compile(r"length\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
     )

@@ -62,7 +62,12 @@ def _select_group(txt: str, agent: str) -> list[tuple[str, str]]:
             in_group_header = True
             agents.append(value.lower())
         else:
-            in_group_header = False
+            # RFC 9309 §2.2.4: only group-member records (allow/disallow,
+            # plus the de-facto per-group crawl-delay) end a run of
+            # stacked User-agent lines; other records (Sitemap, unknown
+            # extensions) must not interfere with group parsing.
+            if name in ("allow", "disallow", "crawl-delay"):
+                in_group_header = False
             rules.append((name, value))
     if agents:
         groups.append((agents, rules))

@@ -358,10 +358,15 @@ def crawl_frontier(
             else F.lit(None).cast("long")
         )
         if delays is not None:
+            # One row per host before the join: robots_bodies can carry
+            # several 2xx /robots.txt responses for the same netloc
+            # (refetches, http+https twins) and a fanned-out left join
+            # would duplicate frontier URLs and let duplicates eat the
+            # budget. max() keeps the conservative (slowest) delay.
             frontier = frontier.join(
                 F.broadcast(
-                    delays.select(
-                        F.col("host").alias("_host"), "crawl_delay"
+                    delays.groupBy(F.col("host").alias("_host")).agg(
+                        F.max("crawl_delay").alias("crawl_delay")
                     )
                 ),
                 "_host",
