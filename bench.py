@@ -124,18 +124,16 @@ ANN_HEADLINE = {
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
 CHANGED_ENTRIES: dict[str, str] = {
-    "t_lang_quality": "r8: registry row gained the DSIR importance-"
-    "weight leg (hashed-ngram target/raw distributions + per-doc "
-    "log-weight fold) — one extra feature-explode aggregation pass",
-    "s_ann_pq_indexed": "r8: index rebuilt with assign_mult=2, query "
-    "runs n_probe*2/refine=8 + candidate dedup (recall 0.48->0.80); "
-    "query path filters to |Q| rows before the OPQ transform",
-    "s_ann_pq_build": "r8: build now multi-assigns each code row into "
-    "its 2 nearest lists (assign_mult=2) — extra fan-out join + 2x "
-    "code rows written",
-    "s_ann_ivfpq_res_indexed": "r8: query runs n_probe*3/refine=8 + "
-    "candidate dedup; queries filtered to |Q| rows before the stored "
-    "OPQ transform (was a full-corpus mapInPandas round trip)",
+    "s_ann_bin": "r9: BIN_REFINE 16->32 (recall@5 0.84->0.96 at sf0.1, "
+    "measured; scan-dominated so ~equal time) — r8 verdict item 5; "
+    "prefix bit-flip multi-probe measured-and-rejected, see the "
+    "BIN_REFINE comment in similarity.py",
+    "w_crawl_round": "r9: report counts folded — n_revisits now counts "
+    "over the cached ingest frame instead of a second full archive "
+    "parse, n_cross_dup derives from the indexing count instead of its "
+    "own job, and the frontier anti-join compares normalized URL forms "
+    "(one pandas-UDF normalize over URL-set-sized frames). Equal "
+    "report semantics, strictly fewer Spark jobs — expected faster.",
 }
 
 
@@ -320,10 +318,79 @@ def machine_calibration(spark) -> dict[str, float]:
     return {"cpu": cpu, "shuffle": shuffle, "io": io_probe(spark)}
 
 
+# host-quiet gate bounds (r8 verdict item 7). Quiet readings on the
+# build host: load_1m < 2 with nothing running, scratch probe 0.2-0.4 s;
+# the degraded windows BENCHLOG documented read ~3x on io and load >6
+# from a concurrent 32-thread suite.
+GATE_LOAD_BOUND = 6.0
+GATE_SCRATCH_BOUND_S = 1.5
+
+
+def host_quiet_gate(retry_sleep: float = 30.0) -> dict:
+    """Machine-readable host-quiet gate (r8 verdict item 7). BENCHLOG's
+    ninth run documented the failure mode this encodes: a bench started
+    minutes after a 32-thread suite reads uniformly slow while the cpu
+    probes read fast (dirty page cache), which calibration then
+    mis-adjudicates in both directions. Sample the 1-minute load
+    average and a 64 MiB write+fsync+read scratch probe on the bench
+    tempfs BEFORE anything is timed; if either exceeds its bound, sleep
+    once and re-sample (both readings recorded); if still out of bounds
+    the artifact self-labels ``degraded: true`` — the run proceeds (the
+    driver still needs a line) but every downstream breach carries the
+    explanation in-artifact instead of in prose."""
+
+    def sample() -> dict:
+        s: dict = {}
+        try:
+            s["load_1m"] = round(os.getloadavg()[0], 2)
+        except OSError:
+            s["load_1m"] = None
+        t0 = time.time()
+        d = tempfile.mkdtemp(prefix="bench_gate_")
+        try:
+            p = os.path.join(d, "probe.bin")
+            buf = os.urandom(1 << 20)  # incompressible, like io_probe
+            with open(p, "wb") as fh:
+                for _ in range(64):
+                    fh.write(buf)
+                fh.flush()
+                os.fsync(fh.fileno())
+            with open(p, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        s["scratch_io_s"] = round(time.time() - t0, 3)
+        return s
+
+    def bad(s: dict) -> bool:
+        return (
+            s["load_1m"] is not None and s["load_1m"] > GATE_LOAD_BOUND
+        ) or s["scratch_io_s"] > GATE_SCRATCH_BOUND_S
+
+    first = sample()
+    gate = {
+        "bounds": {
+            "load_1m": GATE_LOAD_BOUND,
+            "scratch_io_s": GATE_SCRATCH_BOUND_S,
+        },
+        "pre": first,
+    }
+    if bad(first) and retry_sleep > 0:
+        time.sleep(retry_sleep)
+        gate["retry"] = sample()
+    gate["degraded"] = bad(gate.get("retry", first))
+    return gate
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # gate BEFORE the session spins up: the readings describe the host
+    # the timed work is about to run on
+    gate = host_quiet_gate()
 
     spark = get_spark("bench")
     # warm the JVM once so per-query numbers aren't dominated by
@@ -345,6 +412,10 @@ def main() -> None:
     groups: dict[str, str] = {}
     cal_groups: dict[str, float] = {}
     cur_group = ["graph"]
+    # every timed entry's thunk, kept for breach re-times (r8 verdict
+    # item 1); entries whose fixtures are scoped to an inner finally
+    # (index tempdirs) fail the re-run and record that honestly
+    reruns: dict[str, object] = {}
 
     def group_mark(name: str) -> None:
         # close the current query group with a micro cpu calibration:
@@ -370,6 +441,7 @@ def main() -> None:
         timings[name] = round(median, 3)
         stats[name] = {"median": round(median, 3), "p95": round(p95, 3), "n": n}
         groups[name] = cur_group[0]
+        reruns[name] = run
 
     def timed_build(name: str, run, repeats: int = 3):
         # one-time builds/trains were the last n=1 raw-timed entries;
@@ -397,6 +469,7 @@ def main() -> None:
             "n": n,
         }
         groups[name] = cur_group[0]
+        reruns[name] = run
         return val
 
     graph_dirs: list[str] = []
@@ -846,11 +919,49 @@ def main() -> None:
         recalls.update(extra_recall)
         calibration = machine_calibration(spark)
         calibration["groups"] = cal_groups
+        calibration["gate"] = gate
+
+        def retime(name: str) -> dict | None:
+            # solo re-time of one breaching entry (r8 verdict item 1):
+            # short cool-down, fresh cpu probe, fresh median-of-3 —
+            # both readings land in the artifact so an unchanged-code
+            # host-window breach adjudicates itself with zero prose
+            run = reruns.get(name)
+            if run is None:
+                return None
+            cool = float(os.environ.get("SPARK_GRAFT_RETIME_COOLDOWN", "20"))
+            time.sleep(cool)
+            probe = cpu_probe(spark)
+            samples = []
+            try:
+                for _ in range(3):
+                    t0 = time.time()
+                    run()
+                    samples.append(time.time() - t0)
+            except Exception as exc:  # fixture cleaned by an inner finally
+                return {
+                    "error": f"{type(exc).__name__} (fixture out of scope)",
+                    "cooldown_s": cool,
+                    "cpu_probe": probe,
+                }
+            samples.sort()
+            return {
+                "median": round(samples[1], 3),
+                "n": 3,
+                "cooldown_s": cool,
+                "cpu_probe": probe,
+            }
+
+        # report assembly runs INSIDE the fixture scope so breach
+        # re-times can re-run graph/registry entries against live data
+        _, _, line = build_report(
+            timings, stats, recalls, calibration, sf, groups=groups,
+            retime=retime,
+        )
     finally:
         for d in graph_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
-    _, _, line = build_report(timings, stats, recalls, calibration, sf, groups=groups)
     print(line)
 
 
@@ -863,6 +974,7 @@ def build_report(
     here: str | None = None,
     write_detail: bool = True,
     groups: dict | None = None,
+    retime=None,
 ):
     """Assemble the round report: the full detail sidecar and the compact
     one-line JSON the driver captures. Returns ``(out, detail, line)``.
@@ -875,7 +987,16 @@ def build_report(
     (``calibration['groups'][label]``) — the nearest-in-time measurement
     of the resource the query is bound on (r6 verdict items 1-2).
     Queries with no usable label fall back to the global shuffle-based
-    host_factor."""
+    host_factor.
+
+    ``retime`` (r8 verdict item 1): a callable ``name -> dict | None``
+    that re-times one entry solo (cool-down, fresh probe, median-of-3).
+    Every UNCHANGED entry whose calibrated ratio breaches 1.5× gets one
+    automatic re-time; the original and re-timed readings plus the
+    probe divergence land under ``breach_retimes`` so a host-window
+    inflation on untouched code adjudicates itself inside the artifact.
+    ``calibration['gate']`` (item 7) is the pre-run host-quiet gate; a
+    degraded gate sets the top-level ``degraded: true`` flag."""
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -1034,6 +1155,57 @@ def build_report(
                     k: CHANGED_ENTRIES[k] for k in rebase
                 }
             if ratios:
+                # unchanged entries breaching the calibrated bound get
+                # an automatic solo re-time (r8 verdict item 1) — the
+                # adjudication the r8 d_contamination breach lacked
+                breaches = {k: r for k, r in ratios.items() if r > 1.5}
+                if breaches and retime is not None:
+                    adjud = {}
+                    for k in sorted(
+                        breaches, key=breaches.get, reverse=True
+                    )[:4]:
+                        res = retime(k)
+                        if res is None:
+                            continue
+                        entry = {
+                            "calibrated_ratio": round(breaches[k], 2),
+                            "raw_ratio": round(timings[k] / prev_q[k], 2),
+                        }
+                        entry.update(res)
+                        if "median" in res and prev_q.get(k):
+                            entry["retime_raw_ratio"] = round(
+                                res["median"] / prev_q[k], 2
+                            )
+                            if res.get("cpu_probe") and prev_cal.get("cpu"):
+                                rf = res["cpu_probe"] / prev_cal["cpu"]
+                                if rf > 0:
+                                    entry["retime_calibrated_ratio"] = round(
+                                        res["median"] / rf / prev_q[k], 2
+                                    )
+                                    # in-run factor vs re-time probe: >1
+                                    # means the in-run probe under-read
+                                    # the slowdown the workload saw
+                                    entry["probe_factor_divergence"] = (
+                                        round(factors.get(k, hf) / rf, 3)
+                                    )
+                        adjud[k] = entry
+                    if adjud:
+                        # full adjudication in the detail sidecar; the
+                        # driver line carries the condensed verdict
+                        out["_breach_retimes"] = adjud
+                        out["breach_retimes"] = {
+                            k: (
+                                {"cal": v["calibrated_ratio"],
+                                 "rt": v.get(
+                                     "retime_calibrated_ratio",
+                                     v.get("retime_raw_ratio"),
+                                 )}
+                                if "median" in v
+                                else {"cal": v["calibrated_ratio"],
+                                      "err": True}
+                            )
+                            for k, v in adjud.items()
+                        }
                 worst = max(ratios, key=ratios.get)
                 out["worst_calibrated_ratio"] = {
                     worst: round(ratios[worst], 2)
@@ -1058,9 +1230,19 @@ def build_report(
     # full sidecar: everything, including per-query stats — committed so
     # the next round has a complete per-query baseline regardless of
     # what survives the driver's stdout tail
+    # host-quiet gate verdict (r8 verdict item 7): a degraded pre-run
+    # gate self-labels the whole artifact
+    if (calibration or {}).get("gate", {}).get("degraded"):
+        out["degraded"] = True
+
     detail = dict(out)
     detail["stats"] = stats
-    for k in ("_per_query_factor", "_calibrated_ratios", "_rebaselined_reasons"):
+    for k in (
+        "_per_query_factor",
+        "_calibrated_ratios",
+        "_rebaselined_reasons",
+        "_breach_retimes",
+    ):
         if k in detail:
             detail[k.lstrip("_")] = detail.pop(k)
             out.pop(k)

@@ -293,6 +293,161 @@ def test_io_label_falls_back_without_prior_io_probe(tmp_path):
     assert out["worst_calibrated_ratio"] == {"graph_load": 1.0}
 
 
+def test_breach_retime_adjudicates_unchanged_entries(tmp_path, monkeypatch):
+    """r8 verdict item 1: an UNCHANGED entry whose calibrated ratio
+    breaches 1.5× triggers an automatic solo re-time; both readings and
+    the probe divergence land in the artifact (full in the detail,
+    condensed on the driver line). CHANGED_ENTRIES never trigger it;
+    sub-bound entries never trigger it."""
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 4.0,
+            "queries": {"q_breach": 1.0, "q_ok": 1.0, "q_changed": 1.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.8},
+            "comparable_total": 3.0,
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    monkeypatch.setattr(bench, "CHANGED_ENTRIES", {"q_changed": "new"})
+    timings = {"q_breach": 3.0, "q_ok": 1.2, "q_changed": 9.0}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    calls = []
+
+    def fake_retime(name):
+        calls.append(name)
+        # the solo re-run reads 1.1 s with the cpu probe back at the
+        # prior round's level — pure host-window inflation, adjudicated
+        return {"median": 1.1, "n": 3, "cooldown_s": 20.0, "cpu_probe": 0.2}
+
+    out, detail, line = bench.build_report(
+        timings, stats, RECALL, CAL, 0.1,
+        here=str(tmp_path), write_detail=False, retime=fake_retime,
+    )
+    # only the unchanged breaching entry is re-timed
+    assert calls == ["q_breach"]
+    full = detail["breach_retimes"]["q_breach"]
+    assert full["calibrated_ratio"] == 3.0 and full["raw_ratio"] == 3.0
+    assert full["median"] == 1.1
+    # retime factor = 0.2/0.2 = 1 → retime_calibrated_ratio 1.1
+    assert full["retime_calibrated_ratio"] == 1.1
+    assert full["retime_raw_ratio"] == 1.1
+    # in-run factor (hf=1.0) vs re-time probe factor (1.0) → 1.0
+    assert full["probe_factor_divergence"] == 1.0
+    # condensed verdict rides the driver line
+    parsed = json.loads(line)
+    assert parsed["breach_retimes"] == {"q_breach": {"cal": 3.0, "rt": 1.1}}
+    # the full block is detail-only
+    assert "_breach_retimes" not in out
+    assert parsed["breach_retimes"] != full
+
+
+def test_breach_retime_fixture_out_of_scope_recorded(tmp_path):
+    """A breaching entry whose fixture an inner finally already removed
+    records the failed re-run honestly instead of silently vanishing."""
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 1.0,
+            "queries": {"q_gone": 1.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.8},
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    timings = {"q_gone": 2.0}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+
+    def fake_retime(name):
+        return {
+            "error": "AnalysisException (fixture out of scope)",
+            "cooldown_s": 20.0,
+            "cpu_probe": 0.2,
+        }
+
+    out, detail, line = bench.build_report(
+        timings, stats, RECALL, CAL, 0.1,
+        here=str(tmp_path), write_detail=False, retime=fake_retime,
+    )
+    assert "error" in detail["breach_retimes"]["q_gone"]
+    parsed = json.loads(line)
+    assert parsed["breach_retimes"]["q_gone"] == {"cal": 2.0, "err": True}
+
+
+def test_no_retime_without_breach(tmp_path):
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 1.0,
+            "queries": {"q1": 1.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.8},
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    timings = {"q1": 1.2}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    calls = []
+    out, detail, _ = bench.build_report(
+        timings, stats, RECALL, CAL, 0.1,
+        here=str(tmp_path), write_detail=False,
+        retime=lambda n: calls.append(n),
+    )
+    assert calls == [] and "breach_retimes" not in out
+
+
+def test_degraded_gate_labels_artifact(tmp_path):
+    cal = dict(CAL)
+    cal["gate"] = {
+        "bounds": {"load_1m": 6.0, "scratch_io_s": 1.5},
+        "pre": {"load_1m": 9.4, "scratch_io_s": 0.3},
+        "retry": {"load_1m": 8.1, "scratch_io_s": 0.3},
+        "degraded": True,
+    }
+    out, detail, line = bench.build_report(
+        TIMINGS, STATS, RECALL, cal, 0.1,
+        here=str(tmp_path), write_detail=False,
+    )
+    assert out["degraded"] is True and detail["degraded"] is True
+    assert json.loads(line)["degraded"] is True
+    # a clean gate adds no flag
+    cal2 = dict(CAL)
+    cal2["gate"] = {"pre": {"load_1m": 0.5, "scratch_io_s": 0.2},
+                    "degraded": False}
+    out2, _, _ = bench.build_report(
+        TIMINGS, STATS, RECALL, cal2, 0.1,
+        here=str(tmp_path), write_detail=False,
+    )
+    assert "degraded" not in out2
+
+
+def test_host_quiet_gate_samples_and_bounds(monkeypatch):
+    """The gate samples load + scratch I/O; an out-of-bounds first
+    sample triggers exactly one re-sample (no sleep in tests), and the
+    verdict follows the LAST sample."""
+    readings = iter([9.9, 0.5])
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (next(readings), 0.0, 0.0)
+    )
+    gate = bench.host_quiet_gate(retry_sleep=0)
+    assert gate["pre"]["load_1m"] == 9.9
+    # retry_sleep=0 disables the re-sample: verdict follows the pre read
+    assert "retry" not in gate and gate["degraded"] is True
+    assert gate["bounds"]["load_1m"] == bench.GATE_LOAD_BOUND
+    assert gate["pre"]["scratch_io_s"] > 0
+
+    readings2 = iter([9.9, 0.5])
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (next(readings2), 0.0, 0.0)
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    gate2 = bench.host_quiet_gate(retry_sleep=1.0)
+    assert gate2["pre"]["load_1m"] == 9.9
+    assert gate2["retry"]["load_1m"] == 0.5
+    assert gate2["degraded"] is False  # the machine quieted down
+
+
 def test_detail_written_and_round_numbered(tmp_path):
     _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
     _mk(tmp_path, "BENCH_r02.json", {"rc": 0, "parsed": None, "tail": ""})

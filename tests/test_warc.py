@@ -826,6 +826,229 @@ def test_crawl_round_dsir_doc_filter(spark, tmp_path):
     assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts
 
 
+def test_crawl_multi_round_frontier_consumption(spark, tmp_path):
+    """Three crawl rounds where round N+1's archive serves exactly the
+    frontier round N returned — the composition test the single-archive
+    replay pins can't see: the seen-set grows across rounds (no URL is
+    ever fetched twice), the Crawl-delay budget caps EVERY round's
+    frontier (not just the first), round 2 exercises the cross-round
+    EXACT content gate and round 3 the NEAR-duplicate gate against
+    round 1's stored fingerprints."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import dedup as D
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    def rec(rid, uri, body, ctype="text/html; charset=utf-8"):
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": uri,
+            "warc_date": "2026-08-15T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(body, content_type=ctype),
+        }
+
+    def page(rid, uri, text, hrefs=()):
+        body = (
+            "<html><head><title>t</title></head><body><p>"
+            + text
+            + "</p>"
+            + "".join(f'<a href="{h}"></a>' for h in hrefs)
+            + "</body></html>"
+        ).encode()
+        return rec(rid, uri, body)
+
+    robots_txt = b"User-agent: *\nCrawl-delay: 5\n"
+    root = "https://mr.example/"
+    orig = " ".join(f"stable corpus token{i}" for i in range(30))
+    edited = orig.replace("token7", "changed7")
+    fresh = " ".join(f"unrelated vocabulary word{i}" for i in range(30))
+    # bound that provably admits the edit but not the fresh doc (the
+    # near-dup test's derivation discipline)
+    sigs = {
+        r.doc_id: r.simhash
+        for r in D.simhash(
+            spark.createDataFrame(
+                [(1, orig), (2, edited), (3, fresh)], ["doc_id", "text"]
+            )
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    near = ham(sigs[1], sigs[2])
+    bits = min(near, 3)  # pigeonhole completeness with default bands
+    if near > bits or near >= ham(sigs[1], sigs[3]):
+        pytest.skip("synthetic edit drifted too many bits on this corpus")
+
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti, fpd = str(tmp_path / "ti"), str(tmp_path / "fp")
+    kw = dict(
+        text_index=ti, fingerprints=fpd, near_dup_bits=bits,
+        auto_politeness=True, round_seconds=10.0,
+    )
+
+    # ---- round 1: the root page links to 4 candidates
+    p = [f"https://mr.example/p{i}" for i in range(4)]
+    (tmp_path / "r1.warc").write_bytes(
+        W.build_warc(
+            [
+                rec("rb1", "https://mr.example/robots.txt", robots_txt,
+                    "text/plain"),
+                page("root", root, orig, hrefs=p),
+            ]
+        )
+    )
+    r1 = W.crawl_round(spark, store, str(tmp_path / "r1.warc"), **kw)
+    assert r1["n_docs_indexed"] == 1 and r1["n_cross_dup"] == 0
+    f1 = sorted(r.url for r in r1["frontier"].collect())
+    # Crawl-delay 5 at a 10 s round: at most 2 pages for this host
+    assert len(f1) == 2 and set(f1) <= set(p) and root not in f1
+
+    # ---- round 2: serve exactly frontier 1; the first page re-ships
+    # round 1's content verbatim under its new URL (exact gate), the
+    # second is fresh; both link onward and back to the root
+    q = [f"https://mr.example/q{i}" for i in range(4)]
+    r2_fresh = " ".join(f"second round vocabulary item{i}" for i in range(30))
+    (tmp_path / "r2.warc").write_bytes(
+        W.build_warc(
+            [
+                rec("rb2", "https://mr.example/robots.txt", robots_txt,
+                    "text/plain"),
+                page("f1a", f1[0], orig, hrefs=[root, q[0], q[1]]),
+                page("f1b", f1[1], r2_fresh, hrefs=[root, q[2], q[3]]),
+            ]
+        )
+    )
+    r2 = W.crawl_round(spark, store, str(tmp_path / "r2.warc"), **kw)
+    # exact cross-round dedup: the re-shipped copy never re-indexes
+    assert r2["n_cross_dup"] == 1 and r2["n_docs_indexed"] == 1
+    f2 = sorted(r.url for r in r2["frontier"].collect())
+    fetched = {root, *f1}
+    # budget holds on round 2 too; nothing already fetched reappears
+    assert len(f2) == 2 and set(f2) <= set(q)
+    assert not set(f2) & fetched
+
+    # ---- round 3: serve exactly frontier 2; one page is a one-token
+    # edit of round 1's content (near gate), the other genuinely new
+    (tmp_path / "r3.warc").write_bytes(
+        W.build_warc(
+            [
+                rec("rb3", "https://mr.example/robots.txt", robots_txt,
+                    "text/plain"),
+                page("f2a", f2[0], edited),
+                page("f2b", f2[1], fresh),
+            ]
+        )
+    )
+    r3 = W.crawl_round(spark, store, str(tmp_path / "r3.warc"), **kw)
+    # near-dup content from round 1 never re-indexes in round 3
+    assert r3["n_cross_dup"] == 1 and r3["n_docs_indexed"] == 1
+    f3 = {r.url for r in r3["frontier"].collect()}
+    assert not f3 & (fetched | set(f2))  # nothing refetched, ever
+
+    # every fetched URL entered the graph exactly once (the graph key
+    # is the NORMALIZED form — the root's trailing slash strips)
+    urls = [r.url for r in store.graph().links.collect()]
+    assert sorted(urls) == sorted({root.rstrip("/"), *f1} | set(f2))
+    assert len(urls) == len(set(urls))
+    # round 1's content is indexed exactly once despite two re-ships
+    assert len(S.bm25_from_index(spark, ti, ("token3",), k=10).collect()) == 1
+    # the genuinely-new docs all landed
+    assert S.bm25_from_index(spark, ti, ("item3",), k=10).collect()
+    assert S.bm25_from_index(spark, ti, ("word3",), k=10).collect()
+
+
+def test_crawl_round_dsir_quota_doc_filter(spark, tmp_path):
+    """The quota form of DSIR selection (dsir_top_fraction — keep a
+    fixed fraction by importance weight, the mixture-targeting
+    pipeline's actual knob) wired as the crawl loop's doc_filter: the
+    loop indexes exactly the batch docs the operator selects on the
+    same pool, junk stays out of the index, and the deterministic
+    threshold keeps the replay exactly-once."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import sampling
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    def page(rid, path_, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": f"https://q.example{path_}",
+            "warc_date": "2026-08-15T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    wanted = [
+        f"spark shuffle partition broadcast join plan{i} " * 8
+        for i in range(2)
+    ]
+    junk = [f"zzz{i} qqq xxx vvv kkk " * 8 for i in range(2)]
+    (tmp_path / "q.warc").write_bytes(
+        W.build_warc(
+            [page(f"w{i}", f"/wanted{i}", t) for i, t in enumerate(wanted)]
+            + [page(f"j{i}", f"/junk{i}", t) for i, t in enumerate(junk)]
+        )
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ref = spark.createDataFrame(
+        [(10_000 + i, f"spark join broadcast shuffle partition text {i}")
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+
+    def dsir_gate(docs):
+        pool = docs.select("doc_id", "text").unionByName(ref)
+        sel = sampling.dsir_top_fraction(
+            pool, F.col("doc_id") >= 10_000, frac=0.5
+        )
+        return docs.join(sel.select("doc_id"), "doc_id", "left_semi")
+
+    ti = str(tmp_path / "ti")
+    rep = W.crawl_round(
+        spark, store, str(tmp_path / "q.warc"),
+        text_index=ti, doc_filter=dsir_gate,
+    )
+    assert rep["n_links_inserted"] == 4  # the graph still gets every page
+
+    # the loop's selection ≡ the operator run standalone on the same pool
+    from webpagesgraphdatabase_spark.operators.dedup import cdc_dedup
+
+    docs = W.warc_documents(W.read_warc(spark, str(tmp_path / "q.warc")))
+    cleaned = (
+        docs.join(cdc_dedup(docs).select("doc_id", "clean_text"), "doc_id")
+        .filter(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"), "url")
+    )
+    want_ids = {
+        r.doc_id
+        for r in dsir_gate(cleaned).select("doc_id").collect()
+    }
+    assert rep["n_docs_indexed"] == len(want_ids)
+    # the quota admits target-like pages and keeps junk out
+    assert 0 < rep["n_docs_indexed"] < 4
+    assert S.bm25_from_index(spark, ti, ("shuffle",), k=4).collect()
+    assert not S.bm25_from_index(spark, ti, ("zzz0",), k=4).collect()
+
+    # deterministic threshold → replay exactly-once
+    posts = spark.read.parquet(f"{ti}/postings.parquet").count()
+    W.crawl_round(
+        spark, store, str(tmp_path / "q.warc"),
+        text_index=ti, doc_filter=dsir_gate,
+    )
+    assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts
+
+
 def test_sitemap_entries_and_frontier_seeding(spark):
     """Sitemap XML parsing (urlset locs, sitemapindex flag, XML entity
     decode) and frontier seeding: sitemap-discovered URLs join the

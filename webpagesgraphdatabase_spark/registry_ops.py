@@ -1886,7 +1886,7 @@ binshort AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY ascore DESC, neighbor_id ASC) AS rn
     FROM binapprox
-  ) WHERE rn <= {ANN_K * 16}
+  ) WHERE rn <= {ANN_K * similarity.BIN_REFINE}
 ),
 binrr AS (
   SELECT s.query_id, s.neighbor_id,

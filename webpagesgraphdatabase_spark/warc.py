@@ -330,13 +330,30 @@ def crawl_frontier(
     rule table."""
     from pyspark.sql import Window
 
+    from .functions import normalize_url
+
     cand = edges.select(F.col("dst_url").alias("url"))
     if sitemaps is not None:
         cand = cand.unionByName(sitemaps.select(F.col("loc").alias("url")))
-    frontier = (
-        cand.distinct()
-        .join(seen.select("url").distinct(), "url", "left_anti")
+    # the graph stores NORMALIZED urls (F1: default scheme, query/
+    # fragment dropped, trailing '/' stripped), so the seen anti-join
+    # must compare normal forms — otherwise a slash/query variant of an
+    # already-stored page is re-fetched every round and eats the
+    # budget. One representative (min url) survives per normal form;
+    # the ORIGINAL url is returned for fetching. Both sides are URL
+    # sets; the normalize UDF is the same Arrow-batched F1 the preload
+    # itself pays.
+    cand = (
+        cand.filter(F.col("url").isNotNull())
+        .withColumn("_norm", normalize_url(F.col("url")))
+        .filter(F.col("_norm") != "")
+        .groupBy("_norm")
+        .agg(F.min("url").alias("url"))
     )
+    seen_n = seen.select(
+        normalize_url(F.col("url")).alias("_norm")
+    ).distinct()
+    frontier = cand.join(seen_n, "_norm", "left_anti").select("url")
     if rules is not None:
         from . import robots as R
 
@@ -595,6 +612,8 @@ def _crawl_ingest(
             # batch id, same surviving set).
             cleaned = doc_filter(cleaned)
         n_cross_dup = 0
+        n_before = 0
+        keep = None  # the cross-batch survivor frame, when that gate ran
         if fingerprints is not None:
             import os
 
@@ -628,7 +647,6 @@ def _crawl_ingest(
                         keep.select("doc_id"), "doc_id", "left_semi"
                     )
                     kept_fp = keep
-                    n_cross_dup = n_before - keep.count()
                 else:
                     kept_fp = fp
                 # land the SURVIVORS' fingerprints keyed on this batch:
@@ -652,6 +670,15 @@ def _crawl_ingest(
         if text_index is not None or sq8_index is not None:
             cleaned = cleaned.persist()
             n_indexed = cleaned.count()
+            if keep is not None:
+                # fp carries exactly cleaned's doc set (inner join on
+                # doc_id with the per-doc simhash), and the semi-join
+                # above makes |cleaned| == |keep| — so the indexing
+                # count doubles as the survivor count and the drop
+                # count needs no extra job (r8 verdict item 4)
+                n_cross_dup = n_before - n_indexed
+        elif keep is not None:
+            n_cross_dup = n_before - keep.count()
         if text_index is not None:
             _search.ensure_text_index(spark, text_index)
             _search.text_index_append(cleaned, text_index, batch=batch)
@@ -663,11 +690,24 @@ def _crawl_ingest(
             _sim.sq8_index_append(emb, sq8_index, batch=batch)
         if text_index is not None or sq8_index is not None:
             cleaned.unpersist()
+        # revisit hints (URL-level dedup) counted HERE, over the cached
+        # records frame — counting in crawl_round after base unpersists
+        # paid a full archive re-parse for one number (r8 verdict item 4)
+        n_revisits = (
+            base.filter(
+                (F.col("warc_type") == "revisit")
+                & F.col("target_uri").isNotNull()
+            )
+            .select("target_uri")
+            .distinct()
+            .count()
+        )
         return {
             "batch": int(batch),
             "n_links_inserted": int(n_inserted),
             "n_docs_indexed": int(n_indexed),
             "n_cross_dup": int(n_cross_dup),
+            "n_revisits": int(n_revisits),
         }
     finally:
         base.unpersist()
@@ -773,7 +813,6 @@ def crawl_round(
         .distinct()
     )
     seen = store.graph().links.select("url").unionByName(revisits)
-    report["n_revisits"] = revisits.count()
     delays = None
     sitemaps = None
     if auto_politeness:
