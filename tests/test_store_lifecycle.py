@@ -1,0 +1,103 @@
+"""The shared at-rest index lifecycle (r8 verdict item 6): batch-id
+allocation, per-writer dynamic-overwrite appends, and the
+watermark-first two-rename compaction fold — tested directly on a toy
+store so the four index adapters (IVF / SQ8 / bin / text) can stay
+thin. The adapters' own replay/compaction tests pin that their behavior
+is unchanged."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from webpagesgraphdatabase_spark.operators import store_lifecycle as L
+
+
+def _append(spark, path, store, batch, vals):
+    b = L.allocate_batch(spark, path, store, batch)
+    if b is None:
+        return None
+    df = spark.createDataFrame(
+        [(v, v % 2) for v in vals], ["v", "k"]
+    ).withColumn("batch", F.lit(int(b)))
+    L.dynamic_append(df, store, ("k", "batch"))
+    return b
+
+
+def test_allocate_append_compact_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    store = f"{path}/rows.parquet"
+    os.makedirs(path)
+
+    # first allocation on an empty store starts the id space at 1
+    assert _append(spark, path, store, None, [1, 2, 3]) == 1
+    assert _append(spark, path, store, None, [4, 5]) == 2
+    # explicit ids pass through untouched (no watermark yet)
+    assert _append(spark, path, store, 7, [6]) == 7
+    before = {tuple(r) for r in spark.read.parquet(store).collect()}
+    assert len(before) == 6
+
+    # replaying an explicit batch overwrites exactly its own partitions
+    assert _append(spark, path, store, 7, [6]) == 7
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == before
+
+    # compaction folds everything to batch 0, persists the watermark,
+    # and reports file counts
+    rep = L.compact_store(
+        spark, path, [L.SubStore(store, ("k", "batch"))]
+    )
+    assert rep["watermark"] == 7
+    assert rep["files_after"] <= rep["files_before"]
+    after = spark.read.parquet(store)
+    assert {r.batch for r in after.select("batch").distinct().collect()} == {0}
+    assert {(r.v, r.k) for r in after.collect()} == {
+        (v, k) for v, k, _ in before
+    }
+
+    # a replay of any folded batch id is refused by allocation...
+    assert L.allocate_batch(spark, path, store, 3) is None
+    assert L.allocate_batch(spark, path, store, 7) is None
+    # ...and fresh allocation resumes ABOVE the watermark, not at max+1
+    # of the folded store (whose ids all read 0 now)
+    assert L.allocate_batch(spark, path, store, None) == 8
+
+
+def test_compact_store_custom_fold_and_layout(spark, tmp_path):
+    """A sub-store may MERGE at fold time (the text index's stats sum)
+    instead of relabelling; layout shapes the rewrite."""
+    path = str(tmp_path / "idx2")
+    store = f"{path}/stats.parquet"
+    os.makedirs(path)
+    for b, n in ((1, 10), (2, 32)):
+        L.dynamic_append(
+            spark.createDataFrame([(n, b)], "n long, batch int"),
+            store,
+            ("batch",),
+        )
+    rep = L.compact_store(
+        spark,
+        path,
+        [
+            L.SubStore(
+                store,
+                ("batch",),
+                fold=lambda d: d.agg(F.sum("n").alias("n")).withColumn(
+                    "batch", F.lit(0)
+                ),
+                layout=lambda d: d.coalesce(1),
+            )
+        ],
+    )
+    assert rep["watermark"] == 2
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 42 and rows[0]["batch"] == 0
+
+
+def test_ensure_bucket_meta_noop_when_present(spark, tmp_path):
+    path = str(tmp_path / "idx3")
+    L.ensure_bucket_meta(spark, path, 16)
+    assert spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"] == 16
+    # second call with a DIFFERENT count must not clobber the layout
+    L.ensure_bucket_meta(spark, path, 64)
+    assert spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"] == 16

@@ -293,16 +293,13 @@ def text_index_append(
     merge by integer addition. Callers own doc_id uniqueness across
     batches (re-indexing a changed doc is a replace of its batch, not
     an upsert)."""
-    from ._util import read_compaction_watermark
+    from .store_lifecycle import allocate_batch, dynamic_append
 
     spark = docs.sparkSession
     stats0 = spark.read.parquet(f"{path}/stats.parquet")
     n_buckets = int(stats0.first()["n_buckets"])
-    wm = read_compaction_watermark(path)
+    batch = allocate_batch(spark, path, f"{path}/stats.parquet", batch)
     if batch is None:
-        prev = stats0.agg(F.max("batch")).first()[0]
-        batch = max(int(prev or 0), wm) + 1
-    elif int(batch) <= wm:
         # replay of a batch already folded into segment 0 by
         # compact_text_index — re-appending would double its postings,
         # doc lengths, AND corpus stats (scores would silently drift)
@@ -311,17 +308,9 @@ def text_index_append(
     postings, stats, lens = _index_parts(
         docs, n_buckets, tokenizer, id_col, batch
     )
-    # per-writer dynamic overwrite (not the session conf): a concurrent
-    # write in the same SparkSession must not inherit dynamic semantics
-    postings.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("bucket", "batch").parquet(f"{path}/postings.parquet")
-    lens.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch").parquet(f"{path}/doclens.parquet")
-    stats.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch").parquet(f"{path}/stats.parquet")
+    dynamic_append(postings, f"{path}/postings.parquet", ("bucket", "batch"))
+    dynamic_append(lens, f"{path}/doclens.parquet", ("batch",))
+    dynamic_append(stats, f"{path}/stats.parquet", ("batch",))
 
 
 def compact_text_index(spark, path: str) -> dict:
@@ -335,68 +324,40 @@ def compact_text_index(spark, path: str) -> dict:
     replay of a folded batch no-ops in :func:`text_index_append`
     instead of double-counting postings and corpus stats. Query scores
     are bit-identical before and after (test-pinned)."""
-    from ._util import (
-        count_parquet_files,
-        read_compaction_watermark,
-        swap_in_rewrite,
-        write_compaction_watermark,
-    )
+    from .store_lifecycle import SubStore, compact_store
 
-    posts = f"{path}/postings.parquet"
-    lens = f"{path}/doclens.parquet"
-    stats = f"{path}/stats.parquet"
-    before = sum(count_parquet_files(p) for p in (posts, lens, stats))
-    prev_max = spark.read.parquet(stats).agg(F.max("batch")).first()[0]
-    wm = max(int(prev_max or 0), read_compaction_watermark(path))
-    write_compaction_watermark(path, wm)
-    swap_in_rewrite(
-        lambda tmp: (
-            spark.read.parquet(posts)
-            .withColumn("batch", F.lit(0))
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket", "batch")
-            .parquet(tmp)
-        ),
-        posts,
-        f"{path}/postings.compact.tmp",
-    )
-    swap_in_rewrite(
-        lambda tmp: (
-            spark.read.parquet(lens)
-            .withColumn("batch", F.lit(0))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(tmp)
-        ),
-        lens,
-        f"{path}/doclens.compact.tmp",
-    )
-    swap_in_rewrite(
-        lambda tmp: (
-            spark.read.parquet(stats)
-            .agg(
+    def fold_stats(df):
+        return (
+            df.agg(
                 F.sum("n_docs").cast("double").alias("n_docs"),
                 F.sum("sum_dl").cast("long").alias("sum_dl"),
                 F.first("n_buckets").cast("int").alias("n_buckets"),
-            )
-            .withColumn("batch", F.lit(0))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(tmp)
-        ),
-        stats,
-        f"{path}/stats.compact.tmp",
+            ).withColumn("batch", F.lit(0))
+        )
+
+    return compact_store(
+        spark,
+        path,
+        [
+            SubStore(
+                f"{path}/postings.parquet",
+                ("bucket", "batch"),
+                layout=lambda d: d.repartition("bucket"),
+            ),
+            SubStore(
+                f"{path}/doclens.parquet",
+                ("batch",),
+                layout=lambda d: d.coalesce(1),
+            ),
+            SubStore(
+                f"{path}/stats.parquet",
+                ("batch",),
+                fold=fold_stats,
+                layout=lambda d: d.coalesce(1),
+            ),
+        ],
+        batch_source=f"{path}/stats.parquet",
     )
-    return {
-        "files_before": before,
-        "files_after": sum(
-            count_parquet_files(p) for p in (posts, lens, stats)
-        ),
-        "watermark": wm,
-    }
 
 
 def bm25_from_index(

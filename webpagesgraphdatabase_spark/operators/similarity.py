@@ -622,36 +622,21 @@ def ivf_index_append(emb: DataFrame, path: str, batch: int | None = None) -> str
     checkpoint replay of a pre-compaction micro-batch would rewrite a
     partition whose vectors already live in segment 0, duplicating
     them in the index."""
+    from .store_lifecycle import allocate_batch, dynamic_append
+
     spark = emb.sparkSession
     stored = spark.read.parquet(f"{path}/centroids.parquet")
     lists_path = f"{path}/lists.parquet"
-    wm = _read_compaction_watermark(path)
-    if batch is None:
-        prev = spark.read.parquet(lists_path).agg(F.max("batch")).first()[0]
-        batch = max(int(prev or 0), wm) + 1
-    elif int(batch) <= wm:
+    batch = allocate_batch(spark, path, lists_path, batch)
+    if batch is None:  # replay of a batch already folded into segment 0
         return path
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     out = (
         v.join(_argmax_assign(v, stored), "vec_id")
         .withColumn("batch", F.lit(int(batch)))
     )
-    # per-writer dynamic overwrite (not the session conf): a concurrent
-    # write in the same SparkSession must not inherit dynamic semantics
-    (
-        out.repartition("cid")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid", "batch")
-        .parquet(lists_path)
-    )
+    dynamic_append(out.repartition("cid"), lists_path, ("cid", "batch"))
     return path
-
-
-def _read_compaction_watermark(path: str) -> int:
-    from ._util import read_compaction_watermark
-
-    return read_compaction_watermark(path)
 
 
 def compact_ivf_lists(spark, path: str) -> dict:
@@ -679,34 +664,19 @@ def compact_ivf_lists(spark, path: str) -> dict:
     vectors already live in segment 0, duplicating them in the index.
     :func:`ivf_index_append` skips batch ids ≤ the watermark and
     allocates fresh ids above it (test-pinned)."""
-    from ._util import (
-        count_parquet_files,
-        swap_in_rewrite,
-        write_compaction_watermark,
-    )
+    from .store_lifecycle import SubStore, compact_store
 
-    lists_path = f"{path}/lists.parquet"
-    before = count_parquet_files(lists_path)
-    prev_max = spark.read.parquet(lists_path).agg(F.max("batch")).first()[0]
-    wm = max(int(prev_max or 0), _read_compaction_watermark(path))
-    write_compaction_watermark(path, wm)
-    swap_in_rewrite(
-        lambda tmp: (
-            spark.read.parquet(lists_path)
-            .withColumn("batch", F.lit(0))
-            .repartition("cid")
-            .write.mode("overwrite")
-            .partitionBy("cid", "batch")
-            .parquet(tmp)
-        ),
-        lists_path,
-        f"{path}/lists.compact.tmp",
+    return compact_store(
+        spark,
+        path,
+        [
+            SubStore(
+                f"{path}/lists.parquet",
+                ("cid", "batch"),
+                layout=lambda d: d.repartition("cid"),
+            )
+        ],
     )
-    return {
-        "files_before": before,
-        "files_after": count_parquet_files(lists_path),
-        "watermark": wm,
-    }
 
 
 def ann_ivf_from_index(
@@ -2320,13 +2290,9 @@ def ensure_sq8_index(spark, path: str, n_buckets: int = 16) -> None:
     that never had a base build. No-op when meta already exists (so it
     is safe inside every ingest round); the code store itself appears
     with the first appended batch."""
-    import os
+    from .store_lifecycle import ensure_bucket_meta
 
-    if os.path.isdir(f"{path}/meta.parquet"):
-        return
-    spark.range(1).select(F.lit(int(n_buckets)).alias("n_buckets")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta.parquet")
+    ensure_bucket_meta(spark, path, n_buckets)
 
 
 def hash_embed(
@@ -2399,25 +2365,15 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
 
     ``batch=None`` allocates max(existing)+1 (metadata-only partition-
     column scan). Callers own vec_id uniqueness across batches."""
+    from .store_lifecycle import allocate_batch, dynamic_append
+
     spark = emb.sparkSession
     n_buckets = int(
         spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"]
     )
     store_path = f"{path}/sq8.parquet"
-    wm = _read_compaction_watermark(path)
+    batch = allocate_batch(spark, path, store_path, batch)
     if batch is None:
-        # an ensure_sq8_index skeleton has meta but no code store yet —
-        # the first append then starts the batch-id space at 1
-        from pyspark.errors import AnalysisException
-
-        try:
-            prev = (
-                spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
-            )
-        except AnalysisException:
-            prev = 0
-        batch = max(int(prev or 0), wm) + 1
-    elif int(batch) <= wm:
         # replay of a batch already folded into segment 0 by
         # compact_sq8_store — re-appending would duplicate its codes
         return
@@ -2426,11 +2382,7 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
         .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
         .withColumn("batch", F.lit(int(batch)))
     )
-    # per-writer dynamic overwrite (not the session conf): a concurrent
-    # write in the same SparkSession must not inherit dynamic semantics
-    enc.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("bucket", "batch").parquet(store_path)
+    dynamic_append(enc, store_path, ("bucket", "batch"))
 
 
 def compact_sq8_store(spark, path: str) -> dict:
@@ -2444,34 +2396,19 @@ def compact_sq8_store(spark, path: str) -> dict:
     checkpoint replay of a folded batch no-ops in
     :func:`sq8_index_append` instead of duplicating codes. Codes are
     not re-encoded — query results are bit-identical (test-pinned)."""
-    from ._util import (
-        count_parquet_files,
-        swap_in_rewrite,
-        write_compaction_watermark,
-    )
+    from .store_lifecycle import SubStore, compact_store
 
-    store_path = f"{path}/sq8.parquet"
-    before = count_parquet_files(store_path)
-    prev_max = spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
-    wm = max(int(prev_max or 0), _read_compaction_watermark(path))
-    write_compaction_watermark(path, wm)
-    swap_in_rewrite(
-        lambda tmp: (
-            spark.read.parquet(store_path)
-            .withColumn("batch", F.lit(0))
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket", "batch")
-            .parquet(tmp)
-        ),
-        store_path,
-        f"{path}/sq8.compact.tmp",
+    return compact_store(
+        spark,
+        path,
+        [
+            SubStore(
+                f"{path}/sq8.parquet",
+                ("bucket", "batch"),
+                layout=lambda d: d.repartition("bucket"),
+            )
+        ],
     )
-    return {
-        "files_before": before,
-        "files_after": count_parquet_files(store_path),
-        "watermark": wm,
-    }
 
 
 def ann_sq8_from_index(
@@ -2753,32 +2690,22 @@ def bin_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
     Replays of batches already folded by :func:`compact_bin_store`
     no-op via the shared compaction watermark. ``batch=None``
     allocates max(existing, watermark)+1."""
+    from .store_lifecycle import allocate_batch, dynamic_append
+
     spark = emb.sparkSession
     n_buckets = int(
         spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"]
     )
     store_path = f"{path}/bin.parquet"
-    wm = _read_compaction_watermark(path)
-    if batch is None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            prev = (
-                spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
-            )
-        except AnalysisException:
-            prev = 0
-        batch = max(int(prev or 0), wm) + 1
-    elif int(batch) <= wm:
+    batch = allocate_batch(spark, path, store_path, batch)
+    if batch is None:  # replay of a batch already folded into segment 0
         return
     enc = (
         bin_encode(emb)
         .withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)))
         .withColumn("batch", F.lit(int(batch)))
     )
-    enc.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("bucket", "batch").parquet(store_path)
+    dynamic_append(enc, store_path, ("bucket", "batch"))
 
 
 def compact_bin_store(spark, path: str) -> dict:
@@ -2787,34 +2714,19 @@ def compact_bin_store(spark, path: str) -> dict:
     layout, same watermark-first discipline so a checkpoint replay of
     a folded batch no-ops in :func:`bin_index_append`. Signatures are
     not re-encoded — query results are bit-identical."""
-    from ._util import (
-        count_parquet_files,
-        swap_in_rewrite,
-        write_compaction_watermark,
-    )
+    from .store_lifecycle import SubStore, compact_store
 
-    store_path = f"{path}/bin.parquet"
-    before = count_parquet_files(store_path)
-    prev_max = spark.read.parquet(store_path).agg(F.max("batch")).first()[0]
-    wm = max(int(prev_max or 0), _read_compaction_watermark(path))
-    write_compaction_watermark(path, wm)
-    swap_in_rewrite(
-        lambda tmp: (
-            spark.read.parquet(store_path)
-            .withColumn("batch", F.lit(0))
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket", "batch")
-            .parquet(tmp)
-        ),
-        store_path,
-        f"{path}/bin.compact.tmp",
+    return compact_store(
+        spark,
+        path,
+        [
+            SubStore(
+                f"{path}/bin.parquet",
+                ("bucket", "batch"),
+                layout=lambda d: d.repartition("bucket"),
+            )
+        ],
     )
-    return {
-        "files_before": before,
-        "files_after": count_parquet_files(store_path),
-        "watermark": wm,
-    }
 
 
 def mmr_select(
