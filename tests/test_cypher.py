@@ -757,6 +757,25 @@ def test_shortest_path_free_endpoint(g):
         ).collect()
     }
     assert got_cap == {("k1", 1)}
+    # the reference's query style: bound end carries no label, just the
+    # key property (url → Link inferred); param substitution works
+    got_bare = {
+        (r[0], r[1])
+        for r in cypher(
+            g,
+            "MATCH p = shortestPath((n {url: $u})-[*1..4]-(m)) "
+            "RETURN m.url, length(p)",
+            {"u": "a"},
+        ).collect()
+    }
+    assert got_bare == {("b", 2), ("c", 2)}
+    # both-bound with bare key properties also infers
+    rows = cypher(
+        g,
+        "MATCH p = shortestPath((n {url: 'a'})-[*1..4]-(m {name: 'k2'})) "
+        "RETURN length(p) AS d",
+    ).collect()
+    assert [r["d"] for r in rows] == [3]
 
 
 def test_shortest_path_free_endpoint_refusals(g):

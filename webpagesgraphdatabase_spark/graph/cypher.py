@@ -859,18 +859,29 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         raise CypherSyntaxError(
             "shortestPath supports the undirected form only"
         )
+    src_rel_l, dst_rel_l = REL_ENDPOINTS[hop.rel]
     ends: list[str | None] = []
     for node in nodes:
         if not node.props:
             ends.append(None)  # free endpoint
             continue
-        key = NODE_KEY.get(node.label) if node.label else None
-        if not node.label or set(node.props) != {key}:
+        label = node.label
+        if label is None and len(node.props) == 1:
+            # unlabelled bound end: the key property names the label
+            # (url → Link, name → the rel's non-Link endpoint) — the
+            # reference's own query style binds with bare {url: $u}
+            prop = next(iter(node.props))
+            if prop == "url":
+                label = "Link"
+            elif prop == "name":
+                label = dst_rel_l
+        key = NODE_KEY.get(label) if label else None
+        if not label or set(node.props) != {key}:
             raise CypherSyntaxError(
                 "a bound shortestPath endpoint must bind exactly its "
                 "key property"
             )
-        ends.append(f"{node.label}:{node.props[key]}")
+        ends.append(f"{label}:{node.props[key]}")
     if ends[0] is None and ends[1] is None:
         raise CypherSyntaxError(
             "shortestPath needs at least one key-bound endpoint"
