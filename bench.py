@@ -1220,6 +1220,21 @@ def build_report(
                 out["worst_raw_ratio"] = {
                     worst: round(timings[worst] / prev_q[worst], 2)
                 }
+                # ...and the true worst RAW ratio over every unchanged
+                # comparable entry, so "no real regression anywhere"
+                # is one field even when a different entry tops the
+                # calibrated list (r9: ten calibrated breaches from one
+                # fast cpu-probe window, every raw ≤ 1.23)
+                raw_all = {
+                    k: timings[k] / prev_q[k]
+                    for k in ratios
+                    if prev_q.get(k)
+                }
+                if raw_all:
+                    worst_any = max(raw_all, key=raw_all.get)
+                    out["worst_raw_ratio_any"] = {
+                        worst_any: round(raw_all[worst_any], 2)
+                    }
                 # full per-query factor/ratio table is detail-only (the
                 # driver line carries just the worst entry)
                 out["_per_query_factor"] = factors
@@ -1272,9 +1287,15 @@ def build_report(
             out["nd_elided_below"] = 0.05
     line = json.dumps(out, separators=(",", ":"))
     # shed order: deltas are recomputable from the detail sidecars of
-    # two rounds; `recall` is an adjudication result with no other home
-    # in the driver line, so it goes last
-    for drop in ("normalized_deltas", "calibrated_prev", "recall"):
+    # two rounds (as is worst_raw_ratio_any); `recall` is an
+    # adjudication result with no other home in the driver line, so it
+    # goes last
+    for drop in (
+        "normalized_deltas",
+        "calibrated_prev",
+        "worst_raw_ratio_any",
+        "recall",
+    ):
         if len(line) <= 1920:
             break
         out.pop(drop, None)

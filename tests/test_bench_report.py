@@ -106,6 +106,9 @@ def test_detail_sidecar_preferred_and_normalized_deltas(tmp_path):
     # self-adjudicate in the artifact
     assert out["worst_calibrated_ratio"] == {"q1": 1.1}
     assert out["worst_raw_ratio"] == {"q1": 2.2}
+    # the true worst raw over ALL unchanged entries (here the same):
+    # q1 2.2/1.0=2.2 beats q2 4.0/2.0=2.0
+    assert out["worst_raw_ratio_any"] == {"q1": 2.2}
     # raw deltas live in the detail sidecar only
     assert "deltas" in detail and "deltas" not in parsed
     assert detail["stats"] is STATS
