@@ -425,6 +425,64 @@ def test_crawl_round_end_to_end_and_replay_identical(spark, tmp_path):
     assert _index_state(spark, ti, si) == i1
 
 
+def test_crawl_round_bin_index_tier(spark, tmp_path):
+    """bin_index= adds the 32x packed-signature tier to the crawl
+    loop's exactly-once appends: the at-rest signatures equal a live
+    bin_encode over the same (shared) hash embedding, the SQ8 and bin
+    stores carry the SAME vec_ids (one embedding pass feeds both), and
+    a replay leaves the bin store row-identical."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import similarity as sim
+
+    (tmp_path / "crawl.warc").write_bytes(W.build_warc(_crawl_records()))
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    si, bi = str(tmp_path / "si"), str(tmp_path / "bi")
+    rep = W.crawl_round(
+        spark, store, str(tmp_path / "crawl.warc"),
+        rules=_rules(spark), sq8_index=si, bin_index=bi,
+    )
+    assert rep["n_docs_indexed"] == 2
+    stored = spark.read.parquet(f"{bi}/bin.parquet").select(
+        "vec_id", "words"
+    )
+    assert stored.count() == 2
+    # same vec_ids in both vector tiers (one embedding pass)
+    sq8_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{si}/sq8.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert {r.vec_id for r in stored.collect()} == sq8_ids
+    # signatures ≡ live encode of the same deterministic embedding
+    docs = W.warc_documents(W.read_warc(spark, str(tmp_path / "crawl.warc")))
+    from webpagesgraphdatabase_spark.operators.dedup import cdc_dedup
+
+    cleaned = (
+        docs.join(cdc_dedup(docs).select("doc_id", "clean_text"), "doc_id")
+        .filter(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"), "url")
+        .join(stored.select(F.col("vec_id").alias("doc_id")), "doc_id",
+              "left_semi")
+    )
+    live = sim.bin_encode(sim.hash_embed(cleaned))
+    assert sorted(
+        (r.vec_id, tuple(r.words)) for r in stored.collect()
+    ) == sorted((r.vec_id, tuple(r.words)) for r in live.collect())
+    # replay leaves the store row-identical
+    state = sorted(map(tuple, spark.read.parquet(f"{bi}/bin.parquet").collect()))
+    W.crawl_round(
+        spark, store, str(tmp_path / "crawl.warc"),
+        rules=_rules(spark), sq8_index=si, bin_index=bi,
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{bi}/bin.parquet").collect())
+    ) == state
+
+
 def test_streaming_crawl_round_replay_identical(spark, tmp_path):
     """Streaming twin: a fresh checkpoint replays every micro-batch
     with the same ids — graph and indexes must come out row-identical

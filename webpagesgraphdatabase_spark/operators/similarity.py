@@ -2654,6 +2654,17 @@ def build_bin_index(emb: DataFrame, path: str, n_buckets: int = 16) -> None:
     ).parquet(f"{path}/meta.parquet")
 
 
+def ensure_bin_index(spark, path: str, n_buckets: int = 16) -> None:
+    """Create an EMPTY :func:`build_bin_index` layout (meta only) if
+    ``path`` holds none — :func:`ensure_sq8_index`'s twin for the
+    packed-signature store, so a crawl/stream sink can
+    :func:`bin_index_append` exactly-once batches into an index that
+    never had a base build. No-op when meta already exists."""
+    from .store_lifecycle import ensure_bucket_meta
+
+    ensure_bucket_meta(spark, path, n_buckets)
+
+
 def ann_bin_from_index(
     spark,
     path: str,

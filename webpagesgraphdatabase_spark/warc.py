@@ -518,6 +518,7 @@ def _crawl_ingest(
     rules: DataFrame | None = None,
     text_index: str | None = None,
     sq8_index: str | None = None,
+    bin_index: str | None = None,
     embed=None,
     embed_dim: int = 64,
     doc_filter=None,
@@ -666,8 +667,13 @@ def _crawl_ingest(
                 )
             finally:
                 fp.unpersist()
+        any_index = (
+            text_index is not None
+            or sq8_index is not None
+            or bin_index is not None
+        )
         n_indexed = 0
-        if text_index is not None or sq8_index is not None:
+        if any_index:
             cleaned = cleaned.persist()
             n_indexed = cleaned.count()
             if keep is not None:
@@ -682,13 +688,22 @@ def _crawl_ingest(
         if text_index is not None:
             _search.ensure_text_index(spark, text_index)
             _search.text_index_append(cleaned, text_index, batch=batch)
-        if sq8_index is not None:
-            _sim.ensure_sq8_index(spark, sq8_index)
+        if sq8_index is not None or bin_index is not None:
+            # ONE embedding pass feeds every vector tier
             emb = (embed or (lambda d: _sim.hash_embed(d, dim=embed_dim)))(
                 cleaned
             )
-            _sim.sq8_index_append(emb, sq8_index, batch=batch)
-        if text_index is not None or sq8_index is not None:
+            if sq8_index is not None and bin_index is not None:
+                emb = emb.persist()
+            if sq8_index is not None:
+                _sim.ensure_sq8_index(spark, sq8_index)
+                _sim.sq8_index_append(emb, sq8_index, batch=batch)
+            if bin_index is not None:
+                _sim.ensure_bin_index(spark, bin_index)
+                _sim.bin_index_append(emb, bin_index, batch=batch)
+            if sq8_index is not None and bin_index is not None:
+                emb.unpersist()
+        if any_index:
             cleaned.unpersist()
         # revisit hints (URL-level dedup) counted HERE, over the cached
         # records frame — counting in crawl_round after base unpersists
@@ -720,6 +735,7 @@ def crawl_round(
     rules: DataFrame | None = None,
     text_index: str | None = None,
     sq8_index: str | None = None,
+    bin_index: str | None = None,
     embed=None,
     embed_dim: int = 64,
     limit_per_domain: int | None = None,
@@ -733,7 +749,9 @@ def crawl_round(
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
-    exactly-once BM25 + SQ8 index append → next frontier. Every piece
+    exactly-once BM25 + SQ8 + binary-signature index appends (one
+    shared embedding pass feeds both vector tiers) → next frontier.
+    Every piece
     existed separately since r7; this wires them into the job a crawl
     scheduler actually runs, replay-safe end to end (test-pinned: a
     second pass over the same archive leaves graph and indexes
@@ -793,6 +811,7 @@ def crawl_round(
         rules=rules,
         text_index=text_index,
         sq8_index=sq8_index,
+        bin_index=bin_index,
         embed=embed,
         embed_dim=embed_dim,
         doc_filter=doc_filter,
@@ -850,6 +869,7 @@ def streaming_crawl_round(
     rules: DataFrame | None = None,
     text_index: str | None = None,
     sq8_index: str | None = None,
+    bin_index: str | None = None,
     embed=None,
     embed_dim: int = 64,
     doc_filter=None,
@@ -875,6 +895,7 @@ def streaming_crawl_round(
             rules=rules,
             text_index=text_index,
             sq8_index=sq8_index,
+            bin_index=bin_index,
             embed=embed,
             embed_dim=embed_dim,
             doc_filter=doc_filter,
