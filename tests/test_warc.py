@@ -568,6 +568,70 @@ def test_crawl_round_two_archives_distinct_batches(spark, tmp_path):
     ) == state
 
 
+def test_crawl_round_compact_threshold_maintenance(spark, tmp_path):
+    """compact_threshold folds fragmented indexes between rounds: after
+    enough appends the stores collapse to segment 0, query results stay
+    identical, the report carries the fold, and a replay of a
+    pre-compaction archive still no-ops (watermark discipline)."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    def page_rec(rid, url, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": url,
+            "warc_date": "2026-08-15T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    for i in range(3):
+        (tmp_path / f"a{i}.warc").write_bytes(
+            W.build_warc(
+                [page_rec(f"p{i}", f"https://c.example/p{i}",
+                          f"round{i} corpus tokenset{i} shared words")]
+            )
+        )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti, si = str(tmp_path / "ti"), str(tmp_path / "si")
+    reports = [
+        W.crawl_round(
+            spark, store, str(tmp_path / f"a{i}.warc"),
+            text_index=ti, sq8_index=si, compact_threshold=4,
+        )
+        for i in range(3)
+    ]
+    # fragmentation crossed the bound at least once → a fold ran and
+    # the report says so
+    folded = [r for r in reports if "compacted" in r]
+    assert folded, [sorted(r) for r in reports]
+    assert any("text" in r.get("compacted", {}) for r in reports)
+    # post-fold: every round's docs still searchable, exact-stats BM25
+    for i in range(3):
+        hits = S.bm25_from_index(spark, ti, (f"tokenset{i}",), k=3).collect()
+        assert len(hits) == 1, i
+    # the sq8 store either folded or stayed under the bound; row count
+    # is exactly the three docs either way
+    assert spark.read.parquet(f"{si}/sq8.parquet").count() == 3
+    # replaying a pre-compaction archive no-ops via the watermark
+    posts = spark.read.parquet(f"{ti}/postings.parquet").count()
+    rb = W.crawl_round(
+        spark, store, str(tmp_path / "a0.warc"),
+        text_index=ti, sq8_index=si, compact_threshold=4,
+    )
+    assert rb["n_links_inserted"] == 0
+    assert spark.read.parquet(f"{ti}/postings.parquet").count() == posts
+    assert spark.read.parquet(f"{si}/sq8.parquet").count() == 3
+
+
 def test_crawl_round_landing_mode_single_parse(spark, tmp_path):
     """landing= lands the records as Parquet keyed by batch id (the
     at-scale single-parse mode); results are identical to the direct

@@ -746,6 +746,7 @@ def crawl_round(
     near_dup_bits: int | None = None,
     auto_politeness: bool = False,
     round_seconds: float = 300.0,
+    compact_threshold: int | None = None,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -781,6 +782,15 @@ def crawl_round(
     ``near_dup_bits`` extends the gate to NEAR duplicates: new docs
     within that Hamming distance of any prior round's stored SimHash
     (banded candidate join, Manku et al. WWW'07) are dropped too.
+
+    ``compact_threshold`` closes the operational loop over MANY rounds:
+    after the ingest, any configured index whose parquet file count
+    exceeds the threshold is folded back into one segment (the shared
+    watermark-first compaction — replays of folded batches still no-op,
+    query results bit-identical). The fold rides the round's report
+    under ``compacted``. Batch mode only: the streaming twin is a
+    continuous writer and compaction assumes the single-writer gap
+    between rounds.
 
     The returned report carries the NEXT frontier (lazy DataFrame):
     harvested out-links, minus everything already in the graph, minus
@@ -818,6 +828,29 @@ def crawl_round(
         fingerprints=fingerprints,
         near_dup_bits=near_dup_bits,
     )
+    if compact_threshold is not None:
+        from .operators import search as _search
+        from .operators import similarity as _sim
+        from .operators._util import count_parquet_files
+
+        compacted = {}
+        for name, idx, stores, fold in (
+            (
+                "text",
+                text_index,
+                ("postings.parquet", "doclens.parquet", "stats.parquet"),
+                _search.compact_text_index,
+            ),
+            ("sq8", sq8_index, ("sq8.parquet",), _sim.compact_sq8_store),
+            ("bin", bin_index, ("bin.parquet",), _sim.compact_bin_store),
+        ):
+            if idx is None:
+                continue
+            n = sum(count_parquet_files(f"{idx}/{s}") for s in stores)
+            if n > int(compact_threshold):
+                compacted[name] = fold(spark, idx)
+        if compacted:
+            report["compacted"] = compacted
     # frontier: out-links not yet seen. "Seen" = the graph's stored
     # URLs (which now include this round's pages) plus revisit targets
     # (dedup hints: known-archived content is never re-fetched).
