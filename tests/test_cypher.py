@@ -776,6 +776,27 @@ def test_shortest_path_free_endpoint(g):
         "RETURN length(p) AS d",
     ).collect()
     assert [r["d"] for r in rows] == [3]
+    # nearest-first: ORDER BY length(p) [+ tie key] and LIMIT compose
+    ordered = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-(m)) "
+        "RETURN m.name AS kw, length(p) AS d ORDER BY d ASC, kw ASC LIMIT 1",
+    ).collect()
+    assert [(r.kw, r.d) for r in ordered] == [("k1", 1)]
+    # ...by the original spellings too (length(p) / m.name)
+    ordered2 = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-(m)) "
+        "RETURN m.name, length(p) ORDER BY length(p) DESC, m.name LIMIT 1",
+    ).collect()
+    assert [tuple(r) for r in ordered2] == [("k2", 3)]
+    # unknown ORDER BY key refuses
+    with pytest.raises(CypherSyntaxError):
+        cypher(
+            g,
+            "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..4]-(m)) "
+            "RETURN m.name, length(p) ORDER BY m.title",
+        )
 
 
 def test_shortest_path_free_endpoint_refusals(g):

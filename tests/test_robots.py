@@ -34,6 +34,36 @@ def test_parse_robots_group_selection():
     assert R.parse_robots("User-agent: *\nDisallow:") == []
 
 
+def test_matching_groups_combine():
+    """RFC 9309 §2.2.1: multiple groups matching the same product token
+    combine into one rule set (file order); the most specific token
+    still wins over *, and combining never mixes tokens."""
+    body = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: bot\nDisallow: /only-bot\n\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    assert R.parse_robots(body, "somecrawler") == [
+        (False, "/a"), (False, "/b"),
+    ]
+    assert R.parse_robots(body, "bot") == [(False, "/only-bot")]
+    # two groups for the same specific token also combine
+    body2 = (
+        "User-agent: bot\nDisallow: /x\n\n"
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: bot\nAllow: /x/ok\n"
+    )
+    assert R.parse_robots(body2, "bot/1.0") == [
+        (False, "/x"), (True, "/x/ok"),
+    ]
+    # crawl-delay: first valid occurrence across the combined groups
+    body3 = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: *\nCrawl-delay: 4\n"
+    )
+    assert R.parse_crawl_delay(body3) == 4.0
+
+
 def test_non_group_directives_do_not_split_ua_runs():
     """RFC 9309 §2.2.4: records other than allow/disallow (Sitemap,
     unknown extensions) must not interfere with group parsing — a

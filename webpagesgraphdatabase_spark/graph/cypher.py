@@ -948,16 +948,12 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         len_alias = f"length({pvar})"
         if p.take_kw("AS"):
             len_alias = p.expect(_IDENT, "alias").group(0)
-        if not p.at_end():
-            raise CypherSyntaxError(
-                "shortestPath statements end at RETURN ... length(p)"
-            )
         seeds = g.links.sparkSession.createDataFrame(
             [(bound_id,)], "node_id string"
         )
         dist = bfs_distances_from_edges(fwd, seeds, max_hops=hop.var_len)
         pref = free_label + ":"
-        return (
+        out = (
             dist.filter(
                 (F.col("node_id") != bound_id)
                 & F.col("node_id").startswith(pref)
@@ -968,6 +964,50 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
                 F.col("dist").alias(len_alias),
             )
         )
+        # "nearest first" is the natural shape of a one-to-all distance
+        # query — support ORDER BY over the two projected columns
+        # (by alias, by the original m.<key> / length(p) spelling) + LIMIT
+        if p.take_kw("ORDER"):
+            p.expect_kw("BY")
+            order_cols = []
+            while True:
+                m2 = p.take(
+                    re.compile(r"length\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+                )
+                if m2:
+                    if m2.group(1) != pvar:
+                        raise CypherSyntaxError(
+                            f"unknown path variable {m2.group(1)!r}"
+                        )
+                    name = len_alias
+                else:
+                    v2 = p.expect(_IDENT, "order key").group(0)
+                    name = v2
+                    if p.take_char("."):
+                        name = f"{v2}.{p.expect(_IDENT, 'property name').group(0)}"
+                    if name == f"{free.var}.{prop}":
+                        name = key_alias
+                if name not in (key_alias, len_alias):
+                    raise CypherSyntaxError(
+                        f"ORDER BY key {name!r} must appear in RETURN"
+                    )
+                c = F.col(f"`{name}`")
+                if p.take_kw("DESC"):
+                    c = c.desc()
+                else:
+                    p.take_kw("ASC")
+                order_cols.append(c)
+                if not p.take_char(","):
+                    break
+            out = out.orderBy(*order_cols)
+        if p.take_kw("LIMIT"):
+            out = out.limit(int(p.expect(_NUMBER, "limit count").group(0)))
+        if not p.at_end():
+            raise CypherSyntaxError(
+                "trailing input after the shortestPath statement: "
+                f"{p.text[p.pos:][:40]!r}"
+            )
+        return out
 
     m = p.take(
         re.compile(r"length\s*\(\s*(\w+)\s*\)", re.IGNORECASE)

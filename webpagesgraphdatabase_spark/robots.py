@@ -73,18 +73,24 @@ def _select_group(txt: str, agent: str) -> list[tuple[str, str]]:
         groups.append((agents, rules))
 
     tok = agent.lower()
-    best: list[tuple[str, str]] | None = None
+    best_tok: str | None = None
     best_len = -1
-    for group_agents, group_rules in groups:
+    for group_agents, _ in groups:
         for a in group_agents:
             if a != "*" and a in tok and len(a) > best_len:
-                best, best_len = group_rules, len(a)
-    if best is None:
-        for group_agents, group_rules in groups:
-            if "*" in group_agents:
-                best = group_rules
-                break
-    return best or []
+                best_tok, best_len = a, len(a)
+    if best_tok is None and any("*" in ga for ga, _ in groups):
+        best_tok = "*"
+    if best_tok is None:
+        return []
+    # RFC 9309 §2.2.1: when more than one group matches the product
+    # token, their rules MUST be combined into one group — so every
+    # group carrying the winning token contributes, in file order
+    out: list[tuple[str, str]] = []
+    for group_agents, group_rules in groups:
+        if best_tok in group_agents:
+            out.extend(group_rules)
+    return out
 
 
 def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
