@@ -716,15 +716,22 @@ def main() -> None:
             def run_crawl():
                 d = tempfile.mkdtemp(prefix="bench_crawl_run_")
                 crawl_tmp.append(d)
-                st = GraphStore(spark, f"{d}/wh")
-                st.init_schema()
-                _W.crawl_round(
-                    spark,
-                    st,
-                    f"{crawl_dir}/bench.warc.gz",
-                    text_index=f"{d}/ti",
-                    sq8_index=f"{d}/si",
-                )
+                try:
+                    st = GraphStore(spark, f"{d}/wh")
+                    st.init_schema()
+                    _W.crawl_round(
+                        spark,
+                        st,
+                        f"{crawl_dir}/bench.warc.gz",
+                        text_index=f"{d}/ti",
+                        sq8_index=f"{d}/si",
+                    )
+                except BaseException:
+                    # a breach re-time may call this after the archive
+                    # dir's finally already ran — don't leak the fresh
+                    # tempdir on the failure path
+                    shutil.rmtree(d, ignore_errors=True)
+                    raise
 
             timed("w_crawl_round", run_crawl)
         finally:
@@ -923,15 +930,20 @@ def main() -> None:
 
         def retime(name: str) -> dict | None:
             # solo re-time of one breaching entry (r8 verdict item 1):
-            # short cool-down, fresh cpu probe, fresh median-of-3 —
-            # both readings land in the artifact so an unchanged-code
-            # host-window breach adjudicates itself with zero prose
+            # short cool-down, a fresh probe of the RESOURCE the entry
+            # is bound on (io-labelled entries re-probe the disk — a
+            # cpu probe reads normal straight through a slow disk
+            # window and would mislabel host noise as a confirmed
+            # regression), then a fresh median-of-3 — both readings
+            # land in the artifact so an unchanged-code host-window
+            # breach adjudicates itself with zero prose
             run = reruns.get(name)
             if run is None:
                 return None
             cool = float(os.environ.get("SPARK_GRAFT_RETIME_COOLDOWN", "20"))
             time.sleep(cool)
-            probe = cpu_probe(spark)
+            kind = "io" if groups.get(name) == "io" else "cpu"
+            probe = io_probe(spark) if kind == "io" else cpu_probe(spark)
             samples = []
             try:
                 for _ in range(3):
@@ -942,14 +954,16 @@ def main() -> None:
                 return {
                     "error": f"{type(exc).__name__} (fixture out of scope)",
                     "cooldown_s": cool,
-                    "cpu_probe": probe,
+                    "probe": probe,
+                    "probe_kind": kind,
                 }
             samples.sort()
             return {
                 "median": round(samples[1], 3),
                 "n": 3,
                 "cooldown_s": cool,
-                "cpu_probe": probe,
+                "probe": probe,
+                "probe_kind": kind,
             }
 
         # report assembly runs INSIDE the fixture scope so breach
@@ -1176,8 +1190,12 @@ def build_report(
                             entry["retime_raw_ratio"] = round(
                                 res["median"] / prev_q[k], 2
                             )
-                            if res.get("cpu_probe") and prev_cal.get("cpu"):
-                                rf = res["cpu_probe"] / prev_cal["cpu"]
+                            # normalize by the SAME resource the in-run
+                            # factor used: the retime probe's kind maps
+                            # to the matching prior-round probe
+                            kind = res.get("probe_kind", "cpu")
+                            if res.get("probe") and prev_cal.get(kind):
+                                rf = res["probe"] / prev_cal[kind]
                                 if rf > 0:
                                     entry["retime_calibrated_ratio"] = round(
                                         res["median"] / rf / prev_q[k], 2
@@ -1290,10 +1308,13 @@ def build_report(
     # two rounds (as is worst_raw_ratio_any); `recall` is an
     # adjudication result with no other home in the driver line, so it
     # goes last
+    # breach_retimes' full block lives in the detail sidecar, so the
+    # condensed line copy is recomputable and sheds before recall
     for drop in (
         "normalized_deltas",
         "calibrated_prev",
         "worst_raw_ratio_any",
+        "breach_retimes",
         "recall",
     ):
         if len(line) <= 1920:

@@ -322,7 +322,10 @@ def test_breach_retime_adjudicates_unchanged_entries(tmp_path, monkeypatch):
         calls.append(name)
         # the solo re-run reads 1.1 s with the cpu probe back at the
         # prior round's level — pure host-window inflation, adjudicated
-        return {"median": 1.1, "n": 3, "cooldown_s": 20.0, "cpu_probe": 0.2}
+        return {
+            "median": 1.1, "n": 3, "cooldown_s": 20.0,
+            "probe": 0.2, "probe_kind": "cpu",
+        }
 
     out, detail, line = bench.build_report(
         timings, stats, RECALL, CAL, 0.1,
@@ -366,7 +369,8 @@ def test_breach_retime_fixture_out_of_scope_recorded(tmp_path):
         return {
             "error": "AnalysisException (fixture out of scope)",
             "cooldown_s": 20.0,
-            "cpu_probe": 0.2,
+            "probe": 0.2,
+            "probe_kind": "cpu",
         }
 
     out, detail, line = bench.build_report(
@@ -376,6 +380,47 @@ def test_breach_retime_fixture_out_of_scope_recorded(tmp_path):
     assert "error" in detail["breach_retimes"]["q_gone"]
     parsed = json.loads(line)
     assert parsed["breach_retimes"]["q_gone"] == {"cal": 2.0, "err": True}
+
+
+def test_breach_retime_io_entry_normalizes_by_io_probe(tmp_path):
+    """An io-labelled breach re-times against the IO probe, not cpu: a
+    slow-disk window that persists through the re-run yields a retime
+    factor that EXPLAINS the raw time instead of confirming a fake
+    regression (the r8 d_contamination failure mode, resource-matched)."""
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 5.0,
+            "queries": {"graph_load": 5.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.8, "io": 1.0},
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    timings = {"graph_load": 10.0}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    # in-run: cpu/shuffle flat but the io probe only read 1.2x while the
+    # disk actually ran ~2x slow -> calibrated 10/1.2/5 = 1.67 breach
+    cal = {"cpu": 0.2, "shuffle": 0.8, "io": 1.2}
+
+    def fake_retime(name):
+        # at re-time the disk window is measurable: io probe reads 2x
+        return {
+            "median": 10.0, "n": 3, "cooldown_s": 20.0,
+            "probe": 2.0, "probe_kind": "io",
+        }
+
+    out, detail, _ = bench.build_report(
+        timings, stats, RECALL, cal, 0.1,
+        here=str(tmp_path), write_detail=False,
+        groups={"graph_load": "io"}, retime=fake_retime,
+    )
+    full = detail["breach_retimes"]["graph_load"]
+    assert full["probe_kind"] == "io"
+    # retime factor 2.0/1.0 -> calibrated 10/2/5 = 1.0: adjudicated
+    assert full["retime_calibrated_ratio"] == 1.0
+    # in-run io factor 1.2 vs re-time io factor 2.0 -> 0.6 divergence
+    assert full["probe_factor_divergence"] == 0.6
 
 
 def test_no_retime_without_breach(tmp_path):

@@ -817,10 +817,30 @@ def test_shortest_path_free_endpoint_refusals(g):
         # missing length(p)
         "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m)) "
         "RETURN m.url",
+        # identical bound endpoints: a [*1..h] path has >=1 hop, and a
+        # distance table cannot answer the same-node cycle question —
+        # refusing beats silently returning the impossible length 0
+        # (for existing AND nonexistent nodes alike)
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-"
+        "(m:Link {url: 'a'})) RETURN length(p)",
+        "MATCH p = shortestPath((n {url: 'nosuch'})-[*1..3]-"
+        "(m {url: 'nosuch'})) RETURN length(p)",
+        # fractional LIMIT is a statement error, not a ValueError
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m)) "
+        "RETURN m.name, length(p) LIMIT 3.5",
     ]
     for q in bad:
         with pytest.raises(CypherSyntaxError):
             cypher(g, q)
+    # two DIFFERENT nonexistent endpoints still no-match cleanly
+    assert (
+        cypher(
+            g,
+            "MATCH p = shortestPath((n {url: 'nosuch1'})-[*1..3]-"
+            "(m {url: 'nosuch2'})) RETURN length(p)",
+        ).count()
+        == 0
+    )
 
 
 def test_shortest_path_refusals(g):

@@ -77,6 +77,20 @@ _REL_BWD = re.compile(r"<-\s*\[\s*:\s*(\w+)\s*\]\s*-")
 # keeps it from swallowing the forward form's prefix)
 _REL_UND = re.compile(r"-\s*\[\s*:\s*(\w+)\s*\]\s*-(?!>)")
 _NUMBER = re.compile(r"-?\d+(\.\d+)?")
+
+
+def _limit_count(p: "_P") -> int:
+    """Parse a LIMIT operand: a non-negative integer. A fractional or
+    negative literal is a statement error, not a Python ValueError
+    escaping the translator."""
+    m = p.expect(_NUMBER, "limit count")
+    if m.group(1) or m.group(0).startswith("-"):
+        raise CypherSyntaxError(
+            f"LIMIT takes a non-negative integer, got {m.group(0)!r}"
+        )
+    return int(m.group(0))
+
+
 # variable-length hops: undirected -[*1..h]- / -[:REL*1..h]-, and the
 # directed forms -[:REL*1..h]-> / <-[:REL*1..h]- (r7 verdict item 8)
 _REL_VAR = re.compile(r"-\s*\[\s*(?::\s*(\w+)\s*)?\*([^\]]*)\]\s*-(?!>)")
@@ -808,7 +822,7 @@ def _compile_reach(
                 break
         out = out.orderBy(*order_cols)
     if p.take_kw("LIMIT"):
-        out = out.limit(int(p.expect(_NUMBER, "limit count").group(0)))
+        out = out.limit(_limit_count(p))
     if not p.at_end():
         raise CypherSyntaxError(f"trailing input: {p.text[p.pos:][:40]!r}")
     return out
@@ -886,12 +900,20 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         raise CypherSyntaxError(
             "shortestPath needs at least one key-bound endpoint"
         )
-    src_l, dst_l = REL_ENDPOINTS[hop.rel]
+    if ends[0] is not None and ends[0] == ends[1]:
+        # a [*1..h] path has at least one hop, so the shortest path
+        # from a node to ITSELF is a cycle — which a distance table
+        # (dist 0 at the seed) cannot answer; refusing beats silently
+        # returning the impossible length 0
+        raise CypherSyntaxError(
+            "shortestPath endpoints must differ (a [*1..h] path has "
+            "at least one hop; same-node cycle search is unsupported)"
+        )
     etab = g.has_keyword if hop.rel == "HAS_KEYWORD" else g.belongs_to
     dst_col = "dst_keyword" if hop.rel == "HAS_KEYWORD" else "dst_category"
     fwd = etab.select(
-        F.concat(F.lit(f"{src_l}:"), F.col("src_url")).alias("src"),
-        F.concat(F.lit(f"{dst_l}:"), F.col(dst_col)).alias("dst"),
+        F.concat(F.lit(f"{src_rel_l}:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit(f"{dst_rel_l}:"), F.col(dst_col)).alias("dst"),
     )
     p.expect_kw("RETURN")
 
@@ -900,7 +922,7 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         # node of the free endpoint's label, via the RETURN projection
         bound_id = ends[0] if ends[0] is not None else ends[1]
         free = nodes[ends.index(None)]
-        if free.label and free.label not in (src_l, dst_l):
+        if free.label and free.label not in (src_rel_l, dst_rel_l):
             raise CypherSyntaxError(
                 f"free endpoint label {free.label!r} is not an endpoint "
                 f"of {hop.rel}"
@@ -926,7 +948,7 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         elif prop == "url":
             free_label = "Link"
         elif prop == "name":
-            free_label = dst_l  # the relationship's non-Link endpoint
+            free_label = dst_rel_l  # the rel's non-Link endpoint
         else:
             raise CypherSyntaxError(
                 f"cannot infer the free endpoint's label from "
@@ -1001,7 +1023,7 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
                     break
             out = out.orderBy(*order_cols)
         if p.take_kw("LIMIT"):
-            out = out.limit(int(p.expect(_NUMBER, "limit count").group(0)))
+            out = out.limit(_limit_count(p))
         if not p.at_end():
             raise CypherSyntaxError(
                 "trailing input after the shortestPath statement: "
@@ -1183,8 +1205,7 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
         out = out.orderBy(*order_cols)
 
     if p.take_kw("LIMIT"):
-        n = p.expect(_NUMBER, "limit count").group(0)
-        out = out.limit(int(n))
+        out = out.limit(_limit_count(p))
 
     if not p.at_end():
         raise CypherSyntaxError(f"trailing input: {p.text[p.pos:][:40]!r}")

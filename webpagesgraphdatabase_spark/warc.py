@@ -308,6 +308,7 @@ def crawl_frontier(
     sitemaps: DataFrame | None = None,
     delays: DataFrame | None = None,
     round_seconds: float = 300.0,
+    seen_normalized: bool = False,
 ) -> DataFrame:
     """The next crawl frontier from a harvested link graph: distinct
     ``dst_url`` targets not yet in ``seen`` (anti-join on url), minus
@@ -350,8 +351,14 @@ def crawl_frontier(
         .groupBy("_norm")
         .agg(F.min("url").alias("url"))
     )
-    seen_n = seen.select(
-        normalize_url(F.col("url")).alias("_norm")
+    # seen_normalized=True skips the UDF over a seen side the caller
+    # guarantees is already in normal form (the graph's stored links
+    # are — crawl_round passes it, saving a corpus-sized Arrow pass
+    # per round); the default normalizes defensively
+    seen_n = (
+        seen.select(F.col("url").alias("_norm"))
+        if seen_normalized
+        else seen.select(normalize_url(F.col("url")).alias("_norm"))
     ).distinct()
     frontier = cand.join(seen_n, "_norm", "left_anti").select("url")
     if rules is not None:
@@ -612,9 +619,14 @@ def _crawl_ingest(
             # filters keep the replay exactly-once (same input, same
             # batch id, same surviving set).
             cleaned = doc_filter(cleaned)
+        any_index = (
+            text_index is not None
+            or sq8_index is not None
+            or bin_index is not None
+        )
         n_cross_dup = 0
         n_before = 0
-        keep = None  # the cross-batch survivor frame, when that gate ran
+        crossed = False  # did the cross-batch gate run?
         if fingerprints is not None:
             import os
 
@@ -648,6 +660,14 @@ def _crawl_ingest(
                         keep.select("doc_id"), "doc_id", "left_semi"
                     )
                     kept_fp = keep
+                    crossed = True
+                    if not any_index:
+                        # no indexing count downstream will stand in for
+                        # the survivor count — take it HERE, while fp is
+                        # still cached (outside this scope the whole
+                        # hash/simhash/anti-join lineage would recompute
+                        # for one number)
+                        n_cross_dup = n_before - keep.count()
                 else:
                     kept_fp = fp
                 # land the SURVIVORS' fingerprints keyed on this batch:
@@ -667,24 +687,17 @@ def _crawl_ingest(
                 )
             finally:
                 fp.unpersist()
-        any_index = (
-            text_index is not None
-            or sq8_index is not None
-            or bin_index is not None
-        )
         n_indexed = 0
         if any_index:
             cleaned = cleaned.persist()
             n_indexed = cleaned.count()
-            if keep is not None:
+            if crossed:
                 # fp carries exactly cleaned's doc set (inner join on
                 # doc_id with the per-doc simhash), and the semi-join
                 # above makes |cleaned| == |keep| — so the indexing
                 # count doubles as the survivor count and the drop
                 # count needs no extra job (r8 verdict item 4)
                 n_cross_dup = n_before - n_indexed
-        elif keep is not None:
-            n_cross_dup = n_before - keep.count()
         if text_index is not None:
             _search.ensure_text_index(spark, text_index)
             _search.text_index_append(cleaned, text_index, batch=batch)
@@ -864,7 +877,14 @@ def crawl_round(
         .select(F.col("target_uri").alias("url"))
         .distinct()
     )
-    seen = store.graph().links.select("url").unionByName(revisits)
+    # the graph's links are already F1-normalized by the preload; only
+    # the (tiny) revisit target set needs normalizing, so the frontier
+    # can skip its defensive corpus-wide normalize pass
+    from .functions import normalize_url as _norm_url
+
+    seen = store.graph().links.select("url").unionByName(
+        revisits.select(_norm_url(F.col("url")).alias("url"))
+    )
     delays = None
     sitemaps = None
     if auto_politeness:
@@ -890,6 +910,7 @@ def crawl_round(
         sitemaps=sitemaps,
         delays=delays,
         round_seconds=round_seconds,
+        seen_normalized=True,
     )
     return report
 
