@@ -324,6 +324,12 @@ def machine_calibration(spark) -> dict[str, float]:
 # from a concurrent 32-thread suite.
 GATE_LOAD_BOUND = 6.0
 GATE_SCRATCH_BOUND_S = 1.5
+# 4 copies of a 256 MiB buffer: ~0.87 s quiet on the build host. The
+# r9 confirmation run showed a window where load and disk read clean
+# while the SHUFFLE probe ran 1.8x slow — a memory-bandwidth-degraded
+# host the original two samples were blind to; this probe sees it
+# without needing a Spark session.
+GATE_MEM_BOUND_S = 2.5
 
 
 def host_quiet_gate(retry_sleep: float = 30.0) -> dict:
@@ -361,18 +367,30 @@ def host_quiet_gate(retry_sleep: float = 30.0) -> dict:
         finally:
             shutil.rmtree(d, ignore_errors=True)
         s["scratch_io_s"] = round(time.time() - t0, 3)
+        # memory-bandwidth probe: 4 full copies of a 256 MiB buffer —
+        # catches the shuffle/memory-degraded window the load and disk
+        # samples are blind to (observed r9: shuffle probe 1.8x slow
+        # under load 0.08 and a clean scratch read)
+        buf = bytes(256 << 20)
+        t0 = time.time()
+        for _ in range(4):
+            bytearray(buf)
+        s["mem_s"] = round(time.time() - t0, 3)
         return s
 
     def bad(s: dict) -> bool:
         return (
-            s["load_1m"] is not None and s["load_1m"] > GATE_LOAD_BOUND
-        ) or s["scratch_io_s"] > GATE_SCRATCH_BOUND_S
+            (s["load_1m"] is not None and s["load_1m"] > GATE_LOAD_BOUND)
+            or s["scratch_io_s"] > GATE_SCRATCH_BOUND_S
+            or s["mem_s"] > GATE_MEM_BOUND_S
+        )
 
     first = sample()
     gate = {
         "bounds": {
             "load_1m": GATE_LOAD_BOUND,
             "scratch_io_s": GATE_SCRATCH_BOUND_S,
+            "mem_s": GATE_MEM_BOUND_S,
         },
         "pre": first,
     }

@@ -483,7 +483,9 @@ def test_host_quiet_gate_samples_and_bounds(monkeypatch):
     # retry_sleep=0 disables the re-sample: verdict follows the pre read
     assert "retry" not in gate and gate["degraded"] is True
     assert gate["bounds"]["load_1m"] == bench.GATE_LOAD_BOUND
+    assert gate["bounds"]["mem_s"] == bench.GATE_MEM_BOUND_S
     assert gate["pre"]["scratch_io_s"] > 0
+    assert gate["pre"]["mem_s"] > 0  # the memory-bandwidth sample rides
 
     readings2 = iter([9.9, 0.5])
     monkeypatch.setattr(
