@@ -1277,6 +1277,41 @@ def test_crawl_frontier_delay_budget(spark):
     assert len(by2["crawl.example"]) == 5
 
 
+def test_crawl_frontier_prioritize_by_indegree(spark):
+    """prioritize=True spends a scarce per-host budget on the
+    most-linked candidates (in-degree over this round's harvest, md5
+    tie-break) instead of md5-random; slash/query variants pool their
+    in-links under one normal form; default behavior is unchanged."""
+    edges = spark.createDataFrame(
+        # hot: 3 in-links across slash variants; warm: 2; the rest: 1
+        [("https://s.example/a", "https://pr.example/hot"),
+         ("https://s.example/b", "https://pr.example/hot/"),
+         ("https://s.example/c", "https://pr.example/hot?ref=1"),
+         ("https://s.example/a", "https://pr.example/warm"),
+         ("https://s.example/b", "https://pr.example/warm"),
+         ("https://s.example/a", "https://pr.example/cold1"),
+         ("https://s.example/b", "https://pr.example/cold2"),
+         ("https://s.example/c", "https://pr.example/cold3")],
+        ["src_url", "dst_url"],
+    )
+    seen = spark.createDataFrame([("none://",)], ["url"])
+    got = {
+        r.url
+        for r in W.crawl_frontier(
+            edges, seen, limit_per_domain=2, prioritize=True
+        ).collect()
+    }
+    assert len(got) == 2
+    # the hot page (under ONE of its variant spellings) and warm win
+    assert any(u.startswith("https://pr.example/hot") for u in got)
+    assert "https://pr.example/warm" in got
+    # without a budget, prioritization changes nothing about the set
+    all_f = {
+        r.url for r in W.crawl_frontier(edges, seen, prioritize=True).collect()
+    }
+    assert len(all_f) == 5  # hot(1 of 3 variants) + warm + 3 cold
+
+
 def test_crawl_frontier_duplicate_delay_rows_no_fanout(spark):
     """robots_bodies can emit several (host, body) rows per host
     (refetches, http+https twins) → several delay rows; the frontier
