@@ -123,17 +123,27 @@ ANN_HEADLINE = {
 # `rebaselined` with their ratio AND reason — never silently dropped.
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
-CHANGED_ENTRIES: dict[str, str] = {
-    "s_ann_bin": "r9: BIN_REFINE 16->32 (recall@5 0.84->0.96 at sf0.1, "
-    "measured; scan-dominated so ~equal time) — r8 verdict item 5; "
-    "prefix bit-flip multi-probe measured-and-rejected, see the "
-    "BIN_REFINE comment in similarity.py",
-    "w_crawl_round": "r9: report counts folded — n_revisits now counts "
-    "over the cached ingest frame instead of a second full archive "
-    "parse, n_cross_dup derives from the indexing count instead of its "
-    "own job, and the frontier anti-join compares normalized URL forms "
-    "(one pandas-UDF normalize over URL-set-sized frames). Equal "
-    "report semantics, strictly fewer Spark jobs — expected faster.",
+CHANGED_ENTRIES: dict[str, str] = {}
+
+# Entries whose thunk mutates its fixture (compaction, clustering,
+# appends): the MAIN run's later repeats already time the
+# post-mutation state, and a breach re-time either re-runs against a
+# mutated fixture (different work) or against a fixture an earlier
+# re-time grew. Re-times of these entries carry a `mutates_fixture`
+# annotation so an inflated or deflated re-read is self-explaining in
+# the artifact rather than needing prose adjudication. (Most such
+# fixtures live in an inner `finally` scope and fail the re-run
+# honestly anyway; the flag covers the ones that don't.)
+MUTATING_ENTRIES: dict[str, str] = {
+    "w_compact": "compacts the shared events table; pass 1 does the "
+    "real fold, later passes re-compact an already-compacted table",
+    "w_cluster_zorder": "rewrites the events table clustered; repeat "
+    "passes re-cluster already-clustered files",
+    "w_zonemap_write": "overwrites the zone-map manifest of a table "
+    "earlier entries may have re-laid-out",
+    "w_crawl_round": "each pass lands into a FRESH store dir (equal "
+    "work), but the re-time depends on the archive fixture dir still "
+    "being in scope",
 }
 
 
@@ -958,6 +968,10 @@ def main() -> None:
             run = reruns.get(name)
             if run is None:
                 return None
+            # mutating-thunk annotation (r9 advice): the re-time still
+            # runs (an honest number beats none), but the artifact says
+            # WHY it may measure different work than the main run did
+            note = MUTATING_ENTRIES.get(name)
             cool = float(os.environ.get("SPARK_GRAFT_RETIME_COOLDOWN", "20"))
             time.sleep(cool)
             kind = "io" if groups.get(name) == "io" else "cpu"
@@ -969,20 +983,26 @@ def main() -> None:
                     run()
                     samples.append(time.time() - t0)
             except Exception as exc:  # fixture cleaned by an inner finally
-                return {
+                res = {
                     "error": f"{type(exc).__name__} (fixture out of scope)",
                     "cooldown_s": cool,
                     "probe": probe,
                     "probe_kind": kind,
                 }
+                if note:
+                    res["mutates_fixture"] = note
+                return res
             samples.sort()
-            return {
+            res = {
                 "median": round(samples[1], 3),
                 "n": 3,
                 "cooldown_s": cool,
                 "probe": probe,
                 "probe_kind": kind,
             }
+            if note:
+                res["mutates_fixture"] = note
+            return res
 
         # report assembly runs INSIDE the fixture scope so breach
         # re-times can re-run graph/registry entries against live data
@@ -1187,10 +1207,23 @@ def build_report(
                     k: CHANGED_ENTRIES[k] for k in rebase
                 }
             if ratios:
-                # unchanged entries breaching the calibrated bound get
-                # an automatic solo re-time (r8 verdict item 1) — the
-                # adjudication the r8 d_contamination breach lacked
-                breaches = {k: r for k, r in ratios.items() if r > 1.5}
+                # unchanged entries breaching EITHER the calibrated or
+                # the raw bound get an automatic solo re-time (r8
+                # verdict item 1; r9 item 1 widened the trigger): on a
+                # slow-host window calibration SHRINKS ratios, so a
+                # raw-only breach (r9: t_stratified_sample raw 1.58×,
+                # calibrated 1.12×) escaped the calibrated-only trigger
+                # while four calibrated breaches were adjudicated.
+                raw_r = {
+                    k: timings[k] / prev_q[k]
+                    for k in ratios
+                    if prev_q.get(k)
+                }
+                breaches = {
+                    k: max(r, raw_r.get(k, 0.0))
+                    for k, r in ratios.items()
+                    if max(r, raw_r.get(k, 0.0)) > 1.5
+                }
                 if breaches and retime is not None:
                     adjud = {}
                     for k in sorted(
@@ -1199,9 +1232,18 @@ def build_report(
                         res = retime(k)
                         if res is None:
                             continue
+                        cal_r = ratios[k]
                         entry = {
-                            "calibrated_ratio": round(breaches[k], 2),
+                            "calibrated_ratio": round(cal_r, 2),
                             "raw_ratio": round(timings[k] / prev_q[k], 2),
+                            # which bound fired, so a raw-only breach on
+                            # a slow window reads differently from a
+                            # calibrated-only one on a fast window
+                            "trigger": (
+                                "both"
+                                if cal_r > 1.5 and raw_r.get(k, 0.0) > 1.5
+                                else ("calibrated" if cal_r > 1.5 else "raw")
+                            ),
                         }
                         entry.update(res)
                         if "median" in res and prev_q.get(k):
@@ -1232,12 +1274,16 @@ def build_report(
                         out["breach_retimes"] = {
                             k: (
                                 {"cal": v["calibrated_ratio"],
+                                 "raw": v["raw_ratio"],
+                                 "trig": v["trigger"],
                                  "rt": v.get(
                                      "retime_calibrated_ratio",
                                      v.get("retime_raw_ratio"),
                                  )}
                                 if "median" in v
                                 else {"cal": v["calibrated_ratio"],
+                                      "raw": v["raw_ratio"],
+                                      "trig": v["trigger"],
                                       "err": True}
                             )
                             for k, v in adjud.items()

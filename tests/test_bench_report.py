@@ -341,9 +341,13 @@ def test_breach_retime_adjudicates_unchanged_entries(tmp_path, monkeypatch):
     assert full["retime_raw_ratio"] == 1.1
     # in-run factor (hf=1.0) vs re-time probe factor (1.0) → 1.0
     assert full["probe_factor_divergence"] == 1.0
+    # both bounds breached here (hf=1.0) → trigger records "both"
+    assert full["trigger"] == "both"
     # condensed verdict rides the driver line
     parsed = json.loads(line)
-    assert parsed["breach_retimes"] == {"q_breach": {"cal": 3.0, "rt": 1.1}}
+    assert parsed["breach_retimes"] == {
+        "q_breach": {"cal": 3.0, "raw": 3.0, "trig": "both", "rt": 1.1}
+    }
     # the full block is detail-only
     assert "_breach_retimes" not in out
     assert parsed["breach_retimes"] != full
@@ -379,7 +383,9 @@ def test_breach_retime_fixture_out_of_scope_recorded(tmp_path):
     )
     assert "error" in detail["breach_retimes"]["q_gone"]
     parsed = json.loads(line)
-    assert parsed["breach_retimes"]["q_gone"] == {"cal": 2.0, "err": True}
+    assert parsed["breach_retimes"]["q_gone"] == {
+        "cal": 2.0, "raw": 2.0, "trig": "both", "err": True
+    }
 
 
 def test_breach_retime_io_entry_normalizes_by_io_probe(tmp_path):
@@ -421,6 +427,84 @@ def test_breach_retime_io_entry_normalizes_by_io_probe(tmp_path):
     assert full["retime_calibrated_ratio"] == 1.0
     # in-run io factor 1.2 vs re-time io factor 2.0 -> 0.6 divergence
     assert full["probe_factor_divergence"] == 0.6
+
+
+def test_breach_retime_raw_only_breach_triggers(tmp_path):
+    """r9 verdict item 1: on a SLOW-host window calibration shrinks
+    ratios, so an entry can breach the raw bound while its calibrated
+    ratio reads fine (t_stratified_sample: raw 1.58×, calibrated 1.12×
+    on the 1.4×-slow r9 driver host). The trigger keys on
+    max(raw, calibrated), so the raw-only breach gets its re-time and
+    the artifact records which bound fired."""
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 2.0,
+            "queries": {"q_rawbreach": 1.0, "q_ok": 1.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.8},
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    # host runs 1.4x slow (shuffle 0.8 -> 1.12): raw 1.58 breaches,
+    # calibrated 1.58/1.4 = 1.13 does not — r9's exact escape
+    cal = {"cpu": 0.28, "shuffle": 1.12}
+    timings = {"q_rawbreach": 1.58, "q_ok": 1.3}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+    calls = []
+
+    def fake_retime(name):
+        calls.append(name)
+        return {
+            "median": 1.05, "n": 3, "cooldown_s": 20.0,
+            "probe": 0.2, "probe_kind": "cpu",
+        }
+
+    out, detail, line = bench.build_report(
+        timings, stats, RECALL, cal, 0.1,
+        here=str(tmp_path), write_detail=False, retime=fake_retime,
+    )
+    assert calls == ["q_rawbreach"]
+    full = detail["breach_retimes"]["q_rawbreach"]
+    assert full["raw_ratio"] == 1.58
+    assert full["calibrated_ratio"] < 1.5  # calibrated alone would skip
+    assert full["trigger"] == "raw"
+    parsed = json.loads(line)
+    assert parsed["breach_retimes"]["q_rawbreach"]["trig"] == "raw"
+    # q_ok breaches NEITHER bound (raw 1.3, calibrated ~0.93): untouched
+    assert "q_ok" not in detail["breach_retimes"]
+
+
+def test_breach_retime_mutating_entry_flagged(tmp_path, monkeypatch):
+    """r9 advice: a re-time of an entry whose thunk mutates its fixture
+    carries the MUTATING_ENTRIES annotation end-to-end, so a skewed
+    re-read adjudicates itself in the artifact."""
+    _mk(
+        tmp_path,
+        "BENCH_DETAIL_r01.json",
+        {
+            "value": 1.0,
+            "queries": {"w_compact": 1.0},
+            "calibration": {"cpu": 0.2, "shuffle": 0.8},
+        },
+    )
+    _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
+    timings = {"w_compact": 2.0}
+    stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
+
+    def fake_retime(name):
+        # what bench.main's retime() returns for a MUTATING_ENTRIES name
+        return {
+            "median": 1.9, "n": 3, "cooldown_s": 20.0,
+            "probe": 0.2, "probe_kind": "cpu",
+            "mutates_fixture": bench.MUTATING_ENTRIES[name],
+        }
+
+    out, detail, _ = bench.build_report(
+        timings, stats, RECALL, CAL, 0.1,
+        here=str(tmp_path), write_detail=False, retime=fake_retime,
+    )
+    assert "compacts" in detail["breach_retimes"]["w_compact"]["mutates_fixture"]
 
 
 def test_no_retime_without_breach(tmp_path):

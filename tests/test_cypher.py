@@ -237,6 +237,204 @@ def test_write_merge_is_insert_if_absent(spark, store):
     assert store.graph().categories.count() == 1
 
 
+def _notebook_populate_rows():
+    # two rows shaped like links_with_metadata.csv (Edits.ipynb c10),
+    # incl. an escaped quote and a two-keyword list
+    return [
+        {
+            "url": "https://kuzudb.com",
+            "category": "Database",
+            "title": "Kuzu \\'embedded\\' DB",
+            "keyword": "graph database, cypher",
+            "category_explanation": "it is a database",
+            "keyword_explanation": "mentions graphs",
+        },
+        {
+            "url": "https://spark.apache.org",
+            "category": "Analytics",
+            "title": "Apache Spark",
+            "keyword": "distributed compute",
+            "category_explanation": "analytics engine",
+            "keyword_explanation": "mentions compute",
+        },
+    ]
+
+
+def _table_snapshot(store):
+    g = store.graph()
+    return {
+        "links": sorted(tuple(r) for r in g.links.collect()),
+        "categories": sorted(tuple(r) for r in g.categories.collect()),
+        "keywords": sorted(tuple(r) for r in g.keywords.collect()),
+        "belongs_to": sorted(tuple(r) for r in g.belongs_to.collect()),
+        "has_keyword": sorted(tuple(r) for r in g.has_keyword.collect()),
+    }
+
+
+def test_write_notebook_populate_verbatim(spark, store, tmp_path):
+    """r9 verdict item 2 (M2 front end): the notebook's c10 populate
+    loop — MERGE Category/Keyword, MERGE+SET Link (the f-string shape
+    with escaped quotes, c10:69-76), MATCH+MERGE edges — replayed
+    VERBATIM through cypher_write produces a graph identical to the
+    GraphStore API path."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    rows = _notebook_populate_rows()
+
+    # --- the cypher_write path, statement strings as c10 emits them ---
+    for row in rows:
+        cypher_write(
+            store, f"MERGE (c:Category {{name: '{row['category']}'}})"
+        )
+        for kw in row["keyword"].split(","):
+            kw = kw.strip()
+            cypher_write(store, f"MERGE (k:Keyword {{name: '{kw}'}})")
+    for row in rows:
+        cypher_write(
+            store,
+            f"""
+            MERGE (l:Link {{url: '{row['url']}'}})
+            SET l.category = '{row['category']}',
+                l.title = '{row['title']}',
+                l.keyword = '{row['keyword']}',
+                l.category_explanation = '{row['category_explanation']}',
+                l.keyword_explanation = '{row['keyword_explanation']}'
+        """,
+        )
+        cypher_write(
+            store,
+            f"""
+                MATCH (l:Link {{url: '{row['url']}'}}), (c:Category {{name: '{row['category']}'}})
+                MERGE (l)-[:BELONGS_TO]->(c)
+            """,
+        )
+        for kw in row["keyword"].split(","):
+            kw = kw.strip()
+            cypher_write(
+                store,
+                f"""
+                    MATCH (l:Link {{url: '{row['url']}'}}), (k:Keyword {{name: '{kw}'}})
+                    MERGE (l)-[:HAS_KEYWORD]->(k)
+                """,
+            )
+
+    # --- the GraphStore API path, same mapping ---
+    api = GraphStore(spark, str(tmp_path / "api_wh"))
+    api.init_schema()
+    for row in rows:
+        api.merge_names(
+            "categories", spark.createDataFrame([(row["category"],)], ["name"])
+        )
+        kws = [k.strip() for k in row["keyword"].split(",")]
+        api.merge_names(
+            "keywords", spark.createDataFrame([(k,) for k in kws], ["name"])
+        )
+    for row in rows:
+        unesc = {k: v.replace("\\'", "'") for k, v in row.items()}
+        df = spark.createDataFrame(
+            [
+                (
+                    unesc["url"],
+                    unesc["title"],
+                    unesc["category"],
+                    unesc["category"],
+                    None,
+                    None,
+                    unesc["keyword"],
+                    unesc["category_explanation"],
+                    unesc["keyword_explanation"],
+                )
+            ],
+            "url string, title string, raw_category string,"
+            "suggested_category string, raw_content string,"
+            "cleaned_content string, keywords string,"
+            "category_explanation string, keyword_explanation string",
+        )
+        api.merge_set_links(
+            df,
+            (
+                "raw_category",
+                "suggested_category",
+                "title",
+                "keywords",
+                "category_explanation",
+                "keyword_explanation",
+            ),
+        )
+        api.merge_edges(
+            "belongs_to",
+            spark.createDataFrame(
+                [(unesc["url"], unesc["category"])], ["src_url", "dst_category"]
+            ),
+        )
+        api.merge_edges(
+            "has_keyword",
+            spark.createDataFrame(
+                [(unesc["url"], k.strip()) for k in unesc["keyword"].split(",")],
+                ["src_url", "dst_keyword"],
+            ),
+        )
+
+    assert _table_snapshot(store) == _table_snapshot(api)
+    # the escaped quote round-tripped
+    titles = {r.url: r.title for r in store.graph().links.collect()}
+    assert titles["https://kuzudb.com"] == "Kuzu 'embedded' DB"
+
+
+def test_write_merge_set_is_per_property(spark, store):
+    """SET assigns ONLY the listed properties: an app-enriched row's
+    raw_content survives a notebook-style MERGE+SET replay (whole-row
+    replacement would NULL it)."""
+    cypher_write(
+        store,
+        "MERGE (:Link {url: 'u1', title: 'old', raw_content: 'fetched body', "
+        "cleaned_content: 'clean body'})",
+    )
+    cypher_write(
+        store,
+        "MERGE (l:Link {url: 'u1'}) SET l.title = 'new', l.category = 'Cat'",
+    )
+    row = store.graph().links.filter(F.col("url") == "u1").first()
+    assert row.title == "new"
+    assert row.raw_content == "fetched body"  # untouched by SET
+    assert row.cleaned_content == "clean body"
+    # the notebook alias fans out to both store columns (preload parity)
+    assert row.raw_category == "Cat" and row.suggested_category == "Cat"
+    # fresh-node MERGE+SET: unlisted props are NULL, map props kept
+    cypher_write(
+        store, "MERGE (l:Link {url: 'u2', title: 'kept'}) SET l.category = 'C2'"
+    )
+    row2 = store.graph().links.filter(F.col("url") == "u2").first()
+    assert row2.title == "kept" and row2.raw_content is None
+    assert row2.suggested_category == "C2"
+
+
+def test_write_merge_set_unlabeled_infers_link(spark, store):
+    """The bare `MERGE (l {url:…}) SET …` form infers :Link from the
+    url key — the free-endpoint shortestPath discipline."""
+    cypher_write(store, "MERGE (l {url: 'u3'}) SET l.title = 't3'")
+    row = store.graph().links.filter(F.col("url") == "u3").first()
+    assert row.title == "t3"
+
+
+def test_write_merge_set_refusals(store):
+    # SET variable must be the MERGE binding
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(store, "MERGE (l:Link {url: 'u'}) SET x.title = 't'")
+    # SET on Category/Keyword would rekey the primary key
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(store, "MERGE (c:Category {name: 'n'}) SET c.name = 'm'")
+    # unknown property (neither schema column nor notebook alias)
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(store, "MERGE (l:Link {url: 'u'}) SET l.nope = 'v'")
+    # unlabeled MERGE with a name key is ambiguous
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(store, "MERGE (n {name: 'x'}) SET n.name = 'y'")
+    # malformed assignment
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(store, "MERGE (l:Link {url: 'u'}) SET l.title")
+
+
 def test_registry_row_equivalence_distinct_categories(g):
     """The Cypher-routed registry row ≡ the hand-written query layer."""
     via_cypher = {
@@ -844,15 +1042,12 @@ def test_shortest_path_free_endpoint_refusals(g):
 
 
 def test_shortest_path_refusals(g):
-    """Unbound endpoints, directed arrows, missing var-length spec, and
-    mismatched path variables refuse with CypherSyntaxError."""
+    """Unbound endpoints, missing var-length spec, and mismatched path
+    variables refuse with CypherSyntaxError."""
     bad = [
         # free target but RETURN projects only length(p)
         "MATCH p = shortestPath((n:Link {url: 'a'})-[*1..3]-(m)) "
         "RETURN length(p)",
-        # directed
-        "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD*1..3]->"
-        "(m:Keyword {name: 'k1'})) RETURN length(p)",
         # single hop (no var-length)
         "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD]-"
         "(m:Keyword {name: 'k1'})) RETURN length(p)",
@@ -863,3 +1058,82 @@ def test_shortest_path_refusals(g):
     for q in bad:
         with pytest.raises(CypherSyntaxError):
             cypher(g, q)
+
+
+def test_shortest_path_directed_bound(g):
+    """r9 verdict item 3: directed shortestPath arrows compile (both
+    orientations) and agree with bfs_distances_from_edges(directed=
+    True). Arrows in this schema always point Link → Category/Keyword,
+    so direction is observable: the with-the-arrows query finds the
+    path, the against-the-arrows query finds none."""
+    from webpagesgraphdatabase_spark.graph.algorithms import (
+        bfs_distances_from_edges,
+    )
+
+    rows = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD*1..3]->"
+        "(m:Keyword {name: 'k1'})) RETURN length(p) AS d",
+    ).collect()
+    assert [r.d for r in rows] == [1]
+
+    # ≡ the BFS API, directed, on the same prefixed edge frame
+    edges = g.has_keyword.select(
+        F.concat(F.lit("Link:"), F.col("src_url")).alias("src"),
+        F.concat(F.lit("Keyword:"), F.col("dst_keyword")).alias("dst"),
+    )
+    seeds = g.links.sparkSession.createDataFrame(
+        [("Link:a",)], "node_id string"
+    )
+    api = {
+        r.node_id: r.dist
+        for r in bfs_distances_from_edges(
+            edges, seeds, max_hops=3, directed=True
+        ).collect()
+    }
+    assert api.get("Keyword:k1") == 1
+
+    # against the arrows: no directed path Keyword → Link exists
+    none = cypher(
+        g,
+        "MATCH p = shortestPath((n:Keyword {name: 'k1'})-"
+        "[:HAS_KEYWORD*1..3]->(m:Link {url: 'a'})) RETURN length(p)",
+    ).collect()
+    assert none == []
+
+    # the backward arrow is the same path written from the other end
+    back = cypher(
+        g,
+        "MATCH p = shortestPath((n:Keyword {name: 'k1'})<-"
+        "[:HAS_KEYWORD*1..3]-(m:Link {url: 'a'})) RETURN length(p) AS d",
+    ).collect()
+    assert [r.d for r in back] == [1]
+
+
+def test_shortest_path_directed_free_endpoint(g):
+    """Directed free-endpoint form: distances respect arrow direction
+    relative to whichever end is bound."""
+    # from Link a along arrows: its keywords, dist 1
+    rows = cypher(
+        g,
+        "MATCH p = shortestPath((n:Link {url: 'a'})-[:HAS_KEYWORD*1..2]->"
+        "(m)) RETURN m.name AS kw, length(p) AS d ORDER BY kw",
+    ).collect()
+    assert [(r.kw, r.d) for r in rows] == [("k1", 1)]
+
+    # free SOURCE, bound target: every link pointing at k1
+    rows2 = cypher(
+        g,
+        "MATCH p = shortestPath((m)-[:HAS_KEYWORD*1..2]->"
+        "(n:Keyword {name: 'k1'})) RETURN m.url AS u, length(p) AS d "
+        "ORDER BY u",
+    ).collect()
+    assert [(r.u, r.d) for r in rows2] == [("a", 1), ("b", 1), ("c", 1)]
+
+    # directed away from a keyword: nothing has outgoing arrows there
+    rows3 = cypher(
+        g,
+        "MATCH p = shortestPath((n:Keyword {name: 'k1'})-"
+        "[:HAS_KEYWORD*1..2]->(m)) RETURN m.url AS u, length(p) AS d",
+    ).collect()
+    assert rows3 == []

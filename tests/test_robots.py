@@ -56,12 +56,26 @@ def test_matching_groups_combine():
     assert R.parse_robots(body2, "bot/1.0") == [
         (False, "/x"), (True, "/x/ok"),
     ]
-    # crawl-delay: first valid occurrence across the combined groups
+    # crawl-delay: across the combined groups, the MAX (most
+    # conservative) valid occurrence wins — position-independent, the
+    # same max() discipline crawl_frontier applies per host (r9 advice)
     body3 = (
         "User-agent: *\nDisallow: /a\n\n"
         "User-agent: *\nCrawl-delay: 4\n"
     )
     assert R.parse_crawl_delay(body3) == 4.0
+    body3b = (
+        "User-agent: *\nCrawl-delay: 2\n\n"
+        "User-agent: *\nCrawl-delay: 9\n\n"
+        "User-agent: *\nCrawl-delay: 5\n"
+    )
+    assert R.parse_crawl_delay(body3b) == 9.0
+    # invalid occurrences never count toward the max
+    body3c = (
+        "User-agent: *\nCrawl-delay: nope\n\n"
+        "User-agent: *\nCrawl-delay: 3\n"
+    )
+    assert R.parse_crawl_delay(body3c) == 3.0
 
 
 def test_non_group_directives_do_not_split_ua_runs():

@@ -15,7 +15,9 @@ from webpagesgraphdatabase_spark.operators import store_lifecycle as L
 
 
 def _append(spark, path, store, batch, vals):
-    b = L.allocate_batch(spark, path, store, batch)
+    # the toy store is ingest-first (like sq8/bin): the rows store
+    # legitimately appears with the first appended batch
+    b = L.allocate_batch(spark, path, store, batch, allow_missing=True)
     if b is None:
         return None
     df = spark.createDataFrame(
@@ -61,6 +63,25 @@ def test_allocate_append_compact_roundtrip(spark, tmp_path):
     # ...and fresh allocation resumes ABOVE the watermark, not at max+1
     # of the folded store (whose ids all read 0 now)
     assert L.allocate_batch(spark, path, store, None) == 8
+
+
+def test_allocate_batch_missing_source_fails_loudly(spark, tmp_path):
+    """r9 advice: families whose store exists by construction (IVF
+    lists, text stats) must NOT silently restart the batch-id space at
+    1 when the source vanished (partially-deleted index) — only the
+    ingest-first layouts opt in via allow_missing."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    missing = f"{path}/lists.parquet"
+    with pytest.raises(AnalysisException):
+        L.allocate_batch(spark, path, missing, None)
+    # the ingest-first opt-in keeps the skeleton-first behavior
+    assert L.allocate_batch(spark, path, missing, None, allow_missing=True) == 1
+    # explicit-batch replay guarding never needs the source at all
+    assert L.allocate_batch(spark, path, missing, 3) == 3
 
 
 def test_compact_store_custom_fold_and_layout(spark, tmp_path):

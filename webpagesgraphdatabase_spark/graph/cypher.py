@@ -851,10 +851,15 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
     is excluded because ``[*1..h]`` paths have at least one hop. Either
     endpoint of the pattern may be the bound one.
 
-    The hop must be the bounded undirected form (``[*1..h]`` — the
-    front end's standing rule; BFS honors h as its hop cap). The BFS
-    never enumerates paths — frontier supersteps with a settled-set
-    anti-join, so the statement stays corpus-safe at any radius."""
+    The hop must be the bounded var-length form (``[*1..h]`` — the
+    front end's standing rule; BFS honors h as its hop cap), in any of
+    the three orientations: undirected ``-[*1..h]-``, forward
+    ``-[*1..h]->``, backward ``<-[*1..h]-``. Directed forms run the
+    BFS with ``directed=True`` over an edge frame oriented so arrows
+    point away from the seed, whichever written end the seed is. The
+    BFS never enumerates paths — frontier supersteps with a
+    settled-set anti-join, so the statement stays corpus-safe at any
+    radius."""
     from .algorithms import bfs_distances_from_edges
 
     nodes, hops, groups = p.patterns()
@@ -869,10 +874,13 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         raise CypherSyntaxError(
             "shortestPath requires the bounded var-length form [*1..h]"
         )
-    if hop.forward is not None:
-        raise CypherSyntaxError(
-            "shortestPath supports the undirected form only"
-        )
+    # hop.forward: None = undirected; True = -[*1..h]-> (arrow from
+    # the first written node); False = <-[*1..h]- . Directed forms run
+    # the same BFS with directed=True over an edge frame oriented so
+    # arrows point AWAY from the seed (r9 verdict item 3 — plain
+    # var-length hops already parse both arrows; this closes the
+    # front-end refusal at the old cypher.py:873).
+    directed = hop.forward is not None
     src_rel_l, dst_rel_l = REL_ENDPOINTS[hop.rel]
     ends: list[str | None] = []
     for node in nodes:
@@ -915,6 +923,18 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         F.concat(F.lit(f"{src_rel_l}:"), F.col("src_url")).alias("src"),
         F.concat(F.lit(f"{dst_rel_l}:"), F.col(dst_col)).alias("dst"),
     )
+
+    def oriented(seed_idx: int) -> DataFrame:
+        """The edge frame with arrows pointing away from the seed: the
+        pattern's arrow direction is relative to the WRITTEN order, so
+        a backward arrow or a seed at the second written node reverses
+        the frame (two reversals cancel)."""
+        if not directed or (hop.forward is True) == (seed_idx == 0):
+            return fwd
+        return fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+
     p.expect_kw("RETURN")
 
     if None in ends:
@@ -973,7 +993,12 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
         seeds = g.links.sparkSession.createDataFrame(
             [(bound_id,)], "node_id string"
         )
-        dist = bfs_distances_from_edges(fwd, seeds, max_hops=hop.var_len)
+        dist = bfs_distances_from_edges(
+            oriented(1 - ends.index(None)),
+            seeds,
+            max_hops=hop.var_len,
+            directed=directed,
+        )
         pref = free_label + ":"
         out = (
             dist.filter(
@@ -1048,7 +1073,9 @@ def _compile_shortest_path(g: PropertyGraph, p: _P, pvar: str) -> DataFrame:
     seeds = g.links.sparkSession.createDataFrame(
         [(ends[0],)], "node_id string"
     )
-    dist = bfs_distances_from_edges(fwd, seeds, max_hops=hop.var_len)
+    dist = bfs_distances_from_edges(
+        oriented(0), seeds, max_hops=hop.var_len, directed=directed
+    )
     return dist.filter(F.col("node_id") == ends[1]).select(
         F.col("dist").alias(alias)
     )
@@ -1219,40 +1246,125 @@ def cypher(g: PropertyGraph, query: str, params: dict | None = None) -> DataFram
 _LABEL_TABLE = {"Link": "links", "Category": "categories", "Keyword": "keywords"}
 _REL_TABLE = {"BELONGS_TO": "belongs_to", "HAS_KEYWORD": "has_keyword"}
 
+# The notebook's lean Link schema (``Edits.ipynb c9:38``) names two
+# properties differently from the app schema the store uses
+# (``main.py:20``); the CSV preload already bridges them
+# (``serving.preload_csv``: category → raw_category + suggested_category,
+# keyword → the denormalized ``keywords`` string), so the write front
+# end applies the same documented mapping instead of refusing the
+# notebook's verbatim MERGE+SET strings (``c10:69-76``).
+_LINK_PROP_ALIASES: dict[str, tuple[str, ...]] = {
+    "category": ("raw_category", "suggested_category"),
+    "keyword": ("keywords",),
+}
+
+
+def _link_prop_targets(prop: str) -> tuple[str, ...]:
+    from .model import LINK_COLUMNS
+
+    targets = _LINK_PROP_ALIASES.get(prop, (prop,))
+    for t in targets:
+        if t not in LINK_COLUMNS:
+            raise CypherSyntaxError(f"Link has no property {prop!r}")
+    return targets
+
 
 def cypher_write(store, query: str, params: dict | None = None) -> None:
     """Execute a write statement against a :class:`GraphStore`:
 
     - ``MERGE (:Label {props})`` — node insert-if-absent (M1)
+    - ``MERGE (l:Link {url: …}) SET l.prop = …, …`` — node upsert with
+      per-property assignment (M2, the notebook's populate shape,
+      ``Edits.ipynb c10:69-76``; the unlabeled ``MERGE (l {url: …})
+      SET …`` form infers :Link from the url key, matching the
+      free-endpoint shortestPath discipline). The notebook schema's
+      ``category``/``keyword`` property names map onto the store
+      schema the way the CSV preload maps them (see
+      ``_LINK_PROP_ALIASES``).
     - ``MATCH (a:…{…}), (b:…{…}) MERGE (a)-[:REL]->(b)`` — relationship
       merge between two point-matched nodes (M3; endpoint existence is
       enforced by :meth:`GraphStore.merge_edges`, J6)
     - ``MATCH (l:Link {url: $url}) DETACH DELETE l`` — M4
 
     Matches the reference's exact write surface (``main.py:28-34,
-    120-144, 313-337, 398-425, 490``); anything else raises."""
+    120-144, 313-337, 398-425, 490`` + the notebook populate loop);
+    anything else raises."""
     from .model import LINK_COLUMNS
 
     p = _P(query, params)
     if p.take_kw("MERGE"):
         n = p.node()
+        assigns: list[tuple[str, str, object]] = []
+        if p.take_kw("SET"):
+            while True:
+                v = p.expect(_IDENT, "variable").group(0)
+                if not p.take_char("."):
+                    raise CypherSyntaxError("SET expects var.property = value")
+                prop = p.expect(_IDENT, "property name").group(0)
+                if not p.take_char("="):
+                    raise CypherSyntaxError("expected '=' in SET")
+                assigns.append((v, prop, p.value()))
+                if not p.take_char(","):
+                    break
         if not p.at_end():
             raise CypherSyntaxError("MERGE supports a single node pattern")
-        if not n.label:
-            raise CypherSyntaxError("MERGE node needs a label")
-        if n.label == "Link":
-            row = {c: n.props.get(c) for c in LINK_COLUMNS}
+        label = n.label
+        if label is None:
+            # label inference from the key property, the free-endpoint
+            # shortestPath discipline: url keys exactly one label
+            if "url" in n.props:
+                label = "Link"
+            else:
+                raise CypherSyntaxError(
+                    "unlabeled MERGE needs a {url: …} key to infer :Link "
+                    "(a {name: …} key is ambiguous between Category and "
+                    "Keyword — label it)"
+                )
+        for v, _, _ in assigns:
+            if v != n.var:
+                raise CypherSyntaxError(
+                    f"SET references {v!r}, but the MERGE binds {n.var!r}"
+                )
+        if label == "Link":
+            row: dict[str, object] = {c: None for c in LINK_COLUMNS}
+            for prop, val in n.props.items():
+                for c in _link_prop_targets(prop):
+                    row[c] = val
+            set_cols: list[str] = []
+            for _, prop, val in assigns:
+                for c in _link_prop_targets(prop):
+                    row[c] = val
+                    if c not in set_cols:
+                        set_cols.append(c)
             if row["url"] is None:
                 raise CypherSyntaxError("MERGE (:Link …) requires url")
-            df = store.spark.createDataFrame([tuple(row[c] for c in LINK_COLUMNS)],
-                                             list(LINK_COLUMNS))
-            store.merge_links(df, update=False)
+            from .model import LINK_SCHEMA
+
+            df = store.spark.createDataFrame(
+                [
+                    tuple(
+                        None if row[c] is None else str(row[c])
+                        for c in LINK_COLUMNS
+                    )
+                ],
+                LINK_SCHEMA,
+            )
+            if set_cols:
+                store.merge_set_links(df, tuple(set_cols))
+            else:
+                store.merge_links(df, update=False)
         else:
+            if assigns:
+                # SET on Category/Keyword could only target `name`,
+                # which is the primary key — a rekey, not an update
+                raise CypherSyntaxError(
+                    f"SET is not supported on :{label} (name is the key)"
+                )
             name = n.props.get("name")
             if name is None:
-                raise CypherSyntaxError(f"MERGE (:{n.label} …) requires name")
+                raise CypherSyntaxError(f"MERGE (:{label} …) requires name")
             df = store.spark.createDataFrame([(name,)], ["name"])
-            store.merge_names(_LABEL_TABLE[n.label], df)
+            store.merge_names(_LABEL_TABLE[label], df)
         return
 
     p.expect_kw("MATCH")

@@ -128,6 +128,41 @@ class GraphStore:
                 new = new.withColumn(col, F.lit(None).cast("string"))
         self.merge_nodes("links", new.select(*LINK_SCHEMA.fieldNames()), "url", update)
 
+    def merge_set_links(self, new: DataFrame, set_cols: tuple[str, ...]) -> None:
+        """M2 as Cypher ``MERGE … SET`` actually behaves (the notebook's
+        populate shape, ``Edits.ipynb c10:69-76``): insert-if-absent,
+        then assign ONLY the SET properties — a property outside
+        ``set_cols`` keeps its stored value on an existing row (and is
+        NULL on a fresh one, or takes the MERGE map's value when the
+        incoming frame carries it). ``merge_links(update=True)`` is
+        whole-row replacement; this is per-property assignment, so
+        replaying the notebook's MERGE+SET over rows the app already
+        enriched cannot NULL out ``raw_content``/``cleaned_content``."""
+        cols = list(LINK_SCHEMA.fieldNames())
+        for c in cols:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast("string"))
+        new = new.select(*cols).dropDuplicates(["url"])
+        bad = [c for c in set_cols if c not in cols or c == "url"]
+        if bad:
+            raise KeyError(f"SET targets outside the Link schema: {bad}")
+        existing = self.wh.read("links")
+        ex = existing.select(*[F.col(c).alias(f"__ex_{c}") for c in cols])
+        upserts = new.join(ex, new["url"] == F.col("__ex_url"), "left").select(
+            F.col("url"),
+            *[
+                (
+                    F.col(c)
+                    if c in set_cols
+                    else F.coalesce(F.col(f"__ex_{c}"), F.col(c))
+                ).alias(c)
+                for c in cols
+                if c != "url"
+            ],
+        )
+        survivors = existing.join(new.select("url"), "url", "left_anti")
+        self.wh.overwrite("links", survivors.unionByName(upserts))
+
     def merge_names(self, table: str, names: DataFrame) -> None:
         """MERGE Category/Keyword nodes from a 1-col DataFrame (M1)."""
         self.merge_nodes(table, names.select(F.col(names.columns[0]).alias("name")), "name")

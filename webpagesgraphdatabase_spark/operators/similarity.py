@@ -2372,7 +2372,9 @@ def sq8_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
         spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"]
     )
     store_path = f"{path}/sq8.parquet"
-    batch = allocate_batch(spark, path, store_path, batch)
+    batch = allocate_batch(
+        spark, path, store_path, batch, allow_missing=True
+    )
     if batch is None:
         # replay of a batch already folded into segment 0 by
         # compact_sq8_store — re-appending would duplicate its codes
@@ -2708,7 +2710,9 @@ def bin_index_append(emb: DataFrame, path: str, batch: int | None = None) -> Non
         spark.read.parquet(f"{path}/meta.parquet").first()["n_buckets"]
     )
     store_path = f"{path}/bin.parquet"
-    batch = allocate_batch(spark, path, store_path, batch)
+    batch = allocate_batch(
+        spark, path, store_path, batch, allow_missing=True
+    )
     if batch is None:  # replay of a batch already folded into segment 0
         return
     enc = (

@@ -57,24 +57,41 @@ from ._util import (
 
 
 def allocate_batch(
-    spark, path: str, batch_source: str, batch: int | None
+    spark,
+    path: str,
+    batch_source: str,
+    batch: int | None,
+    allow_missing: bool = False,
 ) -> int | None:
     """Watermark-guarded batch-id allocation for an index dir ``path``.
 
-    ``batch=None`` → ``max(existing in batch_source, watermark) + 1``
-    (an ``ensure_*`` skeleton may have no store yet — missing source
-    reads as 0, so the id space starts at 1). An explicit ``batch`` ≤
-    the watermark returns ``None``: the caller must treat it as a
-    replay of an already-folded batch and no-op."""
+    ``batch=None`` → ``max(existing in batch_source, watermark) + 1``.
+    An explicit ``batch`` ≤ the watermark returns ``None``: the caller
+    must treat it as a replay of an already-folded batch and no-op.
+
+    ``allow_missing`` is for the ingest-first layouts ONLY (sq8/bin,
+    whose ``ensure_*`` skeleton writes just the bucket meta — the code
+    store legitimately appears with the first appended batch): a
+    missing source reads as 0 and the id space starts at 1. Every
+    other family's store must exist by construction (IVF lists come
+    from the base build, text stats from ``ensure_text_index``), so a
+    vanished source there is a partially-deleted index and the
+    ``AnalysisException`` propagates instead of silently restarting
+    the batch-id space over a broken store."""
     wm = read_compaction_watermark(path)
     if batch is not None:
         return None if int(batch) <= wm else int(batch)
-    from pyspark.errors import AnalysisException
+    if allow_missing:
+        from pyspark.errors import AnalysisException
 
-    try:
+        try:
+            prev = (
+                spark.read.parquet(batch_source).agg(F.max("batch")).first()[0]
+            )
+        except AnalysisException:
+            prev = 0
+    else:
         prev = spark.read.parquet(batch_source).agg(F.max("batch")).first()[0]
-    except AnalysisException:
-        prev = 0
     return max(int(prev or 0), wm) + 1
 
 

@@ -108,17 +108,21 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
 def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
     """The governing group's ``Crawl-delay`` (de-facto extension, not
     in RFC 9309 — which is why :func:`parse_robots` ignores it) as
-    seconds, or None when absent/unparseable/negative. First valid
-    occurrence in the group wins."""
+    seconds, or None when absent/unparseable/negative. §2.2.1 group
+    combining can merge several groups declaring different delays;
+    the MAX (most conservative) of the valid occurrences wins — the
+    same discipline ``crawl_frontier`` applies when aggregating
+    per-host delay rows, so the two layers can't disagree."""
+    best: float | None = None
     for name, value in _select_group(txt, agent):
         if name == "crawl-delay":
             try:
                 d = float(value)
             except ValueError:
                 continue
-            if d >= 0:
-                return d
-    return None
+            if d >= 0 and (best is None or d > best):
+                best = d
+    return best
 
 
 def _pattern_to_regex(pattern: str) -> str:
