@@ -1412,3 +1412,241 @@ def test_crawl_round_auto_politeness(spark, tmp_path):
     f2 = {r.url for r in rep2["frontier"].collect()}
     assert {"https://ap.example/orphan1", "https://ap.example/orphan2"} <= f2
     assert all("/private" not in u for u in f2)
+
+
+# ---------------------------------------------------------------------------
+# persistent crawl state (r9 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+def _mk_rec(rid, uri, body, ctype="text/html; charset=utf-8"):
+    return {
+        "record_id": f"<urn:uuid:{rid}>",
+        "warc_type": "response",
+        "target_uri": uri,
+        "warc_date": "2026-08-15T00:00:00Z",
+        "content_type": "application/http; msgtype=response",
+        "block": W.http_response_block(body, content_type=ctype),
+    }
+
+
+def _mk_page(rid, uri, text, hrefs=()):
+    body = (
+        "<html><head><title>t</title></head><body><p>"
+        + text
+        + "</p>"
+        + "".join(f'<a href="{h}"></a>' for h in hrefs)
+        + "</body></html>"
+    ).encode()
+    return _mk_rec(rid, uri, body)
+
+
+def test_crawl_resumable_across_sessions(spark, tmp_path):
+    """The 3-round frontier-consumption composition re-run as three
+    separate GraphStore + CrawlState openings (process-restart
+    simulation: fresh objects each round, state only on disk) produces
+    the identical graph, text index, and frontier sequence as the
+    in-process stateless loop — plus the state-only guarantees:
+    replaying a completed archive is a recorded no-op, the ledger
+    carries every round, and the cross-round backlog contains exactly
+    the unfetched candidates."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    robots_txt = b"User-agent: *\nCrawl-delay: 5\n"
+    root = "https://rs.example/"
+    texts = {
+        1: " ".join(f"resume corpus alpha{i}" for i in range(30)),
+        2: " ".join(f"resume corpus beta{i}" for i in range(30)),
+        3: " ".join(f"resume corpus gamma{i}" for i in range(30)),
+    }
+    p = [f"https://rs.example/p{i}" for i in range(4)]
+    q = [f"https://rs.example/q{i}" for i in range(4)]
+
+    archives = {}
+    archives[1] = tmp_path / "r1.warc"
+    archives[1].write_bytes(
+        W.build_warc(
+            [
+                _mk_rec("rb1", "https://rs.example/robots.txt", robots_txt,
+                        "text/plain"),
+                _mk_page("root", root, texts[1], hrefs=p),
+            ]
+        )
+    )
+
+    def round2_archive(f1):
+        a = tmp_path / "r2.warc"
+        a.write_bytes(
+            W.build_warc(
+                [
+                    _mk_rec("rb2", "https://rs.example/robots.txt",
+                            robots_txt, "text/plain"),
+                    _mk_page("f1a", f1[0], texts[2], hrefs=[root, q[0], q[1]]),
+                    _mk_page("f1b", f1[1], texts[3], hrefs=[root, q[2], q[3]]),
+                ]
+            )
+        )
+        return a
+
+    kw = dict(auto_politeness=True, round_seconds=10.0)
+
+    # ---- reference: the stateless in-process loop -----------------------
+    ref_store = GraphStore(spark, str(tmp_path / "ref_wh"))
+    ref_store.init_schema()
+    ref_ti = str(tmp_path / "ref_ti")
+    r1 = W.crawl_round(spark, ref_store, str(archives[1]),
+                       text_index=ref_ti, **kw)
+    ref_f1 = sorted(r.url for r in r1["frontier"].collect())
+    assert len(ref_f1) == 2  # Crawl-delay 5 at a 10 s round
+    archives[2] = round2_archive(ref_f1)
+    r2 = W.crawl_round(spark, ref_store, str(archives[2]),
+                       text_index=ref_ti, **kw)
+    ref_f2 = sorted(r.url for r in r2["frontier"].collect())
+    assert len(ref_f2) == 2
+
+    # ---- resumable: a fresh GraphStore + CrawlState per round -----------
+    wh, ti, sd = (str(tmp_path / d) for d in ("res_wh", "res_ti", "res_state"))
+
+    def session():
+        st = GraphStore(spark, wh)
+        st.init_schema()
+        return st
+
+    s1 = W.crawl_round_resumable(spark, session(), str(archives[1]), sd,
+                                 text_index=ti, **kw)
+    assert s1["replayed"] is False and s1["round_no"] == 1
+    res_f1 = sorted(r.url for r in s1["frontier"].collect())
+    assert res_f1 == ref_f1  # identical frontier sequence
+
+    s2 = W.crawl_round_resumable(spark, session(), str(archives[2]), sd,
+                                 text_index=ti, **kw)
+    assert s2["round_no"] == 2
+    res_f2 = sorted(r.url for r in s2["frontier"].collect())
+    assert res_f2 == ref_f2
+
+    # round 3 serves frontier 2 (fresh content, no onward links)
+    archives[3] = tmp_path / "r3.warc"
+    archives[3].write_bytes(
+        W.build_warc(
+            [
+                _mk_rec("rb3", "https://rs.example/robots.txt", robots_txt,
+                        "text/plain"),
+                _mk_page("f2a", ref_f2[0],
+                         " ".join(f"late vocabulary item{i}" for i in range(30))),
+                _mk_page("f2b", ref_f2[1],
+                         " ".join(f"other vocabulary word{i}" for i in range(30))),
+            ]
+        )
+    )
+    r3 = W.crawl_round(spark, ref_store, str(archives[3]),
+                       text_index=ref_ti, **kw)
+    s3 = W.crawl_round_resumable(spark, session(), str(archives[3]), sd,
+                                 text_index=ti, **kw)
+    assert sorted(r.url for r in s3["frontier"].collect()) == sorted(
+        r.url for r in r3["frontier"].collect()
+    )
+
+    # identical graph and text index at the end of round 3
+    ref_urls = sorted(r.url for r in ref_store.graph().links.collect())
+    res_urls = sorted(r.url for r in session().graph().links.collect())
+    assert res_urls == ref_urls
+    for term in ("alpha3", "beta3", "item3"):
+        ref_hit = [(r.doc_id,) for r in
+                   S.bm25_from_index(spark, ref_ti, (term,), k=10).collect()]
+        res_hit = [(r.doc_id,) for r in
+                   S.bm25_from_index(spark, ti, (term,), k=10).collect()]
+        assert res_hit == ref_hit and ref_hit
+
+    # ---- state-only guarantees ------------------------------------------
+    state = CrawlState(spark, sd)
+    # ledger: one row per round, counts as reported
+    led = {r.batch_id: r for r in state.ledger().collect()}
+    assert len(led) == 3
+    assert led[s1["batch"]].n_docs_indexed == 1
+
+    # replaying a completed archive is a recorded no-op: stored counts,
+    # stored frontier, graph and index untouched
+    before = res_urls
+    rep = W.crawl_round_resumable(spark, session(), str(archives[2]), sd,
+                                  text_index=ti, **kw)
+    assert rep["replayed"] is True
+    assert rep["n_docs_indexed"] == s2["n_docs_indexed"]
+    assert sorted(r.url for r in rep["frontier"].collect()) == res_f2
+    assert sorted(r.url for r in session().graph().links.collect()) == before
+
+    # backlog: every stored candidate not yet fetched = frontier 3 only
+    # (f1 and f2 were consumed by rounds 2 and 3)
+    backlog = [r.url for r in
+               state.backlog(session().graph().links).collect()]
+    assert sorted(backlog) == sorted(
+        r.url for r in s3["frontier"].collect()
+    )
+
+    # politeness memory: the strictest delay each host declared
+    d = {r.host: r.crawl_delay for r in state.delays().collect()}
+    assert d.get("rs.example") == 5.0
+
+    # compaction folds the round partitions; replay detection and the
+    # per-round frontier reads survive (batch_id is a data column)
+    repc = state.compact()
+    assert repc["files_after"] <= repc["files_before"]
+    assert state.has_round(s2["batch"])
+    assert sorted(r.url for r in state.frontier_of(s2["batch"]).collect()) \
+        == res_f2
+    rep2 = W.crawl_round_resumable(spark, session(), str(archives[1]), sd,
+                                   text_index=ti, **kw)
+    assert rep2["replayed"] is True
+
+
+def test_crawl_resumable_delay_carry_over(spark, tmp_path):
+    """Per-host budget carry-over: round 2's archive carries NO robots
+    response, but the state dir remembers round 1's Crawl-delay, so
+    the budget still caps round 2's frontier (the stateless loop would
+    let the whole frontier through)."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    robots_txt = b"User-agent: *\nCrawl-delay: 5\n"
+    root = "https://co.example/"
+    p = [f"https://co.example/p{i}" for i in range(4)]
+    q = [f"https://co.example/q{i}" for i in range(6)]
+    (tmp_path / "c1.warc").write_bytes(
+        W.build_warc(
+            [
+                _mk_rec("rb1", "https://co.example/robots.txt", robots_txt,
+                        "text/plain"),
+                _mk_page("root", root,
+                         " ".join(f"carry tok{i}" for i in range(30)),
+                         hrefs=p),
+            ]
+        )
+    )
+    wh, sd = str(tmp_path / "wh"), str(tmp_path / "state")
+    store = GraphStore(spark, wh)
+    store.init_schema()
+    kw = dict(auto_politeness=True, round_seconds=10.0)
+    s1 = W.crawl_round_resumable(spark, store, str(tmp_path / "c1.warc"),
+                                 sd, **kw)
+    f1 = sorted(r.url for r in s1["frontier"].collect())
+    assert len(f1) == 2  # floor(10 / 5)
+
+    # round 2: robots-less archive serving f1, linking 6 new pages
+    (tmp_path / "c2.warc").write_bytes(
+        W.build_warc(
+            [
+                _mk_page("f1a", f1[0],
+                         " ".join(f"carry second tok{i}" for i in range(30)),
+                         hrefs=q[:3]),
+                _mk_page("f1b", f1[1],
+                         " ".join(f"carry third tok{i}" for i in range(30)),
+                         hrefs=q[3:]),
+            ]
+        )
+    )
+    store2 = GraphStore(spark, wh)  # fresh opening
+    s2 = W.crawl_round_resumable(spark, store2, str(tmp_path / "c2.warc"),
+                                 sd, **kw)
+    f2 = [r.url for r in s2["frontier"].collect()]
+    # the remembered Crawl-delay 5 still budgets the host to 2/round
+    assert len(f2) == 2 and set(f2) <= set(q)

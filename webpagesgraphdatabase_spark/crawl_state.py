@@ -1,0 +1,263 @@
+"""Persistent crawl scheduler state (r9 verdict item 4).
+
+:func:`~.warc.crawl_round` is replay-safe WITHIN a process but
+stateless ACROSS them: the next frontier lives in a returned
+DataFrame, politeness knowledge (per-host Crawl-delay) dies with the
+session, and nothing records which archives were already ingested. A
+real crawl runs for weeks over many scheduler processes; this module
+persists the scheduler state under one state dir using the shared
+at-rest store lifecycle (:mod:`.operators.store_lifecycle` — the same
+watermark / dynamic-overwrite-append / two-rename-fold discipline the
+index stores use), so a crawl RESUMES: a new process opening the same
+``GraphStore`` + state dir continues exactly where the previous one
+stopped, and re-feeding an already-ingested archive is a recorded
+no-op instead of a duplicate round.
+
+Three tables, all partitioned by a SEQUENTIAL round number ``batch``
+(allocated from the ledger, the last-written store, so a crash between
+the frontier append and the ledger append replays into the same
+partitions idempotently). The ARCHIVE identity
+(:func:`~.warc._archive_batch_id`, a 31-bit content hash) is a DATA
+column ``batch_id`` — membership in the ledger, not the numeric
+watermark, decides "did this archive already run", because archive
+hashes are unordered and a fresh archive may hash below a folded
+round's number:
+
+- ``frontier.parquet`` ``(url, indeg, batch_id, batch)`` — each
+  round's computed next frontier with its in-degree priority. The
+  cross-round BACKLOG derives as all stored candidates minus the
+  graph's seen set: consumption is never marked, the graph is the
+  single source of truth for "fetched" (exactly the discipline
+  ``crawl_round`` itself applies within a round).
+- ``hosts.parquet`` ``(host, crawl_delay, batch_id, batch)`` — the
+  politeness each archive's own robots bodies declared. Read as MAX
+  per host (the conservative merge ``crawl_frontier`` and
+  ``robots.parse_crawl_delay`` both apply), so a later round whose
+  archive lacks a robots response still honors the strictest known
+  delay — the budget knowledge carries over.
+- ``ledger.parquet`` ``(batch_id, archive, n_links_inserted,
+  n_docs_indexed, n_cross_dup, n_revisits, n_frontier, batch)`` — one
+  row per COMPLETED round, appended last (the round's commit point).
+
+Scale shape: every store is URL-set / per-host / per-round sized —
+orders of magnitude smaller than the corpus. Appends are dynamic
+partition overwrites of one round's partition; the backlog read is one
+anti-join on the normalized URL; :meth:`CrawlState.compact` folds the
+accumulated round partitions LSM-style under the shared watermark
+(``batch_id`` survives the fold as a data column, so replay detection
+is compaction-proof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.store_lifecycle import (
+    SubStore,
+    allocate_batch,
+    compact_store,
+    dynamic_append,
+)
+
+_FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("indeg", T.LongType()),
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
+_HOSTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
+_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("archive", T.StringType()),
+        T.StructField("n_links_inserted", T.LongType()),
+        T.StructField("n_docs_indexed", T.LongType()),
+        T.StructField("n_cross_dup", T.LongType()),
+        T.StructField("n_revisits", T.LongType()),
+        T.StructField("n_frontier", T.LongType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
+
+
+class CrawlState:
+    """Warehouse-backed scheduler state for a multi-session crawl."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._frontier = f"{root}/frontier.parquet"
+        self._hosts = f"{root}/hosts.parquet"
+        self._ledger = f"{root}/ledger.parquet"
+
+    # -- reads ---------------------------------------------------------------
+    def _read(self, store: str, schema: T.StructType) -> DataFrame:
+        """Read a state store, or its empty shape before the first
+        round (ingest-first, like the sq8/bin index skeletons)."""
+        import os
+
+        if not os.path.isdir(store):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(store)
+
+    def ledger(self) -> DataFrame:
+        """One row per completed round, ``batch_id``-identified."""
+        return self._read(self._ledger, _LEDGER_SCHEMA)
+
+    def has_round(self, batch_id: int) -> bool:
+        """True when the archive with this content hash already ran to
+        completion (its ledger row — the commit point — exists)."""
+        return (
+            self.ledger().filter(F.col("batch_id") == int(batch_id)).count()
+            > 0
+        )
+
+    def round_summary(self, batch_id: int) -> dict:
+        """The stored ledger counts of a completed round."""
+        row = (
+            self.ledger().filter(F.col("batch_id") == int(batch_id)).first()
+        )
+        if row is None:
+            raise KeyError(f"no completed round with batch_id={batch_id}")
+        return {
+            "batch": int(row.batch_id),
+            "n_links_inserted": int(row.n_links_inserted),
+            "n_docs_indexed": int(row.n_docs_indexed),
+            "n_cross_dup": int(row.n_cross_dup),
+            "n_revisits": int(row.n_revisits),
+            "n_frontier": int(row.n_frontier),
+        }
+
+    def frontier_of(self, batch_id: int) -> DataFrame:
+        """One round's stored next frontier, priority-ordered."""
+        return (
+            self._read(self._frontier, _FRONTIER_SCHEMA)
+            .filter(F.col("batch_id") == int(batch_id))
+            .select("url", "indeg")
+        )
+
+    def backlog(self, seen: DataFrame | None = None) -> DataFrame:
+        """Every stored frontier candidate not yet fetched, highest
+        in-degree first (md5 tie-break — the frontier prioritization
+        discipline): the cross-round queue a scheduler pops to decide
+        what to fetch next. ``seen`` is any frame with a ``url``
+        column of NORMALIZED urls (pass ``store.graph().links`` —
+        the graph is the source of truth for "fetched"); candidates
+        are compared on their normal form, the stored original is
+        returned. Within the backlog the max in-degree per normal
+        form wins (the same page can surface in several rounds)."""
+        from .functions import normalize_url
+
+        cand = (
+            self._read(self._frontier, _FRONTIER_SCHEMA)
+            .withColumn("_norm", normalize_url(F.col("url")))
+            .groupBy("_norm")
+            .agg(F.min("url").alias("url"), F.max("indeg").alias("indeg"))
+        )
+        if seen is not None:
+            cand = cand.join(
+                seen.select(F.col("url").alias("_norm")).distinct(),
+                "_norm",
+                "left_anti",
+            )
+        return cand.select("url", "indeg").orderBy(
+            F.col("indeg").desc(), F.md5("url"), F.col("url")
+        )
+
+    def delays(self) -> DataFrame:
+        """(host, crawl_delay) — the strictest delay each host ever
+        declared across all recorded rounds (max per host, the
+        conservative merge)."""
+        return (
+            self._read(self._hosts, _HOSTS_SCHEMA)
+            .groupBy("host")
+            .agg(F.max("crawl_delay").alias("crawl_delay"))
+        )
+
+    # -- writes --------------------------------------------------------------
+    def record_round(
+        self,
+        batch_id: int,
+        archive: str,
+        counts: dict,
+        frontier: DataFrame,
+        delays: DataFrame | None = None,
+    ) -> int | None:
+        """Persist one completed round exactly-once. Returns the
+        sequential round number, or None when the archive already has
+        a ledger row (a replay of a completed round — nothing
+        written). Write order is frontier → hosts → ledger: the ledger
+        row is the commit point, and a crash before it re-allocates
+        the SAME round number (the allocator reads the ledger), so the
+        retry dynamic-overwrites its own partial partitions."""
+        if self.has_round(batch_id):
+            return None
+        rno = allocate_batch(
+            self.spark, self.root, self._ledger, None, allow_missing=True
+        )
+        f = frontier
+        if "indeg" not in f.columns:
+            f = f.withColumn("indeg", F.lit(1).cast("long"))
+        f = f.select(
+            F.col("url").cast("string"),
+            F.col("indeg").cast("long"),
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.lit(int(rno)).alias("batch"),
+        )
+        dynamic_append(f, self._frontier, ("batch",))
+        if delays is not None:
+            d = delays.select(
+                F.col("host").cast("string"),
+                F.col("crawl_delay").cast("double"),
+                F.lit(int(batch_id)).alias("batch_id"),
+                F.lit(int(rno)).alias("batch"),
+            )
+            dynamic_append(d, self._hosts, ("batch",))
+        n_frontier = self.frontier_of(batch_id).count()
+        led = self.spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    archive,
+                    int(counts.get("n_links_inserted", 0)),
+                    int(counts.get("n_docs_indexed", 0)),
+                    int(counts.get("n_cross_dup", 0)),
+                    int(counts.get("n_revisits", 0)),
+                    int(n_frontier),
+                    int(rno),
+                )
+            ],
+            _LEDGER_SCHEMA,
+        )
+        dynamic_append(led, self._ledger, ("batch",))
+        return int(rno)
+
+    def compact(self) -> dict:
+        """Fold the accumulated round partitions of all three stores
+        into segment 0 (the shared watermark-first two-rename fold).
+        ``batch_id`` is a data column, so replay detection and
+        per-round frontier reads survive the fold; fresh round numbers
+        keep allocating above the persisted watermark."""
+        import os
+
+        subs = [
+            SubStore(s, ("batch",))
+            for s in (self._frontier, self._hosts, self._ledger)
+            if os.path.isdir(s)
+        ]
+        if not subs:
+            return {"files_before": 0, "files_after": 0, "watermark": 0}
+        return compact_store(
+            self.spark, self.root, subs, batch_source=self._ledger
+        )
