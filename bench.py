@@ -123,7 +123,15 @@ ANN_HEADLINE = {
 # `rebaselined` with their ratio AND reason — never silently dropped.
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
-CHANGED_ENTRIES: dict[str, str] = {}
+CHANGED_ENTRIES: dict[str, str] = {
+    "s_ann_pq_indexed": "r10: serving config 2x probes/rf8 -> 4x "
+    "probes/rf16 (similarity.PQ_PROBE_MULT/PQ_REFINE) — recall@5 "
+    "0.80 -> 0.98 at ~1.04x measured solo time; r9 verdict item 6, "
+    "curve in the constants' comment",
+    "s_ann_ivfpq_res_indexed": "r10: serving config 3x probes/rf8 -> "
+    "5x probes/rf32 (similarity.RES_PROBE_MULT/RES_REFINE) — recall@5 "
+    "0.70 -> 0.98 at ~1.12x measured solo time; r9 verdict item 6",
+}
 
 # Entries whose thunk mutates its fixture (compaction, clustering,
 # appends): the MAIN run's later repeats already time the
@@ -831,15 +839,16 @@ def main() -> None:
         sim = _similarity()
         pq_dir = tempfile.mkdtemp(prefix="bench_pq_")
         try:
-            # r8 serving config: multi-assignment at encode time
-            # (assign_mult=2 — each code row lands in its 2 nearest
-            # lists; 2× storage, zero extra probe cost) + 2× probes +
-            # an 8× re-rank shortlist. Measured at sf0.1: recall@5
-            # 0.48 → 0.80 — ABOVE the direct path's 0.64 (r7 verdict
-            # item 6 asked for within 0.05) at ~2/3 the old query time
-            # (the OPQ-era full-corpus mapInPandas is also gone: the
-            # query path now filters to |Q| rows before any transform).
-            pq_probe = sim.auto_n_probe(sim.auto_n_centroids(n_emb)) * 2
+            # r9 serving config (similarity.PQ_PROBE_MULT/PQ_REFINE —
+            # the measured-curve constants, r9 verdict item 6):
+            # multi-assignment at encode time (assign_mult=2) + 4×
+            # probes + a 16× re-rank shortlist. recall@5 0.80 → 0.98
+            # at ~1.04× the old query time; the curve lives in the
+            # constants' comment in similarity.py.
+            pq_probe = (
+                sim.auto_n_probe(sim.auto_n_centroids(n_emb))
+                * sim.PQ_PROBE_MULT
+            )
             timed_build(
                 "s_ann_pq_build",
                 lambda: sim.build_pq_index(
@@ -855,7 +864,8 @@ def main() -> None:
                 "s_ann_pq_indexed",
                 lambda: _force(
                     sim.ann_pq_from_index(
-                        spark, f"{pq_dir}/pq", emb, n_probe=pq_probe, refine=8
+                        spark, f"{pq_dir}/pq", emb,
+                        n_probe=pq_probe, refine=sim.PQ_REFINE,
                     )
                 ),
             )
@@ -864,7 +874,8 @@ def main() -> None:
             # the (unprobed, full-coverage) direct path's number
             extra_recall["s_ann_pq_indexed"] = recall_of(
                 sim.ann_pq_from_index(
-                    spark, f"{pq_dir}/pq", emb, n_probe=pq_probe, refine=8
+                    spark, f"{pq_dir}/pq", emb,
+                    n_probe=pq_probe, refine=sim.PQ_REFINE,
                 ),
                 exact,
             )
@@ -895,19 +906,26 @@ def main() -> None:
             )
             # residual codes can't multi-assign (each is relative to
             # its own list's centroid), so coverage comes from the
-            # query-side levers alone: 3× probes + 8× shortlist
-            res_probe = sim.auto_n_probe(sim.auto_n_centroids(n_emb)) * 3
+            # query-side levers alone: 5× probes + 32× shortlist
+            # (similarity.RES_PROBE_MULT/RES_REFINE — recall@5
+            # 0.70 → 0.98 at ~1.12× time, curve in similarity.py)
+            res_probe = (
+                sim.auto_n_probe(sim.auto_n_centroids(n_emb))
+                * sim.RES_PROBE_MULT
+            )
             timed(
                 "s_ann_ivfpq_res_indexed",
                 lambda: _force(
                     sim.ann_pq_from_index(
-                        spark, f"{pqr_dir}/pq", emb, n_probe=res_probe, refine=8
+                        spark, f"{pqr_dir}/pq", emb,
+                        n_probe=res_probe, refine=sim.RES_REFINE,
                     )
                 ),
             )
             extra_recall["s_ann_ivfpq_res"] = recall_of(
                 sim.ann_pq_from_index(
-                    spark, f"{pqr_dir}/pq", emb, n_probe=res_probe, refine=8
+                    spark, f"{pqr_dir}/pq", emb,
+                    n_probe=res_probe, refine=sim.RES_REFINE,
                 ),
                 exact,
             )

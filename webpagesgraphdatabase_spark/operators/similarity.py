@@ -2466,6 +2466,29 @@ def ann_sq8_from_index(
 # prefix buckets.
 BIN_REFINE = 32
 
+# IVFPQ serving configuration (r9 verdict item 6) — the probe-width ×
+# shortlist-refine pair each compressed index family serves with.
+# Measured recall@5 / median solo query time at sf0.1 (n=3 medians):
+#
+#   multi-assigned PQ (assign_mult=2):
+#     probe×2 rf8 0.80 ~2.2s (r9 shipped) | ×2 rf16 0.82 | ×2 rf32 0.82
+#     ×3 rf8 0.84 | ×3 rf16 0.92 2.16s | ×4 rf16 0.98 2.28s  <- chosen
+#   residual IVFADC (codes are list-relative, no multi-assign):
+#     ×3 rf8 0.70 ~3.0s (r9 shipped) | ×3 rf16 0.76 | ×3 rf32 0.80
+#     ×4 rf16 0.90 | ×5 rf16 0.92 | ×5 rf32 0.98 3.37s       <- chosen
+#
+# COVERAGE (probes), not ranking (refine), is the binding constraint on
+# this isotropic corpus: widening refine alone saturates at 0.82 (PQ)
+# and 0.80 (residual) because the missed neighbors' code rows are not
+# in any probed list. Probe widening scans more partitions but the ADC
+# scan is 16×-compressed codes, so ×4/×5 probes still land within the
+# verdict's ≤1.3× time budget (PQ ~1.04×, residual ~1.12× of the r9
+# config) while recall goes 0.80→0.98 and 0.70→0.98.
+PQ_PROBE_MULT = 4
+PQ_REFINE = 16
+RES_PROBE_MULT = 5
+RES_REFINE = 32
+
 
 def bin_encode(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vec_id, words array<bigint>): bit i of the signature is 1 iff

@@ -870,26 +870,9 @@ def crawl_round(
         near_dup_bits=near_dup_bits,
     )
     if compact_threshold is not None:
-        from .operators import search as _search
-        from .operators import similarity as _sim
-        from .operators._util import count_parquet_files
-
-        compacted = {}
-        for name, idx, stores, fold in (
-            (
-                "text",
-                text_index,
-                ("postings.parquet", "doclens.parquet", "stats.parquet"),
-                _search.compact_text_index,
-            ),
-            ("sq8", sq8_index, ("sq8.parquet",), _sim.compact_sq8_store),
-            ("bin", bin_index, ("bin.parquet",), _sim.compact_bin_store),
-        ):
-            if idx is None:
-                continue
-            n = sum(count_parquet_files(f"{idx}/{s}") for s in stores)
-            if n > int(compact_threshold):
-                compacted[name] = fold(spark, idx)
+        compacted = _maybe_compact_indexes(
+            spark, text_index, sq8_index, bin_index, compact_threshold
+        )
         if compacted:
             report["compacted"] = compacted
     # frontier: out-links not yet seen. "Seen" = the graph's stored
@@ -955,6 +938,42 @@ def crawl_round(
         with_indegree=frontier_with_indegree,
     )
     return report
+
+
+def _maybe_compact_indexes(
+    spark: SparkSession,
+    text_index: str | None,
+    sq8_index: str | None,
+    bin_index: str | None,
+    compact_threshold: int,
+) -> dict:
+    """The shared fragmentation census + fold of :func:`crawl_round`
+    and :func:`streaming_crawl_round`: any configured index whose
+    parquet file count exceeds the threshold folds back into segment 0
+    (watermark-first — replays of folded batches still no-op, query
+    results bit-identical). Returns per-index fold reports, empty when
+    nothing crossed the threshold."""
+    from .operators import search as _search
+    from .operators import similarity as _sim
+    from .operators._util import count_parquet_files
+
+    compacted = {}
+    for name, idx, stores, fold in (
+        (
+            "text",
+            text_index,
+            ("postings.parquet", "doclens.parquet", "stats.parquet"),
+            _search.compact_text_index,
+        ),
+        ("sq8", sq8_index, ("sq8.parquet",), _sim.compact_sq8_store),
+        ("bin", bin_index, ("bin.parquet",), _sim.compact_bin_store),
+    ):
+        if idx is None:
+            continue
+        n = sum(count_parquet_files(f"{idx}/{s}") for s in stores)
+        if n > int(compact_threshold):
+            compacted[name] = fold(spark, idx)
+    return compacted
 
 
 def crawl_round_resumable(
@@ -1033,6 +1052,7 @@ def streaming_crawl_round(
     doc_filter=None,
     fingerprints: str | None = None,
     near_dup_bits: int | None = None,
+    compact_threshold: int | None = None,
 ) -> None:
     """Streaming twin of :func:`crawl_round`'s ingest: new archives in
     a landing directory flow through the same politeness → CDC dedup →
@@ -1043,7 +1063,19 @@ def streaming_crawl_round(
     ``streaming_ivf_ingest`` discipline. One writer per index: feed an
     index from this stream OR from batch :func:`crawl_round` calls,
     not both (their id spaces are independent). availableNow +
-    blocking, like the other drain-style jobs."""
+    blocking, like the other drain-style jobs.
+
+    ``compact_threshold`` is the batch loop's fragmentation lever with
+    the same semantics (r9 verdict item 5): after each micro-batch's
+    ingest, any configured index whose parquet file count exceeds the
+    threshold folds back into one segment. The fold is safe HERE
+    because foreachBatch serializes micro-batches (the single-writer
+    gap the fold assumes) and micro-batch ids are MONOTONIC: a new
+    batch always lands above the fold watermark, and a crash-replayed
+    pre-fold micro-batch (id ≤ watermark) no-ops instead of
+    re-appending rows the fold already keeps — without this a
+    long-running stream fragments its postings/SQ8/bin stores
+    unboundedly."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         _crawl_ingest(
@@ -1060,6 +1092,10 @@ def streaming_crawl_round(
             fingerprints=fingerprints,
             near_dup_bits=near_dup_bits,
         )
+        if compact_threshold is not None:
+            _maybe_compact_indexes(
+                spark, text_index, sq8_index, bin_index, compact_threshold
+            )
 
     q = (
         read_warc_stream(spark, path)
