@@ -14,6 +14,12 @@ SQL oracle recomputes from the same source tables:
 3. M2      MERGE+SET upsert: links for even custkeys with a rewritten
            ``'UPD:'``-prefixed title (evens already present from step 2
            are replaced; new evens inserted).
+3b. M2-SET per-property assignment (``merge_set_links``, the Cypher
+           ``MERGE … SET`` the notebook populate emits, c10:69-76):
+           custkeys %7 get ``suggested_category = 'SET:'+nation`` —
+           fresh rows insert with NULL titles, already-present rows
+           KEEP their titles (whole-row replacement would NULL them;
+           ``n_set_preserved`` catches exactly that).
 4. M3      MERGE relationships with endpoint MATCH semantics: BELONGS_TO
            offered for *all* customers (only stored links survive the
            endpoint check), HAS_KEYWORD for ``custkey % 5 == 0`` via the
@@ -45,7 +51,8 @@ from .graph.tpch_adapter import URL_PREFIX
 from .io_tpch import load_table
 
 _RESULT_SCHEMA = (
-    "n_links bigint, n_upd_titles bigint, n_categories bigint, "
+    "n_links bigint, n_upd_titles bigint, n_set_links bigint, "
+    "n_set_preserved bigint, n_categories bigint, "
     "n_keywords bigint, n_belongs_to bigint, n_has_keyword bigint, "
     "n_cdc_insert bigint, n_cdc_update bigint, n_cdc_delete bigint"
 )
@@ -87,6 +94,17 @@ def _q_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             update=True,
         )
+        # M2-SET (r10): per-property assignment — multiples of 7 get a
+        # suggested_category; titles of already-present rows survive
+        store.merge_set_links(
+            base.filter(F.col("c_custkey") % 7 == 0).select(
+                "url",
+                F.concat(F.lit("SET:"), F.col("cat")).alias(
+                    "suggested_category"
+                ),
+            ),
+            ("suggested_category",),
+        )
         # M3: edges — endpoint MATCH drops rows whose src link is absent
         store.merge_edges("belongs_to", base.select("url", "cat"))
         hk = (
@@ -119,9 +137,14 @@ def _q_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         ops = {r["op"]: r["count"] for r in cdc.collect()}
+        set_rows = g.links.filter(
+            F.col("suggested_category").startswith("SET:")
+        )
         row = (
             g.links.count(),
             g.links.filter(F.col("title").startswith("UPD:")).count(),
+            set_rows.count(),
+            set_rows.filter(F.col("title").isNotNull()).count(),
             g.categories.count(),
             g.keywords.count(),
             g.belongs_to.count(),
@@ -136,7 +159,7 @@ def _q_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The oracle replays the scenario algebraically: the surviving link set
-# is {k : k%3=0 or k%2=0} \ {6}; updated titles are the surviving evens;
+# is {k : k%3=0 or k%2=0 or k%7=0} \ {6}; updated titles are the surviving evens;
 # belongs_to has one edge per surviving link; has_keyword is the
 # distinct (custkey, part-name) set for custkey%5=0 restricted to
 # surviving links; the orphan cleanup keeps exactly the referenced
@@ -144,7 +167,8 @@ def _q_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MUTATION_ORACLE = """
 WITH s AS (
   SELECT c_custkey AS k, c_nationkey FROM customer
-  WHERE (c_custkey % 3 = 0 OR c_custkey % 2 = 0) AND c_custkey <> 6
+  WHERE (c_custkey % 3 = 0 OR c_custkey % 2 = 0 OR c_custkey % 7 = 0)
+    AND c_custkey <> 6
 ),
 hk AS (
   SELECT DISTINCT o_custkey AS k, p_name
@@ -152,11 +176,18 @@ hk AS (
   JOIN lineitem ON l_orderkey = o_orderkey
   JOIN part ON p_partkey = l_partkey
   WHERE o_custkey % 5 = 0
-    AND (o_custkey % 3 = 0 OR o_custkey % 2 = 0) AND o_custkey <> 6
+    AND (o_custkey % 3 = 0 OR o_custkey % 2 = 0 OR o_custkey % 7 = 0)
+    AND o_custkey <> 6
 )
 SELECT
   (SELECT count(*) FROM s) AS n_links,
   (SELECT count(*) FROM s WHERE k % 2 = 0) AS n_upd_titles,
+  -- M2-SET rows: every %7 custkey got suggested_category = 'SET:...'
+  (SELECT count(*) FROM s WHERE k % 7 = 0) AS n_set_links,
+  -- ...and the ones that already existed (M1/M2 members) must have
+  -- KEPT their titles — per-property SET, not whole-row replacement
+  (SELECT count(*) FROM s
+     WHERE k % 7 = 0 AND (k % 3 = 0 OR k % 2 = 0)) AS n_set_preserved,
   (SELECT count(DISTINCT c_nationkey) FROM s) AS n_categories,
   (SELECT count(DISTINCT p_name) FROM hk) AS n_keywords,
   (SELECT count(*) FROM s) AS n_belongs_to,
@@ -166,9 +197,12 @@ SELECT
   -- updates are surviving members of both snapshots whose title M2
   -- rewrote (even multiples of 3), the delete is custkey 6
   (SELECT count(*) FROM customer
-     WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0) AS n_cdc_insert,
+     WHERE (c_custkey % 2 = 0 OR c_custkey % 7 = 0)
+       AND c_custkey % 3 <> 0) AS n_cdc_insert,
   (SELECT count(*) FROM customer
-     WHERE c_custkey % 6 = 0 AND c_custkey <> 6) AS n_cdc_update,
+     WHERE c_custkey % 3 = 0
+       AND (c_custkey % 2 = 0 OR c_custkey % 7 = 0)
+       AND c_custkey <> 6) AS n_cdc_update,
   (SELECT count(*) FROM customer WHERE c_custkey = 6) AS n_cdc_delete
 """
 
