@@ -1730,3 +1730,64 @@ def test_streaming_crawl_round_compacts_over_threshold(spark, tmp_path):
     assert _graph_state(store) == g1
     assert _index_state(spark, ti, si) == i1
     assert count_parquet_files(f"{ti}/postings.parquet") == files_before
+
+
+def test_crawl_state_next_fetch_plan(spark, tmp_path):
+    """The at-rest scheduler plan: backlog minus seen, robots-filtered,
+    per-host budget from the STORED Crawl-delay — computable by a
+    resumed process with no new archive (the operational pop the
+    backlog diagnostic lacks)."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    sd = str(tmp_path / "state")
+    state = CrawlState(spark, sd)
+    # two recorded rounds: host a.example declared Crawl-delay 5, four
+    # candidates with distinct in-degrees; host b.example no delay
+    f1 = spark.createDataFrame(
+        [("https://a.example/p1", 4), ("https://a.example/p2", 3),
+         ("https://b.example/q1", 1)],
+        "url string, indeg long",
+    )
+    assert state.record_round(101, "r1.warc", {"n_docs_indexed": 1}, f1,
+                              delays=spark.createDataFrame(
+                                  [("a.example", 5.0)],
+                                  "host string, crawl_delay double")) == 1
+    f2 = spark.createDataFrame(
+        [("https://a.example/p3", 9), ("https://a.example/p2", 1),
+         ("https://b.example/q2", 2)],
+        "url string, indeg long",
+    )
+    assert state.record_round(102, "r2.warc", {"n_docs_indexed": 1}, f2) == 2
+
+    # seen: p1 was fetched since
+    seen = spark.createDataFrame([("https://a.example/p1",)], ["url"])
+    # robots: q2 is disallowed
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("b.example", "User-agent: *\nDisallow: /q2\n")],
+            ["host", "body"],
+        )
+    )
+    plan = {
+        r.url: r.indeg
+        for r in state.next_fetch_plan(
+            seen=seen, rules=rules, round_seconds=10.0
+        ).collect()
+    }
+    # a.example budget floor(10/5)=2: p3 (indeg 9) and p2 (max-merged
+    # indeg 3 across rounds) win; p1 is seen; q2 robots-dropped; q1
+    # passes (no delay for b.example)
+    assert plan == {
+        "https://a.example/p3": 9,
+        "https://a.example/p2": 3,
+        "https://b.example/q1": 1,
+    }
+    # flat cap composes: 1 per domain keeps only the top candidate
+    plan1 = {
+        r.url
+        for r in state.next_fetch_plan(
+            seen=seen, rules=rules, limit_per_domain=1, round_seconds=10.0
+        ).collect()
+    }
+    assert plan1 == {"https://a.example/p3", "https://b.example/q1"}

@@ -175,6 +175,61 @@ class CrawlState:
             F.col("indeg").desc(), F.md5("url"), F.col("url")
         )
 
+    def next_fetch_plan(
+        self,
+        seen: DataFrame | None = None,
+        rules: DataFrame | None = None,
+        limit_per_domain: int | None = None,
+        round_seconds: float = 300.0,
+    ) -> DataFrame:
+        """What a resumed scheduler should fetch NEXT, computed purely
+        from the state at rest — no new archive needed: the cross-round
+        backlog (minus ``seen``), robots-filtered when a rule table is
+        given, budgeted per host by the flat cap and the STORED
+        Crawl-delay knowledge (the same ``_budget_cap`` window the live
+        frontier derivation uses — partitioned by host, highest
+        in-degree first, no global sort at any backlog size). Returns
+        (url, indeg) rows.
+
+        :meth:`backlog` is the diagnostic twin (globally
+        priority-ordered, no budget); this is the operational shape a
+        fetch loop pops each round."""
+        import os
+
+        from .functions import normalize_url
+        from .warc import _budget_cap
+
+        cand = (
+            self._read(self._frontier, _FRONTIER_SCHEMA)
+            .withColumn("_norm", normalize_url(F.col("url")))
+            .groupBy("_norm")
+            .agg(F.min("url").alias("url"), F.max("indeg").alias("_indeg"))
+        )
+        if seen is not None:
+            cand = cand.join(
+                seen.select(F.col("url").alias("_norm")).distinct(),
+                "_norm",
+                "left_anti",
+            )
+        cand = cand.select("url", "_indeg")
+        if rules is not None:
+            from . import robots as R
+
+            cand = R.robots_filter(cand, rules)
+        delays = (
+            self.delays() if os.path.isdir(self._hosts) else None
+        )
+        if limit_per_domain is not None or delays is not None:
+            cand = _budget_cap(
+                cand,
+                delays,
+                limit_per_domain,
+                round_seconds,
+                prioritize=True,
+                keep_cols=("url", "_indeg"),
+            )
+        return cand.select("url", F.col("_indeg").alias("indeg"))
+
     def delays(self) -> DataFrame:
         """(host, crawl_delay) — the strictest delay each host ever
         declared across all recorded rounds (max per host, the

@@ -344,8 +344,6 @@ def crawl_frontier(
     Scale shape: one anti-join shuffle on url (both sides are URL
     sets, never page bodies); the robots adjudication broadcasts its
     rule table."""
-    from pyspark.sql import Window
-
     from .functions import normalize_url
 
     cand = edges.select(F.col("dst_url").alias("url"))
@@ -384,60 +382,83 @@ def crawl_frontier(
 
         frontier = R.robots_filter(frontier, rules)
     if limit_per_domain is not None or delays is not None:
-        # per-host fetch budget: the flat cap, tightened by a declared
-        # Crawl-delay (robots.crawl_delays) — a host asking for d
-        # seconds between fetches yields at most round_seconds/d pages
-        # per round (never below 1: a delay slows a host, it does not
-        # ban it — Disallow does that). The delay table is per-host
-        # tiny and broadcasts.
-        host = F.regexp_extract(
-            F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
-        )
-        frontier = frontier.withColumn("_host", host)
-        cap = (
-            F.lit(int(limit_per_domain))
-            if limit_per_domain is not None
-            else F.lit(None).cast("long")
-        )
-        if delays is not None:
-            # One row per host before the join: robots_bodies can carry
-            # several 2xx /robots.txt responses for the same netloc
-            # (refetches, http+https twins) and a fanned-out left join
-            # would duplicate frontier URLs and let duplicates eat the
-            # budget. max() keeps the conservative (slowest) delay.
-            frontier = frontier.join(
-                F.broadcast(
-                    delays.groupBy(F.col("host").alias("_host")).agg(
-                        F.max("crawl_delay").alias("crawl_delay")
-                    )
-                ),
-                "_host",
-                "left",
-            )
-            budget = F.when(
-                F.col("crawl_delay") > 0,
-                F.greatest(
-                    F.lit(1).cast("long"),
-                    F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
-                ),
-            ).otherwise(F.lit(None).cast("long"))
-            cap = F.least(
-                F.coalesce(cap, budget), F.coalesce(budget, cap)
-            )
-        order = (
-            [F.col("_indeg").desc(), F.md5("url"), F.col("url")]
-            if prioritize
-            else [F.md5("url"), F.col("url")]
-        )
-        w = Window.partitionBy("_host").orderBy(*order)
-        frontier = (
-            frontier.withColumn("_rn", F.row_number().over(w))
-            .filter(cap.isNull() | (F.col("_rn") <= cap))
-            .select("url", *(["_indeg"] if need_indeg else []))
+        frontier = _budget_cap(
+            frontier,
+            delays,
+            limit_per_domain,
+            round_seconds,
+            prioritize,
+            ("url", *(["_indeg"] if need_indeg else [])),
         )
     if with_indegree:
         return frontier.select("url", F.col("_indeg").alias("indeg"))
     return frontier.select("url")
+
+
+def _budget_cap(
+    frontier: DataFrame,
+    delays: DataFrame | None,
+    limit_per_domain: int | None,
+    round_seconds: float,
+    prioritize: bool,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """Per-host fetch budget over any candidate frame with a ``url``
+    column (and ``_indeg`` when ``prioritize``): the flat cap,
+    tightened by a declared Crawl-delay (robots.crawl_delays) — a host
+    asking for d seconds between fetches yields at most round_seconds/d
+    pages per round (never below 1: a delay slows a host, it does not
+    ban it — Disallow does that). The delay table is per-host tiny and
+    broadcasts; the window partitions by host, so no global sort
+    appears at any frontier size. Shared by :func:`crawl_frontier` and
+    :meth:`.crawl_state.CrawlState.next_fetch_plan`."""
+    from pyspark.sql import Window
+
+    host = F.regexp_extract(
+        F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
+    )
+    frontier = frontier.withColumn("_host", host)
+    cap = (
+        F.lit(int(limit_per_domain))
+        if limit_per_domain is not None
+        else F.lit(None).cast("long")
+    )
+    if delays is not None:
+        # One row per host before the join: robots_bodies can carry
+        # several 2xx /robots.txt responses for the same netloc
+        # (refetches, http+https twins) and a fanned-out left join
+        # would duplicate frontier URLs and let duplicates eat the
+        # budget. max() keeps the conservative (slowest) delay.
+        frontier = frontier.join(
+            F.broadcast(
+                delays.groupBy(F.col("host").alias("_host")).agg(
+                    F.max("crawl_delay").alias("crawl_delay")
+                )
+            ),
+            "_host",
+            "left",
+        )
+        budget = F.when(
+            F.col("crawl_delay") > 0,
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
+            ),
+        ).otherwise(F.lit(None).cast("long"))
+        cap = F.least(
+            F.coalesce(cap, budget), F.coalesce(budget, cap)
+        )
+    order = (
+        [F.col("_indeg").desc(), F.md5("url"), F.col("url")]
+        if prioritize
+        else [F.md5("url"), F.col("url")]
+    )
+    w = Window.partitionBy("_host").orderBy(*order)
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .filter(cap.isNull() | (F.col("_rn") <= cap))
+        .select(*keep_cols)
+    )
 
 
 def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
