@@ -1791,3 +1791,52 @@ def test_crawl_state_next_fetch_plan(spark, tmp_path):
         ).collect()
     }
     assert plan1 == {"https://a.example/p3", "https://b.example/q1"}
+
+
+def test_crawl_resumable_state_compact_threshold(spark, tmp_path):
+    """state_compact_threshold folds the state dir's own round
+    partitions when they fragment; replay detection, frontier reads,
+    and the next fetch plan survive the fold (batch_id is data)."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    root = "https://sc.example/"
+    wh, sd = str(tmp_path / "wh"), str(tmp_path / "state")
+    store = GraphStore(spark, wh)
+    store.init_schema()
+    reports = {}
+    for i in (1, 2):
+        (tmp_path / f"s{i}.warc").write_bytes(
+            W.build_warc(
+                [
+                    _mk_page(
+                        f"pg{i}", f"{root}v{i}",
+                        " ".join(f"state round{i} tok{j}" for j in range(20)),
+                        hrefs=[f"{root}n{i}a", f"{root}n{i}b"],
+                    )
+                ]
+            )
+        )
+        reports[i] = W.crawl_round_resumable(
+            spark, store, str(tmp_path / f"s{i}.warc"), sd,
+            state_compact_threshold=1,
+        )
+    assert "state_compacted" in reports[2]
+    rep = reports[2]["state_compacted"]
+    assert rep["files_after"] <= rep["files_before"]
+    state = CrawlState(spark, sd)
+    # replay detection and per-round reads survive the fold
+    assert state.has_round(reports[1]["batch"])
+    assert sorted(r.url for r in
+                  state.frontier_of(reports[1]["batch"]).collect()) == [
+        f"{root}n1a", f"{root}n1b"
+    ]
+    replay = W.crawl_round_resumable(
+        spark, store, str(tmp_path / "s1.warc"), sd,
+        state_compact_threshold=1,
+    )
+    assert replay["replayed"] is True
+    # the fetch plan still sees all four unfetched candidates
+    plan = {r.url for r in
+            state.next_fetch_plan(seen=store.graph().links).collect()}
+    assert plan == {f"{root}n{i}{s}" for i in (1, 2) for s in "ab"}

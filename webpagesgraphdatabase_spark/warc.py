@@ -1003,6 +1003,7 @@ def crawl_round_resumable(
     warc_path: str,
     state_dir: str,
     batch: int | None = None,
+    state_compact_threshold: int | None = None,
     **kw,
 ) -> dict:
     """:func:`crawl_round` with PERSISTENT scheduler state (r9 verdict
@@ -1022,7 +1023,15 @@ def crawl_round_resumable(
     budget (max per host wins), so a host's declared Crawl-delay is
     honored even when a later archive carries no robots response; and
     ``round_no`` / ``backlog``-over-rounds come from the state tables.
-    Extra keyword arguments pass through to :func:`crawl_round`."""
+    Extra keyword arguments pass through to :func:`crawl_round`.
+
+    ``state_compact_threshold`` is the state dir's own fragmentation
+    lever (the index stores take ``compact_threshold`` via the
+    pass-through): when the three state stores' combined parquet file
+    count exceeds it after a recorded round, the accumulated round
+    partitions fold to segment 0 (``CrawlState.compact`` — batch_id is
+    a data column, so replay detection and per-round frontier reads
+    survive; the fold report rides under ``state_compacted``)."""
     import os
 
     from .crawl_state import CrawlState
@@ -1054,6 +1063,15 @@ def crawl_round_resumable(
     )
     report["round_no"] = rno
     report["n_frontier"] = state.round_summary(batch)["n_frontier"]
+    if state_compact_threshold is not None:
+        from .operators._util import count_parquet_files
+
+        n = sum(
+            count_parquet_files(s)
+            for s in (state._frontier, state._hosts, state._ledger)
+        )
+        if n > int(state_compact_threshold):
+            report["state_compacted"] = state.compact()
     report["frontier"] = state.frontier_of(batch)
     report["replayed"] = False
     return report
