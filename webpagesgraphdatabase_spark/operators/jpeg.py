@@ -371,6 +371,19 @@ def decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             frame = (width, height, comps)
             progressive = marker == 0xC2
         elif 0xC1 <= marker <= 0xCF and marker not in _NON_SOF:
+            # Arithmetic-coded frames (SOF9/SOF10) were evaluated for
+            # implementation and deliberately left refusing: the QM
+            # coder's Annex D probability-state table (113 exact
+            # (Qe, NMPS, NLPS, switch) rows) is not reproducible from
+            # first principles, and ANY self-consistent table
+            # round-trips an own-encoder adversary — the only test
+            # oracle available in this container — so a from-memory
+            # table would pass every local test while silently failing
+            # on real arithmetic streams. A conformance claim that the
+            # test harness cannot falsify is worse than this honest
+            # refusal. (Baseline+progressive Huffman cover the real
+            # web: encoders ship arithmetic off by default because of
+            # the historical patent cloud.)
             raise JpegError(
                 f"unsupported frame type SOF{marker - 0xC0} "
                 "(baseline and progressive-Huffman only)"
