@@ -1749,16 +1749,19 @@ def test_crawl_state_next_fetch_plan(spark, tmp_path):
          ("https://b.example/q1", 1)],
         "url string, indeg long",
     )
-    assert state.record_round(101, "r1.warc", {"n_docs_indexed": 1}, f1,
+    rec1 = state.record_round(101, "r1.warc", {"n_docs_indexed": 1}, f1,
                               delays=spark.createDataFrame(
                                   [("a.example", 5.0)],
-                                  "host string, crawl_delay double")) == 1
+                                  "host string, crawl_delay double"))
+    assert rec1["round_no"] == 1 and rec1["n_frontier"] == 3
     f2 = spark.createDataFrame(
         [("https://a.example/p3", 9), ("https://a.example/p2", 1),
          ("https://b.example/q2", 2)],
         "url string, indeg long",
     )
-    assert state.record_round(102, "r2.warc", {"n_docs_indexed": 1}, f2) == 2
+    assert state.record_round(
+        102, "r2.warc", {"n_docs_indexed": 1}, f2
+    )["round_no"] == 2
 
     # seen: p1 was fetched since
     seen = spark.createDataFrame([("https://a.example/p1",)], ["url"])
@@ -1840,3 +1843,97 @@ def test_crawl_resumable_state_compact_threshold(spark, tmp_path):
     plan = {r.url for r in
             state.next_fetch_plan(seen=store.graph().links).collect()}
     assert plan == {f"{root}n{i}{s}" for i in (1, 2) for s in "ab"}
+
+
+def test_crawl_resumable_empty_frontier_and_no_robots(spark, tmp_path):
+    """Review regressions: a terminal round (no out-links) and an
+    archive with no robots responses must both COMMIT and leave the
+    state dir fully readable — the empty-frame dynamic appends create
+    file-less store dirs that every later read has to tolerate."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    wh, sd = str(tmp_path / "wh"), str(tmp_path / "state")
+    store = GraphStore(spark, wh)
+    store.init_schema()
+    # round 1: a page with NO out-links and NO robots record, with
+    # auto_politeness on (crawl_delays yields an EMPTY frame, not None)
+    (tmp_path / "e1.warc").write_bytes(
+        W.build_warc(
+            [_mk_page("solo", "https://ef.example/only",
+                      " ".join(f"terminal tok{i}" for i in range(20)))]
+        )
+    )
+    s1 = W.crawl_round_resumable(
+        spark, store, str(tmp_path / "e1.warc"), sd,
+        auto_politeness=True, round_seconds=10.0,
+    )
+    assert s1["replayed"] is False and s1["n_frontier"] == 0
+    state = CrawlState(spark, sd)
+    assert state.has_round(s1["batch"])  # the round COMMITTED
+    assert state.frontier_of(s1["batch"]).count() == 0
+    assert state.delays().count() == 0
+    assert state.backlog().count() == 0
+
+    # round 2 still works end-to-end on the same state dir
+    (tmp_path / "e2.warc").write_bytes(
+        W.build_warc(
+            [_mk_page("two", "https://ef.example/second",
+                      " ".join(f"second tok{i}" for i in range(20)),
+                      hrefs=["https://ef.example/n1"])]
+        )
+    )
+    s2 = W.crawl_round_resumable(
+        spark, store, str(tmp_path / "e2.warc"), sd,
+        auto_politeness=True, round_seconds=10.0,
+    )
+    assert s2["n_frontier"] == 1
+    # the replay of the terminal round stays a no-op and carries the
+    # shape-compatible summary (round_no present on replays too)
+    rep = W.crawl_round_resumable(
+        spark, store, str(tmp_path / "e1.warc"), sd,
+        auto_politeness=True, round_seconds=10.0,
+    )
+    assert rep["replayed"] is True and rep["round_no"] == 1
+    # compaction tolerates the file-less hosts store
+    out = state.compact()
+    assert out["files_after"] <= out["files_before"]
+
+
+def test_crawl_state_records_own_delays_only(spark, tmp_path):
+    """Review regression: the hosts store records each archive's OWN
+    robots declarations, not the merged history re-unioned every round
+    (which would grow O(rounds x hosts))."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    robots_txt = b"User-agent: *\nCrawl-delay: 5\n"
+    wh, sd = str(tmp_path / "wh"), str(tmp_path / "state")
+    store = GraphStore(spark, wh)
+    store.init_schema()
+    (tmp_path / "d1.warc").write_bytes(
+        W.build_warc(
+            [
+                _mk_rec("rb", "https://od.example/robots.txt", robots_txt,
+                        "text/plain"),
+                _mk_page("p1", "https://od.example/a", "own delays one"),
+            ]
+        )
+    )
+    (tmp_path / "d2.warc").write_bytes(
+        W.build_warc(
+            [_mk_page("p2", "https://od.example/b", "own delays two")]
+        )
+    )
+    W.crawl_round_resumable(spark, store, str(tmp_path / "d1.warc"), sd,
+                            auto_politeness=True)
+    W.crawl_round_resumable(spark, store, str(tmp_path / "d2.warc"), sd,
+                            auto_politeness=True)
+    state = CrawlState(spark, sd)
+    rows = spark.read.parquet(f"{sd}/hosts.parquet").collect()
+    # one declaration from round 1; round 2's robots-less archive adds
+    # nothing (the merged-history re-record would have duplicated it)
+    assert len(rows) == 1 and rows[0].host == "od.example"
+    assert {r.host: r.crawl_delay for r in state.delays().collect()} == {
+        "od.example": 5.0
+    }

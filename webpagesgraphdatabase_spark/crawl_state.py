@@ -36,8 +36,10 @@ round's number:
   archive lacks a robots response still honors the strictest known
   delay — the budget knowledge carries over.
 - ``ledger.parquet`` ``(batch_id, archive, n_links_inserted,
-  n_docs_indexed, n_cross_dup, n_revisits, n_frontier, batch)`` — one
-  row per COMPLETED round, appended last (the round's commit point).
+  n_docs_indexed, n_cross_dup, n_revisits, n_frontier, round_no,
+  batch)`` — one row per COMPLETED round, appended last (the round's
+  commit point; ``round_no`` duplicates the partition column as data
+  so it survives the compaction fold).
 
 Scale shape: every store is URL-set / per-host / per-round sized —
 orders of magnitude smaller than the corpus. Appends are dynamic
@@ -86,6 +88,10 @@ _LEDGER_SCHEMA = T.StructType(
         T.StructField("n_cross_dup", T.LongType()),
         T.StructField("n_revisits", T.LongType()),
         T.StructField("n_frontier", T.LongType()),
+        # the sequential round number, duplicated from the partition
+        # column as DATA so it survives the compaction fold (which
+        # relabels the partition col to 0)
+        T.StructField("round_no", T.IntegerType()),
         T.StructField("batch", T.IntegerType()),
     ]
 )
@@ -104,12 +110,23 @@ class CrawlState:
     # -- reads ---------------------------------------------------------------
     def _read(self, store: str, schema: T.StructType) -> DataFrame:
         """Read a state store, or its empty shape before the first
-        round (ingest-first, like the sq8/bin index skeletons)."""
+        round (ingest-first, like the sq8/bin index skeletons). A dir
+        that exists but holds no parquet files reads as empty too: a
+        dynamic-overwrite append of an EMPTY frame (a terminal round
+        with no out-links, an archive with no robots responses)
+        legitimately creates exactly that — without this tolerance one
+        empty round would wedge every later read with
+        UNABLE_TO_INFER_SCHEMA."""
         import os
+
+        from pyspark.errors import AnalysisException
 
         if not os.path.isdir(store):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(store)
+        try:
+            return self.spark.read.parquet(store)
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
 
     def ledger(self) -> DataFrame:
         """One row per completed round, ``batch_id``-identified."""
@@ -132,6 +149,7 @@ class CrawlState:
             raise KeyError(f"no completed round with batch_id={batch_id}")
         return {
             "batch": int(row.batch_id),
+            "round_no": int(row.round_no),
             "n_links_inserted": int(row.n_links_inserted),
             "n_docs_indexed": int(row.n_docs_indexed),
             "n_cross_dup": int(row.n_cross_dup),
@@ -147,6 +165,34 @@ class CrawlState:
             .select("url", "indeg")
         )
 
+    def _candidates(
+        self, seen: DataFrame | None, indeg_alias: str
+    ) -> DataFrame:
+        """The shared backlog candidate derivation: one representative
+        per NORMALIZED url form across all stored rounds (min url,
+        max in-degree — the same page can surface in several rounds),
+        minus the ``seen`` set. Used by both :meth:`backlog` and
+        :meth:`next_fetch_plan` so the dedup/anti-join discipline
+        cannot diverge between the diagnostic and operational reads."""
+        from .functions import normalize_url
+
+        cand = (
+            self._read(self._frontier, _FRONTIER_SCHEMA)
+            .withColumn("_norm", normalize_url(F.col("url")))
+            .groupBy("_norm")
+            .agg(
+                F.min("url").alias("url"),
+                F.max("indeg").alias(indeg_alias),
+            )
+        )
+        if seen is not None:
+            cand = cand.join(
+                seen.select(F.col("url").alias("_norm")).distinct(),
+                "_norm",
+                "left_anti",
+            )
+        return cand.select("url", indeg_alias)
+
     def backlog(self, seen: DataFrame | None = None) -> DataFrame:
         """Every stored frontier candidate not yet fetched, highest
         in-degree first (md5 tie-break — the frontier prioritization
@@ -155,23 +201,10 @@ class CrawlState:
         column of NORMALIZED urls (pass ``store.graph().links`` —
         the graph is the source of truth for "fetched"); candidates
         are compared on their normal form, the stored original is
-        returned. Within the backlog the max in-degree per normal
-        form wins (the same page can surface in several rounds)."""
-        from .functions import normalize_url
-
-        cand = (
-            self._read(self._frontier, _FRONTIER_SCHEMA)
-            .withColumn("_norm", normalize_url(F.col("url")))
-            .groupBy("_norm")
-            .agg(F.min("url").alias("url"), F.max("indeg").alias("indeg"))
-        )
-        if seen is not None:
-            cand = cand.join(
-                seen.select(F.col("url").alias("_norm")).distinct(),
-                "_norm",
-                "left_anti",
-            )
-        return cand.select("url", "indeg").orderBy(
+        returned. Globally priority-ordered — a DIAGNOSTIC read;
+        :meth:`next_fetch_plan` is the budgeted operational twin with
+        no global sort."""
+        return self._candidates(seen, "indeg").orderBy(
             F.col("indeg").desc(), F.md5("url"), F.col("url")
         )
 
@@ -196,22 +229,9 @@ class CrawlState:
         fetch loop pops each round."""
         import os
 
-        from .functions import normalize_url
         from .warc import _budget_cap
 
-        cand = (
-            self._read(self._frontier, _FRONTIER_SCHEMA)
-            .withColumn("_norm", normalize_url(F.col("url")))
-            .groupBy("_norm")
-            .agg(F.min("url").alias("url"), F.max("indeg").alias("_indeg"))
-        )
-        if seen is not None:
-            cand = cand.join(
-                seen.select(F.col("url").alias("_norm")).distinct(),
-                "_norm",
-                "left_anti",
-            )
-        cand = cand.select("url", "_indeg")
+        cand = self._candidates(seen, "_indeg")
         if rules is not None:
             from . import robots as R
 
@@ -248,14 +268,19 @@ class CrawlState:
         counts: dict,
         frontier: DataFrame,
         delays: DataFrame | None = None,
-    ) -> int | None:
+    ) -> dict | None:
         """Persist one completed round exactly-once. Returns the
-        sequential round number, or None when the archive already has
-        a ledger row (a replay of a completed round — nothing
-        written). Write order is frontier → hosts → ledger: the ledger
-        row is the commit point, and a crash before it re-allocates
-        the SAME round number (the allocator reads the ledger), so the
-        retry dynamic-overwrites its own partial partitions."""
+        round's summary dict (``round_no``, ``n_frontier``, the
+        counts), or None when the archive already has a ledger row (a
+        replay of a completed round — nothing written). ``delays``
+        should be the archive's OWN declarations only — the merged
+        historical table re-recorded every round would grow
+        O(rounds·hosts) for zero information (the max-per-host read
+        already merges). Write order is frontier → hosts → ledger: the
+        ledger row is the commit point, and a crash before it
+        re-allocates the SAME round number (the allocator reads the
+        ledger), so the retry dynamic-overwrites its own partial
+        partitions."""
         if self.has_round(batch_id):
             return None
         rno = allocate_batch(
@@ -291,12 +316,21 @@ class CrawlState:
                     int(counts.get("n_revisits", 0)),
                     int(n_frontier),
                     int(rno),
+                    int(rno),
                 )
             ],
             _LEDGER_SCHEMA,
         )
         dynamic_append(led, self._ledger, ("batch",))
-        return int(rno)
+        return {
+            "batch": int(batch_id),
+            "round_no": int(rno),
+            "n_links_inserted": int(counts.get("n_links_inserted", 0)),
+            "n_docs_indexed": int(counts.get("n_docs_indexed", 0)),
+            "n_cross_dup": int(counts.get("n_cross_dup", 0)),
+            "n_revisits": int(counts.get("n_revisits", 0)),
+            "n_frontier": int(n_frontier),
+        }
 
     def compact(self) -> dict:
         """Fold the accumulated round partitions of all three stores
@@ -306,13 +340,24 @@ class CrawlState:
         keep allocating above the persisted watermark."""
         import os
 
+        from .operators._util import count_parquet_files
+
+        # skip missing AND file-less stores (an empty-frame append
+        # creates the latter; compact_store's read would throw on it)
         subs = [
             SubStore(s, ("batch",))
             for s in (self._frontier, self._hosts, self._ledger)
-            if os.path.isdir(s)
+            if os.path.isdir(s) and count_parquet_files(s) > 0
         ]
         if not subs:
             return {"files_before": 0, "files_after": 0, "watermark": 0}
-        return compact_store(
-            self.spark, self.root, subs, batch_source=self._ledger
+        # the ledger is the id allocator, so it anchors the watermark —
+        # unless a crash between the frontier append and the ledger
+        # commit left it empty, in which case the surviving store's own
+        # max batch is the honest (identical-by-construction) anchor
+        src = (
+            self._ledger
+            if count_parquet_files(self._ledger) > 0
+            else subs[0].store
         )
+        return compact_store(self.spark, self.root, subs, batch_source=src)

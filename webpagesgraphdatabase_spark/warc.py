@@ -934,6 +934,12 @@ def crawl_round(
         sitemaps = sitemap_entries(sitemap_pages(recs)).filter(
             ~F.col("is_index")
         )
+    if delays is not None:
+        # the archive's OWN declarations, before any memory merge —
+        # what a persistent state dir should record (re-recording the
+        # merged history every round would grow O(rounds·hosts) for
+        # zero information: the max-per-host read already merges)
+        report["delays"] = delays
     if extra_delays is not None:
         # politeness memory (the resumable wrapper passes the state
         # dir's stored per-host delays): union with whatever this
@@ -944,8 +950,6 @@ def crawl_round(
             if delays is None
             else delays.unionByName(extra_delays)
         )
-    if delays is not None:
-        report["delays"] = delays
     report["frontier"] = crawl_frontier(
         edges,
         seen,
@@ -1044,8 +1048,20 @@ def crawl_round_resumable(
         report["frontier"] = state.frontier_of(batch)
         report["replayed"] = True
         return report
-    if os.path.isdir(state._hosts):
-        kw = dict(kw, extra_delays=state.delays())
+    # the wrapper owns these two knobs: a caller-passed extra_delays
+    # UNIONS with the stored memory (never silently replaced), and the
+    # frontier always materializes with its in-degree (the state store
+    # records the priority) — popping first keeps the documented
+    # **kw pass-through from raising duplicate-keyword TypeErrors
+    caller_delays = kw.pop("extra_delays", None)
+    kw.pop("frontier_with_indegree", None)
+    stored_delays = state.delays() if os.path.isdir(state._hosts) else None
+    if caller_delays is not None and stored_delays is not None:
+        kw["extra_delays"] = caller_delays.unionByName(stored_delays)
+    elif caller_delays is not None or stored_delays is not None:
+        kw["extra_delays"] = (
+            caller_delays if caller_delays is not None else stored_delays
+        )
     report = crawl_round(
         spark,
         store,
@@ -1054,15 +1070,19 @@ def crawl_round_resumable(
         frontier_with_indegree=True,
         **kw,
     )
-    rno = state.record_round(
+    recorded = state.record_round(
         batch,
         warc_path,
         report,
         report["frontier"],
         delays=report.get("delays"),
     )
-    report["round_no"] = rno
-    report["n_frontier"] = state.round_summary(batch)["n_frontier"]
+    # record_round returns the ledger summary (None only if another
+    # writer raced the same archive in — single-writer discipline
+    # makes that a replay, handled the same way)
+    if recorded is not None:
+        report["round_no"] = recorded["round_no"]
+        report["n_frontier"] = recorded["n_frontier"]
     if state_compact_threshold is not None:
         from .operators._util import count_parquet_files
 
