@@ -743,3 +743,67 @@ def test_cypher_route_shortest_path(client, store):
     assert b2["columns"] == ["url", "hops"]
     assert ["https://sp.example/b", 2] in b2["rows"]
     assert all(row[0] != "https://sp.example/a" for row in b2["rows"])
+
+
+def test_crawl_state_route(spark, store, tmp_path):
+    """/crawl/state: the scheduler ops view — ledger rows, politeness
+    memory, and the budgeted fetch plan; 503 when unconfigured (the
+    /similar discipline)."""
+    from webpagesgraphdatabase_spark import warc as W
+
+    # unconfigured -> 503
+    app0 = create_app(store)
+    assert (
+        app0.test_client().get("/crawl/state").status_code == 503
+    )
+
+    robots_txt = b"User-agent: *\nCrawl-delay: 5\n"
+    cands = [f"https://ops.example/p{i}" for i in range(4)]
+    payload = W.build_warc(
+        [
+            {
+                "record_id": "<urn:uuid:rb>",
+                "warc_type": "response",
+                "target_uri": "https://ops.example/robots.txt",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "block": W.http_response_block(
+                    robots_txt, content_type="text/plain"
+                ),
+            },
+            {
+                "record_id": "<urn:uuid:root>",
+                "warc_type": "response",
+                "target_uri": "https://ops.example/",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "block": W.http_response_block(
+                    (
+                        "<html><head><title>t</title></head><body>"
+                        "<p>route corpus</p>"
+                        + "".join(f'<a href="{h}"></a>' for h in cands)
+                        + "</body></html>"
+                    ).encode()
+                ),
+            },
+        ]
+    )
+    (tmp_path / "r1.warc").write_bytes(payload)
+    sd = str(tmp_path / "state")
+    rep = W.crawl_round_resumable(
+        store.spark, store, str(tmp_path / "r1.warc"), sd,
+        auto_politeness=True, round_seconds=10.0,
+    )
+    app = create_app(store, crawl_state_path=sd)
+    c = app.test_client()
+    body = c.get("/crawl/state").get_json()
+    assert len(body["rounds"]) == 1
+    assert body["rounds"][0]["batch_id"] == rep["batch"]
+    assert body["rounds"][0]["n_frontier"] == 2  # delay 5 @ 10 s
+    assert body["delays"] == {"ops.example": 5.0}
+    # the plan: remaining budgeted candidates, capped by k
+    body2 = c.get("/crawl/state?plan=1&round_seconds=10&k=1").get_json()
+    assert len(body2["plan"]) == 1
+    assert body2["plan"][0]["url"] in cands
+    # bad numerics -> 400
+    assert c.get("/crawl/state?plan=1&k=zz").status_code == 400

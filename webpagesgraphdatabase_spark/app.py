@@ -378,6 +378,7 @@ def create_app(
     snapshot_path: str | None = None,
     ann_index_path: str | None = None,
     text_index_path: str | None = None,
+    crawl_state_path: str | None = None,
 ):
     """Build the Flask app over ``store``. ``fetcher``/``cleaner``/
     ``categorizer`` default to the deterministic stubs (no network in
@@ -388,7 +389,11 @@ def create_app(
     ``text_index_path`` (a :func:`..operators.search.build_text_index`
     layout keyed by url — e.g. built from the Link table or grown by
     the crawl loop) switches ``/search`` from the live corpus scan to
-    the partition-pruned at-rest index."""
+    the partition-pruned at-rest index; ``crawl_state_path`` (a
+    :class:`..crawl_state.CrawlState` dir maintained by
+    ``crawl_round_resumable``) enables the ``/crawl/state`` ops route
+    (round ledger + politeness memory + the budgeted next fetch
+    plan)."""
     from flask import Flask, jsonify, render_template_string, request
 
     app = Flask("webpagesgraphdatabase_spark")
@@ -902,6 +907,60 @@ def create_app(
             }
         )
 
+    @app.route("/crawl/state", methods=["GET"])
+    def crawl_state_route():
+        """Scheduler-state ops view over the configured CrawlState dir:
+        the round ledger (one row per completed round), the per-host
+        politeness memory, and — with ``?plan=1`` — the budgeted next
+        fetch plan (backlog minus the graph's stored urls, per-host
+        Crawl-delay budget at ``round_seconds``, capped to ``k`` rows
+        in the response; the plan itself is set-based, the cap only
+        bounds the JSON). 503 when no state dir is configured — the
+        same unconfigured-surface discipline as /similar and /search."""
+        if crawl_state_path is None:
+            return (
+                jsonify({"error": "no crawl state dir configured"}),
+                503,
+            )
+        from .crawl_state import CrawlState
+
+        state = CrawlState(store.spark, crawl_state_path)
+        out = {
+            "rounds": [
+                {
+                    "batch_id": int(r.batch_id),
+                    "round_no": int(r.round_no),
+                    "archive": r.archive,
+                    "n_docs_indexed": int(r.n_docs_indexed),
+                    "n_cross_dup": int(r.n_cross_dup),
+                    "n_frontier": int(r.n_frontier),
+                }
+                for r in state.ledger()
+                .orderBy(F.col("round_no"))
+                .collect()
+            ],
+            "delays": {
+                r.host: r.crawl_delay for r in state.delays().collect()
+            },
+        }
+        if request.args.get("plan"):
+            try:
+                k = int(request.args.get("k", "100"))
+                round_seconds = float(
+                    request.args.get("round_seconds", "300")
+                )
+            except ValueError:
+                return jsonify({"error": "k/round_seconds not numeric"}), 400
+            plan = state.next_fetch_plan(
+                seen=store.graph().links,
+                round_seconds=round_seconds,
+            )
+            out["plan"] = [
+                {"url": r.url, "indeg": int(r.indeg)}
+                for r in plan.limit(max(0, k)).collect()
+            ]
+        return jsonify(out)
+
     @app.route("/instructions", methods=["GET"])
     def instructions():
         lines = [
@@ -918,6 +977,9 @@ def create_app(
             "over stored page content.",
             "POST /hybrid with JSON {terms, vector, k} for reciprocal-"
             "rank-fusion hybrid retrieval over both indexes.",
+            "GET /crawl/state (optional ?plan=1&k=100&round_seconds=300) "
+            "for the crawl scheduler's round ledger, politeness memory, "
+            "and budgeted next fetch plan.",
         ]
         if _wants_html():  # templates/instructions.html parity
             return render_template_string(_INSTRUCTIONS_TEMPLATE, instructions=lines)
