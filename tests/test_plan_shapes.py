@@ -249,3 +249,31 @@ def test_robots_filter_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition" not in plan.lower()
+
+
+def test_crawl_state_fetch_plan_shape(spark, tmp_path):
+    """The PLANS.md r10 claim, pinned mechanically: the at-rest fetch
+    plan's delay table BROADCASTS, the only shuffle is the per-host
+    hash partition the budget window needs (plus the candidate groupBy
+    and the broadcast builds), and no cartesian product or row-wise
+    Python appears anywhere in the plan."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+    f1 = spark.createDataFrame(
+        [("https://a.example/p1", 4), ("https://b.example/q1", 1)],
+        "url string, indeg long",
+    )
+    state.record_round(
+        7, "r1", {"n_docs_indexed": 1}, f1,
+        delays=spark.createDataFrame(
+            [("a.example", 5.0)], "host string, crawl_delay double"
+        ),
+    )
+    seen = spark.createDataFrame([("https://a.example/p0",)], ["url"])
+    plan = _plan(state.next_fetch_plan(seen=seen, round_seconds=10.0))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # delay budget join broadcasts its per-host table
+    assert "BroadcastHashJoin" in plan
+    # the budget window partitions by host — never a global sort
+    assert "Window" in plan and "_host" in plan
