@@ -955,9 +955,17 @@ def create_app(
                 seen=store.graph().links,
                 round_seconds=round_seconds,
             )
+            # a deterministic TOP-k, not k arbitrary rows: the budget
+            # window orders within hosts only, so the response cap
+            # needs its own priority order (the backlog discipline) —
+            # one sort over the already-budgeted, budget-sized plan
             out["plan"] = [
                 {"url": r.url, "indeg": int(r.indeg)}
-                for r in plan.limit(max(0, k)).collect()
+                for r in plan.orderBy(
+                    F.col("indeg").desc(), F.md5("url"), F.col("url")
+                )
+                .limit(max(0, k))
+                .collect()
             ]
         return jsonify(out)
 

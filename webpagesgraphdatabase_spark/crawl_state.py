@@ -119,18 +119,27 @@ class CrawlState:
         UNABLE_TO_INFER_SCHEMA."""
         import os
 
-        from pyspark.errors import AnalysisException
+        from .operators._util import count_parquet_files
 
-        if not os.path.isdir(store):
+        # the PRECISE file-less check (not a blanket except): a store
+        # whose read fails for any other reason — partial restore,
+        # incompatible schema — must fail loudly, or a completed
+        # archive would re-ingest as a duplicate round (the same
+        # fail-loud rationale allocate_batch documents)
+        if not os.path.isdir(store) or count_parquet_files(store) == 0:
             return self.spark.createDataFrame([], schema)
-        try:
-            return self.spark.read.parquet(store)
-        except AnalysisException:
-            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(store)
 
     def ledger(self) -> DataFrame:
-        """One row per completed round, ``batch_id``-identified."""
-        return self._read(self._ledger, _LEDGER_SCHEMA)
+        """One row per completed round, ``batch_id``-identified. A
+        ledger written before ``round_no`` became a data column reads
+        with the partition column standing in (a correct value for
+        rows no compaction has folded — the only rows such a dir can
+        hold)."""
+        df = self._read(self._ledger, _LEDGER_SCHEMA)
+        if "round_no" not in df.columns:
+            df = df.withColumn("round_no", F.col("batch"))
+        return df
 
     def has_round(self, batch_id: int) -> bool:
         """True when the archive with this content hash already ran to
@@ -227,8 +236,7 @@ class CrawlState:
         :meth:`backlog` is the diagnostic twin (globally
         priority-ordered, no budget); this is the operational shape a
         fetch loop pops each round."""
-        import os
-
+        from .operators._util import count_parquet_files
         from .warc import _budget_cap
 
         cand = self._candidates(seen, "_indeg")
@@ -236,8 +244,14 @@ class CrawlState:
             from . import robots as R
 
             cand = R.robots_filter(cand, rules)
+        # a file-less hosts store (one robots-less round's empty
+        # append) carries no delay knowledge — keep the no-budget fast
+        # path instead of paying the broadcast join + window for a
+        # NULL cap that filters nothing
         delays = (
-            self.delays() if os.path.isdir(self._hosts) else None
+            self.delays()
+            if count_parquet_files(self._hosts) > 0
+            else None
         )
         if limit_per_domain is not None or delays is not None:
             cand = _budget_cap(
@@ -351,13 +365,20 @@ class CrawlState:
         ]
         if not subs:
             return {"files_before": 0, "files_after": 0, "watermark": 0}
-        # the ledger is the id allocator, so it anchors the watermark —
-        # unless a crash between the frontier append and the ledger
-        # commit left it empty, in which case the surviving store's own
-        # max batch is the honest (identical-by-construction) anchor
-        src = (
-            self._ledger
-            if count_parquet_files(self._ledger) > 0
-            else subs[0].store
+        # the ledger — the commit point — anchors the watermark. A
+        # file-ful frontier with a file-less ledger is the mid-crash
+        # state (round appended, never committed): folding it would
+        # persist a watermark above the uncommitted round's number and
+        # the crash retry could never dynamic-overwrite its own stale
+        # partition — so there is NOTHING safely foldable; skip.
+        if count_parquet_files(self._ledger) == 0:
+            total = sum(count_parquet_files(s.store) for s in subs)
+            return {
+                "files_before": total,
+                "files_after": total,
+                "watermark": 0,
+                "skipped": "no committed rounds (ledger empty)",
+            }
+        return compact_store(
+            self.spark, self.root, subs, batch_source=self._ledger
         )
-        return compact_store(self.spark, self.root, subs, batch_source=src)

@@ -1036,8 +1036,6 @@ def crawl_round_resumable(
     partitions fold to segment 0 (``CrawlState.compact`` — batch_id is
     a data column, so replay detection and per-round frontier reads
     survive; the fold report rides under ``state_compacted``)."""
-    import os
-
     from .crawl_state import CrawlState
 
     state = CrawlState(spark, state_dir)
@@ -1055,7 +1053,13 @@ def crawl_round_resumable(
     # **kw pass-through from raising duplicate-keyword TypeErrors
     caller_delays = kw.pop("extra_delays", None)
     kw.pop("frontier_with_indegree", None)
-    stored_delays = state.delays() if os.path.isdir(state._hosts) else None
+    from .operators._util import count_parquet_files
+
+    stored_delays = (
+        state.delays()
+        if count_parquet_files(state._hosts) > 0
+        else None
+    )
     if caller_delays is not None and stored_delays is not None:
         kw["extra_delays"] = caller_delays.unionByName(stored_delays)
     elif caller_delays is not None or stored_delays is not None:
@@ -1077,12 +1081,15 @@ def crawl_round_resumable(
         report["frontier"],
         delays=report.get("delays"),
     )
-    # record_round returns the ledger summary (None only if another
-    # writer raced the same archive in — single-writer discipline
-    # makes that a replay, handled the same way)
-    if recorded is not None:
-        report["round_no"] = recorded["round_no"]
-        report["n_frontier"] = recorded["n_frontier"]
+    # record_round returns the ledger summary; None means another
+    # writer committed the same archive between our replay check and
+    # the record (our own ingest was idempotent either way) — fall
+    # back to the stored summary so the report shape never depends on
+    # winning that race
+    if recorded is None:
+        recorded = state.round_summary(batch)
+    report["round_no"] = recorded["round_no"]
+    report["n_frontier"] = recorded["n_frontier"]
     if state_compact_threshold is not None:
         from .operators._util import count_parquet_files
 
