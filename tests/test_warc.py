@@ -1937,3 +1937,88 @@ def test_crawl_state_records_own_delays_only(spark, tmp_path):
     assert {r.host: r.crawl_delay for r in state.delays().collect()} == {
         "od.example": 5.0
     }
+
+
+def test_crawl_state_model_based_sequence(spark, tmp_path):
+    """Model-based pin of the scheduler-state discipline: a scripted
+    interleaving of record / replay / compact steps must always agree
+    with a pure-Python model on ledger membership, per-round frontier
+    content, backlog candidates (max-indeg per url), and delay memory
+    — compaction and replays at ANY point never change what a reader
+    sees."""
+    import random
+
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    rng = random.Random(1009)
+    state = CrawlState(spark, str(tmp_path / "state"))
+    model_rounds: dict[int, list[tuple[str, int]]] = {}
+    model_delays: dict[str, float] = {}
+    hosts = ["h1.example", "h2.example", "h3.example"]
+
+    def check():
+        led = {r.batch_id for r in state.ledger().collect()}
+        assert led == set(model_rounds)
+        for bid, rows in model_rounds.items():
+            assert state.has_round(bid)
+            got = sorted(
+                (r.url, r.indeg)
+                for r in state.frontier_of(bid).collect()
+            )
+            assert got == sorted(rows)
+        # backlog: max indeg per url across rounds (urls here are
+        # already normal forms, distinct per round)
+        expect: dict[str, int] = {}
+        for rows in model_rounds.values():
+            for u, d in rows:
+                expect[u] = max(expect.get(u, 0), d)
+        got_b = {r.url: r.indeg for r in state.backlog().collect()}
+        assert got_b == expect
+        got_d = {r.host: r.crawl_delay for r in state.delays().collect()}
+        assert got_d == model_delays
+
+    next_bid = 500
+    recorded_bids: list[int] = []
+    for step in range(8):
+        op = ("record" if step in (0, 1, 3, 5, 7)
+              else ("compact" if step in (2, 6) else "replay"))
+        if op == "record":
+            bid = next_bid
+            next_bid += 1
+            rows = [
+                (f"https://{rng.choice(hosts)}/r{bid}/p{i}",
+                 rng.randint(1, 9))
+                for i in range(rng.randint(0, 3))
+            ]
+            f = spark.createDataFrame(
+                rows or [("x", 0)], "url string, indeg long"
+            )
+            if not rows:
+                f = f.filter("indeg < 0")  # genuinely empty frame
+            d = None
+            if rng.random() < 0.7:
+                h = rng.choice(hosts)
+                dv = float(rng.randint(1, 6))
+                d = spark.createDataFrame(
+                    [(h, dv)], "host string, crawl_delay double"
+                )
+                model_delays[h] = max(model_delays.get(h, 0.0), dv)
+            out = state.record_round(
+                bid, f"a{bid}.warc", {"n_docs_indexed": 1}, f, delays=d
+            )
+            assert out is not None and out["n_frontier"] == len(rows)
+            model_rounds[bid] = rows
+            recorded_bids.append(bid)
+        elif op == "replay":
+            bid = rng.choice(recorded_bids)
+            f = spark.createDataFrame(
+                [("https://evil.example/should-not-append", 99)],
+                "url string, indeg long",
+            )
+            assert state.record_round(
+                bid, "replay.warc", {"n_docs_indexed": 9}, f
+            ) is None  # replay writes NOTHING
+        else:
+            rep = state.compact()
+            assert rep["files_after"] <= rep["files_before"]
+        check()
