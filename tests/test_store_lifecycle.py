@@ -57,12 +57,91 @@ def test_allocate_append_compact_roundtrip(spark, tmp_path):
         (v, k) for v, k, _ in before
     }
 
-    # a replay of any folded batch id is refused by allocation...
-    assert L.allocate_batch(spark, path, store, 3) is None
+    # a replay of any FOLDED batch id is refused by allocation...
+    assert L.allocate_batch(spark, path, store, 1) is None
     assert L.allocate_batch(spark, path, store, 7) is None
+    assert L.allocate_batch(spark, path, store, 0) is None
+    # ...but an explicit id that never appended is a NEW batch even
+    # when it sits below the watermark — content-hash id spaces (the
+    # crawl loop's archive ids) arrive in no particular order, and the
+    # old ≤-watermark reading silently DROPPED such appends (r11 fix:
+    # the marker carries the exact folded-id set)
+    assert L.allocate_batch(spark, path, store, 3) == 3
     # ...and fresh allocation resumes ABOVE the watermark, not at max+1
     # of the folded store (whose ids all read 0 now)
     assert L.allocate_batch(spark, path, store, None) == 8
+
+
+def test_unordered_batch_ids_survive_compaction(spark, tmp_path):
+    """The content-hash id space end to end (r11): archive ids hash in
+    no particular order, so after a fold a NEW id below the watermark
+    must still append, a folded id must still no-op, and a second fold
+    must absorb the late-arriving low id too."""
+    path = str(tmp_path / "idx")
+    store = f"{path}/rows.parquet"
+    os.makedirs(path)
+
+    assert _append(spark, path, store, 500, [1, 2]) == 500
+    rep = L.compact_store(spark, path, [L.SubStore(store, ("k", "batch"))])
+    assert rep["watermark"] == 500
+
+    # a NEW archive whose hash lands below the fold watermark
+    assert _append(spark, path, store, 100, [3]) == 100
+    rows = {(r.v, r.batch) for r in spark.read.parquet(store).collect()}
+    assert rows == {(1, 0), (2, 0), (3, 100)}
+
+    # replays adjudicate exactly: folded id no-ops, live id overwrites
+    assert _append(spark, path, store, 500, [9]) is None
+    assert _append(spark, path, store, 100, [3]) == 100
+    rows = {(r.v, r.batch) for r in spark.read.parquet(store).collect()}
+    assert rows == {(1, 0), (2, 0), (3, 100)}
+
+    # the second fold absorbs the low id; now IT no-ops on replay too
+    L.compact_store(spark, path, [L.SubStore(store, ("k", "batch"))])
+    assert _append(spark, path, store, 100, [3]) is None
+    rows = {(r.v, r.batch) for r in spark.read.parquet(store).collect()}
+    assert rows == {(1, 0), (2, 0), (3, 0)}
+
+
+def test_compact_preserves_uncommitted_partitions(spark, tmp_path):
+    """ADVICE r10: with a separate commit record as ``batch_source``,
+    the default fold relabels ONLY committed ids — a partition a crash
+    left behind (appended, never committed) stays in place so the
+    retry's dynamic overwrite can replace it instead of duplicating
+    rows frozen in segment 0."""
+    path = str(tmp_path / "st")
+    store = f"{path}/rows.parquet"
+    ledger = f"{path}/ledger.parquet"
+    os.makedirs(path)
+
+    def commit(b):
+        L.dynamic_append(
+            spark.createDataFrame(
+                [(f"a{b}.warc", b)], "archive string, batch int"
+            ),
+            ledger,
+            ("batch",),
+        )
+
+    # round 1 commits; round 2 appends rows but crashes before commit
+    assert _append(spark, path, store, 1, [10, 11]) == 1
+    commit(1)
+    assert _append(spark, path, store, 2, [20, 21, 22]) == 2  # no commit
+
+    rep = L.compact_store(
+        spark, path, [L.SubStore(store, ("k", "batch"))], batch_source=ledger
+    )
+    assert rep["watermark"] == 1
+    rows = {(r.v, r.batch) for r in spark.read.parquet(store).collect()}
+    # committed rows folded, the crash leftover stays in partition 2
+    assert rows == {(10, 0), (11, 0), (20, 2), (21, 2), (22, 2)}
+
+    # the retry re-allocates id 2 (not folded) and its dynamic
+    # overwrite REPLACES the stale partition — no duplication
+    assert _append(spark, path, store, 2, [20, 25]) == 2
+    commit(2)
+    rows = {(r.v, r.batch) for r in spark.read.parquet(store).collect()}
+    assert rows == {(10, 0), (11, 0), (20, 2), (25, 2)}
 
 
 def test_allocate_batch_missing_source_fails_loudly(spark, tmp_path):

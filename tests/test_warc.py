@@ -632,6 +632,57 @@ def test_crawl_round_compact_threshold_maintenance(spark, tmp_path):
     assert spark.read.parquet(f"{si}/sq8.parquet").count() == 3
 
 
+def test_crawl_round_low_hash_archive_after_compaction(spark, tmp_path):
+    """r11 regression: archive batch ids are CONTENT HASHES — unordered
+    — so a new archive whose id lands BELOW a fold watermark must still
+    index (the pre-r11 ≤-watermark replay check silently dropped its
+    appends: graph row present, document unsearchable). Pinned with
+    explicit ids in the hazard order; replay of the folded id still
+    no-ops."""
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    def page_rec(rid, url, body):
+        html_doc = (
+            f"<html><head><title>t</title></head><body><p>{body}</p>"
+            "</body></html>"
+        ).encode()
+        return {
+            "record_id": f"<urn:uuid:{rid}>",
+            "warc_type": "response",
+            "target_uri": url,
+            "warc_date": "2026-08-15T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "block": W.http_response_block(html_doc),
+        }
+
+    for i, _id in ((0, 500), (1, 100)):
+        (tmp_path / f"h{i}.warc").write_bytes(
+            W.build_warc(
+                [page_rec(f"p{i}", f"https://lo.example/p{i}",
+                          f"hazard{i} corpus words")]
+            )
+        )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    ti = str(tmp_path / "ti")
+    # round 1 (id 500) then an immediate fold (threshold 0)
+    W.crawl_round(spark, store, str(tmp_path / "h0.warc"),
+                  text_index=ti, batch=500, compact_threshold=0)
+    # round 2's id (100) sits below the fold watermark (500) — the
+    # exact layout a content-hash id space produces ~half the time
+    W.crawl_round(spark, store, str(tmp_path / "h1.warc"),
+                  text_index=ti, batch=100)
+    for i in range(2):
+        hits = S.bm25_from_index(spark, ti, (f"hazard{i}",), k=3).collect()
+        assert len(hits) == 1, f"archive {i} dropped from the index"
+    # the folded id still adjudicates as a replay
+    n = spark.read.parquet(f"{ti}/postings.parquet").count()
+    W.crawl_round(spark, store, str(tmp_path / "h0.warc"),
+                  text_index=ti, batch=500)
+    assert spark.read.parquet(f"{ti}/postings.parquet").count() == n
+
+
 def test_crawl_round_landing_mode_single_parse(spark, tmp_path):
     """landing= lands the records as Parquet keyed by batch id (the
     at-scale single-parse mode); results are identical to the direct
@@ -1937,6 +1988,81 @@ def test_crawl_state_records_own_delays_only(spark, tmp_path):
     assert {r.host: r.crawl_delay for r in state.delays().collect()} == {
         "od.example": 5.0
     }
+
+
+def test_crawl_state_compact_preserves_mid_crash_round(spark, tmp_path):
+    """ADVICE r10: a compact() that runs BETWEEN a crashed round's
+    frontier append and its retry must not fold the uncommitted
+    partition into segment 0 — the retry re-allocates the same round
+    number and dynamic-overwrites its own partition, which can never
+    reach rows a fold froze at batch 0. Fold only committed rounds."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.operators.store_lifecycle import (
+        allocate_batch,
+        dynamic_append,
+    )
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+    f1 = spark.createDataFrame(
+        [("https://mc.example/a", 1)], "url string, indeg long"
+    )
+    assert state.record_round(301, "r1.warc", {"n_docs_indexed": 1}, f1)[
+        "round_no"
+    ] == 1
+
+    # round 2 crashes between the frontier append and the ledger row:
+    # replicate record_round's write order up to the crash point
+    rno = allocate_batch(
+        spark, state.root, state._ledger, None, allow_missing=True
+    )
+    assert rno == 2
+    stale = spark.createDataFrame(
+        [("https://mc.example/x", 9), ("https://mc.example/y", 9)],
+        "url string, indeg long",
+    ).select(
+        F.col("url"),
+        F.col("indeg"),
+        F.lit(302).alias("batch_id"),
+        F.lit(int(rno)).alias("batch"),
+    )
+    dynamic_append(stale, state._frontier, ("batch",))
+    assert not state.has_round(302)  # never committed
+
+    # compact BEFORE the retry: committed round 1 folds, the crashed
+    # partition stays at batch 2
+    rep = state.compact()
+    assert rep["watermark"] == 1
+    left = {
+        (r.url, r.batch)
+        for r in spark.read.parquet(state._frontier).collect()
+    }
+    assert left == {
+        ("https://mc.example/a", 0),
+        ("https://mc.example/x", 2),
+        ("https://mc.example/y", 2),
+    }
+
+    # the retry (same archive, DIFFERENT frontier content — e.g. a
+    # doc_filter change between attempts) re-allocates round 2 and its
+    # overwrite replaces the stale rows: no duplication, no inflation
+    retry = spark.createDataFrame(
+        [("https://mc.example/z", 3)], "url string, indeg long"
+    )
+    out = state.record_round(302, "r2.warc", {"n_docs_indexed": 1}, retry)
+    assert out is not None and out["round_no"] == 2
+    assert out["n_frontier"] == 1
+    got = sorted(
+        (r.url, r.indeg) for r in state.frontier_of(302).collect()
+    )
+    assert got == [("https://mc.example/z", 3)]
+    # a later compact folds the now-committed round too
+    state.compact()
+    assert sorted(
+        (r.url, r.indeg) for r in state.frontier_of(302).collect()
+    ) == [("https://mc.example/z", 3)]
+    assert state.has_round(302) and state.has_round(301)
 
 
 def test_crawl_state_model_based_sequence(spark, tmp_path):

@@ -347,11 +347,17 @@ class CrawlState:
         }
 
     def compact(self) -> dict:
-        """Fold the accumulated round partitions of all three stores
+        """Fold the accumulated round partitions of all state stores
         into segment 0 (the shared watermark-first two-rename fold).
         ``batch_id`` is a data column, so replay detection and
         per-round frontier reads survive the fold; fresh round numbers
-        keep allocating above the persisted watermark."""
+        keep allocating above the persisted watermark. The ledger —
+        the commit point — is the fold's ``batch_source``, so only
+        COMMITTED rounds relabel: a partition a crash left behind
+        (frontier/hosts appended, ledger row never written) stays in
+        place for the retry's dynamic overwrite (ADVICE r10 — folding
+        it would freeze duplicate rows in segment 0 that the retry
+        could never replace)."""
         import os
 
         from .operators._util import count_parquet_files

@@ -36,28 +36,56 @@ def read_compaction_watermark(path: str) -> int:
     Appends must skip batch ids at/below it — a checkpoint replay of a
     pre-compaction micro-batch would otherwise rewrite a partition
     whose rows already live in segment 0, duplicating them."""
+    return read_compaction_state(path)[0]
+
+
+def read_compaction_state(path: str) -> tuple[int, frozenset | None]:
+    """``(watermark, folded_ids)`` from the compaction marker.
+
+    ``folded_ids`` is the EXACT set of batch ids whose rows have been
+    folded into segment 0, or ``None`` for a never-compacted store or a
+    legacy marker written before the set existed. The set is what makes
+    replay detection correct for UNORDERED id spaces (the crawl loop's
+    31-bit content-hash archive ids): with only the max-id watermark, a
+    NEW archive whose hash happens to land below a fold watermark would
+    be misread as a replay and silently skip its append — a dropped
+    archive, not an idempotent no-op. Monotonic id spaces (streaming
+    micro-batch ingest) get identical behavior from either form."""
     import json
     import os
 
     p = os.path.join(path, COMPACTION_WM)
     if not os.path.isfile(p):
-        return 0
+        return 0, None
     with open(p) as f:
-        return int(json.load(f)["watermark"])
+        doc = json.load(f)
+    folded = doc.get("folded")
+    return int(doc["watermark"]), (
+        None if folded is None else frozenset(int(b) for b in folded)
+    )
 
 
-def write_compaction_watermark(path: str, watermark: int) -> None:
-    """Persist the watermark atomically (temp + ``os.replace``) BEFORE
-    the fold rewrites batch ids — crash after the marker but before the
-    fold is safe (appends just skip ids that still exist); crash after
-    the fold without the marker is the duplication hazard."""
+def write_compaction_watermark(
+    path: str, watermark: int, folded=None
+) -> None:
+    """Persist the watermark (and, when given, the exact folded-id set
+    — see :func:`read_compaction_state`) atomically (temp +
+    ``os.replace``) BEFORE the fold rewrites batch ids — crash after
+    the marker but before the fold is safe (appends just skip ids that
+    still exist in their own partitions: same rows either way); crash
+    after the fold without the marker is the duplication hazard. The
+    set grows by one id per folded batch — ~1 MB of JSON per 100k
+    crawl rounds, read once per append allocation."""
     import json
     import os
 
     p = os.path.join(path, COMPACTION_WM)
     tmp = p + ".tmp"
+    doc: dict = {"watermark": int(watermark)}
+    if folded is not None:
+        doc["folded"] = sorted(int(b) for b in folded)
     with open(tmp, "w") as f:
-        json.dump({"watermark": int(watermark)}, f)
+        json.dump(doc, f)
     os.replace(tmp, p)
 
 

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from ._util import (
     count_parquet_files,
-    read_compaction_watermark,
+    read_compaction_state,
     swap_in_rewrite,
     write_compaction_watermark,
 )
@@ -66,8 +66,15 @@ def allocate_batch(
     """Watermark-guarded batch-id allocation for an index dir ``path``.
 
     ``batch=None`` → ``max(existing in batch_source, watermark) + 1``.
-    An explicit ``batch`` ≤ the watermark returns ``None``: the caller
-    must treat it as a replay of an already-folded batch and no-op.
+    An explicit ``batch`` that was already folded into segment 0
+    returns ``None``: the caller must treat it as a replay and no-op.
+    "Already folded" is decided by EXACT membership in the persisted
+    folded-id set when the marker carries one (correct for unordered
+    id spaces — the crawl loop's content-hash archive ids hash in no
+    particular order, and a NEW low id arriving after a fold must
+    append, not silently no-op); a legacy watermark-only marker keeps
+    the ``batch ≤ watermark`` reading, which is equivalent for the
+    monotonic micro-batch id spaces that wrote it.
 
     ``allow_missing`` is for the ingest-first layouts ONLY (sq8/bin,
     whose ``ensure_*`` skeleton writes just the bucket meta — the code
@@ -78,9 +85,12 @@ def allocate_batch(
     vanished source there is a partially-deleted index and the
     ``AnalysisException`` propagates instead of silently restarting
     the batch-id space over a broken store."""
-    wm = read_compaction_watermark(path)
+    wm, folded = read_compaction_state(path)
     if batch is not None:
-        return None if int(batch) <= wm else int(batch)
+        b = int(batch)
+        if folded is not None:
+            return None if b in folded else b
+        return None if b <= wm else b
     if allow_missing:
         from pyspark.errors import AnalysisException
 
@@ -139,17 +149,54 @@ def compact_store(
 ) -> dict:
     """The watermark-first, two-rename fold over an index's sub-stores.
     Returns the before/after parquet file counts and the persisted
-    watermark — the shape every ``compact_*`` API reports."""
+    watermark — the shape every ``compact_*`` API reports.
+
+    The default fold relabels to segment 0 ONLY rows whose batch id
+    appears in ``batch_source`` — the store's commit record. A sub-
+    store partition whose id the source lacks is a crash leftover (a
+    round that appended its frontier but died before its ledger row;
+    an index batch that landed postings but not stats): folding it
+    would freeze those rows in segment 0 where the crash RETRY — which
+    re-allocates the same id and dynamic-overwrites its own partition
+    — could never replace them, duplicating rows and breaking replay
+    idempotence. Left in place, the retry's overwrite supersedes them
+    exactly."""
     before = sum(count_parquet_files(s.store) for s in substores)
     src = batch_source or substores[0].store
-    prev_max = spark.read.parquet(src).agg(F.max("batch")).first()[0]
-    wm = max(int(prev_max or 0), read_compaction_watermark(path))
-    write_compaction_watermark(path, wm)
+    # the ids being folded, taken from the batch SOURCE: for a plain
+    # index that is every stored id; for a ledger-anchored state store
+    # it is exactly the COMMITTED ids (an uncommitted partition a crash
+    # left behind stays out of the set, so its retry still appends)
+    ids = [
+        int(r[0])
+        for r in spark.read.parquet(src).select("batch").distinct().collect()
+        if r[0] is not None
+    ]
+    prev_wm, prev_folded = read_compaction_state(path)
+    wm = max(max(ids, default=0), prev_wm)
+    # {0} always folds: segment 0 is the fold target, so a replayed
+    # "batch 0" must no-op after any fold regardless of id space
+    folded = (set(prev_folded) if prev_folded else set()) | set(ids) | {0}
+    write_compaction_watermark(path, wm, folded)
+    # committed-only default relabel (see docstring). isin over the
+    # committed-id list: one literal per folded batch — compaction runs
+    # long before any store accumulates enough batches for the IN list
+    # to matter, and the fold is a rare maintenance pass besides
+    def _committed_to_zero(d: DataFrame) -> DataFrame:
+        if not ids:
+            return d
+        return d.withColumn(
+            "batch",
+            F.when(F.col("batch").isin(ids), F.lit(0)).otherwise(
+                F.col("batch")
+            ),
+        )
+
     for s in substores:
 
         def _write(tmp: str, s: SubStore = s) -> None:
             df = spark.read.parquet(s.store)
-            df = (s.fold or (lambda d: d.withColumn("batch", F.lit(0))))(df)
+            df = (s.fold or _committed_to_zero)(df)
             if s.layout is not None:
                 df = s.layout(df)
             df.write.mode("overwrite").partitionBy(*s.partition_cols).parquet(
