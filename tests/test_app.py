@@ -797,13 +797,61 @@ def test_crawl_state_route(spark, store, tmp_path):
     app = create_app(store, crawl_state_path=sd)
     c = app.test_client()
     body = c.get("/crawl/state").get_json()
-    assert len(body["rounds"]) == 1
+    assert len(body["rounds"]) == 1 and body["n_rounds_total"] == 1
     assert body["rounds"][0]["batch_id"] == rep["batch"]
     assert body["rounds"][0]["n_frontier"] == 2  # delay 5 @ 10 s
     assert body["delays"] == {"ops.example": 5.0}
+    assert body["n_hosts_total"] == 1
     # the plan: remaining budgeted candidates, capped by k
     body2 = c.get("/crawl/state?plan=1&round_seconds=10&k=1").get_json()
     assert len(body2["plan"]) == 1
     assert body2["plan"][0]["url"] in cands
+    # explicit flag contract (ADVICE r10): 0/false do NOT compute a plan
+    assert "plan" not in c.get("/crawl/state?plan=0").get_json()
+    assert "plan" not in c.get("/crawl/state?plan=false").get_json()
     # bad numerics -> 400
     assert c.get("/crawl/state?plan=1&k=zz").status_code == 400
+    assert c.get("/crawl/state?rounds=zz").status_code == 400
+
+    # r10 verdict: the ledger and delay lists are CAPPED with totals
+    # alongside — a second round on a second (stricter-delay) host,
+    # then caps of 1 must bound the payload and keep the newest round
+    # and the strictest host
+    payload2 = W.build_warc(
+        [
+            {
+                "record_id": "<urn:uuid:rb2>",
+                "warc_type": "response",
+                "target_uri": "https://ops2.example/robots.txt",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "block": W.http_response_block(
+                    b"User-agent: *\nCrawl-delay: 9\n",
+                    content_type="text/plain",
+                ),
+            },
+            {
+                "record_id": "<urn:uuid:root2>",
+                "warc_type": "response",
+                "target_uri": "https://ops2.example/",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "block": W.http_response_block(
+                    (
+                        "<html><head><title>t</title></head><body>"
+                        "<p>second corpus</p></body></html>"
+                    ).encode()
+                ),
+            },
+        ]
+    )
+    (tmp_path / "r2.warc").write_bytes(payload2)
+    rep2 = W.crawl_round_resumable(
+        store.spark, store, str(tmp_path / "r2.warc"), sd,
+        auto_politeness=True, round_seconds=10.0,
+    )
+    capped = c.get("/crawl/state?rounds=1&delays=1").get_json()
+    assert capped["n_rounds_total"] == 2 and len(capped["rounds"]) == 1
+    assert capped["rounds"][0]["batch_id"] == rep2["batch"]  # newest
+    assert capped["n_hosts_total"] == 2
+    assert capped["delays"] == {"ops2.example": 9.0}  # strictest

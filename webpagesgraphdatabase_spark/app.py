@@ -910,13 +910,19 @@ def create_app(
     @app.route("/crawl/state", methods=["GET"])
     def crawl_state_route():
         """Scheduler-state ops view over the configured CrawlState dir:
-        the round ledger (one row per completed round), the per-host
-        politeness memory, and — with ``?plan=1`` — the budgeted next
-        fetch plan (backlog minus the graph's stored urls, per-host
-        Crawl-delay budget at ``round_seconds``, capped to ``k`` rows
-        in the response; the plan itself is set-based, the cap only
-        bounds the JSON). 503 when no state dir is configured — the
-        same unconfigured-surface discipline as /similar and /search."""
+        the round ledger (the LAST ``rounds`` completed rounds, default
+        100, with ``n_rounds_total``), the per-host politeness memory
+        (the ``delays`` STRICTEST hosts, default 100, with
+        ``n_hosts_total``), and — with ``?plan=1`` — the budgeted next
+        fetch plan (backlog minus the graph's stored urls, stored-rule
+        filtered, per-host Crawl-delay budget at ``round_seconds``,
+        capped to ``k`` rows in the response; the plan itself is
+        set-based, the cap only bounds the JSON). Every list is capped
+        with its total alongside — the /similar k-discipline: at real
+        crawl scale the full delay table is one row per host ever
+        seen, and an unbounded collect here would OOM the driver
+        (r10 verdict). 503 when no state dir is configured — the same
+        unconfigured-surface discipline as /similar and /search."""
         if crawl_state_path is None:
             return (
                 jsonify({"error": "no crawl state dir configured"}),
@@ -924,8 +930,30 @@ def create_app(
             )
         from .crawl_state import CrawlState
 
+        try:
+            n_rounds = int(request.args.get("rounds", "100"))
+            n_delays = int(request.args.get("delays", "100"))
+            k = int(request.args.get("k", "100"))
+            round_seconds = float(request.args.get("round_seconds", "300"))
+        except ValueError:
+            return (
+                jsonify(
+                    {"error": "rounds/delays/k/round_seconds not numeric"}
+                ),
+                400,
+            )
         state = CrawlState(store.spark, crawl_state_path)
+        led = state.ledger()
+        dl = state.delays()
+        # the newest N rounds (ledger rows are per-round tiny but
+        # unbounded over a crawl's lifetime), re-sorted ascending for
+        # display; ties cannot happen (round_no is the allocator's
+        # sequence)
+        last = led.orderBy(F.col("round_no").desc()).limit(
+            max(0, n_rounds)
+        )
         out = {
+            "n_rounds_total": led.count(),
             "rounds": [
                 {
                     "batch_id": int(r.batch_id),
@@ -935,22 +963,26 @@ def create_app(
                     "n_cross_dup": int(r.n_cross_dup),
                     "n_frontier": int(r.n_frontier),
                 }
-                for r in state.ledger()
-                .orderBy(F.col("round_no"))
-                .collect()
+                for r in sorted(
+                    last.collect(), key=lambda r: int(r.round_no)
+                )
             ],
+            "n_hosts_total": dl.count(),
+            # the strictest (slowest) hosts first — the rows an
+            # operator actually looks for; host breaks score ties
+            # deterministically
             "delays": {
-                r.host: r.crawl_delay for r in state.delays().collect()
+                r.host: r.crawl_delay
+                for r in dl.orderBy(
+                    F.col("crawl_delay").desc(), F.col("host")
+                )
+                .limit(max(0, n_delays))
+                .collect()
             },
         }
-        if request.args.get("plan"):
-            try:
-                k = int(request.args.get("k", "100"))
-                round_seconds = float(
-                    request.args.get("round_seconds", "300")
-                )
-            except ValueError:
-                return jsonify({"error": "k/round_seconds not numeric"}), 400
+        # explicit flag parse (ADVICE r10): ?plan=0 / ?plan=false must
+        # NOT trigger the backlog anti-join + budget window
+        if request.args.get("plan") in ("1", "true"):
             plan = state.next_fetch_plan(
                 seen=store.graph().links,
                 round_seconds=round_seconds,
