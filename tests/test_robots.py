@@ -227,3 +227,32 @@ def test_crawl_delay_parsing_and_frame(spark):
         ).collect()
     }
     assert got == {("a.example", 2.5)}
+
+
+def test_merge_rules_per_host_whole_host_precedence(spark):
+    """merge_rules_per_host: a host covered by the primary table keeps
+    its rule set WHOLE (no row mixing between two robots.txt versions);
+    the fallback contributes only hosts the primary lacks."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    primary = R.robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /new\n")],
+            ["host", "body"],
+        )
+    )
+    fallback = R.robots_rules(
+        spark.createDataFrame(
+            [
+                ("a.example", "User-agent: *\nDisallow: /old\n"),
+                ("b.example", "User-agent: *\nDisallow: /b\n"),
+            ],
+            ["host", "body"],
+        )
+    )
+    got = {
+        (r.host, r.pattern)
+        for r in R.merge_rules_per_host(primary, fallback).collect()
+    }
+    # a.example's old rule must NOT survive alongside the new one
+    assert got == {("a.example", "/new"), ("b.example", "/b")}

@@ -1990,6 +1990,150 @@ def test_crawl_state_records_own_delays_only(spark, tmp_path):
     }
 
 
+def test_crawl_state_rules_memory(spark, tmp_path):
+    """r10 verdict item 1: the state dir remembers allow/disallow
+    rules and next_fetch_plan applies them BY DEFAULT — latest robots
+    per host wins whole (a changed rule set replaces, a rule-less one
+    clears), and a caller-supplied live table lays over the memory
+    with whole-host precedence."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+    cand = spark.createDataFrame(
+        [("https://rm.example/private/x", 5), ("https://rm.example/ok", 2)],
+        "url string, indeg long",
+    )
+    r1_rules = R.robots_rules(
+        spark.createDataFrame(
+            [("rm.example", "User-agent: *\nDisallow: /private\n")],
+            ["host", "body"],
+        )
+    )
+    state.record_round(
+        401, "r1.warc", {"n_docs_indexed": 1}, cand, rules=r1_rules
+    )
+    # the stored rules filter the plan with NO rule table passed
+    plan = {r.url for r in state.next_fetch_plan().collect()}
+    assert plan == {"https://rm.example/ok"}
+    # the diagnostic backlog stays unfiltered (it reports what is
+    # stored; the plan is the operational, adjudicated read)
+    assert state.backlog().count() == 2
+
+    # round 2: the host's robots.txt emptied — the NULL-pattern marker
+    # row (what crawl_round records for a rule-less robots body)
+    # CLEARS the memory; the old Disallow must not fossilize
+    marker = spark.createDataFrame(
+        [("rm.example", None, None, None, None)],
+        "host string, allow boolean, pattern string, rx string, plen int",
+    )
+    state.record_round(
+        402, "r2.warc", {"n_docs_indexed": 1},
+        cand.filter("indeg < 0"), rules=marker,
+    )
+    plan = {r.url for r in state.next_fetch_plan().collect()}
+    assert plan == {"https://rm.example/ok", "https://rm.example/private/x"}
+
+    # round 3: the rules change again — only the LATEST set applies
+    r3_rules = R.robots_rules(
+        spark.createDataFrame(
+            [("rm.example", "User-agent: *\nDisallow: /ok\n")],
+            ["host", "body"],
+        )
+    )
+    state.record_round(
+        403, "r3.warc", {"n_docs_indexed": 1},
+        cand.filter("indeg < 0"), rules=r3_rules,
+    )
+    assert {r.url for r in state.next_fetch_plan().collect()} == {
+        "https://rm.example/private/x"
+    }
+    # rules survive state compaction (round_no rides as data)
+    state.compact()
+    assert {r.url for r in state.next_fetch_plan().collect()} == {
+        "https://rm.example/private/x"
+    }
+    # a caller-supplied live table wins whole-host over the memory
+    live = R.robots_rules(
+        spark.createDataFrame(
+            [("rm.example", "User-agent: *\nDisallow: /nothing\n")],
+            ["host", "body"],
+        )
+    )
+    assert {r.url for r in state.next_fetch_plan(rules=live).collect()} == {
+        "https://rm.example/ok", "https://rm.example/private/x"
+    }
+
+
+def test_crawl_resumable_rules_carry_over(spark, tmp_path):
+    """The r10 verdict's done criterion: a frontier candidate recorded
+    BEFORE its host's robots body was ever fetched is re-adjudicated
+    by the rule memory on resume — round 1 (no robots) stores a
+    /private candidate; round 2's archive carries the Disallow; a
+    LATER session's next_fetch_plan (and the ops route's plan) never
+    surfaces it, with no archive re-read."""
+    from webpagesgraphdatabase_spark.app import create_app
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    root = "https://rc.example/"
+    wh, sd = str(tmp_path / "wh"), str(tmp_path / "state")
+    store = GraphStore(spark, wh)
+    store.init_schema()
+    kw = dict(auto_politeness=True, round_seconds=10.0)
+
+    # round 1: NO robots response; the root links /private/x and /pub
+    (tmp_path / "rc1.warc").write_bytes(
+        W.build_warc(
+            [_mk_page("root", root,
+                      " ".join(f"carry rule tok{i}" for i in range(20)),
+                      hrefs=[f"{root}private/x", f"{root}pub"])]
+        )
+    )
+    s1 = W.crawl_round_resumable(spark, store, str(tmp_path / "rc1.warc"),
+                                 sd, **kw)
+    f1 = sorted(r.url for r in s1["frontier"].collect())
+    assert f1 == [f"{root}private/x", f"{root}pub"]  # nothing known yet
+
+    # round 2: the robots body arrives (Disallow /private) + /pub is
+    # fetched, linking one more page
+    (tmp_path / "rc2.warc").write_bytes(
+        W.build_warc(
+            [
+                _mk_rec("rb", f"{root}robots.txt",
+                        b"User-agent: *\nDisallow: /private\n",
+                        "text/plain"),
+                _mk_page("pub", f"{root}pub",
+                         " ".join(f"pub page tok{i}" for i in range(20)),
+                         hrefs=[f"{root}more", f"{root}private/y"]),
+            ]
+        )
+    )
+    s2 = W.crawl_round_resumable(spark, store, str(tmp_path / "rc2.warc"),
+                                 sd, **kw)
+    # round 2's own frontier already drops its own /private link
+    assert sorted(r.url for r in s2["frontier"].collect()) == [f"{root}more"]
+
+    # a FRESH session: the backlog still holds /private/x, but the
+    # plan re-adjudicates it against the remembered rules
+    store2 = GraphStore(spark, wh)
+    state = CrawlState(spark, sd)
+    assert f"{root}private/x" in {
+        r.url for r in state.backlog(store2.graph().links).collect()
+    }
+    plan = {
+        r.url
+        for r in state.next_fetch_plan(seen=store2.graph().links).collect()
+    }
+    assert plan == {f"{root}more"}
+    # and through the ops route (which passes no rule table)
+    app = create_app(store2, crawl_state_path=sd)
+    body = app.test_client().get(
+        "/crawl/state?plan=1&round_seconds=10"
+    ).get_json()
+    assert {p["url"] for p in body["plan"]} == {f"{root}more"}
+
+
 def test_crawl_state_compact_preserves_mid_crash_round(spark, tmp_path):
     """ADVICE r10: a compact() that runs BETWEEN a crashed round's
     frontier append and its retry must not fold the uncommitted
@@ -2069,9 +2213,10 @@ def test_crawl_state_model_based_sequence(spark, tmp_path):
     """Model-based pin of the scheduler-state discipline: a scripted
     interleaving of record / replay / compact steps must always agree
     with a pure-Python model on ledger membership, per-round frontier
-    content, backlog candidates (max-indeg per url), and delay memory
-    — compaction and replays at ANY point never change what a reader
-    sees."""
+    content, backlog candidates (max-indeg per url), delay memory, and
+    rule memory (latest-per-host replace, NULL-marker clears — r10
+    verdict item 1) — compaction and replays at ANY point never change
+    what a reader sees."""
     import random
 
     from webpagesgraphdatabase_spark.crawl_state import CrawlState
@@ -2080,6 +2225,7 @@ def test_crawl_state_model_based_sequence(spark, tmp_path):
     state = CrawlState(spark, str(tmp_path / "state"))
     model_rounds: dict[int, list[tuple[str, int]]] = {}
     model_delays: dict[str, float] = {}
+    model_rules: dict[str, set[tuple]] = {}
     hosts = ["h1.example", "h2.example", "h3.example"]
 
     def check():
@@ -2102,6 +2248,11 @@ def test_crawl_state_model_based_sequence(spark, tmp_path):
         assert got_b == expect
         got_d = {r.host: r.crawl_delay for r in state.delays().collect()}
         assert got_d == model_delays
+        got_r = {
+            (r.host, r.allow, r.pattern, r.rx, r.plen)
+            for r in state.rules().collect()
+        }
+        assert got_r == {t for s in model_rules.values() for t in s}
 
     next_bid = 500
     recorded_bids: list[int] = []
@@ -2129,8 +2280,33 @@ def test_crawl_state_model_based_sequence(spark, tmp_path):
                     [(h, dv)], "host string, crawl_delay double"
                 )
                 model_delays[h] = max(model_delays.get(h, 0.0), dv)
+            ru = None
+            if rng.random() < 0.7:
+                # this archive's robots knowledge: 1-2 hosts, each
+                # either declaring rules or a NULL marker (rule-less
+                # robots body) — the model REPLACES per host
+                rule_rows = []
+                for h in rng.sample(hosts, rng.randint(1, 2)):
+                    if rng.random() < 0.3:
+                        rule_rows.append((h, None, None, None, None))
+                        model_rules[h] = set()
+                    else:
+                        rows_h = set()
+                        for j in range(rng.randint(1, 2)):
+                            pat = f"/r{bid}p{j}"
+                            rows_h.add(
+                                (h, bool(j % 2), pat, f"^{pat}", len(pat))
+                            )
+                        rule_rows.extend(sorted(rows_h))
+                        model_rules[h] = rows_h
+                ru = spark.createDataFrame(
+                    rule_rows,
+                    "host string, allow boolean, pattern string, "
+                    "rx string, plen int",
+                )
             out = state.record_round(
-                bid, f"a{bid}.warc", {"n_docs_indexed": 1}, f, delays=d
+                bid, f"a{bid}.warc", {"n_docs_indexed": 1}, f,
+                delays=d, rules=ru,
             )
             assert out is not None and out["n_frontier"] == len(rows)
             model_rounds[bid] = rows

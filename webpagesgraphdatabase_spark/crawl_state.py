@@ -35,6 +35,15 @@ round's number:
   ``robots.parse_crawl_delay`` both apply), so a later round whose
   archive lacks a robots response still honors the strictest known
   delay — the budget knowledge carries over.
+- ``rules.parquet`` ``(host, allow, pattern, rx, plen, round_no,
+  batch_id, batch)`` — each round's parsed allow/disallow rules (the
+  ``robots.robots_rules`` shape), one extra NULL-pattern row per host
+  whose robots body declared NO rules (so a later rule-less robots.txt
+  CLEARS the host's stored rules instead of fossilizing them). Read as
+  the LATEST round's rule set per host (``round_no`` rides as data so
+  the read survives compaction): unlike delays, rules replace — a
+  host's newer robots.txt supersedes the old one whole, never merges
+  with it.
 - ``ledger.parquet`` ``(batch_id, archive, n_links_inserted,
   n_docs_indexed, n_cross_dup, n_revisits, n_frontier, round_no,
   batch)`` — one row per COMPLETED round, appended last (the round's
@@ -79,6 +88,20 @@ _HOSTS_SCHEMA = T.StructType(
         T.StructField("batch", T.IntegerType()),
     ]
 )
+_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("allow", T.BooleanType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("rx", T.StringType()),
+        T.StructField("plen", T.IntegerType()),
+        # the round, duplicated from the partition column as DATA so
+        # the latest-per-host read survives the compaction fold
+        T.StructField("round_no", T.IntegerType()),
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
 _LEDGER_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.IntegerType()),
@@ -105,6 +128,7 @@ class CrawlState:
         self.root = root
         self._frontier = f"{root}/frontier.parquet"
         self._hosts = f"{root}/hosts.parquet"
+        self._rules = f"{root}/rules.parquet"
         self._ledger = f"{root}/ledger.parquet"
 
     # -- reads ---------------------------------------------------------------
@@ -226,23 +250,35 @@ class CrawlState:
     ) -> DataFrame:
         """What a resumed scheduler should fetch NEXT, computed purely
         from the state at rest — no new archive needed: the cross-round
-        backlog (minus ``seen``), robots-filtered when a rule table is
-        given, budgeted per host by the flat cap and the STORED
-        Crawl-delay knowledge (the same ``_budget_cap`` window the live
-        frontier derivation uses — partitioned by host, highest
-        in-degree first, no global sort at any backlog size). Returns
-        (url, indeg) rows.
+        backlog (minus ``seen``), robots-filtered by the STORED rule
+        memory by default (r10 verdict item 1 — a candidate recorded
+        before its host's robots was ever fetched, or under a rule
+        that changed in a later round, is re-adjudicated against the
+        LATEST knowledge; a caller-supplied ``rules`` table lays over
+        the memory with whole-host precedence, fresher wins), budgeted
+        per host by the flat cap and the STORED Crawl-delay knowledge
+        (the same ``_budget_cap`` window the live frontier derivation
+        uses — partitioned by host, highest in-degree first, no global
+        sort at any backlog size). Returns (url, indeg) rows.
 
         :meth:`backlog` is the diagnostic twin (globally
         priority-ordered, no budget); this is the operational shape a
         fetch loop pops each round."""
+        from . import robots as R
         from .operators._util import count_parquet_files
         from .warc import _budget_cap
 
         cand = self._candidates(seen, "_indeg")
+        stored_rules = (
+            self.rules()
+            if count_parquet_files(self._rules) > 0
+            else None
+        )
+        if rules is not None and stored_rules is not None:
+            rules = R.merge_rules_per_host(rules, stored_rules)
+        elif rules is None:
+            rules = stored_rules
         if rules is not None:
-            from . import robots as R
-
             cand = R.robots_filter(cand, rules)
         # a file-less hosts store (one robots-less round's empty
         # append) carries no delay knowledge — keep the no-budget fast
@@ -274,6 +310,28 @@ class CrawlState:
             .agg(F.max("crawl_delay").alias("crawl_delay"))
         )
 
+    def rules(self) -> DataFrame:
+        """The remembered allow/disallow rule table (the
+        ``robots.robots_rules`` shape): each host's rules from the
+        LATEST round that saw its robots body — rules REPLACE per host
+        (a newer robots.txt supersedes the old one whole; the
+        max-merge that is right for delays would resurrect dropped
+        rules here), and a host whose latest robots declared no rules
+        reads as ruleless (its NULL-pattern marker row wins, then
+        filters out). The window partitions by host over a per-host
+        tiny table — this frame broadcasts into
+        :func:`~.robots.robots_filter` like any live rule table."""
+        from pyspark.sql import Window
+
+        df = self._read(self._rules, _RULES_SCHEMA)
+        latest = F.max("round_no").over(Window.partitionBy("host"))
+        return (
+            df.withColumn("_latest", latest)
+            .filter(F.col("round_no") == F.col("_latest"))
+            .filter(F.col("pattern").isNotNull())
+            .select("host", "allow", "pattern", "rx", "plen")
+        )
+
     # -- writes --------------------------------------------------------------
     def record_round(
         self,
@@ -282,6 +340,7 @@ class CrawlState:
         counts: dict,
         frontier: DataFrame,
         delays: DataFrame | None = None,
+        rules: DataFrame | None = None,
     ) -> dict | None:
         """Persist one completed round exactly-once. Returns the
         round's summary dict (``round_no``, ``n_frontier``, the
@@ -290,11 +349,15 @@ class CrawlState:
         should be the archive's OWN declarations only — the merged
         historical table re-recorded every round would grow
         O(rounds·hosts) for zero information (the max-per-host read
-        already merges). Write order is frontier → hosts → ledger: the
-        ledger row is the commit point, and a crash before it
-        re-allocates the SAME round number (the allocator reads the
-        ledger), so the retry dynamic-overwrites its own partial
-        partitions."""
+        already merges). ``rules`` likewise: the archive's own parsed
+        rule rows (``robots.robots_rules`` shape, host/allow/pattern/
+        rx/plen — a NULL-pattern row marks a host whose robots body
+        declared no rules, which is what lets a later rule-less
+        robots.txt CLEAR stored rules). Write order is frontier →
+        hosts → rules → ledger: the ledger row is the commit point,
+        and a crash before it re-allocates the SAME round number (the
+        allocator reads the ledger), so the retry dynamic-overwrites
+        its own partial partitions."""
         if self.has_round(batch_id):
             return None
         rno = allocate_batch(
@@ -318,6 +381,18 @@ class CrawlState:
                 F.lit(int(rno)).alias("batch"),
             )
             dynamic_append(d, self._hosts, ("batch",))
+        if rules is not None:
+            rr = rules.select(
+                F.col("host").cast("string"),
+                F.col("allow").cast("boolean"),
+                F.col("pattern").cast("string"),
+                F.col("rx").cast("string"),
+                F.col("plen").cast("int"),
+                F.lit(int(rno)).alias("round_no"),
+                F.lit(int(batch_id)).alias("batch_id"),
+                F.lit(int(rno)).alias("batch"),
+            )
+            dynamic_append(rr, self._rules, ("batch",))
         n_frontier = self.frontier_of(batch_id).count()
         led = self.spark.createDataFrame(
             [
@@ -366,7 +441,12 @@ class CrawlState:
         # creates the latter; compact_store's read would throw on it)
         subs = [
             SubStore(s, ("batch",))
-            for s in (self._frontier, self._hosts, self._ledger)
+            for s in (
+                self._frontier,
+                self._hosts,
+                self._rules,
+                self._ledger,
+            )
             if os.path.isdir(s) and count_parquet_files(s) > 0
         ]
         if not subs:

@@ -221,6 +221,30 @@ def sitemap_directives(robots: DataFrame) -> DataFrame:
     )
 
 
+#: the :func:`robots_rules` row shape — what rule tables carry between
+#: the parser, the filter join, and the scheduler-state rule memory
+RULE_COLUMNS = ("host", "allow", "pattern", "rx", "plen")
+
+
+def merge_rules_per_host(primary: DataFrame, fallback: DataFrame) -> DataFrame:
+    """One effective rule table from two: every host keeps its
+    ``primary`` rule set whole, and ``fallback`` contributes ONLY hosts
+    ``primary`` does not cover. Whole-host precedence — never a row
+    union — because :func:`robots_filter`'s longest-match adjudication
+    is only meaningful within ONE version of a host's robots.txt;
+    mixing rows from two versions could resurrect a rule the newer
+    file dropped. Used to lay stored rule memory
+    (:meth:`.crawl_state.CrawlState.rules`) under a fresher table (an
+    archive's own robots bodies, a caller-supplied live set). Both
+    sides are per-host tiny; the anti-join broadcasts."""
+    p = primary.select(*RULE_COLUMNS)
+    return p.unionByName(
+        fallback.select(*RULE_COLUMNS).join(
+            F.broadcast(p.select("host").distinct()), "host", "left_anti"
+        )
+    )
+
+
 def crawl_delays(robots: DataFrame, agent: str = "*") -> DataFrame:
     """(host, crawl_delay) for hosts whose governing group declares
     one — the same small-Arrow-batch shape as :func:`robots_rules`;

@@ -808,6 +808,7 @@ def crawl_round(
     compact_threshold: int | None = None,
     prioritize_frontier: bool = False,
     extra_delays: DataFrame | None = None,
+    extra_rules: DataFrame | None = None,
     frontier_with_indegree: bool = False,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
@@ -928,11 +929,20 @@ def crawl_round(
         from . import robots as R
 
         rb = robots_bodies(recs)
+        own_rules = R.robots_rules(rb)
         if rules is None:
-            rules = R.robots_rules(rb)
+            rules = own_rules
         delays = R.crawl_delays(rb)
         sitemaps = sitemap_entries(sitemap_pages(recs)).filter(
             ~F.col("is_index")
+        )
+        # the archive's OWN rule knowledge, one row per robots-bearing
+        # host — hosts whose body declared no rules carry a
+        # NULL-pattern marker, which is what lets a persistent state
+        # dir CLEAR a host's stored rules when its robots.txt emptied
+        # (CrawlState.rules reads latest-per-host)
+        report["rules"] = rb.select("host").distinct().join(
+            own_rules, "host", "left"
         )
     if delays is not None:
         # the archive's OWN declarations, before any memory merge —
@@ -950,10 +960,27 @@ def crawl_round(
             if delays is None
             else delays.unionByName(extra_delays)
         )
+    frontier_rules = rules
+    if extra_rules is not None:
+        # rule memory (the resumable wrapper passes the state dir's
+        # stored latest-per-host rules): fills hosts THIS round knows
+        # nothing about, with whole-host precedence to the fresher
+        # side — never a row union, which would mix two versions of
+        # one host's robots.txt (see robots.merge_rules_per_host).
+        # Frontier-only: already-fetched records were adjudicated at
+        # fetch time; re-gating the ingest with old rules would drop
+        # archived content retroactively.
+        from . import robots as R
+
+        frontier_rules = (
+            R.merge_rules_per_host(rules, extra_rules)
+            if rules is not None
+            else extra_rules
+        )
     report["frontier"] = crawl_frontier(
         edges,
         seen,
-        rules=rules,
+        rules=frontier_rules,
         limit_per_domain=limit_per_domain,
         sitemaps=sitemaps,
         delays=delays,
@@ -1025,9 +1052,13 @@ def crawl_round_resumable(
     indeg) rows, deterministic across sessions); stored per-host
     delays from earlier rounds merge into this round's politeness
     budget (max per host wins), so a host's declared Crawl-delay is
-    honored even when a later archive carries no robots response; and
-    ``round_no`` / ``backlog``-over-rounds come from the state tables.
-    Extra keyword arguments pass through to :func:`crawl_round`.
+    honored even when a later archive carries no robots response;
+    stored allow/disallow rules (latest robots per host, r10 verdict
+    item 1) filter this round's frontier for hosts whose robots THIS
+    archive does not carry — whole-host precedence, the archive's own
+    robots supersedes the memory for its hosts; and ``round_no`` /
+    ``backlog``-over-rounds come from the state tables. Extra keyword
+    arguments pass through to :func:`crawl_round`.
 
     ``state_compact_threshold`` is the state dir's own fragmentation
     lever (the index stores take ``compact_threshold`` via the
@@ -1046,12 +1077,15 @@ def crawl_round_resumable(
         report["frontier"] = state.frontier_of(batch)
         report["replayed"] = True
         return report
-    # the wrapper owns these two knobs: a caller-passed extra_delays
-    # UNIONS with the stored memory (never silently replaced), and the
-    # frontier always materializes with its in-degree (the state store
-    # records the priority) — popping first keeps the documented
-    # **kw pass-through from raising duplicate-keyword TypeErrors
+    # the wrapper owns these knobs: a caller-passed extra_delays
+    # UNIONS with the stored memory (never silently replaced), a
+    # caller-passed extra_rules lays OVER the stored rule memory
+    # (whole-host precedence, fresher wins), and the frontier always
+    # materializes with its in-degree (the state store records the
+    # priority) — popping first keeps the documented **kw pass-through
+    # from raising duplicate-keyword TypeErrors
     caller_delays = kw.pop("extra_delays", None)
+    caller_rules = kw.pop("extra_rules", None)
     kw.pop("frontier_with_indegree", None)
     from .operators._util import count_parquet_files
 
@@ -1065,6 +1099,21 @@ def crawl_round_resumable(
     elif caller_delays is not None or stored_delays is not None:
         kw["extra_delays"] = (
             caller_delays if caller_delays is not None else stored_delays
+        )
+    stored_rules = (
+        state.rules()
+        if count_parquet_files(state._rules) > 0
+        else None
+    )
+    if caller_rules is not None and stored_rules is not None:
+        from . import robots as R
+
+        kw["extra_rules"] = R.merge_rules_per_host(
+            caller_rules, stored_rules
+        )
+    elif caller_rules is not None or stored_rules is not None:
+        kw["extra_rules"] = (
+            caller_rules if caller_rules is not None else stored_rules
         )
     report = crawl_round(
         spark,
@@ -1080,6 +1129,7 @@ def crawl_round_resumable(
         report,
         report["frontier"],
         delays=report.get("delays"),
+        rules=report.get("rules"),
     )
     # record_round returns the ledger summary; None means another
     # writer committed the same archive between our replay check and
