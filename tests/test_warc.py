@@ -1783,6 +1783,126 @@ def test_streaming_crawl_round_compacts_over_threshold(spark, tmp_path):
     assert count_parquet_files(f"{ti}/postings.parquet") == files_before
 
 
+def test_streaming_crawl_round_stateful_equals_batch(spark, tmp_path):
+    """r10 verdict item 3: with ``state_dir`` the streamed crawl is
+    resumable like the batch loop — a 2-archive streamed run (both
+    files in ONE micro-batch, exercising the per-file round
+    decomposition) produces a state dir ledger/frontier/backlog/
+    delays/rules-equal to ``crawl_round_resumable`` over the same
+    archives, the same graph and text index, and a fresh-checkpoint
+    replay of the drained landing dir is a per-file recorded no-op.
+    The id spaces are ONE: the batch loop replay-detects rounds the
+    stream committed."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+
+    robots_txt = (
+        b"User-agent: *\nCrawl-delay: 5\nDisallow: /private\n"
+    )
+    root = "https://se.example/"
+    p = [f"{root}p{i}" for i in range(4)] + [f"{root}private/z"]
+
+    a1 = tmp_path / "land" / "a1.warc"
+    a1.parent.mkdir()
+    a1.write_bytes(
+        W.build_warc(
+            [
+                _mk_rec("rb1", f"{root}robots.txt", robots_txt,
+                        "text/plain"),
+                _mk_page("root", root,
+                         " ".join(f"stream eq alpha{i}" for i in range(30)),
+                         hrefs=p),
+            ]
+        )
+    )
+    kw = dict(auto_politeness=True, round_seconds=10.0)
+
+    # ---- batch reference: the resumable loop ----------------------------
+    wb = GraphStore(spark, str(tmp_path / "wh_b"))
+    wb.init_schema()
+    sdb, tib = str(tmp_path / "sd_b"), str(tmp_path / "ti_b")
+    r1 = W.crawl_round_resumable(spark, wb, str(a1), sdb,
+                                 text_index=tib, **kw)
+    f1 = sorted(r.url for r in r1["frontier"].collect())
+    assert len(f1) == 2  # delay 5 @ 10 s; /private/z robots-dropped
+    a2 = tmp_path / "land" / "a2.warc"
+    a2.write_bytes(
+        W.build_warc(
+            [
+                _mk_page("f1a", f1[0],
+                         " ".join(f"stream eq beta{i}" for i in range(30)),
+                         hrefs=[f"{root}q0", f"{root}private/w"]),
+            ]
+        )
+    )
+    r2 = W.crawl_round_resumable(spark, wb, str(a2), sdb,
+                                 text_index=tib, **kw)
+
+    # ---- streamed twin: both archives in ONE availableNow drain ---------
+    ws = GraphStore(spark, str(tmp_path / "wh_s"))
+    ws.init_schema()
+    sds, tis = str(tmp_path / "sd_s"), str(tmp_path / "ti_s")
+    W.streaming_crawl_round(
+        spark, ws, str(tmp_path / "land"), str(tmp_path / "ck1"),
+        text_index=tis, state_dir=sds, **kw,
+    )
+
+    def ledger_rows(sd):
+        return sorted(
+            (r.batch_id, r.round_no, r.n_links_inserted, r.n_docs_indexed,
+             r.n_cross_dup, r.n_revisits, r.n_frontier)
+            for r in CrawlState(spark, sd).ledger().collect()
+        )
+
+    # ledger equal (minus the archive string: path vs file: URI)
+    assert ledger_rows(sds) == ledger_rows(sdb)
+    sb, ss = CrawlState(spark, sdb), CrawlState(spark, sds)
+    for bid in (r1["batch"], r2["batch"]):
+        assert sorted(
+            (r.url, r.indeg) for r in ss.frontier_of(bid).collect()
+        ) == sorted((r.url, r.indeg) for r in sb.frontier_of(bid).collect())
+    assert sorted(
+        (r.url, r.indeg) for r in ss.backlog().collect()
+    ) == sorted((r.url, r.indeg) for r in sb.backlog().collect())
+    assert {
+        (r.host, r.crawl_delay) for r in ss.delays().collect()
+    } == {(r.host, r.crawl_delay) for r in sb.delays().collect()}
+    assert {
+        (r.host, r.allow, r.pattern) for r in ss.rules().collect()
+    } == {(r.host, r.allow, r.pattern) for r in sb.rules().collect()}
+    # graph + index equal
+    assert sorted(r.url for r in ws.graph().links.collect()) == sorted(
+        r.url for r in wb.graph().links.collect()
+    )
+    for term in ("alpha3", "beta3"):
+        assert [
+            r.doc_id
+            for r in S.bm25_from_index(spark, tis, (term,), k=5).collect()
+        ] == [
+            r.doc_id
+            for r in S.bm25_from_index(spark, tib, (term,), k=5).collect()
+        ]
+
+    # fresh-checkpoint replay: every file adjudicates against its own
+    # ledger row — nothing re-ingests, nothing re-records
+    g1 = _graph_state(ws)
+    led_before = ledger_rows(sds)
+    posts = spark.read.parquet(f"{tis}/postings.parquet").count()
+    W.streaming_crawl_round(
+        spark, ws, str(tmp_path / "land"), str(tmp_path / "ck2"),
+        text_index=tis, state_dir=sds, **kw,
+    )
+    assert ledger_rows(sds) == led_before
+    assert _graph_state(ws) == g1
+    assert spark.read.parquet(f"{tis}/postings.parquet").count() == posts
+
+    # one id space: the BATCH loop sees the stream's rounds as done
+    rep = W.crawl_round_resumable(spark, ws, str(a1), sds,
+                                  text_index=tis, **kw)
+    assert rep["replayed"] is True
+
+
 def test_crawl_state_next_fetch_plan(spark, tmp_path):
     """The at-rest scheduler plan: backlog minus seen, robots-filtered,
     per-host budget from the STORED Crawl-delay — computable by a

@@ -897,10 +897,46 @@ def crawl_round(
         )
         if compacted:
             report["compacted"] = compacted
+    report["frontier"] = _derive_frontier(
+        records(),
+        store,
+        report,
+        rules=rules,
+        auto_politeness=auto_politeness,
+        limit_per_domain=limit_per_domain,
+        round_seconds=round_seconds,
+        extra_delays=extra_delays,
+        extra_rules=extra_rules,
+        prioritize=prioritize_frontier,
+        with_indegree=frontier_with_indegree,
+    )
+    return report
+
+
+def _derive_frontier(
+    recs: DataFrame,
+    store,
+    report: dict,
+    rules: DataFrame | None,
+    auto_politeness: bool,
+    limit_per_domain: int | None,
+    round_seconds: float,
+    extra_delays: DataFrame | None,
+    extra_rules: DataFrame | None,
+    prioritize: bool,
+    with_indegree: bool,
+) -> DataFrame:
+    """The post-ingest frontier derivation shared by
+    :func:`crawl_round` and :func:`streaming_crawl_round`'s stateful
+    micro-batch handler: harvested out-links minus everything already
+    in the graph (which now includes this round's pages), minus
+    revisit targets, robots-filtered and budget-capped. Mutates
+    ``report`` with the archive's OWN ``delays``/``rules`` knowledge
+    (what a persistent state dir records) and returns the frontier
+    frame."""
     # frontier: out-links not yet seen. "Seen" = the graph's stored
     # URLs (which now include this round's pages) plus revisit targets
     # (dedup hints: known-archived content is never re-fetched).
-    recs = records()
     edges = warc_link_graph(recs)
     revisits = (
         recs.filter(
@@ -977,7 +1013,7 @@ def crawl_round(
             if rules is not None
             else extra_rules
         )
-    report["frontier"] = crawl_frontier(
+    return crawl_frontier(
         edges,
         seen,
         rules=frontier_rules,
@@ -986,10 +1022,9 @@ def crawl_round(
         delays=delays,
         round_seconds=round_seconds,
         seen_normalized=True,
-        prioritize=prioritize_frontier,
-        with_indegree=frontier_with_indegree,
+        prioritize=prioritize,
+        with_indegree=with_indegree,
     )
-    return report
 
 
 def _maybe_compact_indexes(
@@ -1169,6 +1204,12 @@ def streaming_crawl_round(
     fingerprints: str | None = None,
     near_dup_bits: int | None = None,
     compact_threshold: int | None = None,
+    state_dir: str | None = None,
+    auto_politeness: bool = False,
+    limit_per_domain: int | None = None,
+    round_seconds: float = 300.0,
+    prioritize_frontier: bool = False,
+    state_compact_threshold: int | None = None,
 ) -> None:
     """Streaming twin of :func:`crawl_round`'s ingest: new archives in
     a landing directory flow through the same politeness → CDC dedup →
@@ -1186,14 +1227,33 @@ def streaming_crawl_round(
     ingest, any configured index whose parquet file count exceeds the
     threshold folds back into one segment. The fold is safe HERE
     because foreachBatch serializes micro-batches (the single-writer
-    gap the fold assumes) and micro-batch ids are MONOTONIC: a new
-    batch always lands above the fold watermark, and a crash-replayed
-    pre-fold micro-batch (id ≤ watermark) no-ops instead of
-    re-appending rows the fold already keeps — without this a
-    long-running stream fragments its postings/SQ8/bin stores
-    unboundedly."""
+    gap the fold assumes); a crash-replayed pre-fold batch no-ops via
+    the marker's exact folded-id set — without this a long-running
+    stream fragments its postings/SQ8/bin stores unboundedly.
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
+    ``state_dir`` (r10 verdict item 3) makes the STREAM resumable the
+    way :func:`crawl_round_resumable` made the batch loop: each
+    archive file in a micro-batch runs as its own recorded round —
+    ingest keyed on the file's CONTENT-HASH id (the same
+    :func:`_archive_batch_id` the batch loop derives, so the stream
+    and the batch loop produce the identical ledger/frontier/backlog
+    over the same archives), frontier + politeness knowledge landed in
+    the :class:`~.crawl_state.CrawlState` tables, stored delays/rules
+    merged into each round's budget exactly as the batch wrapper does.
+    An archive whose round already committed — in THIS stream, a prior
+    stream, or a batch ``crawl_round_resumable`` over the same state
+    dir — is skipped whole, so a fresh-checkpoint replay of an
+    already-drained landing dir is a no-op per file, not a duplicate
+    ingest under a new micro-batch id. Files within one micro-batch
+    run in sorted-path order (across micro-batches the file source
+    delivers oldest-first). ``auto_politeness`` / ``limit_per_domain``
+    / ``round_seconds`` / ``prioritize_frontier`` match
+    :func:`crawl_round`; ``state_compact_threshold`` folds the state
+    dir's own round partitions like the batch wrapper. Without
+    ``state_dir`` these knobs are ignored and behavior is the original
+    stateless ingest."""
+
+    def handle_stateless(batch_df: DataFrame, batch_id: int) -> None:
         _crawl_ingest(
             batch_df,
             store,
@@ -1213,9 +1273,93 @@ def streaming_crawl_round(
                 spark, text_index, sq8_index, bin_index, compact_threshold
             )
 
+    def handle_stateful(batch_df: DataFrame, batch_id: int) -> None:
+        from .crawl_state import CrawlState
+        from .operators._util import count_parquet_files
+
+        state = CrawlState(spark, state_dir)
+        # one ROUND per archive file (sorted for determinism): per-file
+        # content-hash ids are what make replay detection decompose —
+        # a fresh checkpoint redelivers all files in one micro-batch,
+        # and each adjudicates against its own ledger row
+        paths = sorted(
+            r.warc_file
+            for r in batch_df.select("warc_file").distinct().collect()
+        )
+        for f in paths:
+            bid = _archive_batch_id(spark, f)
+            if state.has_round(bid):
+                continue  # committed by this stream, a prior one, or
+                # the batch loop — recorded no-op
+            recs = batch_df.filter(F.col("warc_file") == f)
+            stored_delays = (
+                state.delays()
+                if count_parquet_files(state._hosts) > 0
+                else None
+            )
+            stored_rules = (
+                state.rules()
+                if count_parquet_files(state._rules) > 0
+                else None
+            )
+            report = _crawl_ingest(
+                recs,
+                store,
+                bid,
+                rules=rules,
+                text_index=text_index,
+                sq8_index=sq8_index,
+                bin_index=bin_index,
+                embed=embed,
+                embed_dim=embed_dim,
+                doc_filter=doc_filter,
+                fingerprints=fingerprints,
+                near_dup_bits=near_dup_bits,
+            )
+            if compact_threshold is not None:
+                _maybe_compact_indexes(
+                    spark, text_index, sq8_index, bin_index,
+                    compact_threshold,
+                )
+            frontier = _derive_frontier(
+                recs,
+                store,
+                report,
+                rules=rules,
+                auto_politeness=auto_politeness,
+                limit_per_domain=limit_per_domain,
+                round_seconds=round_seconds,
+                extra_delays=stored_delays,
+                extra_rules=stored_rules,
+                prioritize=prioritize_frontier,
+                with_indegree=True,
+            )
+            state.record_round(
+                bid,
+                f,
+                report,
+                frontier,
+                delays=report.get("delays"),
+                rules=report.get("rules"),
+            )
+            if state_compact_threshold is not None:
+                n = sum(
+                    count_parquet_files(s)
+                    for s in (
+                        state._frontier,
+                        state._hosts,
+                        state._rules,
+                        state._ledger,
+                    )
+                )
+                if n > int(state_compact_threshold):
+                    state.compact()
+
     q = (
         read_warc_stream(spark, path)
-        .writeStream.foreachBatch(handle)
+        .writeStream.foreachBatch(
+            handle_stateful if state_dir is not None else handle_stateless
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
