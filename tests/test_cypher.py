@@ -409,6 +409,40 @@ def test_write_merge_set_is_per_property(spark, store):
     assert row2.suggested_category == "C2"
 
 
+def test_write_merge_pk_match_divergence_pinned(spark, store):
+    """r10 verdict item 6: the two documented divergences from full
+    Cypher MERGE semantics, pinned so they cannot drift silently.
+
+    (1) MERGE matches on the PRIMARY KEY alone: a url-match whose map
+    carries a DIFFERING title is an existing-row match (real Cypher
+    would attempt a create and hit the uniqueness constraint) — the
+    stored row wins untouched when there is no SET.
+    (2) With SET, a non-SET map property fills a NULL stored value
+    (coalesce: the map is better knowledge than NULL) but never
+    overrides a non-NULL one."""
+    cypher_write(store, "MERGE (:Link {url: 'pk1', title: 'stored'})")
+    # (1) differing non-key property, no SET: existing row untouched,
+    # no error, no second row
+    cypher_write(store, "MERGE (:Link {url: 'pk1', title: 'different'})")
+    rows = store.graph().links.filter(F.col("url") == "pk1").collect()
+    assert len(rows) == 1 and rows[0].title == "stored"
+
+    # (2) SET path: stored title is NULL -> the map fills it; stored
+    # cleaned_content is non-NULL -> the map must NOT override it
+    cypher_write(
+        store, "MERGE (:Link {url: 'pk2', cleaned_content: 'kept clean'})"
+    )
+    cypher_write(
+        store,
+        "MERGE (l:Link {url: 'pk2', title: 'fills-null', "
+        "cleaned_content: 'must-not-win'}) SET l.category = 'C'",
+    )
+    row = store.graph().links.filter(F.col("url") == "pk2").first()
+    assert row.title == "fills-null"  # NULL stored value filled
+    assert row.cleaned_content == "kept clean"  # non-NULL stored wins
+    assert row.raw_category == "C"
+
+
 def test_write_merge_set_unlabeled_infers_link(spark, store):
     """The bare `MERGE (l {url:…}) SET …` form infers :Link from the
     url key — the free-endpoint shortestPath discipline."""

@@ -1288,7 +1288,26 @@ def cypher_write(store, query: str, params: dict | None = None) -> None:
 
     Matches the reference's exact write surface (``main.py:28-34,
     120-144, 313-337, 398-425, 490`` + the notebook populate loop);
-    anything else raises."""
+    anything else raises.
+
+    Documented divergence from full Cypher MERGE semantics (r10
+    verdict item 6; both behaviors test-pinned):
+
+    - MERGE matches on the PRIMARY KEY alone (url / name), not the
+      whole property map. Real Cypher would treat a url-match with a
+      differing ``title`` as no match and attempt a create (hitting
+      the uniqueness constraint); here the existing row simply wins
+      (no SET) or is updated per-property (SET). The reference's app
+      guards every MERGE with a prior existence check
+      (``main.py:367-371``), so observable behavior on reference
+      shapes is identical.
+    - With SET, a NON-SET property in the MERGE map fills a NULL
+      stored value on an existing row (the coalesce in
+      :meth:`GraphStore.merge_set_links` — the map value is "what we
+      know now", better than keeping NULL); a non-NULL stored value
+      always wins over the map. Without SET, the map's non-key
+      properties are ignored entirely for existing rows
+      (insert-if-absent, M1)."""
     from .model import LINK_COLUMNS
 
     p = _P(query, params)
