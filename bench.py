@@ -124,35 +124,68 @@ ANN_HEADLINE = {
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
 CHANGED_ENTRIES: dict[str, str] = {
-    "s_ann_pq_indexed": "r10: serving config 2x probes/rf8 -> 4x "
-    "probes/rf16 (similarity.PQ_PROBE_MULT/PQ_REFINE) — recall@5 "
-    "0.80 -> 0.98 at ~1.04x measured solo time; r9 verdict item 6, "
-    "curve in the constants' comment",
-    "s_ann_ivfpq_res_indexed": "r10: serving config 3x probes/rf8 -> "
-    "5x probes/rf32 (similarity.RES_PROBE_MULT/RES_REFINE) — recall@5 "
-    "0.70 -> 0.98 at ~1.12x measured solo time; r9 verdict item 6",
+    # r11: empty — no benched entry's implementation or serving config
+    # changed this round (the compaction-marker folded-id set only
+    # touches fold/replay adjudication, which no timed entry crosses
+    # mid-measurement; r10's PQ/RES rebaselines are now the prior).
 }
 
 # Entries whose thunk mutates its fixture (compaction, clustering,
 # appends): the MAIN run's later repeats already time the
-# post-mutation state, and a breach re-time either re-runs against a
-# mutated fixture (different work) or against a fixture an earlier
-# re-time grew. Re-times of these entries carry a `mutates_fixture`
-# annotation so an inflated or deflated re-read is self-explaining in
-# the artifact rather than needing prose adjudication. (Most such
-# fixtures live in an inner `finally` scope and fail the re-run
-# honestly anyway; the flag covers the ones that don't.)
+# post-mutation state, so their repeat medians measure slightly
+# different work than pass 1. Re-times of these entries carry a
+# `mutates_fixture` annotation AND (r10 verdict item 5) a registered
+# rerun SETUP that rebuilds the fixture outside the timer before each
+# re-timed pass — an honest number instead of a "fixture out of scope"
+# error now that the inner-finally fixtures are reconstructable.
 MUTATING_ENTRIES: dict[str, str] = {
-    "w_compact": "compacts the shared events table; pass 1 does the "
-    "real fold, later passes re-compact an already-compacted table",
-    "w_cluster_zorder": "rewrites the events table clustered; repeat "
-    "passes re-cluster already-clustered files",
-    "w_zonemap_write": "overwrites the zone-map manifest of a table "
-    "earlier entries may have re-laid-out",
+    "w_compact": "compacts the events table; the re-time rebuilds the "
+    "fragmented table before each pass",
+    "w_cluster_zorder": "rewrites the events table clustered; the "
+    "re-time rebuilds + compacts before each pass (the main run's "
+    "pass-1 state)",
+    "w_zonemap_write": "overwrites the zone-map manifest; the re-time "
+    "rebuilds + compacts + clusters before each pass",
     "w_crawl_round": "each pass lands into a FRESH store dir (equal "
-    "work), but the re-time depends on the archive fixture dir still "
-    "being in scope",
+    "work); the re-time re-creates the archive fixture dir first",
 }
+
+# recall-sidecar roles (r10 verdict item 7): after two rounds of
+# recall work the low rows are all DELIBERATE building blocks (single
+# LSH table, unprobed IVF, non-indexed PQ) whose serving twin carries
+# the production config — tag them machine-readably so the sidecar
+# grades without archaeology. Every row must read >=0.9 recall OR be
+# tagged building_block with its serving twin named.
+ANN_RECALL_ROLES: dict[str, tuple[str, str | None]] = {
+    "s_ann_lsh": ("building_block", "s_ann_hybrid_wide"),
+    "s_ann_lsh_multi": ("building_block", "s_ann_hybrid_wide"),
+    "s_ann_ivf": ("building_block", "s_ann_hybrid_wide"),
+    "s_ann_ivf_trained": ("building_block", "s_ann_hybrid_wide"),
+    "s_ann_hybrid": ("building_block", "s_ann_hybrid_wide"),
+    "s_ann_pq": ("building_block", "s_ann_pq_indexed"),
+    "s_ann_pq_opq": ("building_block", "s_ann_pq_indexed"),
+    "s_ann_hybrid_wide": ("serving", None),
+    "s_ann_sq8": ("serving", None),
+    "s_ann_bin": ("serving", None),
+    "s_ann_pq_indexed": ("serving", None),
+    "s_ann_ivfpq_res": ("serving", None),
+}
+
+
+def tag_recall_roles(recalls: dict[str, float]) -> dict[str, dict]:
+    """Wrap the flat recall@5 map into role-tagged sidecar rows:
+    ``{"recall": v, "role": "serving"|"building_block"[, "serving":
+    twin]}``. Unknown names default to the serving role — the
+    conservative tag, since a serving row must clear the 0.9 bar or
+    the judge flags it."""
+    out: dict[str, dict] = {}
+    for name, v in recalls.items():
+        role, twin = ANN_RECALL_ROLES.get(name, ("serving", None))
+        row: dict = {"recall": v, "role": role}
+        if twin is not None:
+            row["serving"] = twin
+        out[name] = row
+    return out
 
 
 def _opq_pq(emb, d: int):
@@ -244,6 +277,75 @@ def ann_recalls(emb, n_emb: int, emb_dim: int, exact: set | None = None) -> dict
     return {
         name: recall_of(fn(emb, n_emb, emb_dim), exact)
         for name, fn in ANN_RECALL.items()
+    }
+
+
+def solo_retime(
+    run, probe: float, probe_kind: str, cooldown: float,
+    note: str | None = None, setup=None,
+) -> dict:
+    """One breaching entry's solo re-time: optional UNTIMED fixture
+    rebuild (once, before the passes — reproducing the main run's
+    pass-1-real / later-passes-idempotent shape so the re-timed median
+    measures the same work the committed prior did), then a fresh
+    median-of-3. Importable so the mutating-entry rebuild path is
+    testable against a real fixture (r10 verdict item 5)."""
+    samples = []
+    try:
+        if setup is not None:
+            setup()
+        for _ in range(3):
+            t0 = time.time()
+            run()
+            samples.append(time.time() - t0)
+    except Exception as exc:  # fixture cleaned by an inner finally
+        res = {
+            "error": f"{type(exc).__name__} (fixture out of scope)",
+            "cooldown_s": cooldown,
+            "probe": probe,
+            "probe_kind": probe_kind,
+        }
+        if note:
+            res["mutates_fixture"] = note
+        return res
+    samples.sort()
+    res = {
+        "median": round(samples[1], 3),
+        "n": 3,
+        "cooldown_s": cooldown,
+        "probe": probe,
+        "probe_kind": probe_kind,
+    }
+    if note:
+        res["mutates_fixture"] = note
+    return res
+
+
+def _wh_retime_setups(wh, ev_w) -> dict:
+    """Fixture rebuilders for the warehouse-maintenance re-times: each
+    recreates its entry's main-run PASS-1 input state from the source
+    frame — the bench's inner ``finally`` removes the warehouse dir
+    before report assembly, and the Warehouse API recreates it on
+    write, so a breach re-time produces an honest median instead of a
+    ``fixture out of scope`` error (r10 verdict item 5). Importable
+    for the forced-breach test."""
+
+    def fragmented():
+        wh.create_table("events", ev_w.schema)
+        wh.overwrite("events", ev_w.repartition(64))
+
+    def compacted():
+        fragmented()
+        wh.compact("events")
+
+    def clustered():
+        compacted()
+        wh.cluster("events", ("event_type", "ts"), target_file_bytes=1 << 20)
+
+    return {
+        "w_compact": fragmented,
+        "w_cluster_zorder": compacted,
+        "w_zonemap_write": clustered,
     }
 
 
@@ -450,8 +552,10 @@ def main() -> None:
     cur_group = ["graph"]
     # every timed entry's thunk, kept for breach re-times (r8 verdict
     # item 1); entries whose fixtures are scoped to an inner finally
-    # (index tempdirs) fail the re-run and record that honestly
+    # fail the re-run and record that honestly — UNLESS they register
+    # a rerun setup that rebuilds the fixture (r10 verdict item 5)
     reruns: dict[str, object] = {}
+    rerun_setups: dict[str, object] = {}
 
     def group_mark(name: str) -> None:
         # close the current query group with a micro cpu calibration:
@@ -460,7 +564,7 @@ def main() -> None:
         cal_groups[cur_group[0]] = cpu_probe(spark)
         cur_group[0] = name
 
-    def timed(name: str, run, repeats: int = 3) -> None:
+    def timed(name: str, run, repeats: int = 3, rerun_setup=None) -> None:
         # n>=3, median headline: best-of-2 already caused one
         # false-regression read (r2 verdict); the median absorbs both the
         # first-pass codegen-compile pass and a single transient outlier,
@@ -478,6 +582,8 @@ def main() -> None:
         stats[name] = {"median": round(median, 3), "p95": round(p95, 3), "n": n}
         groups[name] = cur_group[0]
         reruns[name] = run
+        if rerun_setup is not None:
+            rerun_setups[name] = rerun_setup
 
     def timed_build(name: str, run, repeats: int = 3):
         # one-time builds/trains were the last n=1 raw-timed entries;
@@ -688,20 +794,28 @@ def main() -> None:
         try:
             wh = Warehouse(spark, wh_dir)
             ev_w = load_table(spark, sf_dir, "events")
+            wh_setups = _wh_retime_setups(wh, ev_w)
             wh.create_table("events", ev_w.schema)
             wh.overwrite("events", ev_w.repartition(64))  # fragmented
-            timed("w_compact", lambda: wh.compact("events"), repeats=3)
+            timed(
+                "w_compact",
+                lambda: wh.compact("events"),
+                repeats=3,
+                rerun_setup=wh_setups["w_compact"],
+            )
             timed(
                 "w_cluster_zorder",
                 lambda: wh.cluster(
                     "events", ("event_type", "ts"), target_file_bytes=1 << 20
                 ),
                 repeats=3,
+                rerun_setup=wh_setups["w_cluster_zorder"],
             )
             timed(
                 "w_zonemap_write",
                 lambda: wh.write_zonemap("events", ("event_type", "ts")),
                 repeats=3,
+                rerun_setup=wh_setups["w_zonemap_write"],
             )
             lo_hi = ev_w.agg(
                 SF.min("event_type").alias("lo"), SF.max("event_type").alias("hi")
@@ -769,7 +883,19 @@ def main() -> None:
                     shutil.rmtree(d, ignore_errors=True)
                     raise
 
-            timed("w_crawl_round", run_crawl)
+            def crawl_fixture_setup():
+                # a breach re-time runs after the finally below removed
+                # the archive dir — rebuild it from the still-in-scope
+                # payload bytes (untimed; r10 verdict item 5), clearing
+                # any stale per-pass store dirs first
+                for d in crawl_tmp:
+                    shutil.rmtree(d, ignore_errors=True)
+                crawl_tmp.clear()
+                os.makedirs(crawl_dir, exist_ok=True)
+                with open(f"{crawl_dir}/bench.warc.gz", "wb") as fh:
+                    fh.write(payload)
+
+            timed("w_crawl_round", run_crawl, rerun_setup=crawl_fixture_setup)
         finally:
             shutil.rmtree(crawl_dir, ignore_errors=True)
             for d in crawl_tmp:
@@ -970,6 +1096,10 @@ def main() -> None:
         cal_groups[cur_group[0]] = cpu_probe(spark)
         recalls = ann_recalls(emb, n_emb, emb_dim, exact=exact)
         recalls.update(extra_recall)
+        # role-tag the sidecar rows (r10 verdict item 7): serving
+        # configs must clear >=0.9; deliberate building blocks name
+        # their serving twin machine-readably
+        recalls = tag_recall_roles(recalls)
         calibration = machine_calibration(spark)
         calibration["groups"] = cal_groups
         calibration["gate"] = gate
@@ -980,47 +1110,27 @@ def main() -> None:
             # is bound on (io-labelled entries re-probe the disk — a
             # cpu probe reads normal straight through a slow disk
             # window and would mislabel host noise as a confirmed
-            # regression), then a fresh median-of-3 — both readings
-            # land in the artifact so an unchanged-code host-window
-            # breach adjudicates itself with zero prose
+            # regression), then a fresh median-of-3 via solo_retime —
+            # both readings land in the artifact so an unchanged-code
+            # host-window breach adjudicates itself with zero prose.
+            # Entries with a registered rerun setup (the mutating
+            # warehouse/crawl fixtures) rebuild their fixture untimed
+            # first (r10 verdict item 5).
             run = reruns.get(name)
             if run is None:
                 return None
-            # mutating-thunk annotation (r9 advice): the re-time still
-            # runs (an honest number beats none), but the artifact says
-            # WHY it may measure different work than the main run did
-            note = MUTATING_ENTRIES.get(name)
             cool = float(os.environ.get("SPARK_GRAFT_RETIME_COOLDOWN", "20"))
             time.sleep(cool)
             kind = "io" if groups.get(name) == "io" else "cpu"
             probe = io_probe(spark) if kind == "io" else cpu_probe(spark)
-            samples = []
-            try:
-                for _ in range(3):
-                    t0 = time.time()
-                    run()
-                    samples.append(time.time() - t0)
-            except Exception as exc:  # fixture cleaned by an inner finally
-                res = {
-                    "error": f"{type(exc).__name__} (fixture out of scope)",
-                    "cooldown_s": cool,
-                    "probe": probe,
-                    "probe_kind": kind,
-                }
-                if note:
-                    res["mutates_fixture"] = note
-                return res
-            samples.sort()
-            res = {
-                "median": round(samples[1], 3),
-                "n": 3,
-                "cooldown_s": cool,
-                "probe": probe,
-                "probe_kind": kind,
-            }
-            if note:
-                res["mutates_fixture"] = note
-            return res
+            return solo_retime(
+                run,
+                probe,
+                kind,
+                cool,
+                note=MUTATING_ENTRIES.get(name),
+                setup=rerun_setups.get(name),
+            )
 
         # report assembly runs INSIDE the fixture scope so breach
         # re-times can re-run graph/registry entries against live data
@@ -1378,6 +1488,13 @@ def build_report(
     # the adjudication fields if it would still overflow
     out.pop("deltas", None)
     out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    # role-tagged recall rows (r10 verdict item 7) live whole in the
+    # detail sidecar; the driver line keeps the flat floats under its
+    # 1920-char budget
+    if out.get("recall") and all(
+        isinstance(v, dict) for v in out["recall"].values()
+    ):
+        out["recall"] = {k: v.get("recall") for k, v in out["recall"].items()}
     if "normalized_deltas" in out:
         full_nd = out["normalized_deltas"]
         out["normalized_deltas"] = {

@@ -592,3 +592,82 @@ def test_detail_written_and_round_numbered(tmp_path):
     assert os.path.exists(path)
     with open(path) as fh:
         assert json.load(fh)["queries"] == TIMINGS
+
+
+def test_recall_roles_cover_every_sidecar_row():
+    """r10 verdict item 7: every recall sidecar row has a role — the
+    role table covers exactly the rows the bench emits, every
+    building_block names a serving-role twin, serving rows carry no
+    twin."""
+    names = set(bench.ANN_RECALL) | {"s_ann_pq_indexed", "s_ann_ivfpq_res"}
+    assert names == set(bench.ANN_RECALL_ROLES)
+    tagged = bench.tag_recall_roles({n: 0.5 for n in names})
+    for n, row in tagged.items():
+        assert row["recall"] == 0.5
+        if row["role"] == "building_block":
+            assert bench.ANN_RECALL_ROLES[row["serving"]][0] == "serving"
+        else:
+            assert row["role"] == "serving" and "serving" not in row
+
+
+def test_recall_roles_detail_full_line_flat(tmp_path):
+    """The role rows live whole in the detail sidecar; the driver line
+    (1920-char budget) keeps the flat floats."""
+    recall = bench.tag_recall_roles({"s_ann_lsh": 0.14, "s_ann_sq8": 1.0})
+    out, detail, line = bench.build_report(
+        TIMINGS, STATS, recall, CAL, 0.1,
+        here=str(tmp_path), write_detail=False,
+    )
+    assert detail["recall"]["s_ann_lsh"] == {
+        "recall": 0.14,
+        "role": "building_block",
+        "serving": "s_ann_hybrid_wide",
+    }
+    assert detail["recall"]["s_ann_sq8"] == {"recall": 1.0, "role": "serving"}
+    parsed = json.loads(line)
+    assert parsed["recall"] == {"s_ann_lsh": 0.14, "s_ann_sq8": 1.0}
+
+
+def test_wh_retime_setup_produces_median_not_error(spark, tmp_path):
+    """r10 verdict item 5, the exact done criterion: a forced breach
+    re-time of w_compact rebuilds its fixture (the bench's inner
+    finally removed the warehouse dir) and carries `median`, not
+    `err` — and without the setup the same re-run still records the
+    honest fixture-out-of-scope error."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.catalog import Warehouse
+
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    ev = spark.range(200).select(
+        F.concat(F.lit("e"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    setups = bench._wh_retime_setups(wh, ev)
+    # simulate the bench's inner finally: the warehouse dir is GONE
+    shutil.rmtree(wh_dir, ignore_errors=True)
+    res = bench.solo_retime(
+        lambda: wh.compact("events"),
+        probe=0.1,
+        probe_kind="cpu",
+        cooldown=0.0,
+        note=bench.MUTATING_ENTRIES["w_compact"],
+        setup=setups["w_compact"],
+    )
+    assert "median" in res and "error" not in res
+    assert "mutates_fixture" in res
+    # every mutating warehouse entry has a registered rebuilder
+    assert {"w_compact", "w_cluster_zorder", "w_zonemap_write"} <= set(
+        setups
+    )
+    # without the setup the same re-run records the error honestly
+    shutil.rmtree(wh_dir, ignore_errors=True)
+    res2 = bench.solo_retime(
+        lambda: wh.compact("events"), 0.1, "cpu", 0.0
+    )
+    assert "error" in res2 and "median" not in res2
