@@ -802,6 +802,9 @@ def test_crawl_state_route(spark, store, tmp_path):
     assert body["rounds"][0]["n_frontier"] == 2  # delay 5 @ 10 s
     assert body["delays"] == {"ops.example": 5.0}
     assert body["n_hosts_total"] == 1
+    # the robots body declared no allow/disallow rules — the rule
+    # memory holds its NULL marker only, so zero rule-bearing hosts
+    assert body["n_rule_hosts_total"] == 0
     # the plan: remaining budgeted candidates, capped by k
     body2 = c.get("/crawl/state?plan=1&round_seconds=10&k=1").get_json()
     assert len(body2["plan"]) == 1

@@ -967,6 +967,13 @@ def create_app(
                     last.collect(), key=lambda r: int(r.round_no)
                 )
             ],
+            # rule memory summary (count only — rule rows are a
+            # per-host table best read as a DataFrame, and the delay
+            # map already demonstrates the capped-list shape)
+            "n_rule_hosts_total": state.rules()
+            .select("host")
+            .distinct()
+            .count(),
             "n_hosts_total": dl.count(),
             # the strictest (slowest) hosts first — the rows an
             # operator actually looks for; host breaks score ties
