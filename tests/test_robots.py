@@ -256,3 +256,40 @@ def test_merge_rules_per_host_whole_host_precedence(spark):
     }
     # a.example's old rule must NOT survive alongside the new one
     assert got == {("a.example", "/new"), ("b.example", "/b")}
+
+
+def test_robots_filter_non_broadcast_path(spark):
+    """broadcast=False: a rule memory grown past the broadcast budget
+    adjudicates via a shuffled equi-join — identical results, no
+    broadcast of the rules side."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    urls = spark.createDataFrame(
+        [("https://a.example/private/x",), ("https://a.example/ok",),
+         ("https://norules.example/p",)],
+        ["url"],
+    )
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /private\n")],
+            ["host", "body"],
+        )
+    )
+    want = {r.url for r in R.robots_filter(urls, rules).collect()}
+    got_df = R.robots_filter(urls, rules, broadcast=False)
+    assert {r.url for r in got_df.collect()} == want == {
+        "https://a.example/ok", "https://norules.example/p"
+    }
+    # the pin is the HINT's absence in the logical plan — the planner
+    # (AQE included) stays free to broadcast a genuinely small side by
+    # stats, which is exactly the point: broadcast=False removes the
+    # unconditional force, it does not forbid the strategy
+    lp = got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in lp.lower()
+    lp_forced = (
+        R.robots_filter(urls, rules)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "broadcast" in lp_forced.lower()

@@ -247,6 +247,7 @@ class CrawlState:
         rules: DataFrame | None = None,
         limit_per_domain: int | None = None,
         round_seconds: float = 300.0,
+        broadcast_rules: bool = True,
     ) -> DataFrame:
         """What a resumed scheduler should fetch NEXT, computed purely
         from the state at rest — no new archive needed: the cross-round
@@ -260,6 +261,10 @@ class CrawlState:
         (the same ``_budget_cap`` window the live frontier derivation
         uses — partitioned by host, highest in-degree first, no global
         sort at any backlog size). Returns (url, indeg) rows.
+        ``broadcast_rules=False`` switches the robots adjudication to
+        a shuffled equi-join for a rule memory grown past the
+        broadcast budget (millions of hosts — see
+        :func:`~.robots.robots_filter`).
 
         :meth:`backlog` is the diagnostic twin (globally
         priority-ordered, no budget); this is the operational shape a
@@ -279,7 +284,7 @@ class CrawlState:
         elif rules is None:
             rules = stored_rules
         if rules is not None:
-            cand = R.robots_filter(cand, rules)
+            cand = R.robots_filter(cand, rules, broadcast=broadcast_rules)
         # a file-less hosts store (one robots-less round's empty
         # append) carries no delay knowledge — keep the no-budget fast
         # path instead of paying the broadcast join + window for a

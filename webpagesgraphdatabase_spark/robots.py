@@ -167,20 +167,28 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
 
 
 def robots_filter(
-    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+    urls: DataFrame, rules: DataFrame, url_col: str = "url",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Filter a URL frame to the crawl-allowed subset: longest-match
     rule per URL (allow wins length ties), hosts without rules pass.
 
-    The rules side broadcasts; the winner is ``max_by(allow, (plen,
-    allow))`` — a partial-aggregatable struct-max, no per-host
-    window. Set semantics: the adjudicating groupBy collapses exact
-    duplicate input rows (a URL frontier is a set anyway)."""
+    The rules side broadcasts by default — a single archive's parsed
+    robots tables are KB-sized per host. A corpus-wide rule MEMORY
+    (:meth:`.crawl_state.CrawlState.rules` after millions of hosts)
+    outgrows the broadcast budget: pass ``broadcast=False`` and the
+    adjudication becomes a plain shuffled equi-join on host — same
+    result, one hash exchange per side instead of a driver-sized
+    build. The winner either way is ``max_by(allow, (plen, allow))``
+    — a partial-aggregatable struct-max, no per-host window. Set
+    semantics: the adjudicating groupBy collapses exact duplicate
+    input rows (a URL frontier is a set anyway)."""
     u = urls.withColumn("_host", F.regexp_extract(F.col(url_col), _HOST_RE, 1)).withColumn(
         "_path", F.coalesce(F.regexp_extract(F.col(url_col), _PATH_RE, 1), F.lit("/"))
     ).withColumn("_path", F.when(F.col("_path") == "", "/").otherwise(F.col("_path")))
+    rules_side = F.broadcast(rules) if broadcast else rules
     matched = (
-        u.join(F.broadcast(rules), u["_host"] == rules["host"], "left")
+        u.join(rules_side, u["_host"] == rules["host"], "left")
         .withColumn(
             "_hit",
             F.col("rx").isNotNull() & F.expr("_path RLIKE rx"),
