@@ -123,11 +123,27 @@ ANN_HEADLINE = {
 # `rebaselined` with their ratio AND reason — never silently dropped.
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
+_ARGMAX_REASON = (
+    "r11: _argmax_assign mult=1 is now a partial-aggregatable "
+    "struct-max instead of a row_number window (bit-identical winner; "
+    "map-side combine shuffles |corpus| rows, not |corpus|*n_centroids "
+    "through a sort), and kmeans_centroids persists its training frame "
+    "across Lloyd iterations — expected faster, same results "
+    "(assignment/centroid checksums verified equal)"
+)
 CHANGED_ENTRIES: dict[str, str] = {
-    # r11: empty — no benched entry's implementation or serving config
-    # changed this round (the compaction-marker folded-id set only
-    # touches fold/replay adjudication, which no timed entry crosses
-    # mid-measurement; r10's PQ/RES rebaselines are now the prior).
+    # r11: every entry crossing the mult=1 centroid argmax (ad-hoc IVF
+    # query paths, IVF/IVFADC builds, SemDeDup's cluster assignment)
+    # or the Lloyd training loop. s_ann_pq_build is NOT here: its
+    # encode is assign_mult=2 (the unchanged top-k window) over an
+    # untrained coarse quantizer.
+    "s_ann_ivf": _ARGMAX_REASON,
+    "s_ann_hybrid": _ARGMAX_REASON,
+    "s_ann_hybrid_wide": _ARGMAX_REASON,
+    "s_semantic_dedup": _ARGMAX_REASON,
+    "s_ann_ivf_index_build": _ARGMAX_REASON,
+    "s_ann_ivf_trained_build": _ARGMAX_REASON,
+    "s_ann_ivfpq_res_build": _ARGMAX_REASON,
 }
 
 # Entries whose thunk mutates its fixture (compaction, clustering,

@@ -352,7 +352,14 @@ def kmeans_centroids(
     cents = ivf_centroids(emb, n_centroids).persist()
     cents.count()
     tr = _train_sample(emb, train_cap, corpus_count)
-    v = tr.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    # the training frame is read twice per iteration (assign scan +
+    # means join) × n_iters — persist it once for the loop's duration
+    # so the corpus scan and the hash-sample filter run once, not 2·k
+    # times (it is ≤ train_cap rows by construction)
+    v = tr.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).persist()
+    v.count()
     for _ in range(n_iters):
         assigned = _argmax_assign(v, cents)
         means = (
@@ -381,6 +388,7 @@ def kmeans_centroids(
         new_cents.count()
         cents.unpersist()
         cents = new_cents
+    v.unpersist()
     return cents
 
 
@@ -390,7 +398,19 @@ def _argmax_assign(v: DataFrame, cents: DataFrame, mult: int = 1) -> DataFrame:
     ties → smallest cid. ``mult`` > 1 keeps the top-``mult`` centroids
     per vector (multi-assignment — the coverage lever for at-rest ANN
     layouts: a vector findable from any of its ``mult`` nearest lists
-    costs ``mult``× storage but zero extra probe work)."""
+    costs ``mult``× storage but zero extra probe work).
+
+    The ``mult=1`` argmax is a partial-aggregatable struct-max (the
+    same no-window discipline as :func:`train_pq`'s per-subspace
+    argmin and ``robots_filter``'s rule adjudication): the map-side
+    combine collapses the |corpus|·|cents| scored rows to ONE row per
+    vector before any exchange, where a row_number window would sort
+    the full scored frame through a shuffle — at corpus scale that is
+    the difference between moving |corpus| rows and moving
+    |corpus|·n_centroids. The winner is identical bit-for-bit: struct
+    comparison is lexicographic on (cos, -cid), the exact (cos desc,
+    cid asc) order the window used. ``mult`` > 1 (an at-rest encode
+    lever, never a per-query path) keeps the top-k window."""
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
@@ -399,6 +419,17 @@ def _argmax_assign(v: DataFrame, cents: DataFrame, mult: int = 1) -> DataFrame:
             / (F.col("nrm") * F.col("cnrm"))
         ).alias("cos"),
     )
+    if mult == 1:
+        best = F.max(
+            F.struct(
+                F.col("cos").alias("cos"),
+                (-F.col("cid")).alias("neg_cid"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("best")
+        return scored.groupBy("vec_id").agg(best).select(
+            "vec_id", F.col("best.cid").alias("cid")
+        )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -421,8 +452,9 @@ def ivf_assign(
 
     Scale shape: the centroid table is tiny and **broadcast**, so
     assignment is a map-side cross join + argmax — the corpus itself
-    never shuffles; the argmax window partitions on vec_id (unique key,
-    no skew)."""
+    never shuffles; the ``mult=1`` argmax is a partial-aggregatable
+    struct-max that collapses map-side (see :func:`_argmax_assign`),
+    so the exchange after it carries one row per vector."""
     if cents is None:
         cents = ivf_centroids(emb, n_centroids)
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
