@@ -277,3 +277,27 @@ def test_crawl_state_fetch_plan_shape(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     # the budget window partitions by host — never a global sort
     assert "Window" in plan and "_host" in plan
+
+
+def test_ivf_assign_is_partial_agg_not_window(spark):
+    """r11: the single-assignment centroid argmax is a struct-max
+    aggregation with a map-side partial (the exchange after it carries
+    one row per vector), never a row_number window whose sort would
+    shuffle |corpus|·n_centroids scored rows. Multi-assignment (an
+    encode-time lever) keeps its top-k window — also pinned, so a
+    future refactor collapsing the two paths shows up here."""
+    from webpagesgraphdatabase_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0, 0.5]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    plan = _plan(similarity.ivf_assign(vecs, n_centroids=4))
+    assert "Window" not in plan, plan
+    # the partial level collapses map-side BEFORE the exchange (struct
+    # buffers plan as SortAggregate — the sort is per-partition local;
+    # the exchange still carries one row per vector)
+    assert "partial_max" in plan, plan
+    assert "Exchange hashpartitioning(vec_id" in plan, plan
+    plan_multi = _plan(similarity.ivf_assign(vecs, n_centroids=4, mult=2))
+    assert "Window" in plan_multi, plan_multi

@@ -409,8 +409,12 @@ def _argmax_assign(v: DataFrame, cents: DataFrame, mult: int = 1) -> DataFrame:
     the difference between moving |corpus| rows and moving
     |corpus|·n_centroids. The winner is identical bit-for-bit: struct
     comparison is lexicographic on (cos, -cid), the exact (cos desc,
-    cid asc) order the window used. ``mult`` > 1 (an at-rest encode
-    lever, never a per-query path) keeps the top-k window."""
+    cid asc) order the window used. (Struct buffers plan as
+    SortAggregate, so the partial level pays a per-partition LOCAL
+    sort — cheap CPU, no data movement; the plan pin in
+    test_plan_shapes asserts the partial collapses before the
+    exchange.) ``mult`` > 1 (an at-rest encode lever, never a
+    per-query path) keeps the top-k window."""
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
