@@ -201,6 +201,32 @@ def test_kmeans_zero_iters_equals_seeded_sample(vecs):
     )
 
 
+def test_kmeans_midloop_failure_leaves_no_cached_blocks(spark, monkeypatch):
+    """r11 ADVICE: an exception mid-Lloyd-loop must not leak the cached
+    training frame (or the iteration's centroid table) for the session
+    lifetime — the loop unpersists in try/finally, matching
+    build_pq_index's persist discipline."""
+    rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    calls = {"n": 0}
+    real = similarity._argmax_assign
+
+    def boom(v, cents, mult=1):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected mid-loop failure")
+        return real(v, cents, mult)
+
+    monkeypatch.setattr(similarity, "_argmax_assign", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        similarity.kmeans_centroids(emb, n_centroids=2, n_iters=3)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before
+
+
 def test_kmeans_centroids_converge_to_blob_directions(spark):
     # two well-separated blobs; after Lloyd steps each blob direction is
     # captured by some centroid (cosine ≈ 1), wherever the seeds started

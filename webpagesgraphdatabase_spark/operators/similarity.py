@@ -359,36 +359,52 @@ def kmeans_centroids(
     v = tr.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     ).persist()
-    v.count()
-    for _ in range(n_iters):
-        assigned = _argmax_assign(v, cents)
-        means = (
-            v.join(assigned, "vec_id")
-            .select("cid", "nrm", F.posexplode("embedding").alias("d", "val"))
-            .groupBy("cid", "d")
-            .agg(F.avg(F.col("val").cast("double") / F.col("nrm")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "m"))),
-                    lambda s: s["m"],
-                ).alias("new_cemb")
+    # try/finally matches build_pq_index's persist discipline: an
+    # exception mid-loop must not leak the cached training frame (or
+    # the current iteration's centroid table) for the session lifetime
+    try:
+        v.count()
+        for _ in range(n_iters):
+            assigned = _argmax_assign(v, cents)
+            means = (
+                v.join(assigned, "vec_id")
+                .select(
+                    "cid", "nrm", F.posexplode("embedding").alias("d", "val")
+                )
+                .groupBy("cid", "d")
+                .agg(
+                    F.avg(F.col("val").cast("double") / F.col("nrm")).alias(
+                        "m"
+                    )
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "m"))),
+                        lambda s: s["m"],
+                    ).alias("new_cemb")
+                )
             )
-        )
-        # a list that lost all members keeps its previous centroid
-        new_cents = (
-            cents.join(means, "cid", "left")
-            .select(
-                "cid",
-                F.coalesce(F.col("new_cemb"), F.col("cemb")).alias("cemb"),
+            # a list that lost all members keeps its previous centroid
+            new_cents = (
+                cents.join(means, "cid", "left")
+                .select(
+                    "cid",
+                    F.coalesce(F.col("new_cemb"), F.col("cemb")).alias(
+                        "cemb"
+                    ),
+                )
+                .select("cid", "cemb", _norm(F.col("cemb")).alias("cnrm"))
+                .persist()
             )
-            .select("cid", "cemb", _norm(F.col("cemb")).alias("cnrm"))
-            .persist()
-        )
-        new_cents.count()
+            new_cents.count()
+            cents.unpersist()
+            cents = new_cents
+    except BaseException:
         cents.unpersist()
-        cents = new_cents
-    v.unpersist()
+        raise
+    finally:
+        v.unpersist()
     return cents
 
 
