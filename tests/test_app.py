@@ -858,3 +858,98 @@ def test_crawl_state_route(spark, store, tmp_path):
     assert capped["rounds"][0]["batch_id"] == rep2["batch"]  # newest
     assert capped["n_hosts_total"] == 2
     assert capped["delays"] == {"ops2.example": 9.0}  # strictest
+
+
+def test_crawl_state_route_broadcast_rules_param(
+    spark, store, tmp_path, monkeypatch
+):
+    """r11 verdict item 1: /crawl/state?plan=1 can reach the robots
+    join-strategy choice — ?broadcast_rules=0/1 passes an explicit
+    bool through to next_fetch_plan, absent means None (auto by the
+    store-size probe)."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    seen = []
+
+    def spy(self, seen_df=None, rules=None, limit_per_domain=None,
+            round_seconds=300.0, broadcast_rules=None, **kw):
+        seen.append(broadcast_rules)
+        return spark.createDataFrame(
+            [("https://x.example/a", 1)], "url string, indeg long"
+        )
+
+    monkeypatch.setattr(CrawlState, "next_fetch_plan", spy)
+    app = create_app(store, crawl_state_path=str(tmp_path / "state"))
+    c = app.test_client()
+    assert c.get("/crawl/state?plan=1").status_code == 200
+    assert c.get("/crawl/state?plan=1&broadcast_rules=0").status_code == 200
+    assert c.get("/crawl/state?plan=1&broadcast_rules=1").status_code == 200
+    assert seen == [None, False, True]
+
+
+def test_crawl_state_route_host_point_lookup(spark, store, tmp_path):
+    """r11 verdict item 6: /crawl/state?host= returns one host's
+    governing state — latest rule set (k-capped with the total
+    alongside), strictest stored delay, backlog candidate count — and
+    a host whose newest robots.txt cleared its rules (NULL marker)
+    reads RULELESS."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    sd = str(tmp_path / "state")
+    state = CrawlState(spark, sd)
+    RULE_DDL = (
+        "host string, allow boolean, pattern string, rx string, plen int"
+    )
+    state.record_round(
+        501, "r1.warc", {},
+        spark.createDataFrame(
+            [
+                ("https://a.example/c1", 3),
+                ("https://a.example/c2", 1),
+                ("https://b.example/c3", 2),
+            ],
+            "url string, indeg long",
+        ),
+        delays=spark.createDataFrame(
+            [("a.example", 5.0)], "host string, crawl_delay double"
+        ),
+        rules=spark.createDataFrame(
+            [
+                ("a.example", False, "/private", "^/private", 8),
+                ("a.example", True, "/private/ok", "^/private/ok", 11),
+                ("b.example", False, "/b1", "^/b1", 3),
+            ],
+            RULE_DDL,
+        ),
+    )
+    # round 2: b.example's robots emptied — NULL marker CLEARS it
+    state.record_round(
+        502, "r2.warc", {},
+        spark.createDataFrame([], "url string, indeg long"),
+        rules=spark.createDataFrame(
+            [("b.example", None, None, None, None)], RULE_DDL
+        ),
+    )
+
+    c = create_app(store, crawl_state_path=sd).test_client()
+    a = c.get("/crawl/state?host=a.example").get_json()
+    assert a["host"] == "a.example"
+    assert a["crawl_delay"] == 5.0
+    assert a["n_rules_total"] == 2
+    # longest pattern first — the adjudication's consult order
+    assert [r["pattern"] for r in a["rules"]] == ["/private/ok", "/private"]
+    assert a["backlog_count"] == 2
+
+    # k caps the rule list, total stays
+    a1 = c.get("/crawl/state?host=a.example&k=1").get_json()
+    assert len(a1["rules"]) == 1 and a1["n_rules_total"] == 2
+
+    # the cleared host: ruleless, no delay, its candidate still queued
+    b = c.get("/crawl/state?host=b.example").get_json()
+    assert b["rules"] == [] and b["n_rules_total"] == 0
+    assert b["crawl_delay"] is None
+    assert b["backlog_count"] == 1
+
+    # unknown host: all-empty scalars, still a 200 (bounded response)
+    z = c.get("/crawl/state?host=zz.example").get_json()
+    assert z["rules"] == [] and z["backlog_count"] == 0

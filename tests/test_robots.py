@@ -293,3 +293,98 @@ def test_robots_filter_non_broadcast_path(spark):
         .toString()
     )
     assert "broadcast" in lp_forced.lower()
+
+
+def test_fits_broadcast_probe_is_threshold_exact(spark):
+    """fits_broadcast: a limit-bounded row probe against the budget —
+    exactly at the threshold fits, one past it does not."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [
+                (f"h{i}.example", "User-agent: *\nDisallow: /p\n")
+                for i in range(4)
+            ],
+            ["host", "body"],
+        )
+    )
+    assert R.fits_broadcast(rules, max_rows=4)
+    assert not R.fits_broadcast(rules, max_rows=3)
+
+
+def test_robots_filter_auto_selects_join_by_budget(spark, monkeypatch):
+    """broadcast=None (auto): a rule table within the budget keeps the
+    broadcast hint, one past it adjudicates via the shuffled equi-join
+    — identical results either way (r11 verdict item 1)."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    urls = spark.createDataFrame(
+        [("https://h0.example/private/x",), ("https://h0.example/ok",),
+         ("https://norules.example/p",)],
+        ["url"],
+    )
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [
+                (f"h{i}.example", "User-agent: *\nDisallow: /private\n")
+                for i in range(5)
+            ],
+            ["host", "body"],
+        )
+    )
+    want = {r.url for r in R.robots_filter(urls, rules).collect()}
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    over = R.robots_filter(urls, rules, broadcast=None)
+    assert "broadcast" not in (
+        over._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert {r.url for r in over.collect()} == want
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100)
+    under = R.robots_filter(urls, rules, broadcast=None)
+    assert "broadcast" in (
+        under._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert {r.url for r in under.collect()} == want
+
+
+def test_effective_rules_freshest_first_fold(spark):
+    """effective_rules: left fold of merge_rules_per_host — each host
+    governed by the FRESHEST table covering it, whole rule set; None
+    entries skip; all-None returns None (r11 verdict item 7)."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    def tbl(*host_pattern):
+        return R.robots_rules(
+            spark.createDataFrame(
+                [
+                    (h, f"User-agent: *\nDisallow: {p}\n")
+                    for h, p in host_pattern
+                ],
+                ["host", "body"],
+            )
+        )
+
+    own = tbl(("a.example", "/own"))
+    caller = tbl(("a.example", "/caller"), ("b.example", "/caller-b"))
+    stored = tbl(
+        ("a.example", "/old"),
+        ("b.example", "/old-b"),
+        ("c.example", "/stored-c"),
+    )
+    got = {
+        (r.host, r.pattern)
+        for r in R.effective_rules(own, caller, stored).collect()
+    }
+    assert got == {
+        ("a.example", "/own"),
+        ("b.example", "/caller-b"),
+        ("c.example", "/stored-c"),
+    }
+    assert R.effective_rules(None, None) is None
+    only = R.effective_rules(None, caller, None)
+    assert {
+        (r.host, r.pattern) for r in only.collect()
+    } == {("a.example", "/caller"), ("b.example", "/caller-b")}

@@ -2444,3 +2444,562 @@ def test_crawl_state_model_based_sequence(spark, tmp_path):
             rep = state.compact()
             assert rep["files_after"] <= rep["files_before"]
         check()
+
+
+def _wide_rules(spark, n_hosts=5, pattern="/private"):
+    from webpagesgraphdatabase_spark import robots as R
+
+    return R.robots_rules(
+        spark.createDataFrame(
+            [
+                (f"h{i}.example", f"User-agent: *\nDisallow: {pattern}\n")
+                for i in range(n_hosts)
+            ],
+            ["host", "body"],
+        )
+    )
+
+
+def test_crawl_frontier_auto_shuffles_oversize_rules(spark, monkeypatch):
+    """r11 verdict item 1, call site 1 (crawl_frontier): with no
+    explicit choice, a rule table past the broadcast budget
+    adjudicates via the shuffled equi-join (no broadcast hint in the
+    plan); within the budget the hint stays — identical results."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    edges = spark.createDataFrame(
+        [
+            ("https://h0.example/a", "https://h0.example/private/x"),
+            ("https://h0.example/a", "https://h0.example/new"),
+            ("https://h1.example/a", "https://h9.example/other"),
+        ],
+        ["src_url", "dst_url"],
+    )
+    seen = spark.createDataFrame([("https://h0.example/a",)], ["url"])
+    rules = _wide_rules(spark)
+    want = {
+        r.url for r in W.crawl_frontier(edges, seen, rules=rules).collect()
+    }
+    assert want == {"https://h0.example/new", "https://h9.example/other"}
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    over = W.crawl_frontier(edges, seen, rules=rules)
+    assert "broadcast" not in (
+        over._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert {r.url for r in over.collect()} == want
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100)
+    under = W.crawl_frontier(edges, seen, rules=rules)
+    assert "broadcast" in (
+        under._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert {r.url for r in under.collect()} == want
+
+
+def _spy_robots_filter(monkeypatch):
+    """Record the broadcast choice each robots_filter call receives
+    (the gates pass their RESOLVED bool, never None), delegating to
+    the real adjudication so results stay real."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    seen = []
+    real = R.robots_filter
+
+    def spy(urls, rules, url_col="url", broadcast=True):
+        seen.append(broadcast)
+        return real(urls, rules, url_col=url_col, broadcast=broadcast)
+
+    monkeypatch.setattr(R, "robots_filter", spy)
+    return seen
+
+
+def test_crawl_round_both_gates_pick_scale_safe_join(
+    spark, tmp_path, monkeypatch
+):
+    """r11 verdict item 1, call sites 2+3 (_crawl_ingest's politeness
+    gate and the frontier gate inside crawl_round): with caller rules
+    past the budget, BOTH gates resolve to the shuffled join
+    (broadcast=False reaches robots_filter — whose non-broadcast plan
+    shape is pinned in test_robots.py); within the budget both stay
+    broadcast. Results identical either way."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    (tmp_path / "crawl.warc").write_bytes(W.build_warc(_crawl_records()))
+    rules = _rules(spark).unionByName(_wide_rules(spark, n_hosts=4))
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    seen = _spy_robots_filter(monkeypatch)
+    store = GraphStore(spark, str(tmp_path / "wh1"))
+    store.init_schema()
+    rep = W.crawl_round(spark, store, str(tmp_path / "crawl.warc"), rules=rules)
+    f_over = {r.url for r in rep["frontier"].collect()}
+    assert seen == [False, False]  # ingest gate, then frontier gate
+    urls_over = {r.url for r in store.graph().links.collect()}
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100_000)
+    seen.clear()
+    store2 = GraphStore(spark, str(tmp_path / "wh2"))
+    store2.init_schema()
+    rep2 = W.crawl_round(
+        spark, store2, str(tmp_path / "crawl.warc"), rules=rules
+    )
+    assert seen == [True, True]
+    assert {r.url for r in rep2["frontier"].collect()} == f_over
+    assert {r.url for r in store2.graph().links.collect()} == urls_over == {
+        "https://site.example/a", "https://site.example/b"
+    }
+
+
+def test_resumable_rule_memory_over_budget_goes_shuffled(
+    spark, tmp_path, monkeypatch
+):
+    """r11 verdict item 1, the scale case the defect was about: a
+    STORED rule memory past the broadcast budget makes the resumable
+    round's frontier gate pick the shuffled join automatically (the
+    raw-store probe), and next_fetch_plan's own adjudication plan
+    carries no broadcast hint; with a small memory both stay
+    broadcast. An explicit broadcast_rules= overrides."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    (tmp_path / "crawl.warc").write_bytes(W.build_warc(_crawl_records()))
+    state_dir = str(tmp_path / "state")
+    state = CrawlState(spark, state_dir)
+    # seed the memory: one prior round with a 5-host rule table
+    state.record_round(
+        7,
+        "seed.warc",
+        {"n_docs_indexed": 0},
+        spark.createDataFrame(
+            [("https://h0.example/seeded", 1)], "url string, indeg long"
+        ),
+        rules=_wide_rules(spark),
+    )
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    assert not state.rules_fit_broadcast()
+    # next_fetch_plan auto: shuffled adjudication, no broadcast hint
+    plan = state.next_fetch_plan()
+    assert "broadcast" not in (
+        plan._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    seen = _spy_robots_filter(monkeypatch)
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    W.crawl_round_resumable(
+        spark, store, str(tmp_path / "crawl.warc"), state_dir
+    )
+    assert seen and all(b is False for b in seen)
+
+    # small memory (threshold back up): broadcast everywhere, and the
+    # explicit override still wins
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100_000)
+    assert state.rules_fit_broadcast()
+    plan_small = state.next_fetch_plan()
+    assert "broadcast" in (
+        plan_small._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    forced = state.next_fetch_plan(broadcast_rules=False)
+    assert "broadcast" not in (
+        forced._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, plan_small.collect())
+    )
+
+
+def test_crawl_state_compact_prunes_superseded_rules(spark, tmp_path):
+    """r11 verdict item 2: compact() folds the rules store down to the
+    latest committed round per host — superseded rule rows and stale
+    CLEAR markers drop (lossless: the latest-per-host read can never
+    pick them), an uncommitted crash partition stays in place for its
+    retry, and rules() reads identically before and after."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.operators.store_lifecycle import (
+        allocate_batch,
+        dynamic_append,
+    )
+
+    RULE_DDL = "host string, allow boolean, pattern string, rx string, plen int"
+
+    def rules_df(*rows):
+        return spark.createDataFrame(list(rows), RULE_DDL)
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+    f = spark.createDataFrame(
+        [("https://pr.example/seed", 1)], "url string, indeg long"
+    )
+    # round 1: hostA one rule, hostB one rule
+    state.record_round(
+        401, "r1.warc", {}, f,
+        rules=rules_df(
+            ("a.example", False, "/a1", "^/a1", 3),
+            ("b.example", False, "/b1", "^/b1", 3),
+        ),
+    )
+    # round 2: hostA REPLACED with two rules, hostB CLEARED (marker)
+    state.record_round(
+        402, "r2.warc", {}, f,
+        rules=rules_df(
+            ("a.example", False, "/a2a", "^/a2a", 4),
+            ("a.example", True, "/a2b", "^/a2b", 4),
+            ("b.example", None, None, None, None),
+        ),
+    )
+    # round 3: hostC appears
+    state.record_round(
+        403, "r3.warc", {}, f,
+        rules=rules_df(("c.example", False, "/c3", "^/c3", 3)),
+    )
+    # round 4 CRASHES between the rules append and the ledger row
+    rno = allocate_batch(
+        spark, state.root, state._ledger, None, allow_missing=True
+    )
+    assert rno == 4
+    crash = rules_df(("d.example", False, "/d4", "^/d4", 3)).select(
+        "*",
+        F.lit(int(rno)).alias("round_no"),
+        F.lit(404).alias("batch_id"),
+        F.lit(int(rno)).alias("batch"),
+    )
+    dynamic_append(crash, state._rules, ("batch",))
+    assert not state.has_round(404)
+
+    def read_rules():
+        return sorted(
+            (r.host, r.allow, r.pattern)
+            for r in state.rules().collect()
+        )
+
+    before = read_rules()
+    # b.example cleared; d.example's uncommitted round is visible (the
+    # read's pre-existing semantics — its retry will commit the round)
+    assert before == [
+        ("a.example", False, "/a2a"),
+        ("a.example", True, "/a2b"),
+        ("c.example", False, "/c3"),
+        ("d.example", False, "/d4"),
+    ]
+    state.compact()
+    assert read_rules() == before  # read-equal across the fold
+    raw = spark.read.parquet(state._rules)
+    # post-fold store == latest committed round per host (a2a, a2b,
+    # b-marker, c3) + the untouched uncommitted partition (d4):
+    # round-1 rows and nothing else dropped
+    assert raw.count() == 5
+    assert sorted(
+        (r.host, r.pattern, int(r.round_no), int(r.batch))
+        for r in raw.collect()
+    ) == [
+        ("a.example", "/a2a", 2, 0),
+        ("a.example", "/a2b", 2, 0),
+        ("b.example", None, 2, 0),
+        ("c.example", "/c3", 3, 0),
+        ("d.example", "/d4", 4, 4),  # crash partition: in place
+    ]
+
+    # the retry commits round 4 with DIFFERENT rules — its dynamic
+    # overwrite replaces the stale partition; a second compact then
+    # prunes the now-superseded history down to one round per host
+    state.record_round(
+        404, "r4.warc", {}, f,
+        rules=rules_df(("d.example", False, "/d4new", "^/d4new", 6)),
+    )
+    assert read_rules() == [
+        ("a.example", False, "/a2a"),
+        ("a.example", True, "/a2b"),
+        ("c.example", False, "/c3"),
+        ("d.example", False, "/d4new"),
+    ]
+    state.compact()
+    assert read_rules()[-1] == ("d.example", False, "/d4new")
+    assert spark.read.parquet(state._rules).count() == 5
+    assert {
+        int(r.batch) for r in spark.read.parquet(state._rules).collect()
+    } == {0}
+
+
+def test_streaming_crawl_round_landing_parse_once(spark, tmp_path):
+    """r11 verdict item 3: landing= on the stateful stream lands each
+    micro-batch's uncommitted archives ONCE as per-file parquet
+    partitions; ingest + frontier then read the columnar landing with
+    partition pruning (plan-pinned: FileScan parquet with a warc_file
+    partition filter, no second byte parse), results stay equal to the
+    batch resumable loop, and a fresh-checkpoint replay neither
+    re-lands nor re-records."""
+    import os
+
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    robots_txt = b"User-agent: *\nDisallow: /private\n"
+    root = "https://lp.example/"
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a1.warc").write_bytes(
+        W.build_warc(
+            [
+                _mk_rec("rb", f"{root}robots.txt", robots_txt, "text/plain"),
+                _mk_page("r", root, "landing parse once alpha",
+                         hrefs=[f"{root}p1", f"{root}private/x"]),
+            ]
+        )
+    )
+    (land / "a2.warc").write_bytes(
+        W.build_warc(
+            [_mk_page("p1", f"{root}p1", "landing parse once beta",
+                      hrefs=[f"{root}p2"])]
+        )
+    )
+    kw = dict(auto_politeness=True)
+
+    # batch reference over the same archives
+    wb = GraphStore(spark, str(tmp_path / "wh_b"))
+    wb.init_schema()
+    sdb = str(tmp_path / "sd_b")
+    W.crawl_round_resumable(spark, wb, str(land / "a1.warc"), sdb, **kw)
+    W.crawl_round_resumable(spark, wb, str(land / "a2.warc"), sdb, **kw)
+
+    ws = GraphStore(spark, str(tmp_path / "wh_s"))
+    ws.init_schema()
+    sds, ldir = str(tmp_path / "sd_s"), str(tmp_path / "landing")
+    W.streaming_crawl_round(
+        spark, ws, str(land), str(tmp_path / "ck1"),
+        state_dir=sds, landing=ldir, **kw,
+    )
+
+    def ledger_rows(sd):
+        return sorted(
+            (r.batch_id, r.round_no, r.n_links_inserted, r.n_frontier)
+            for r in CrawlState(spark, sd).ledger().collect()
+        )
+
+    assert ledger_rows(sds) == ledger_rows(sdb)
+    assert sorted(r.url for r in ws.graph().links.collect()) == sorted(
+        r.url for r in wb.graph().links.collect()
+    )
+    sb, ss = CrawlState(spark, sdb), CrawlState(spark, sds)
+    assert sorted(
+        (r.url, r.indeg) for r in ss.backlog().collect()
+    ) == sorted((r.url, r.indeg) for r in sb.backlog().collect())
+    assert {
+        (r.host, r.allow, r.pattern) for r in ss.rules().collect()
+    } == {(r.host, r.allow, r.pattern) for r in sb.rules().collect()}
+
+    # the landing holds one partition per archive file, and the
+    # per-file read — what ingest and frontier consume — plans as a
+    # partition-pruned parquet FileScan, not a byte re-parse
+    parts = sorted(
+        d for d in os.listdir(f"{ldir}/stream.parquet")
+        if d.startswith("warc_file=")
+    )
+    assert len(parts) == 2
+    recs = W._stream_landed_records(
+        spark, ldir, spark.read.parquet(f"{ldir}/stream.parquet")
+        .select("warc_file").first()[0]
+    )
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
+    assert "warc_file" in plan
+    assert "binaryfile" not in plan.lower()
+    assert "mapinpandas" not in plan.lower()
+    assert recs.count() > 0
+
+    # fresh-checkpoint replay: per-file recorded no-op, landing intact
+    mtimes = {
+        p: os.path.getmtime(f"{ldir}/stream.parquet/{p}") for p in parts
+    }
+    led = ledger_rows(sds)
+    W.streaming_crawl_round(
+        spark, ws, str(land), str(tmp_path / "ck2"),
+        state_dir=sds, landing=ldir, **kw,
+    )
+    assert ledger_rows(sds) == led
+    assert {
+        p: os.path.getmtime(f"{ldir}/stream.parquet/{p}") for p in parts
+    } == mtimes
+
+
+def test_model_based_stream_batch_interleaving(spark, tmp_path):
+    """r11 verdict item 5: one scripted sequence mixing BATCH resumable
+    rounds, STREAMED micro-batch drains (fresh checkpoint each time —
+    the ledger, not the checkpoint, adjudicates), a simulated crash
+    (ingest + frontier append, NO ledger row), the crashed round's
+    retry arriving through the OTHER loop (the stream commits what the
+    batch loop crashed), and state+index compaction — checked against
+    a pure-Python model after EVERY step for ledger membership,
+    per-round frontier content, backlog (stale crash rows included
+    until the retry's overwrite), graph links, and per-archive visible
+    docs in the BM25 index (exactly-once across replays and folds)."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators import search as S
+    from webpagesgraphdatabase_spark.operators.store_lifecycle import (
+        allocate_batch,
+        dynamic_append,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ck = [0]
+
+    def archive(i, n_pages):
+        """Archive i: n_pages unique pages, each linking the global
+        /shared URL and its own /a<i>/out<j> — so the model's frontier
+        for round i is {shared: n_pages} ∪ {out<j>: 1}."""
+        pages, urls = [], set()
+        outlinks = {"https://mb.example/shared": n_pages}
+        for j in range(n_pages):
+            url = f"https://mb.example/a{i}/p{j}"
+            urls.add(url)
+            out = f"https://mb.example/a{i}/out{j}"
+            outlinks[out] = 1
+            text = f"tokarch{i} " + " ".join(
+                f"w{i}x{j}x{t}" for t in range(25)
+            )
+            pages.append(_mk_page(
+                f"a{i}p{j}", url, text,
+                hrefs=["https://mb.example/shared", out],
+            ))
+        (land / f"a{i}.warc").write_bytes(W.build_warc(pages))
+        return {
+            "file": str(land / f"a{i}.warc"),
+            "pages": urls,
+            "outlinks": outlinks,
+            "token": f"tokarch{i}",
+            "n_pages": n_pages,
+        }
+
+    A, B, C, D, E = (archive(i, n) for i, n in
+                     ((1, 2), (2, 1), (3, 2), (4, 2), (5, 3)))
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    sd, ti = str(tmp_path / "state"), str(tmp_path / "ti")
+    state = CrawlState(spark, sd)
+
+    committed: dict[int, dict] = {}   # bid -> archive model
+    stale: dict[int, dict] = {}       # crashed frontier partitions
+    ingested: dict[int, dict] = {}    # graph/index content landed
+
+    def drain():
+        ck[0] += 1
+        W.streaming_crawl_round(
+            spark, store, str(land), str(tmp_path / f"ck{ck[0]}"),
+            text_index=ti, state_dir=sd,
+        )
+
+    def check():
+        led = {
+            int(r.batch_id): int(r.n_frontier)
+            for r in state.ledger().collect()
+        }
+        assert led == {
+            b: len(m["outlinks"]) for b, m in committed.items()
+        }
+        for bid, m in committed.items():
+            got = sorted(
+                (r.url, r.indeg)
+                for r in state.frontier_of(bid).collect()
+            )
+            assert got == sorted(m["outlinks"].items()), bid
+        expect: dict[str, int] = {}
+        for m in list(committed.values()) + list(stale.values()):
+            for u, d in m["outlinks"].items():
+                expect[u] = max(expect.get(u, 0), d)
+        assert {
+            r.url: r.indeg for r in state.backlog().collect()
+        } == expect
+        want_pages = set()
+        for m in ingested.values():
+            want_pages |= m["pages"]
+        assert {
+            r.url for r in store.graph().links.collect()
+        } == want_pages
+        for m in ingested.values():
+            hits = S.bm25_from_index(spark, ti, (m["token"],), k=10)
+            assert len(hits.collect()) == m["n_pages"], m["token"]
+
+    bids = {m["file"]: W._archive_batch_id(spark, m["file"])
+            for m in (A, B, C, D, E)}
+
+    # 1. batch resumable round over A
+    r = W.crawl_round_resumable(spark, store, A["file"], sd, text_index=ti)
+    assert r["replayed"] is False
+    committed[bids[A["file"]]] = A
+    ingested[bids[A["file"]]] = A
+    check()
+
+    # 2. stream drain: B and C commit, A is skipped (one id space)
+    #    — remove D and E from the landing first (they arrive later)
+    import os
+
+    os.rename(D["file"], str(tmp_path / "a4.hold"))
+    os.rename(E["file"], str(tmp_path / "a5.hold"))
+    drain()
+    for m in (B, C):
+        committed[bids[m["file"]]] = m
+        ingested[bids[m["file"]]] = m
+    check()
+
+    # 3. simulated crash on D: full ingest + frontier append, NO ledger
+    #    row — and the stale partition carries a row the real retry
+    #    will NOT produce (a doc_filter change between attempts)
+    os.rename(str(tmp_path / "a4.hold"), D["file"])
+    bid_d = bids[D["file"]]
+    W.crawl_round(spark, store, D["file"], text_index=ti, batch=bid_d)
+    rno = allocate_batch(
+        spark, state.root, state._ledger, None, allow_missing=True
+    )
+    stale_model = dict(D["outlinks"])
+    stale_model["https://mb.example/stale-d"] = 9
+    dynamic_append(
+        spark.createDataFrame(
+            [(u, d, bid_d, rno) for u, d in stale_model.items()],
+            "url string, indeg long, batch_id int, batch int",
+        ),
+        state._frontier,
+        ("batch",),
+    )
+    ingested[bid_d] = D
+    stale[bid_d] = {"outlinks": stale_model}
+    assert not state.has_round(bid_d)
+    check()
+
+    # 4. the STREAM retries the batch-crashed round: D commits through
+    #    the other loop, its overwrite replaces the stale rows
+    drain()
+    committed[bid_d] = D
+    del stale[bid_d]
+    check()
+
+    # 5. state + index compaction: reads survive the folds
+    state.compact()
+    S.compact_text_index(spark, ti)
+    check()
+
+    # 6. batch replays of a batch-committed AND a stream-committed
+    #    round: recorded no-ops with the stored summaries
+    for m in (A, B):
+        rep = W.crawl_round_resumable(
+            spark, store, m["file"], sd, text_index=ti
+        )
+        assert rep["replayed"] is True
+        assert rep["n_frontier"] == len(m["outlinks"])
+    check()
+
+    # 7. a late archive through the batch loop
+    os.rename(str(tmp_path / "a5.hold"), E["file"])
+    W.crawl_round_resumable(spark, store, E["file"], sd, text_index=ti)
+    committed[bids[E["file"]]] = E
+    ingested[bids[E["file"]]] = E
+    check()
+
+    # 8. final fresh-checkpoint drain over the full landing: everything
+    #    adjudicates committed — nothing re-ingests, nothing re-records
+    drain()
+    check()

@@ -943,6 +943,17 @@ def create_app(
                 400,
             )
         state = CrawlState(store.spark, crawl_state_path)
+        # ?host= point lookup (r11 verdict item 6): one host's latest
+        # rule set + strictest delay + backlog count, k-capped — an
+        # operator can see WHICH rules govern a host without Spark
+        # access; a cleared-rules host reads ruleless
+        host_q = request.args.get("host")
+        if host_q:
+            return jsonify(
+                state.host_summary(
+                    host_q, seen=store.graph().links, k=k
+                )
+            )
         led = state.ledger()
         dl = state.delays()
         # the newest N rounds (ledger rows are per-round tiny but
@@ -990,9 +1001,17 @@ def create_app(
         # explicit flag parse (ADVICE r10): ?plan=0 / ?plan=false must
         # NOT trigger the backlog anti-join + budget window
         if request.args.get("plan") in ("1", "true"):
+            # ?broadcast_rules=0/1 overrides the robots-adjudication
+            # join strategy; absent → next_fetch_plan AUTO-selects by
+            # the raw-store size probe (r11 verdict item 1 — the route
+            # can now reach the scale-safe choice)
+            bc_arg = request.args.get("broadcast_rules")
             plan = state.next_fetch_plan(
                 seen=store.graph().links,
                 round_seconds=round_seconds,
+                broadcast_rules=(
+                    None if bc_arg is None else bc_arg in ("1", "true")
+                ),
             )
             # a deterministic TOP-k, not k arbitrary rows: the budget
             # window orders within hosts only, so the response cap
@@ -1024,9 +1043,10 @@ def create_app(
             "over stored page content.",
             "POST /hybrid with JSON {terms, vector, k} for reciprocal-"
             "rank-fusion hybrid retrieval over both indexes.",
-            "GET /crawl/state (optional ?plan=1&k=100&round_seconds=300) "
-            "for the crawl scheduler's round ledger, politeness memory, "
-            "and budgeted next fetch plan.",
+            "GET /crawl/state (optional ?plan=1&k=100&round_seconds=300"
+            "&broadcast_rules=0, or ?host=example.com for one host's "
+            "rules/delay/backlog) for the crawl scheduler's round "
+            "ledger, politeness memory, and budgeted next fetch plan.",
         ]
         if _wants_html():  # templates/instructions.html parity
             return render_template_string(_INSTRUCTIONS_TEMPLATE, instructions=lines)

@@ -241,13 +241,41 @@ class CrawlState:
             F.col("indeg").desc(), F.md5("url"), F.col("url")
         )
 
+    def rules_fit_broadcast(self, max_rows: int | None = None) -> bool:
+        """Does the stored rule memory fit the broadcast budget
+        (:data:`.robots.BROADCAST_RULES_MAX_ROWS`)? The probe counts
+        RAW store rows with a short-circuiting ``limit(n+1)`` parquet
+        scan — an upper bound on the latest-per-host read the filter
+        actually consumes, so the only possible mis-call is shuffling a
+        table that would still have broadcast: the safe direction. The
+        crawl wrappers use this as the cheap stat that picks the
+        :func:`.robots.robots_filter` join strategy (r11 verdict
+        item 1)."""
+        from . import robots as R
+        from .operators._util import count_parquet_files
+
+        if count_parquet_files(self._rules) == 0:
+            return True
+        n = (
+            R.BROADCAST_RULES_MAX_ROWS
+            if max_rows is None
+            else int(max_rows)
+        )
+        return (
+            self._read(self._rules, _RULES_SCHEMA)
+            .select("host")
+            .limit(n + 1)
+            .count()
+            <= n
+        )
+
     def next_fetch_plan(
         self,
         seen: DataFrame | None = None,
         rules: DataFrame | None = None,
         limit_per_domain: int | None = None,
         round_seconds: float = 300.0,
-        broadcast_rules: bool = True,
+        broadcast_rules: bool | None = None,
     ) -> DataFrame:
         """What a resumed scheduler should fetch NEXT, computed purely
         from the state at rest — no new archive needed: the cross-round
@@ -261,10 +289,13 @@ class CrawlState:
         (the same ``_budget_cap`` window the live frontier derivation
         uses — partitioned by host, highest in-degree first, no global
         sort at any backlog size). Returns (url, indeg) rows.
-        ``broadcast_rules=False`` switches the robots adjudication to
-        a shuffled equi-join for a rule memory grown past the
-        broadcast budget (millions of hosts — see
-        :func:`~.robots.robots_filter`).
+        ``broadcast_rules`` picks the robots adjudication join: the
+        default ``None`` AUTO-selects by :meth:`rules_fit_broadcast`
+        (the raw-store probe) plus a bounded probe of any caller
+        table; ``False`` forces the shuffled equi-join for a rule
+        memory grown past the broadcast budget (millions of hosts —
+        see :func:`~.robots.robots_filter`), ``True`` forces the
+        broadcast hint.
 
         :meth:`backlog` is the diagnostic twin (globally
         priority-ordered, no budget); this is the operational shape a
@@ -279,10 +310,18 @@ class CrawlState:
             if count_parquet_files(self._rules) > 0
             else None
         )
-        if rules is not None and stored_rules is not None:
-            rules = R.merge_rules_per_host(rules, stored_rules)
-        elif rules is None:
-            rules = stored_rules
+        if broadcast_rules is None:
+            # resolve BEFORE the merge: probing the merged frame would
+            # pay part of the memory's latest-per-host window; the raw
+            # store count and a bounded caller probe are the cheap
+            # stats (over-estimates only ever shuffle a broadcastable
+            # table — the safe direction)
+            broadcast_rules = (
+                stored_rules is None or self.rules_fit_broadcast()
+            ) and (rules is None or R.fits_broadcast(rules))
+        # freshest-first whole-host precedence: caller table over the
+        # stored memory (one shared fold — r11 verdict item 7)
+        rules = R.effective_rules(rules, stored_rules)
         if rules is not None:
             cand = R.robots_filter(cand, rules, broadcast=broadcast_rules)
         # a file-less hosts store (one robots-less round's empty
@@ -336,6 +375,56 @@ class CrawlState:
             .filter(F.col("pattern").isNotNull())
             .select("host", "allow", "pattern", "rx", "plen")
         )
+
+    def host_summary(
+        self, host: str, seen: DataFrame | None = None, k: int = 100
+    ) -> dict:
+        """One host's governing crawl state — the operator point lookup
+        behind ``/crawl/state?host=`` (r11 verdict item 6): the latest
+        remembered rule set (a host whose newest robots.txt declared no
+        rules reads RULELESS — its NULL marker wins, then filters out),
+        the strictest stored Crawl-delay (or None), and the count of
+        stored backlog candidates on the host (minus ``seen`` when
+        given — pass the graph's links, same as :meth:`backlog`). The
+        rule list caps at ``k`` rows, longest patterns first (the rows
+        longest-match adjudication would consult first) with totals
+        alongside — the /similar k-discipline; everything else is a
+        scalar, so the response is bounded at any memory size."""
+        from . import robots as R
+
+        rules = self.rules().filter(F.col("host") == host)
+        rule_rows = (
+            rules.orderBy(F.col("plen").desc(), "pattern", "allow")
+            .limit(max(0, int(k)))
+            .collect()
+        )
+        delay_row = (
+            self.delays().filter(F.col("host") == host).first()
+        )
+        host_of = F.regexp_extract(F.col("url"), R._HOST_RE, 1)
+        backlog_count = (
+            self._candidates(seen, "indeg")
+            .filter(host_of == host)
+            .count()
+        )
+        return {
+            "host": host,
+            "crawl_delay": (
+                float(delay_row.crawl_delay)
+                if delay_row is not None
+                else None
+            ),
+            "rules": [
+                {
+                    "allow": bool(r.allow),
+                    "pattern": r.pattern,
+                    "plen": int(r.plen),
+                }
+                for r in rule_rows
+            ],
+            "n_rules_total": rules.count(),
+            "backlog_count": int(backlog_count),
+        }
 
     # -- writes --------------------------------------------------------------
     def record_round(
@@ -426,6 +515,46 @@ class CrawlState:
             "n_frontier": int(n_frontier),
         }
 
+    def _rules_prune_fold(self, committed_rounds: list[int]):
+        """The rules store's compaction fold (r11 verdict item 2): the
+        default committed-to-segment-0 relabel PLUS a lossless prune —
+        drop committed rows whose host has a LATER committed round.
+        The read's own latest-per-host semantics define the prune:
+        :meth:`rules` can never pick a superseded committed row (a
+        host's newer robots.txt replaces the old one whole), so the
+        store stops growing O(rounds × robots-bearing hosts) and the
+        per-read window runs over ~one round per host. Safety
+        discipline matches the shared fold exactly:
+
+        - only COMMITTED rows (``round_no`` in the ledger — the data
+          column, so the test survives prior folds) participate in or
+          are subject to the prune; an uncommitted crash partition
+          rewrites byte-identically in place for its retry's dynamic
+          overwrite;
+        - "latest" is computed over committed rows ONLY — an
+          uncommitted round's rows may still be replaced by a retry,
+          so they must never justify dropping committed knowledge;
+        - NULL-pattern marker rows prune like any rule row: kept iff
+          their round is the host's latest committed one (a superseded
+          CLEAR marker is as dead as a superseded rule)."""
+        from pyspark.sql import Window
+
+        rounds = [int(x) for x in committed_rounds]
+
+        def fold(df: DataFrame) -> DataFrame:
+            committed = F.col("round_no").isin(rounds)
+            latest = F.max("round_no").over(Window.partitionBy("host"))
+            kept = (
+                df.filter(committed)
+                .withColumn("_latest", latest)
+                .filter(F.col("round_no") == F.col("_latest"))
+                .drop("_latest")
+                .withColumn("batch", F.lit(0))
+            )
+            return kept.unionByName(df.filter(~committed))
+
+        return fold
+
     def compact(self) -> dict:
         """Fold the accumulated round partitions of all state stores
         into segment 0 (the shared watermark-first two-rename fold).
@@ -437,15 +566,36 @@ class CrawlState:
         (frontier/hosts appended, ledger row never written) stays in
         place for the retry's dynamic overwrite (ADVICE r10 — folding
         it would freeze duplicate rows in segment 0 that the retry
-        could never replace)."""
+        could never replace). The rules store additionally PRUNES
+        superseded per-host history in the same fold
+        (:meth:`_rules_prune_fold` — lossless by the read's
+        latest-per-host semantics, r11 verdict item 2)."""
         import os
 
         from .operators._util import count_parquet_files
 
+        rules_fold = None
+        if (
+            os.path.isdir(self._rules)
+            and count_parquet_files(self._rules) > 0
+        ):
+            committed = [
+                int(r[0])
+                for r in self.ledger()
+                .select("round_no")
+                .distinct()
+                .collect()
+                if r[0] is not None
+            ]
+            rules_fold = self._rules_prune_fold(committed)
         # skip missing AND file-less stores (an empty-frame append
         # creates the latter; compact_store's read would throw on it)
         subs = [
-            SubStore(s, ("batch",))
+            SubStore(
+                s,
+                ("batch",),
+                fold=rules_fold if s == self._rules else None,
+            )
             for s in (
                 self._frontier,
                 self._hosts,

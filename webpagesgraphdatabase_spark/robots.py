@@ -35,6 +35,26 @@ from pyspark.sql import functions as F
 _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$"
 
+#: broadcast budget for rule tables, in ROWS. A rule row is a few
+#: hundred bytes (host + pattern + regex), so 100k rows is tens of MB —
+#: the conventional explicit-broadcast comfort zone. A single archive's
+#: parsed robots tables never approach this; a corpus-lifetime rule
+#: MEMORY (:meth:`.crawl_state.CrawlState.rules` over millions of
+#: hosts) crosses it, and past it the adjudication join must go
+#: shuffled instead of building a driver-sized broadcast every round.
+BROADCAST_RULES_MAX_ROWS = 100_000
+
+
+def fits_broadcast(rules: DataFrame, max_rows: int | None = None) -> bool:
+    """Cheap size probe: does this rule table fit the broadcast budget?
+    ``limit(n+1).count()`` short-circuits the scan at the threshold —
+    the probe's cost is bounded by the budget, never by the table. The
+    crawl call sites use this to AUTO-pick the
+    :func:`robots_filter` join strategy when the caller didn't
+    (r11 verdict item 1)."""
+    n = BROADCAST_RULES_MAX_ROWS if max_rows is None else int(max_rows)
+    return rules.select("host").limit(n + 1).count() <= n
+
 
 def _select_group(txt: str, agent: str) -> list[tuple[str, str]]:
     """The (directive, value) lines of the robots group that governs
@@ -168,7 +188,7 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
 
 def robots_filter(
     urls: DataFrame, rules: DataFrame, url_col: str = "url",
-    broadcast: bool = True,
+    broadcast: bool | None = True,
 ) -> DataFrame:
     """Filter a URL frame to the crawl-allowed subset: longest-match
     rule per URL (allow wins length ties), hosts without rules pass.
@@ -179,10 +199,16 @@ def robots_filter(
     outgrows the broadcast budget: pass ``broadcast=False`` and the
     adjudication becomes a plain shuffled equi-join on host — same
     result, one hash exchange per side instead of a driver-sized
-    build. The winner either way is ``max_by(allow, (plen, allow))``
-    — a partial-aggregatable struct-max, no per-host window. Set
-    semantics: the adjudicating groupBy collapses exact duplicate
-    input rows (a URL frontier is a set anyway)."""
+    build. ``broadcast=None`` AUTO-selects by the
+    :func:`fits_broadcast` size probe (the crawl loop's hot gates pass
+    their resolved choice instead, so the probe never repeats per
+    site — r11 verdict item 1). The winner either way is
+    ``max_by(allow, (plen, allow))`` — a partial-aggregatable
+    struct-max, no per-host window. Set semantics: the adjudicating
+    groupBy collapses exact duplicate input rows (a URL frontier is a
+    set anyway)."""
+    if broadcast is None:
+        broadcast = fits_broadcast(rules)
     u = urls.withColumn("_host", F.regexp_extract(F.col(url_col), _HOST_RE, 1)).withColumn(
         "_path", F.coalesce(F.regexp_extract(F.col(url_col), _PATH_RE, 1), F.lit("/"))
     ).withColumn("_path", F.when(F.col("_path") == "", "/").otherwise(F.col("_path")))
@@ -251,6 +277,24 @@ def merge_rules_per_host(primary: DataFrame, fallback: DataFrame) -> DataFrame:
             F.broadcast(p.select("host").distinct()), "host", "left_anti"
         )
     )
+
+
+def effective_rules(*tables: DataFrame | None) -> DataFrame | None:
+    """The ONE effective rule table from a freshest-first sequence of
+    optional tables — e.g. ``(archive_own, caller_supplied,
+    stored_memory)``: a left fold of :func:`merge_rules_per_host`, so
+    every host is governed by the FRESHEST table that covers it, whole
+    rule set, never a row mix. ``None`` entries skip; all-``None``
+    returns ``None``. Extracted (r11 verdict item 7) so the two
+    stored+caller merge sites — ``crawl_round_resumable``'s frontier
+    gate and :meth:`.crawl_state.CrawlState.next_fetch_plan` — share
+    one precedence implementation and cannot diverge."""
+    out: DataFrame | None = None
+    for t in tables:
+        if t is None:
+            continue
+        out = t if out is None else merge_rules_per_host(out, t)
+    return out
 
 
 def crawl_delays(robots: DataFrame, agent: str = "*") -> DataFrame:

@@ -311,6 +311,7 @@ def crawl_frontier(
     seen_normalized: bool = False,
     prioritize: bool = False,
     with_indegree: bool = False,
+    broadcast_rules: bool | None = None,
 ) -> DataFrame:
     """The next crawl frontier from a harvested link graph: distinct
     ``dst_url`` targets not yet in ``seen`` (anti-join on url), minus
@@ -342,8 +343,13 @@ def crawl_frontier(
     as link-derived candidates.
 
     Scale shape: one anti-join shuffle on url (both sides are URL
-    sets, never page bodies); the robots adjudication broadcasts its
-    rule table."""
+    sets, never page bodies). ``broadcast_rules`` picks the robots
+    adjudication join — ``None`` (default) AUTO-selects by the
+    :func:`.robots.fits_broadcast` size probe, so a corpus-lifetime
+    rule memory past the broadcast budget goes through a shuffled
+    equi-join instead of a driver-sized broadcast every round
+    (r11 verdict item 1; the crawl wrappers pass their resolved
+    choice, so the probe runs once per round, not per gate)."""
     from .functions import normalize_url
 
     cand = edges.select(F.col("dst_url").alias("url"))
@@ -380,7 +386,7 @@ def crawl_frontier(
     if rules is not None:
         from . import robots as R
 
-        frontier = R.robots_filter(frontier, rules)
+        frontier = R.robots_filter(frontier, rules, broadcast=broadcast_rules)
     if limit_per_domain is not None or delays is not None:
         frontier = _budget_cap(
             frontier,
@@ -577,6 +583,8 @@ def _crawl_ingest(
     doc_filter=None,
     fingerprints: str | None = None,
     near_dup_bits: int | None = None,
+    broadcast_rules: bool | None = None,
+    unpersist: bool = True,
 ) -> dict:
     """One ingest pass over a records frame — the shared core of
     :func:`crawl_round` (batch) and :func:`streaming_crawl_round`
@@ -602,7 +610,12 @@ def _crawl_ingest(
     sized hash frames, never bodies.
 
     ``recs`` is persisted for the pass (three derivations share the
-    one Arrow parse) and unpersisted before returning."""
+    one Arrow parse) and unpersisted before returning —
+    ``unpersist=False`` keeps the cache alive for a caller that still
+    needs the records (the stateful stream's frontier derivation runs
+    AFTER the ingest over the same frame; without this the stream
+    re-parsed every archive a second time — r11 verdict item 3). The
+    caller owns the unpersist then."""
     from . import robots as R
     from . import serving
     from .operators import search as _search
@@ -616,12 +629,15 @@ def _crawl_ingest(
         if rules is not None:
             # politeness gates every URL-bearing record (RFC 9309);
             # records without a target (warcinfo etc.) pass through —
-            # they contribute no documents anyway
+            # they contribute no documents anyway. broadcast_rules:
+            # None auto-probes the caller's table; the crawl wrappers
+            # pass their per-round resolved choice (r11 verdict item 1)
             allowed = R.robots_filter(
                 recs.filter(F.col("target_uri").isNotNull())
                 .select(F.col("target_uri").alias("url"))
                 .distinct(),
                 rules,
+                broadcast=broadcast_rules,
             ).withColumnRenamed("url", "target_uri")
             recs = recs.filter(F.col("target_uri").isNull()).unionByName(
                 recs.join(allowed, "target_uri", "left_semi")
@@ -784,7 +800,8 @@ def _crawl_ingest(
             "n_revisits": int(n_revisits),
         }
     finally:
-        base.unpersist()
+        if unpersist:
+            base.unpersist()
 
 
 def crawl_round(
@@ -810,6 +827,7 @@ def crawl_round(
     extra_delays: DataFrame | None = None,
     extra_rules: DataFrame | None = None,
     frontier_with_indegree: bool = False,
+    broadcast_rules: bool | None = None,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -860,9 +878,30 @@ def crawl_round(
     this round's own pages, minus ``revisit`` record targets (Common
     Crawl's URL-level dedup hint — a revisit means the content is
     already archived elsewhere; re-fetching it wastes the budget),
-    robots-filtered and optionally capped per domain."""
+    robots-filtered and optionally capped per domain.
+
+    ``broadcast_rules`` picks the robots adjudication join at BOTH
+    politeness gates (the ingest filter and the frontier filter):
+    ``None`` (default) AUTO-resolves per gate from the actual rule
+    tables flowing into it — the ingest gate probes the caller's
+    ``rules``, the frontier gate additionally probes ``extra_rules``
+    (the rule-memory slot) — so a table past
+    :data:`.robots.BROADCAST_RULES_MAX_ROWS` adjudicates via a
+    shuffled equi-join instead of a forced driver-sized broadcast
+    (r11 verdict item 1). Archive-own rules (``auto_politeness``)
+    are single-archive tiny by origin and never probe. The common
+    no-caller-rules path resolves with ZERO probe jobs."""
     if batch is None:
         batch = _archive_batch_id(spark, warc_path)
+    if broadcast_rules is None:
+        from . import robots as R
+
+        bc_ingest = rules is None or R.fits_broadcast(rules)
+        bc_frontier = bc_ingest and (
+            extra_rules is None or R.fits_broadcast(extra_rules)
+        )
+    else:
+        bc_ingest = bc_frontier = bool(broadcast_rules)
     if landing is not None:
         import os
 
@@ -890,6 +929,7 @@ def crawl_round(
         doc_filter=doc_filter,
         fingerprints=fingerprints,
         near_dup_bits=near_dup_bits,
+        broadcast_rules=bc_ingest,
     )
     if compact_threshold is not None:
         compacted = _maybe_compact_indexes(
@@ -909,6 +949,7 @@ def crawl_round(
         extra_rules=extra_rules,
         prioritize=prioritize_frontier,
         with_indegree=frontier_with_indegree,
+        broadcast_rules=bc_frontier,
     )
     return report
 
@@ -925,6 +966,7 @@ def _derive_frontier(
     extra_rules: DataFrame | None,
     prioritize: bool,
     with_indegree: bool,
+    broadcast_rules: bool | None = None,
 ) -> DataFrame:
     """The post-ingest frontier derivation shared by
     :func:`crawl_round` and :func:`streaming_crawl_round`'s stateful
@@ -996,23 +1038,17 @@ def _derive_frontier(
             if delays is None
             else delays.unionByName(extra_delays)
         )
-    frontier_rules = rules
-    if extra_rules is not None:
-        # rule memory (the resumable wrapper passes the state dir's
-        # stored latest-per-host rules): fills hosts THIS round knows
-        # nothing about, with whole-host precedence to the fresher
-        # side — never a row union, which would mix two versions of
-        # one host's robots.txt (see robots.merge_rules_per_host).
-        # Frontier-only: already-fetched records were adjudicated at
-        # fetch time; re-gating the ingest with old rules would drop
-        # archived content retroactively.
-        from . import robots as R
+    # rule memory (the resumable wrapper passes the state dir's
+    # stored latest-per-host rules in extra_rules): fills hosts THIS
+    # round knows nothing about, with whole-host precedence to the
+    # fresher side — never a row union, which would mix two versions
+    # of one host's robots.txt (the shared effective_rules fold).
+    # Frontier-only: already-fetched records were adjudicated at
+    # fetch time; re-gating the ingest with old rules would drop
+    # archived content retroactively.
+    from . import robots as R
 
-        frontier_rules = (
-            R.merge_rules_per_host(rules, extra_rules)
-            if rules is not None
-            else extra_rules
-        )
+    frontier_rules = R.effective_rules(rules, extra_rules)
     return crawl_frontier(
         edges,
         seen,
@@ -1024,6 +1060,7 @@ def _derive_frontier(
         seen_normalized=True,
         prioritize=prioritize,
         with_indegree=with_indegree,
+        broadcast_rules=broadcast_rules,
     )
 
 
@@ -1140,16 +1177,24 @@ def crawl_round_resumable(
         if count_parquet_files(state._rules) > 0
         else None
     )
-    if caller_rules is not None and stored_rules is not None:
-        from . import robots as R
+    from . import robots as R
 
-        kw["extra_rules"] = R.merge_rules_per_host(
-            caller_rules, stored_rules
-        )
-    elif caller_rules is not None or stored_rules is not None:
-        kw["extra_rules"] = (
-            caller_rules if caller_rules is not None else stored_rules
-        )
+    # freshest-first whole-host precedence: the caller's live table
+    # over the stored memory (the same effective_rules fold
+    # next_fetch_plan uses — r11 verdict item 7)
+    merged_rules = R.effective_rules(caller_rules, stored_rules)
+    if merged_rules is not None:
+        kw["extra_rules"] = merged_rules
+    if kw.get("broadcast_rules") is None:
+        # the scale-safe choice from cheap stats (r11 verdict item 1):
+        # the RAW store count (probed with a short-circuiting limit —
+        # an upper bound on the latest-per-host read, so an
+        # over-estimate only ever shuffles a broadcastable table) and
+        # a bounded probe of any caller table. Probing the merged
+        # frame instead would pay part of the memory's window.
+        kw["broadcast_rules"] = (
+            stored_rules is None or state.rules_fit_broadcast()
+        ) and (caller_rules is None or R.fits_broadcast(caller_rules))
     report = crawl_round(
         spark,
         store,
@@ -1189,6 +1234,20 @@ def crawl_round_resumable(
     return report
 
 
+def _stream_landed_records(
+    spark: SparkSession, landing: str, warc_file: str
+) -> DataFrame:
+    """One streamed archive's landed columnar records — the stateful
+    stream's parse-once read (r11 verdict item 3): a parquet scan
+    partition-pruned to the file's own ``warc_file=`` partition, so
+    everything downstream of the landing hop (ingest legs, frontier
+    derivation) plans as a FileScan with a partition filter, never a
+    second Arrow parse of the archive bytes (test-pinned)."""
+    return spark.read.parquet(f"{landing}/stream.parquet").filter(
+        F.col("warc_file") == warc_file
+    )
+
+
 def streaming_crawl_round(
     spark: SparkSession,
     store,
@@ -1210,6 +1269,8 @@ def streaming_crawl_round(
     round_seconds: float = 300.0,
     prioritize_frontier: bool = False,
     state_compact_threshold: int | None = None,
+    broadcast_rules: bool | None = None,
+    landing: str | None = None,
 ) -> None:
     """Streaming twin of :func:`crawl_round`'s ingest: new archives in
     a landing directory flow through the same politeness → CDC dedup →
@@ -1251,7 +1312,34 @@ def streaming_crawl_round(
     :func:`crawl_round`; ``state_compact_threshold`` folds the state
     dir's own round partitions like the batch wrapper. Without
     ``state_dir`` these knobs are ignored and behavior is the original
-    stateless ingest."""
+    stateless ingest.
+
+    ``broadcast_rules`` matches :func:`crawl_round`: ``None`` (default)
+    AUTO-selects the robots adjudication join — the caller's static
+    ``rules`` table probes ONCE at stream setup, the stored rule
+    memory re-probes per recorded round (it grows as the stream runs;
+    the raw-store limit probe is the cheap per-round stat — r11
+    verdict item 1).
+
+    ``landing`` (stateful mode) is the stream's parse-once hop, the
+    twin of :func:`crawl_round`'s ``landing=`` (r11 verdict item 3):
+    each micro-batch's uncommitted archives land ONCE as columnar
+    parquet under ``<landing>/stream.parquet`` partitioned by
+    ``warc_file`` (dynamic overwrite — a replay re-lands exactly its
+    own per-file partitions), and both the ingest and the frontier
+    derivation scan the landing with partition pruning instead of
+    re-running the archive byte parse. Without it the records frame
+    stays persisted across ingest + frontier (still one parse per
+    file, held in executor memory instead of at rest)."""
+    from . import robots as R
+
+    # the caller's rules frame is static for the stream's lifetime —
+    # resolve its broadcast fitness once, not per micro-batch
+    fit_caller = (
+        bool(broadcast_rules)
+        if broadcast_rules is not None
+        else (rules is None or R.fits_broadcast(rules))
+    )
 
     def handle_stateless(batch_df: DataFrame, batch_id: int) -> None:
         _crawl_ingest(
@@ -1259,6 +1347,7 @@ def streaming_crawl_round(
             store,
             int(batch_id) + 1,
             rules=rules,
+            broadcast_rules=fit_caller,
             text_index=text_index,
             sq8_index=sq8_index,
             bin_index=bin_index,
@@ -1286,12 +1375,44 @@ def streaming_crawl_round(
             r.warc_file
             for r in batch_df.select("warc_file").distinct().collect()
         )
+        todo = []
         for f in paths:
             bid = _archive_batch_id(spark, f)
             if state.has_round(bid):
                 continue  # committed by this stream, a prior one, or
                 # the batch loop — recorded no-op
-            recs = batch_df.filter(F.col("warc_file") == f)
+            todo.append((f, bid))
+        if not todo:
+            return
+        if landing is not None:
+            # the stream's parse-once hop (r11 verdict item 3): land
+            # the micro-batch's UNCOMMITTED archives as columnar
+            # parquet ONCE, keyed per file — ingest and frontier both
+            # scan the landing with partition pruning instead of
+            # re-running the byte parse per derivation. Dynamic
+            # overwrite on warc_file: a fresh-checkpoint replay
+            # re-lands exactly its own partitions (identical bytes),
+            # the batch loop's b<batch> keying translated to the
+            # stream's per-file id space.
+            (
+                batch_df.filter(
+                    F.col("warc_file").isin([f for f, _ in todo])
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("warc_file")
+                .parquet(f"{landing}/stream.parquet")
+            )
+        for f, bid in todo:
+            recs = (
+                _stream_landed_records(spark, landing, f)
+                if landing is not None
+                # no landing dir: the ingest's persist stays alive
+                # (unpersist=False below) so the frontier derivation
+                # reuses the one parse; unpersisted after the round
+                # commits
+                else batch_df.filter(F.col("warc_file") == f)
+            )
             stored_delays = (
                 state.delays()
                 if count_parquet_files(state._hosts) > 0
@@ -1302,46 +1423,70 @@ def streaming_crawl_round(
                 if count_parquet_files(state._rules) > 0
                 else None
             )
-            report = _crawl_ingest(
-                recs,
-                store,
-                bid,
-                rules=rules,
-                text_index=text_index,
-                sq8_index=sq8_index,
-                bin_index=bin_index,
-                embed=embed,
-                embed_dim=embed_dim,
-                doc_filter=doc_filter,
-                fingerprints=fingerprints,
-                near_dup_bits=near_dup_bits,
+            # per-round resolution: the memory grows as the stream
+            # runs, so each recorded round re-probes the raw store
+            # (limit-bounded; file-less store short-circuits to True)
+            bc_round = (
+                bool(broadcast_rules)
+                if broadcast_rules is not None
+                else fit_caller
+                and (stored_rules is None or state.rules_fit_broadcast())
             )
-            if compact_threshold is not None:
-                _maybe_compact_indexes(
-                    spark, text_index, sq8_index, bin_index,
-                    compact_threshold,
+            try:
+                report = _crawl_ingest(
+                    recs,
+                    store,
+                    bid,
+                    rules=rules,
+                    text_index=text_index,
+                    sq8_index=sq8_index,
+                    bin_index=bin_index,
+                    embed=embed,
+                    embed_dim=embed_dim,
+                    doc_filter=doc_filter,
+                    fingerprints=fingerprints,
+                    near_dup_bits=near_dup_bits,
+                    broadcast_rules=fit_caller
+                    if broadcast_rules is None
+                    else bool(broadcast_rules),
+                    # keep the ingest's cached parse alive for the
+                    # frontier derivation below (parse-once without a
+                    # landing dir); the landed path re-reads cheap
+                    # columnar parquet instead
+                    unpersist=landing is not None,
                 )
-            frontier = _derive_frontier(
-                recs,
-                store,
-                report,
-                rules=rules,
-                auto_politeness=auto_politeness,
-                limit_per_domain=limit_per_domain,
-                round_seconds=round_seconds,
-                extra_delays=stored_delays,
-                extra_rules=stored_rules,
-                prioritize=prioritize_frontier,
-                with_indegree=True,
-            )
-            state.record_round(
-                bid,
-                f,
-                report,
-                frontier,
-                delays=report.get("delays"),
-                rules=report.get("rules"),
-            )
+                if compact_threshold is not None:
+                    _maybe_compact_indexes(
+                        spark, text_index, sq8_index, bin_index,
+                        compact_threshold,
+                    )
+                frontier = _derive_frontier(
+                    recs,
+                    store,
+                    report,
+                    rules=rules,
+                    auto_politeness=auto_politeness,
+                    limit_per_domain=limit_per_domain,
+                    round_seconds=round_seconds,
+                    extra_delays=stored_delays,
+                    extra_rules=stored_rules,
+                    prioritize=prioritize_frontier,
+                    with_indegree=True,
+                    broadcast_rules=bc_round,
+                )
+                # record_round materializes the frontier (its state
+                # append + count), so the cache must outlive it
+                state.record_round(
+                    bid,
+                    f,
+                    report,
+                    frontier,
+                    delays=report.get("delays"),
+                    rules=report.get("rules"),
+                )
+            finally:
+                if landing is None:
+                    recs.unpersist()
             if state_compact_threshold is not None:
                 n = sum(
                     count_parquet_files(s)
