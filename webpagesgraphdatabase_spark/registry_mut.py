@@ -206,10 +206,107 @@ SELECT
   (SELECT count(*) FROM customer WHERE c_custkey = 6) AS n_cdc_delete
 """
 
+def _q_rule_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 verdict item 8: the crawl tier's rule-memory semantics
+    (latest-per-host REPLACE, NULL-marker CLEAR, compaction-proof
+    reads) under the hash gate. A deterministic 3-round rules history
+    derives from ``nation`` (hosts = lowercased nation names), runs
+    through the REAL :class:`~.crawl_state.CrawlState` machinery —
+    ``record_round`` ×3 with a state-store ``compact()`` (the r12
+    superseded-rules prune included) BETWEEN rounds 2 and 3, so the
+    read provably survives the fold — and the final
+    :meth:`~.crawl_state.CrawlState.rules` table returns whole. The
+    DuckDB oracle recomputes the same history with a plain
+    latest-per-host window over the same ``nation`` rows:
+
+    - round 1: every host gets ``/r1/<nationkey>`` (disallow);
+    - round 2: hosts with key %3==0 get TWO rules (replace proves
+      whole-set, not row-wise, supersession), key %3==1 hosts get the
+      NULL CLEAR marker;
+    - round 3: key %5==0 hosts get ``/r3`` (allow).
+    """
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .crawl_state import CrawlState
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.lower(F.col("n_name")).alias("host"),
+        F.col("n_nationkey").alias("k"),
+    )
+
+    def rule_rows(df: DataFrame, allow, pattern_col) -> DataFrame:
+        return df.select(
+            "host",
+            F.lit(allow).cast("boolean").alias("allow"),
+            pattern_col.alias("pattern"),
+            F.concat(F.lit("^"), pattern_col).alias("rx"),
+            F.length(pattern_col).cast("int").alias("plen"),
+        )
+
+    r1 = rule_rows(
+        nation, False, F.concat(F.lit("/r1/"), F.col("k").cast("string"))
+    )
+    r2 = rule_rows(
+        nation.filter(F.col("k") % 3 == 0), False, F.lit("/r2a")
+    ).unionByName(
+        rule_rows(nation.filter(F.col("k") % 3 == 0), False, F.lit("/r2b"))
+    ).unionByName(
+        # the CLEAR marker: a robots-bearing host whose body declared
+        # no rules — must erase round 1's knowledge for these hosts
+        nation.filter(F.col("k") % 3 == 1).select(
+            "host",
+            F.lit(None).cast("boolean").alias("allow"),
+            F.lit(None).cast("string").alias("pattern"),
+            F.lit(None).cast("string").alias("rx"),
+            F.lit(None).cast("int").alias("plen"),
+        )
+    )
+    r3 = rule_rows(nation.filter(F.col("k") % 5 == 0), True, F.lit("/r3"))
+
+    empty_frontier = spark.createDataFrame([], "url string, indeg long")
+    root = _tmp.mkdtemp(prefix="rule_memory_gate_")
+    try:
+        state = CrawlState(spark, root)
+        state.record_round(9001, "r1.warc", {}, empty_frontier, rules=r1)
+        state.record_round(9002, "r2.warc", {}, empty_frontier, rules=r2)
+        state.compact()  # the fold + superseded-rules prune mid-history
+        state.record_round(9003, "r3.warc", {}, empty_frontier, rules=r3)
+        rows = [
+            (r.host, bool(r.allow), r.pattern, int(r.plen))
+            for r in state.rules().collect()
+        ]  # bounded: ≤ 2 rules per nation host
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "host string, allow boolean, pattern string, plen int"
+    )
+
+
+_RULE_MEMORY_ORACLE = """
+WITH h AS (SELECT lower(n_name) AS host, n_nationkey AS k FROM nation),
+hist AS (
+  SELECT host, false AS allow, '/r1/' || CAST(k AS VARCHAR) AS pattern,
+         1 AS rno FROM h
+  UNION ALL SELECT host, false, '/r2a', 2 FROM h WHERE k % 3 = 0
+  UNION ALL SELECT host, false, '/r2b', 2 FROM h WHERE k % 3 = 0
+  UNION ALL SELECT host, NULL, NULL, 2 FROM h WHERE k % 3 = 1
+  UNION ALL SELECT host, true, '/r3', 3 FROM h WHERE k % 5 = 0
+),
+latest AS (SELECT host, max(rno) AS rno FROM hist GROUP BY host)
+SELECT hist.host AS host, hist.allow AS allow, hist.pattern AS pattern,
+       CAST(length(hist.pattern) AS INT) AS plen
+FROM hist JOIN latest ON hist.host = latest.host AND hist.rno = latest.rno
+WHERE hist.pattern IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_mutation_counts": _q_mutation_counts,
+    "w_rule_memory": _q_rule_memory,
 }
 
 ORACLES: dict[str, str] = {
     "m_mutation_counts": _MUTATION_ORACLE,
+    "w_rule_memory": _RULE_MEMORY_ORACLE,
 }
