@@ -123,31 +123,13 @@ ANN_HEADLINE = {
 # `rebaselined` with their ratio AND reason — never silently dropped.
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
-_ARGMAX_REASON = (
-    "r11: _argmax_assign mult=1 is now a partial-aggregatable "
-    "struct-max instead of a row_number window (bit-identical winner; "
-    "map-side combine shuffles |corpus| rows, not |corpus|*n_centroids "
-    "through a sort), and kmeans_centroids persists its training frame "
-    "across Lloyd iterations. Same results (assignment/centroid "
-    "checksums verified equal). Same-window A/B at sf0.1: assignment "
-    "timing-neutral (2000x44 scored rows are too small for the sort "
-    "to show — this is a shuffle-SHAPE fix for corpus scale), Lloyd "
-    "loop 5.31 -> 4.24 s (the persist); entries crossing only the "
-    "assignment should read ~1.0x, trained builds slightly better"
-)
 CHANGED_ENTRIES: dict[str, str] = {
-    # r11: every entry crossing the mult=1 centroid argmax (ad-hoc IVF
-    # query paths, IVF/IVFADC builds, SemDeDup's cluster assignment)
-    # or the Lloyd training loop. s_ann_pq_build is NOT here: its
-    # encode is assign_mult=2 (the unchanged top-k window) over an
-    # untrained coarse quantizer.
-    "s_ann_ivf": _ARGMAX_REASON,
-    "s_ann_hybrid": _ARGMAX_REASON,
-    "s_ann_hybrid_wide": _ARGMAX_REASON,
-    "s_semantic_dedup": _ARGMAX_REASON,
-    "s_ann_ivf_index_build": _ARGMAX_REASON,
-    "s_ann_ivf_trained_build": _ARGMAX_REASON,
-    "s_ann_ivfpq_res_build": _ARGMAX_REASON,
+    # r12: EMPTY. The round's benched-code diffs are timing-neutral by
+    # construction — kmeans_centroids gained a try/finally around its
+    # existing persists (same plan, same caching), and crawl_round's
+    # broadcast auto-selection resolves with ZERO probe jobs on the
+    # benched no-caller-rules path (w_crawl_round passes no rules=).
+    # The r11 argmax/persist rebaselines are now the committed prior.
 }
 
 # Entries whose thunk mutates its fixture (compaction, clustering,
