@@ -388,3 +388,44 @@ def test_effective_rules_freshest_first_fold(spark):
     assert {
         (r.host, r.pattern) for r in only.collect()
     } == {("a.example", "/caller"), ("b.example", "/caller-b")}
+
+
+def test_merge_rules_per_host_oversize_primary_goes_shuffled(
+    spark, monkeypatch
+):
+    """r12: merge_rules_per_host's anti-join build side (the primary's
+    host-key set) follows the same budget — an over-budget primary
+    merges via a plain shuffled anti-join, same whole-host precedence."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    def tbl(n, pat):
+        return R.robots_rules(
+            spark.createDataFrame(
+                [(f"h{i}.example", f"User-agent: *\nDisallow: {pat}\n")
+                 for i in range(n)],
+                ["host", "body"],
+            )
+        )
+
+    primary, fallback = tbl(5, "/new"), tbl(7, "/old")
+    want = {
+        (r.host, r.pattern)
+        for r in R.merge_rules_per_host(primary, fallback).collect()
+    }
+    assert want == {(f"h{i}.example", "/new") for i in range(5)} | {
+        (f"h{i}.example", "/old") for i in range(5, 7)
+    }
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    over = R.merge_rules_per_host(primary, fallback)
+    assert "broadcast" not in (
+        over._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert {(r.host, r.pattern) for r in over.collect()} == want
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100)
+    under = R.merge_rules_per_host(primary, fallback)
+    assert "broadcast" in (
+        under._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert {(r.host, r.pattern) for r in under.collect()} == want

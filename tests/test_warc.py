@@ -3003,3 +3003,89 @@ def test_model_based_stream_batch_interleaving(spark, tmp_path):
     #    adjudicates committed — nothing re-ingests, nothing re-records
     drain()
     check()
+
+
+def test_budget_cap_auto_shuffles_oversize_delay_memory(spark, monkeypatch):
+    """r12: the DELAY memory gets the rule-memory broadcast discipline
+    — a stored politeness table past the budget joins the frontier via
+    a shuffled equi-join (no broadcast hint), within it the hint stays;
+    budgets identical either way."""
+    from webpagesgraphdatabase_spark import robots as R
+
+    edges = spark.createDataFrame(
+        [(f"https://h{i}.example/a", f"https://h{i}.example/p{j}")
+         for i in range(4) for j in range(5)],
+        ["src_url", "dst_url"],
+    )
+    seen = spark.createDataFrame([("https://zz.example/x",)], ["url"])
+    delays = spark.createDataFrame(
+        [(f"h{i}.example", 5.0) for i in range(4)],
+        "host string, crawl_delay double",
+    )
+    want = sorted(
+        r.url for r in W.crawl_frontier(
+            edges, seen, delays=delays, round_seconds=10.0
+        ).collect()
+    )
+    assert len(want) == 8  # 2 per host at delay 5 / 10 s
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    over = W.crawl_frontier(edges, seen, delays=delays, round_seconds=10.0)
+    assert "broadcast" not in (
+        over._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(r.url for r in over.collect()) == want
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100)
+    under = W.crawl_frontier(edges, seen, delays=delays, round_seconds=10.0)
+    assert "broadcast" in (
+        under._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(r.url for r in under.collect()) == want
+
+
+def test_next_fetch_plan_delay_memory_over_budget_goes_shuffled(
+    spark, tmp_path, monkeypatch
+):
+    """r12: next_fetch_plan's politeness budget auto-picks the join
+    from the raw hosts-store count — a delay memory past the budget
+    plans without a broadcast hint; explicit override still wins."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+    state.record_round(
+        601, "r1.warc", {},
+        spark.createDataFrame(
+            [(f"https://h{i}.example/c{j}", 1)
+             for i in range(5) for j in range(3)],
+            "url string, indeg long",
+        ),
+        delays=spark.createDataFrame(
+            [(f"h{i}.example", 5.0) for i in range(5)],
+            "host string, crawl_delay double",
+        ),
+    )
+    want = sorted(map(tuple, state.next_fetch_plan(
+        round_seconds=10.0
+    ).collect()))
+    assert len(want) == 10  # 2 per host
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    assert not state.hosts_fit_broadcast()
+    over = state.next_fetch_plan(round_seconds=10.0)
+    assert "broadcast" not in (
+        over._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(map(tuple, over.collect())) == want
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100)
+    under = state.next_fetch_plan(round_seconds=10.0)
+    assert "broadcast" in (
+        under._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    forced = state.next_fetch_plan(round_seconds=10.0, broadcast_delays=False)
+    assert "broadcast" not in (
+        forced._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(map(tuple, forced.collect())) == want

@@ -260,7 +260,9 @@ def sitemap_directives(robots: DataFrame) -> DataFrame:
 RULE_COLUMNS = ("host", "allow", "pattern", "rx", "plen")
 
 
-def merge_rules_per_host(primary: DataFrame, fallback: DataFrame) -> DataFrame:
+def merge_rules_per_host(
+    primary: DataFrame, fallback: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
     """One effective rule table from two: every host keeps its
     ``primary`` rule set whole, and ``fallback`` contributes ONLY hosts
     ``primary`` does not cover. Whole-host precedence — never a row
@@ -269,12 +271,21 @@ def merge_rules_per_host(primary: DataFrame, fallback: DataFrame) -> DataFrame:
     mixing rows from two versions could resurrect a rule the newer
     file dropped. Used to lay stored rule memory
     (:meth:`.crawl_state.CrawlState.rules`) under a fresher table (an
-    archive's own robots bodies, a caller-supplied live set). Both
-    sides are per-host tiny; the anti-join broadcasts."""
+    archive's own robots bodies, a caller-supplied live set).
+
+    The anti-join's build side is the PRIMARY's host-key set —
+    broadcast when the primary fits the budget (the common case: the
+    fresher table is a single archive's parse), a plain shuffled
+    anti-join when a caller lays a corpus-lifetime table on top
+    (``broadcast=None`` auto-probes, same discipline as
+    :func:`robots_filter` — r12)."""
+    if broadcast is None:
+        broadcast = fits_broadcast(primary)
     p = primary.select(*RULE_COLUMNS)
+    keys = p.select("host").distinct()
     return p.unionByName(
         fallback.select(*RULE_COLUMNS).join(
-            F.broadcast(p.select("host").distinct()), "host", "left_anti"
+            F.broadcast(keys) if broadcast else keys, "host", "left_anti"
         )
     )
 

@@ -312,6 +312,7 @@ def crawl_frontier(
     prioritize: bool = False,
     with_indegree: bool = False,
     broadcast_rules: bool | None = None,
+    broadcast_delays: bool | None = None,
 ) -> DataFrame:
     """The next crawl frontier from a harvested link graph: distinct
     ``dst_url`` targets not yet in ``seen`` (anti-join on url), minus
@@ -395,6 +396,7 @@ def crawl_frontier(
             round_seconds,
             prioritize,
             ("url", *(["_indeg"] if need_indeg else [])),
+            broadcast_delays=broadcast_delays,
         )
     if with_indegree:
         return frontier.select("url", F.col("_indeg").alias("indeg"))
@@ -408,16 +410,24 @@ def _budget_cap(
     round_seconds: float,
     prioritize: bool,
     keep_cols: tuple[str, ...],
+    broadcast_delays: bool | None = None,
 ) -> DataFrame:
     """Per-host fetch budget over any candidate frame with a ``url``
     column (and ``_indeg`` when ``prioritize``): the flat cap,
     tightened by a declared Crawl-delay (robots.crawl_delays) — a host
     asking for d seconds between fetches yields at most round_seconds/d
     pages per round (never below 1: a delay slows a host, it does not
-    ban it — Disallow does that). The delay table is per-host tiny and
-    broadcasts; the window partitions by host, so no global sort
-    appears at any frontier size. Shared by :func:`crawl_frontier` and
-    :meth:`.crawl_state.CrawlState.next_fetch_plan`."""
+    ban it — Disallow does that). The window partitions by host, so no
+    global sort appears at any frontier size. Shared by
+    :func:`crawl_frontier` and
+    :meth:`.crawl_state.CrawlState.next_fetch_plan`.
+
+    ``broadcast_delays`` is the rule-memory discipline applied to the
+    DELAY memory (r12 — it grows O(hosts-ever-seen) exactly like the
+    rule store): ``None`` auto-probes the delay frame against the
+    broadcast budget, ``False`` forces the shuffled equi-join for a
+    stored politeness memory past it; the crawl wrappers pass their
+    per-round resolved choice from the raw hosts-store count."""
     from pyspark.sql import Window
 
     host = F.regexp_extract(
@@ -430,17 +440,20 @@ def _budget_cap(
         else F.lit(None).cast("long")
     )
     if delays is not None:
+        from . import robots as R
+
+        if broadcast_delays is None:
+            broadcast_delays = R.fits_broadcast(delays)
         # One row per host before the join: robots_bodies can carry
         # several 2xx /robots.txt responses for the same netloc
         # (refetches, http+https twins) and a fanned-out left join
         # would duplicate frontier URLs and let duplicates eat the
         # budget. max() keeps the conservative (slowest) delay.
+        per_host = delays.groupBy(F.col("host").alias("_host")).agg(
+            F.max("crawl_delay").alias("crawl_delay")
+        )
         frontier = frontier.join(
-            F.broadcast(
-                delays.groupBy(F.col("host").alias("_host")).agg(
-                    F.max("crawl_delay").alias("crawl_delay")
-                )
-            ),
+            F.broadcast(per_host) if broadcast_delays else per_host,
             "_host",
             "left",
         )
@@ -828,6 +841,7 @@ def crawl_round(
     extra_rules: DataFrame | None = None,
     frontier_with_indegree: bool = False,
     broadcast_rules: bool | None = None,
+    broadcast_delays: bool | None = None,
 ) -> dict:
     """The closed crawl loop over one archive (r7 verdict item 3):
     land → robots politeness → CDC dedup → idempotent graph preload →
@@ -902,6 +916,16 @@ def crawl_round(
         )
     else:
         bc_ingest = bc_frontier = bool(broadcast_rules)
+    if broadcast_delays is None:
+        # same cheap-stat discipline for the DELAY memory (it grows
+        # O(hosts-ever-seen) like the rule store); archive-own delays
+        # are single-parse tiny by origin and never probe
+        if extra_delays is not None:
+            from . import robots as R
+
+            broadcast_delays = R.fits_broadcast(extra_delays)
+        else:
+            broadcast_delays = True
     if landing is not None:
         import os
 
@@ -950,6 +974,7 @@ def crawl_round(
         prioritize=prioritize_frontier,
         with_indegree=frontier_with_indegree,
         broadcast_rules=bc_frontier,
+        broadcast_delays=broadcast_delays,
     )
     return report
 
@@ -967,6 +992,7 @@ def _derive_frontier(
     prioritize: bool,
     with_indegree: bool,
     broadcast_rules: bool | None = None,
+    broadcast_delays: bool | None = None,
 ) -> DataFrame:
     """The post-ingest frontier derivation shared by
     :func:`crawl_round` and :func:`streaming_crawl_round`'s stateful
@@ -1061,6 +1087,7 @@ def _derive_frontier(
         prioritize=prioritize,
         with_indegree=with_indegree,
         broadcast_rules=broadcast_rules,
+        broadcast_delays=broadcast_delays,
     )
 
 
@@ -1195,6 +1222,14 @@ def crawl_round_resumable(
         kw["broadcast_rules"] = (
             stored_rules is None or state.rules_fit_broadcast()
         ) and (caller_rules is None or R.fits_broadcast(caller_rules))
+    if kw.get("broadcast_delays") is None:
+        # the DELAY memory grows O(hosts-ever-seen) exactly like the
+        # rule store — same raw-store probe, same safe direction (r12)
+        kw["broadcast_delays"] = (
+            stored_delays is None or state.hosts_fit_broadcast()
+        ) and (
+            caller_delays is None or R.fits_broadcast(caller_delays)
+        )
     report = crawl_round(
         spark,
         store,
@@ -1270,6 +1305,7 @@ def streaming_crawl_round(
     prioritize_frontier: bool = False,
     state_compact_threshold: int | None = None,
     broadcast_rules: bool | None = None,
+    broadcast_delays: bool | None = None,
     landing: str | None = None,
 ) -> None:
     """Streaming twin of :func:`crawl_round`'s ingest: new archives in
@@ -1432,6 +1468,12 @@ def streaming_crawl_round(
                 else fit_caller
                 and (stored_rules is None or state.rules_fit_broadcast())
             )
+            bc_delays_round = (
+                bool(broadcast_delays)
+                if broadcast_delays is not None
+                else stored_delays is None
+                or state.hosts_fit_broadcast()
+            )
             try:
                 report = _crawl_ingest(
                     recs,
@@ -1473,6 +1515,7 @@ def streaming_crawl_round(
                     prioritize=prioritize_frontier,
                     with_indegree=True,
                     broadcast_rules=bc_round,
+                    broadcast_delays=bc_delays_round,
                 )
                 # record_round materializes the frontier (its state
                 # append + count), so the cache must outlive it
