@@ -863,10 +863,13 @@ def test_crawl_state_route(spark, store, tmp_path):
 def test_crawl_state_route_broadcast_rules_param(
     spark, store, tmp_path, monkeypatch
 ):
-    """r11 verdict item 1: /crawl/state?plan=1 can reach the robots
-    join-strategy choice — ?broadcast_rules=0/1 passes an explicit
-    bool through to next_fetch_plan, absent means None (auto by the
-    store-size probe)."""
+    """r11 verdict item 1 + r12 item 6: /crawl/state?plan=1 reaches
+    the robots join-strategy choice — ?broadcast_rules=0/1 passes an
+    explicit bool through to next_fetch_plan; absent, the route
+    RESOLVES the store-size probe itself (an empty store fits →
+    True) and passes the resolved bool down, so the reported
+    ``plan_broadcast`` is by construction what the plan executed
+    with."""
     from webpagesgraphdatabase_spark.crawl_state import CrawlState
 
     seen = []
@@ -881,10 +884,84 @@ def test_crawl_state_route_broadcast_rules_param(
     monkeypatch.setattr(CrawlState, "next_fetch_plan", spy)
     app = create_app(store, crawl_state_path=str(tmp_path / "state"))
     c = app.test_client()
-    assert c.get("/crawl/state?plan=1").status_code == 200
-    assert c.get("/crawl/state?plan=1&broadcast_rules=0").status_code == 200
+    b0 = c.get("/crawl/state?plan=1")
+    assert b0.status_code == 200
+    assert b0.get_json()["plan_broadcast"]["rules"] is True
+    b1 = c.get("/crawl/state?plan=1&broadcast_rules=0")
+    assert b1.status_code == 200
+    assert b1.get_json()["plan_broadcast"]["rules"] is False
     assert c.get("/crawl/state?plan=1&broadcast_rules=1").status_code == 200
-    assert seen == [None, False, True]
+    assert seen == [True, False, True]
+
+
+def test_crawl_state_route_budget_surfacing(
+    spark, store, tmp_path, monkeypatch
+):
+    """r12 verdict item 6: every /crawl/state response reports raw
+    store rows vs the broadcast budget and the join shape the next
+    stored-memory round will take; the reported choice flips EXACTLY
+    at the threshold, and ?plan=1's plan_broadcast echoes the choices
+    the plan actually executed with."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    sd = str(tmp_path / "state")
+    state = CrawlState(spark, sd)
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [
+                (f"b{i}.example", "User-agent: *\nDisallow: /private\n")
+                for i in range(5)
+            ],
+            ["host", "body"],
+        )
+    )
+    state.record_round(
+        41,
+        "r1.warc",
+        {},
+        spark.createDataFrame(
+            [("https://b0.example/x", 1)], "url string, indeg long"
+        ),
+        delays=spark.createDataFrame(
+            [("b0.example", 2.0)], "host string, crawl_delay double"
+        ),
+        rules=rules,
+    )
+    app = create_app(store, crawl_state_path=sd)
+    c = app.test_client()
+
+    body = c.get("/crawl/state?plan=1").get_json()
+    bb = body["broadcast_budget"]
+    assert bb["budget_rows"] == R.BROADCAST_RULES_MAX_ROWS
+    assert bb["rules"] == {"rows": 5, "rows_exact": True, "join": "broadcast"}
+    assert bb["hosts"] == {"rows": 1, "rows_exact": True, "join": "broadcast"}
+    assert body["plan_broadcast"] == {"rules": True, "delays": True}
+
+    # exactly AT the threshold: 5 rule rows fit a budget of 5
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 5)
+    body = c.get("/crawl/state?plan=1").get_json()
+    assert body["broadcast_budget"]["rules"]["join"] == "broadcast"
+    assert body["plan_broadcast"]["rules"] is True
+
+    # one past: the reported choice flips to shuffled, and the row
+    # count becomes an honest lower bound (the probe short-circuits)
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 4)
+    body = c.get("/crawl/state?plan=1").get_json()
+    assert body["broadcast_budget"]["rules"]["join"] == "shuffled"
+    assert body["broadcast_budget"]["rules"]["rows_exact"] is False
+    assert body["broadcast_budget"]["rules"]["rows"] >= 5
+    assert body["plan_broadcast"] == {"rules": False, "delays": True}
+
+    # explicit override wins and is reported as what actually ran
+    body = c.get("/crawl/state?plan=1&broadcast_rules=1").get_json()
+    assert body["plan_broadcast"]["rules"] is True
+
+    # the delay memory flips independently under its own gate
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 0)
+    body = c.get("/crawl/state?plan=1").get_json()
+    assert body["broadcast_budget"]["hosts"]["join"] == "shuffled"
+    assert body["plan_broadcast"] == {"rules": False, "delays": False}
 
 
 def test_crawl_state_route_host_point_lookup(spark, store, tmp_path):

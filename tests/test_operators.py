@@ -227,6 +227,50 @@ def test_kmeans_midloop_failure_leaves_no_cached_blocks(spark, monkeypatch):
     assert after == before
 
 
+def test_kmeans_new_cents_count_failure_unpersists_it(spark, monkeypatch):
+    """ADVICE r12 low: if the just-persisted new_cents' materializing
+    count raises, that newest handle must unpersist too — the outer
+    handler only releases the PREVIOUS iteration's table. Injects the
+    failure at exactly new_cents.count() (the 3rd persisted frame's
+    own count) and asserts every frame the loop persisted reads back
+    at StorageLevel NONE."""
+    # patch the CONCRETE class (pyspark 4's classic DataFrame defines
+    # its own count/persist; patching the abstract base is a no-op)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: one DataFrame class
+        from pyspark.sql import DataFrame
+
+    rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    persisted = []
+    real_persist = DataFrame.persist
+
+    def spy_persist(self, *a, **k):
+        persisted.append(self)
+        return real_persist(self, *a, **k)
+
+    real_count = DataFrame.count
+
+    def failing_count(self):
+        # persist order inside kmeans_centroids: cents, v, new_cents —
+        # new_cents.count() immediately follows its own persist
+        if len(persisted) >= 3 and self is persisted[-1]:
+            raise RuntimeError("injected new_cents count failure")
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "count", failing_count)
+    with pytest.raises(RuntimeError, match="injected new_cents"):
+        similarity.kmeans_centroids(emb, n_centroids=2, n_iters=3)
+    assert len(persisted) == 3
+    for df in persisted:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+
+
 def test_kmeans_centroids_converge_to_blob_directions(spark):
     # two well-separated blobs; after Lloyd steps each blob direction is
     # captured by some centroid (cosine ≈ 1), wherever the seeds started

@@ -2536,6 +2536,10 @@ def test_crawl_round_both_gates_pick_scale_safe_join(
     rep = W.crawl_round(spark, store, str(tmp_path / "crawl.warc"), rules=rules)
     f_over = {r.url for r in rep["frontier"].collect()}
     assert seen == [False, False]  # ingest gate, then frontier gate
+    # the resolved shapes ride the report (r12 verdict item 6)
+    assert rep["broadcast"] == {
+        "rules_ingest": False, "rules_frontier": False, "delays": True,
+    }
     urls_over = {r.url for r in store.graph().links.collect()}
 
     monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100_000)
@@ -2546,6 +2550,9 @@ def test_crawl_round_both_gates_pick_scale_safe_join(
         spark, store2, str(tmp_path / "crawl.warc"), rules=rules
     )
     assert seen == [True, True]
+    assert rep2["broadcast"] == {
+        "rules_ingest": True, "rules_frontier": True, "delays": True,
+    }
     assert {r.url for r in rep2["frontier"].collect()} == f_over
     assert {r.url for r in store2.graph().links.collect()} == urls_over == {
         "https://site.example/a", "https://site.example/b"
@@ -2608,6 +2615,263 @@ def test_resumable_rule_memory_over_budget_goes_shuffled(
     )
     assert sorted(map(tuple, forced.collect())) == sorted(
         map(tuple, plan_small.collect())
+    )
+
+
+def test_resumable_over_budget_passthrough_rules_goes_shuffled(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 medium: the resumable wrapper's resolved
+    broadcast_rules overrides crawl_round's own auto-probe, so the
+    conjunction must also cover a pass-through ``rules=`` table in
+    **kw — an over-budget ingest-gate table must reach BOTH gates as
+    the shuffled join even when the stored memory is empty and no
+    extra_rules were given (the combination that used to resolve
+    True and force-broadcast it)."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    (tmp_path / "crawl.warc").write_bytes(W.build_warc(_crawl_records()))
+    rules = _rules(spark).unionByName(_wide_rules(spark, n_hosts=4))
+
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    seen = _spy_robots_filter(monkeypatch)
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    rep = W.crawl_round_resumable(
+        spark,
+        store,
+        str(tmp_path / "crawl.warc"),
+        str(tmp_path / "state"),
+        rules=rules,
+    )
+    assert seen and all(b is False for b in seen)
+    f_over = {r.url for r in rep["frontier"].collect()}
+
+    # same round within the budget: broadcast at both gates, results
+    # identical either side of the flip
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 100_000)
+    seen.clear()
+    store2 = GraphStore(spark, str(tmp_path / "wh2"))
+    store2.init_schema()
+    rep2 = W.crawl_round_resumable(
+        spark,
+        store2,
+        str(tmp_path / "crawl.warc"),
+        str(tmp_path / "state2"),
+        rules=rules,
+    )
+    assert seen and all(b is True for b in seen)
+    assert {r.url for r in rep2["frontier"].collect()} == f_over
+
+
+def test_effective_rules_fold_threads_resolved_choice_no_reprobe(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 low: once a gate resolves its broadcast choice, the
+    effective_rules fold must not re-probe — fits_broadcast runs for
+    the gate decision (caller tables) only, never again inside
+    merge_rules_per_host. Counts probe calls across next_fetch_plan
+    with a caller table laid over a stored memory."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+    state.record_round(
+        3,
+        "seed.warc",
+        {"n_docs_indexed": 0},
+        spark.createDataFrame(
+            [("https://h0.example/seeded", 1)], "url string, indeg long"
+        ),
+        rules=_wide_rules(spark),
+    )
+    caller = _wide_rules(spark, n_hosts=2, pattern="/tmp")
+    probes = []
+    real = R.fits_broadcast
+
+    def spy(rules, max_rows=None):
+        probes.append(rules)
+        return real(rules, max_rows)
+
+    monkeypatch.setattr(R, "fits_broadcast", spy)
+    plan = state.next_fetch_plan(rules=caller)
+    plan.collect()
+    # exactly ONE bounded probe: the caller table at the gate. The
+    # stored memory goes through the raw-store count
+    # (rules_fit_broadcast), and the merge itself never probes.
+    assert len(probes) == 1 and probes[0] is caller
+
+
+def test_store_fits_broadcast_probes_run_zero_spark_jobs(
+    spark, tmp_path, monkeypatch
+):
+    """r12 verdict item 7: the stored-memory budget probes read the
+    parquet FOOTERS driver-side — no DataFrame action, no Spark job.
+    Denies every action on the concrete DataFrame class while probing,
+    checks both thresholds flip the answer, and pins the footer count
+    exact against a real read."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.operators._util import (
+        count_parquet_rows,
+    )
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+    state.record_round(
+        9,
+        "seed.warc",
+        {},
+        spark.createDataFrame(
+            [("https://h0.example/x", 1)], "url string, indeg long"
+        ),
+        delays=spark.createDataFrame(
+            [("h0.example", 2.0)], "host string, crawl_delay double"
+        ),
+        rules=_wide_rules(spark),
+    )
+    n_rules = spark.read.parquet(state._rules).count()
+    assert count_parquet_rows(state._rules) == n_rules
+    assert count_parquet_rows(state._rules, stop_at=2) >= 3  # short-circuit
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+    except ImportError:
+        from pyspark.sql import DataFrame as CDF
+
+    def boom(self, *a, **k):
+        raise AssertionError("probe ran a Spark action")
+
+    for m in ("count", "collect", "first", "take", "toPandas"):
+        monkeypatch.setattr(CDF, m, boom)
+    assert state.rules_fit_broadcast() is True
+    assert state.hosts_fit_broadcast() is True
+    monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", 3)
+    assert state.rules_fit_broadcast() is False  # 5 hosts' rules
+    assert state.hosts_fit_broadcast() is True  # 1 delay row
+    assert state.hosts_fit_broadcast(max_rows=0) is False
+    # a store that never existed reads as fitting (nothing to shuffle)
+    empty = CrawlState(spark, str(tmp_path / "none"))
+    assert empty.rules_fit_broadcast() is True
+
+
+def test_crawl_state_compact_prunes_hosts_and_frontier(spark, tmp_path):
+    """r12 verdict item 2: compact() applies the rules store's prune
+    discipline to the OTHER history-bearing stores. hosts.parquet
+    folds to ONE row per host (the max-delay winner — the only row
+    delays() can pick); frontier.parquet folds to ONE
+    backlog-canonical row per normalized url (min url, max indeg,
+    attributed to the norm's latest committed round). Checks: reads
+    equal before/after, post-fold row counts equal the read-semantics
+    minimum, a mid-crash (uncommitted) partition survives
+    byte-identically, and frontier_of is exact for the latest round
+    and scoped for superseded ones."""
+    from pyspark.sql import functions as F
+
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.operators.store_lifecycle import (
+        allocate_batch,
+        dynamic_append,
+    )
+
+    state = CrawlState(spark, str(tmp_path / "state"))
+
+    def fdf(rows):
+        return spark.createDataFrame(rows, "url string, indeg long")
+
+    def ddf(rows):
+        return spark.createDataFrame(rows, "host string, crawl_delay double")
+
+    # round 1: a norm that round 2 re-surfaces (slash variant — same
+    # normal form), plus a round-1-only url; two hosts' delays
+    state.record_round(
+        601, "r1.warc", {},
+        fdf([("https://pf.example/shared", 2),
+             ("https://pf.example/only1", 5)]),
+        delays=ddf([("pf.example", 3.0), ("qf.example", 2.0)]),
+    )
+    # round 2: the shared norm again (higher indeg, slash-variant
+    # url), a round-2-only url; pf.example tightens its delay
+    state.record_round(
+        602, "r2.warc", {},
+        fdf([("https://pf.example/shared/", 7),
+             ("https://pf.example/only2", 1)]),
+        delays=ddf([("pf.example", 5.0)]),
+    )
+    before_backlog = sorted(map(tuple, state.backlog().collect()))
+    before_delays = sorted(map(tuple, state.delays().collect()))
+
+    # a mid-crash round: frontier + hosts appended, NO ledger row
+    rno = allocate_batch(
+        spark, state.root, state._ledger, None, allow_missing=True
+    )
+    dynamic_append(
+        spark.createDataFrame(
+            [("https://pf.example/crash", 9, 603, rno)],
+            "url string, indeg long, batch_id int, batch int",
+        ),
+        state._frontier, ("batch",),
+    )
+    dynamic_append(
+        spark.createDataFrame(
+            [("crash.example", 8.0, 603, rno)],
+            "host string, crawl_delay double, batch_id int, batch int",
+        ),
+        state._hosts, ("batch",),
+    )
+
+    state.compact()
+
+    # reads equal before/after the fold — the uncommitted crash rows
+    # legitimately join the backlog/delay reads (recorded knowledge is
+    # visible regardless of commit state), so the expectation is the
+    # pre-fold capture plus exactly them
+    assert sorted(map(tuple, state.backlog().collect())) == sorted(
+        before_backlog + [("https://pf.example/crash", 9)]
+    )
+    assert sorted(map(tuple, state.delays().collect())) == sorted(
+        before_delays + [("crash.example", 8.0)]
+    )
+
+    # post-fold row counts = read-semantics minimum + the untouched
+    # crash partition
+    fr = spark.read.parquet(state._frontier)
+    assert fr.filter(F.col("batch") == 0).count() == 3  # 3 norms
+    crash_f = fr.filter(F.col("batch") != 0).collect()
+    assert [(r.url, r.indeg, r.batch_id, r.batch) for r in crash_f] == [
+        ("https://pf.example/crash", 9, 603, rno)
+    ]
+    ho = spark.read.parquet(state._hosts)
+    assert ho.filter(F.col("batch") == 0).count() == 2  # 2 hosts
+    crash_h = ho.filter(F.col("batch") != 0).collect()
+    assert [
+        (r.host, r.crawl_delay, r.batch_id, r.batch) for r in crash_h
+    ] == [("crash.example", 8.0, 603, rno)]
+
+    # the folded frontier row carries the backlog-canonical values:
+    # min url across the committed slash variants, max indeg
+    assert sorted(
+        (r.url, r.indeg) for r in state.frontier_of(602).collect()
+    ) == [
+        ("https://pf.example/only2", 1),
+        ("https://pf.example/shared", 7),
+    ]
+    # the superseded round reads scoped: its own norms only
+    assert sorted(
+        (r.url, r.indeg) for r in state.frontier_of(601).collect()
+    ) == [("https://pf.example/only1", 5)]
+
+    # a second compact is a fixpoint on the committed segment
+    state.compact()
+    assert spark.read.parquet(state._frontier).filter(
+        F.col("batch") == 0
+    ).count() == 3
+    assert spark.read.parquet(state._hosts).filter(
+        F.col("batch") == 0
+    ).count() == 2
+    assert sorted(map(tuple, state.delays().collect())) == sorted(
+        before_delays + [("crash.example", 8.0)]
     )
 
 
@@ -2796,9 +3060,11 @@ def test_streaming_crawl_round_landing_parse_once(spark, tmp_path):
     # partition-pruned parquet FileScan, not a byte re-parse
     parts = sorted(
         d for d in os.listdir(f"{ldir}/stream.parquet")
-        if d.startswith("warc_file=")
+        if d.startswith("warc_part=")
     )
     assert len(parts) == 2
+    # fixed-width digest keys, never raw path values (ADVICE r12)
+    assert all(len(p) == len("warc_part=") + 32 for p in parts)
     recs = W._stream_landed_records(
         spark, ldir, spark.read.parquet(f"{ldir}/stream.parquet")
         .select("warc_file").first()[0]
@@ -2825,7 +3091,91 @@ def test_streaming_crawl_round_landing_parse_once(spark, tmp_path):
     } == mtimes
 
 
-def test_model_based_stream_batch_interleaving(spark, tmp_path):
+def test_model_based_budget_flip_mid_history(spark, tmp_path, monkeypatch):
+    """r12 verdict item 8: the same 3-round crawl history run far
+    UNDER the broadcast budget and run with a threshold that the rule
+    memory CROSSES mid-history (with a compact interleaved right at
+    the flip) must be indistinguishable to every reader — ledger,
+    graph links, backlog, rule memory, delay memory, next_fetch_plan —
+    while the round reports prove BOTH join shapes actually ran."""
+    from webpagesgraphdatabase_spark import robots as R
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    def mk_archive(i):
+        """Round i: robots bodies for TWO new hosts (each two rules —
+        the memory grows 4 rows per round: 4 → 8 → 12), one page on
+        the first new host linking two fresh candidates."""
+        h1, h2 = f"bf{2 * i}.example", f"bf{2 * i + 1}.example"
+        robots = (
+            b"User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            b"Crawl-delay: 2\n"
+        )
+        recs = [
+            _mk_rec(f"rb{i}a", f"https://{h1}/robots.txt", robots,
+                    "text/plain"),
+            _mk_rec(f"rb{i}b", f"https://{h2}/robots.txt", robots,
+                    "text/plain"),
+            _mk_page(
+                f"pg{i}", f"https://{h1}/", f"budget flip corpus{i}",
+                hrefs=[f"https://{h1}/next{i}",
+                       f"https://{h2}/private/x",
+                       f"https://{h2}/private/ok/y"],
+            ),
+        ]
+        p = tmp_path / f"bf{i}.warc"
+        p.write_bytes(W.build_warc(recs))
+        return str(p)
+
+    archives = [mk_archive(i) for i in range(3)]
+
+    def run(tag, threshold):
+        monkeypatch.setattr(R, "BROADCAST_RULES_MAX_ROWS", threshold)
+        store = GraphStore(spark, str(tmp_path / f"wh_{tag}"))
+        store.init_schema()
+        sd = str(tmp_path / f"sd_{tag}")
+        state = CrawlState(spark, sd)
+        shapes = []
+        for i, a in enumerate(archives):
+            rep = W.crawl_round_resumable(
+                spark, store, a, sd, auto_politeness=True,
+                round_seconds=10.0,
+            )
+            shapes.append(rep["broadcast"]["rules_frontier"])
+            if i == 1:
+                # compact exactly at the flip boundary: the prune
+                # folds run under the same threshold the gates use
+                state.compact()
+        plan = sorted(
+            map(tuple, state.next_fetch_plan(
+                seen=store.graph().links, round_seconds=10.0
+            ).collect())
+        )
+        snap = {
+            "ledger": sorted(
+                (r.batch_id, r.round_no, r.n_frontier)
+                for r in state.ledger().collect()
+            ),
+            "links": sorted(
+                r.url for r in store.graph().links.collect()
+            ),
+            "backlog": sorted(map(tuple, state.backlog().collect())),
+            "rules": sorted(
+                (r.host, r.allow, r.pattern, r.plen)
+                for r in state.rules().collect()
+            ),
+            "delays": sorted(map(tuple, state.delays().collect())),
+            "plan": plan,
+        }
+        return snap, shapes
+
+    base, base_shapes = run("base", 100_000)
+    assert base_shapes == [True, True, True]
+    flip, flip_shapes = run("flip", 6)
+    # memory: 0 rows at round 0 (fits), 4+NULL-free... grows past 6
+    # after round 1 — the later rounds adjudicate shuffled
+    assert flip_shapes[0] is True and flip_shapes[-1] is False
+    assert flip == base
     """r11 verdict item 5: one scripted sequence mixing BATCH resumable
     rounds, STREAMED micro-batch drains (fresh checkpoint each time —
     the ledger, not the checkpoint, adjudicates), a simulated crash
@@ -2885,6 +3235,36 @@ def test_model_based_stream_batch_interleaving(spark, tmp_path):
     committed: dict[int, dict] = {}   # bid -> archive model
     stale: dict[int, dict] = {}       # crashed frontier partitions
     ingested: dict[int, dict] = {}    # graph/index content landed
+    rounds_no: dict[int, int] = {}    # bid -> allocated round number
+    # the frontier store's fold state (r12 verdict item 2): after a
+    # compact, committed rows keep ONE backlog-canonical row per
+    # normalized url, attributed to the norm's latest committed round
+    folded: dict[str, tuple[int, int]] = {}   # norm -> (indeg, bid)
+    folded_bids: set[int] = set()
+
+    def commit(bid, m):
+        committed[bid] = m
+        rounds_no[bid] = state.round_summary(bid)["round_no"]
+
+    def model_compact():
+        best: dict[str, tuple[int, int]] = {}  # norm -> (order, bid)
+        vals: dict[str, int] = {}
+        for u, (d, bid) in folded.items():
+            vals[u] = max(vals.get(u, 0), d)
+            best[u] = (-1, bid)  # segment 0 loses to any real round
+        for bid, m in committed.items():
+            if bid in folded_bids:
+                continue
+            o = rounds_no[bid]
+            for u, d in m["outlinks"].items():
+                vals[u] = max(vals.get(u, 0), d)
+                if u not in best or o > best[u][0]:
+                    best[u] = (o, bid)
+        folded.clear()
+        folded.update(
+            {u: (vals[u], best[u][1]) for u in vals}
+        )
+        folded_bids.update(committed)
 
     def drain():
         ck[0] += 1
@@ -2906,11 +3286,22 @@ def test_model_based_stream_batch_interleaving(spark, tmp_path):
                 (r.url, r.indeg)
                 for r in state.frontier_of(bid).collect()
             )
-            assert got == sorted(m["outlinks"].items()), bid
+            if bid in folded_bids:
+                # scoped read of a FOLDED round: the norms whose
+                # latest committed appearance it was, in their
+                # backlog-canonical (max indeg) form
+                want = sorted(
+                    (u, d) for u, (d, b) in folded.items() if b == bid
+                )
+            else:
+                want = sorted(m["outlinks"].items())
+            assert got == want, bid
         expect: dict[str, int] = {}
         for m in list(committed.values()) + list(stale.values()):
             for u, d in m["outlinks"].items():
                 expect[u] = max(expect.get(u, 0), d)
+        for u, (d, _b) in folded.items():
+            expect[u] = max(expect.get(u, 0), d)
         assert {
             r.url: r.indeg for r in state.backlog().collect()
         } == expect
@@ -2930,7 +3321,7 @@ def test_model_based_stream_batch_interleaving(spark, tmp_path):
     # 1. batch resumable round over A
     r = W.crawl_round_resumable(spark, store, A["file"], sd, text_index=ti)
     assert r["replayed"] is False
-    committed[bids[A["file"]]] = A
+    commit(bids[A["file"]], A)
     ingested[bids[A["file"]]] = A
     check()
 
@@ -2942,7 +3333,7 @@ def test_model_based_stream_batch_interleaving(spark, tmp_path):
     os.rename(E["file"], str(tmp_path / "a5.hold"))
     drain()
     for m in (B, C):
-        committed[bids[m["file"]]] = m
+        commit(bids[m["file"]], m)
         ingested[bids[m["file"]]] = m
     check()
 
@@ -2973,12 +3364,14 @@ def test_model_based_stream_batch_interleaving(spark, tmp_path):
     # 4. the STREAM retries the batch-crashed round: D commits through
     #    the other loop, its overwrite replaces the stale rows
     drain()
-    committed[bid_d] = D
+    commit(bid_d, D)
     del stale[bid_d]
     check()
 
-    # 5. state + index compaction: reads survive the folds
+    # 5. state + index compaction: reads survive the folds (the
+    #    frontier store pruning to one row per norm — r12 item 2)
     state.compact()
+    model_compact()
     S.compact_text_index(spark, ti)
     check()
 
@@ -2995,7 +3388,7 @@ def test_model_based_stream_batch_interleaving(spark, tmp_path):
     # 7. a late archive through the batch loop
     os.rename(str(tmp_path / "a5.hold"), E["file"])
     W.crawl_round_resumable(spark, store, E["file"], sd, text_index=ti)
-    committed[bids[E["file"]]] = E
+    commit(bids[E["file"]], E)
     ingested[bids[E["file"]]] = E
     check()
 

@@ -997,6 +997,11 @@ def create_app(
                 .limit(max(0, n_delays))
                 .collect()
             },
+            # raw store sizes vs the broadcast budget and the join
+            # shape the NEXT stored-memory round will pick at each
+            # politeness gate (r12 verdict item 6) — zero Spark jobs
+            # (parquet-footer sums), so it rides every response
+            "broadcast_budget": state.broadcast_status(),
         }
         # explicit flag parse (ADVICE r10): ?plan=0 / ?plan=false must
         # NOT trigger the backlog anti-join + budget window
@@ -1006,13 +1011,28 @@ def create_app(
             # the raw-store size probe (r11 verdict item 1 — the route
             # can now reach the scale-safe choice)
             bc_arg = request.args.get("broadcast_rules")
+            # resolve here (the same stats next_fetch_plan would use)
+            # and pass the resolved bools down, so the REPORTED choice
+            # is by construction the one the plan executed with (r12
+            # verdict item 6)
+            bc_rules = (
+                out["broadcast_budget"]["rules"]["join"] == "broadcast"
+                if bc_arg is None
+                else bc_arg in ("1", "true")
+            )
+            bc_delays = (
+                out["broadcast_budget"]["hosts"]["join"] == "broadcast"
+            )
             plan = state.next_fetch_plan(
                 seen=store.graph().links,
                 round_seconds=round_seconds,
-                broadcast_rules=(
-                    None if bc_arg is None else bc_arg in ("1", "true")
-                ),
+                broadcast_rules=bc_rules,
+                broadcast_delays=bc_delays,
             )
+            out["plan_broadcast"] = {
+                "rules": bc_rules,
+                "delays": bc_delays,
+            }
             # a deterministic TOP-k, not k arbitrary rows: the budget
             # window orders within hosts only, so the response cap
             # needs its own priority order (the backlog discipline) —

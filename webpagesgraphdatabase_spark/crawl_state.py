@@ -191,7 +191,14 @@ class CrawlState:
         }
 
     def frontier_of(self, batch_id: int) -> DataFrame:
-        """One round's stored next frontier, priority-ordered."""
+        """One round's stored next frontier, priority-ordered.
+        Exact for rounds no :meth:`compact` has folded (always the
+        case for the round just recorded, up to the same call's own
+        threshold-compact); for a FOLDED round the read is scoped by
+        :meth:`_frontier_prune_fold` — the norms whose latest
+        committed appearance was this round, in backlog-canonical
+        (min url, max indeg) form. The ledger keeps every round's
+        exact ``n_frontier`` count."""
         return (
             self._read(self._frontier, _FRONTIER_SCHEMA)
             .filter(F.col("batch_id") == int(batch_id))
@@ -248,25 +255,26 @@ class CrawlState:
         max_rows: int | None = None,
     ) -> bool:
         """Shared cheap stat for the state-memory broadcast decisions:
-        counts RAW store rows with a short-circuiting ``limit(n+1)``
-        parquet scan against :data:`.robots.BROADCAST_RULES_MAX_ROWS`
-        — an upper bound on the per-host read the join actually
-        consumes, so the only possible mis-call is shuffling a table
-        that would still have broadcast: the safe direction."""
+        counts RAW store rows from the parquet file footers
+        (:func:`~.operators._util.count_parquet_rows` — driver-side
+        metadata only, ZERO Spark jobs, short-circuiting at the budget;
+        r12 verdict item 7 replaced the per-round bounded ``limit(n+1)``
+        probe JOBS with this) against
+        :data:`.robots.BROADCAST_RULES_MAX_ROWS` — an upper bound on
+        the per-host read the join actually consumes, so the only
+        possible mis-call is shuffling a table that would still have
+        broadcast: the safe direction. The footer stat is always
+        current: every writer of these stores lands parquet files, and
+        the prune folds shrink the very count being probed."""
         from . import robots as R
-        from .operators._util import count_parquet_files
+        from .operators._util import count_parquet_rows
 
-        if count_parquet_files(store) == 0:
-            return True
         n = (
             R.BROADCAST_RULES_MAX_ROWS
             if max_rows is None
             else int(max_rows)
         )
-        return (
-            self._read(store, schema).select("host").limit(n + 1).count()
-            <= n
-        )
+        return count_parquet_rows(store, stop_at=n) <= n
 
     def rules_fit_broadcast(self, max_rows: int | None = None) -> bool:
         """Does the stored rule memory fit the broadcast budget? The
@@ -283,6 +291,35 @@ class CrawlState:
         return self._store_fits_broadcast(
             self._hosts, _HOSTS_SCHEMA, max_rows
         )
+
+    def broadcast_status(self, max_rows: int | None = None) -> dict:
+        """The budget decisions an operator needs to see COMING (r12
+        verdict item 6): raw store row counts vs
+        :data:`.robots.BROADCAST_RULES_MAX_ROWS` and the join shape
+        the next stored-memory round will pick at each politeness
+        gate. ``rows`` is exact while the store fits (the footer probe
+        short-circuits past the budget, so an over-budget store
+        reports a lower bound with ``rows_exact=False`` — by then the
+        only operationally relevant fact is "past the budget").
+        Zero Spark jobs: driver-side parquet-footer sums only."""
+        from . import robots as R
+        from .operators._util import count_parquet_rows
+
+        n = (
+            R.BROADCAST_RULES_MAX_ROWS
+            if max_rows is None
+            else int(max_rows)
+        )
+        out: dict = {"budget_rows": n}
+        for name, store in (("rules", self._rules), ("hosts", self._hosts)):
+            rows = count_parquet_rows(store, stop_at=n)
+            fits = rows <= n
+            out[name] = {
+                "rows": rows,
+                "rows_exact": fits,
+                "join": "broadcast" if fits else "shuffled",
+            }
+        return out
 
     def next_fetch_plan(
         self,
@@ -336,8 +373,12 @@ class CrawlState:
                 stored_rules is None or self.rules_fit_broadcast()
             ) and (rules is None or R.fits_broadcast(rules))
         # freshest-first whole-host precedence: caller table over the
-        # stored memory (one shared fold — r11 verdict item 7)
-        rules = R.effective_rules(rules, stored_rules)
+        # stored memory (one shared fold — r11 verdict item 7); the
+        # gate's resolved choice threads into the merge so the fold
+        # never re-probes what we just probed (ADVICE r12 low)
+        rules = R.effective_rules(
+            rules, stored_rules, broadcast=bool(broadcast_rules)
+        )
         if rules is not None:
             cand = R.robots_filter(cand, rules, broadcast=broadcast_rules)
         # a file-less hosts store (one robots-less round's empty
@@ -576,6 +617,80 @@ class CrawlState:
 
         return fold
 
+    def _hosts_prune_fold(self, committed_rounds: list[int]):
+        """The delay memory's compaction fold (r12 verdict item 2):
+        committed-only relabel PLUS a lossless prune — ONE row per
+        host, the struct-max ``(crawl_delay, batch_id)`` winner, since
+        :meth:`delays` reads max-per-host and can never pick any other
+        committed row. The store stops growing O(rounds × hosts) and
+        the per-read max aggregation runs over ~one row per host.
+        Committed = ``batch`` in the ledger's committed round numbers
+        or 0 (segment 0 only ever holds previously-folded — committed —
+        rows); an uncommitted crash partition rewrites byte-identically
+        in place for its retry, and never justifies dropping committed
+        knowledge. A NULL-delay row loses the struct-max to any
+        non-NULL one (max-per-host ignores NULLs), and an all-NULL
+        host keeps its NULL — exactly the read's value either way."""
+        rounds = [0] + [int(x) for x in committed_rounds]
+
+        def fold(df: DataFrame) -> DataFrame:
+            committed = F.col("batch").isin(rounds)
+            kept = (
+                df.filter(committed)
+                .groupBy("host")
+                .agg(
+                    F.max(F.struct("crawl_delay", "batch_id")).alias("_w")
+                )
+                .select(
+                    "host",
+                    F.col("_w.crawl_delay").alias("crawl_delay"),
+                    F.col("_w.batch_id").alias("batch_id"),
+                    F.lit(0).alias("batch"),
+                )
+            )
+            return kept.unionByName(df.filter(~committed))
+
+        return fold
+
+    def _frontier_prune_fold(self, committed_rounds: list[int]):
+        """The frontier store's compaction fold (r12 verdict item 2):
+        committed-only relabel PLUS a lossless-for-the-backlog prune —
+        ONE row per NORMALIZED url form, carrying exactly the values
+        :meth:`_candidates` derives (min url, max indeg over the
+        committed rows; min/max are idempotent-associative, so the
+        post-fold read over kept ∪ uncommitted rows equals the
+        pre-fold read over everything). The row is ATTRIBUTED to the
+        norm's latest committed round (``max_by(batch_id, batch)``),
+        which SCOPES :meth:`frontier_of`: uncommitted/unfolded rounds
+        still read their own rows exactly; a folded round reads the
+        norms whose latest committed appearance it was, in their
+        backlog-canonical (min url, max indeg) form — the per-round
+        history that compaction deliberately trades for O(distinct
+        norms) storage (the ledger keeps each round's counts). Same
+        committed test as :meth:`_hosts_prune_fold`."""
+        from .functions import normalize_url
+
+        rounds = [0] + [int(x) for x in committed_rounds]
+
+        def fold(df: DataFrame) -> DataFrame:
+            committed = F.col("batch").isin(rounds)
+            kept = (
+                df.filter(committed)
+                .withColumn("_norm", normalize_url(F.col("url")))
+                .groupBy("_norm")
+                .agg(
+                    F.min("url").alias("url"),
+                    F.max("indeg").alias("indeg"),
+                    F.expr("max_by(batch_id, batch)").alias("batch_id"),
+                )
+                .select(
+                    "url", "indeg", "batch_id", F.lit(0).alias("batch")
+                )
+            )
+            return kept.unionByName(df.filter(~committed))
+
+        return fold
+
     def compact(self) -> dict:
         """Fold the accumulated round partitions of all state stores
         into segment 0 (the shared watermark-first two-rename fold).
@@ -587,18 +702,21 @@ class CrawlState:
         (frontier/hosts appended, ledger row never written) stays in
         place for the retry's dynamic overwrite (ADVICE r10 — folding
         it would freeze duplicate rows in segment 0 that the retry
-        could never replace). The rules store additionally PRUNES
-        superseded per-host history in the same fold
-        (:meth:`_rules_prune_fold` — lossless by the read's
-        latest-per-host semantics, r11 verdict item 2)."""
+        could never replace). Every history-bearing store additionally
+        PRUNES in the same fold, each by its own read's semantics:
+        rules keep the latest committed round per host
+        (:meth:`_rules_prune_fold`, r11 verdict item 2), delays keep
+        the per-host max row (:meth:`_hosts_prune_fold`), and the
+        frontier keeps one backlog-canonical row per normalized url
+        (:meth:`_frontier_prune_fold`) — r12 verdict item 2."""
         import os
 
         from .operators._util import count_parquet_files
 
-        rules_fold = None
-        if (
-            os.path.isdir(self._rules)
-            and count_parquet_files(self._rules) > 0
+        committed: list[int] = []
+        if any(
+            os.path.isdir(s) and count_parquet_files(s) > 0
+            for s in (self._rules, self._hosts, self._frontier)
         ):
             committed = [
                 int(r[0])
@@ -608,15 +726,15 @@ class CrawlState:
                 .collect()
                 if r[0] is not None
             ]
-            rules_fold = self._rules_prune_fold(committed)
+        folds = {
+            self._rules: self._rules_prune_fold(committed),
+            self._hosts: self._hosts_prune_fold(committed),
+            self._frontier: self._frontier_prune_fold(committed),
+        }
         # skip missing AND file-less stores (an empty-frame append
         # creates the latter; compact_store's read would throw on it)
         subs = [
-            SubStore(
-                s,
-                ("batch",),
-                fold=rules_fold if s == self._rules else None,
-            )
+            SubStore(s, ("batch",), fold=folds.get(s))
             for s in (
                 self._frontier,
                 self._hosts,

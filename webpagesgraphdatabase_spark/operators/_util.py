@@ -116,3 +116,30 @@ def count_parquet_files(d: str) -> int:
         for fn in fns
         if fn.endswith(".parquet")
     )
+
+
+def count_parquet_rows(d: str, stop_at: int | None = None) -> int:
+    """Exact row count of a parquet store dir from the file FOOTERS —
+    driver-side metadata reads only, ZERO Spark jobs (r12 verdict
+    item 7: the per-round broadcast-budget probes of the crawl state
+    stores used to pay a bounded ``limit(n+1)`` Spark job each; the
+    footer sum is the same cheap stat for free). ``stop_at`` short-
+    circuits the walk once the running total exceeds it — the probe's
+    cost is bounded by the budget, never the store (mirroring
+    :func:`~..robots.fits_broadcast`'s ``limit(n+1)`` discipline).
+    Each footer read is one ~KB tail fetch; between compactions the
+    file count grows O(appends), which the store's own compact()
+    bounds."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dp, _, fns in os.walk(d):
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            total += pq.ParquetFile(os.path.join(dp, fn)).metadata.num_rows
+            if stop_at is not None and total > stop_at:
+                return total
+    return total

@@ -397,7 +397,16 @@ def kmeans_centroids(
                 .select("cid", "cemb", _norm(F.col("cemb")).alias("cnrm"))
                 .persist()
             )
-            new_cents.count()
+            # materialize under a guard of its own: if THIS count
+            # raises, the just-persisted frame must unpersist before
+            # the outer handler releases the previous `cents` —
+            # otherwise the newest handle leaks for the session
+            # lifetime (ADVICE r12 low)
+            try:
+                new_cents.count()
+            except BaseException:
+                new_cents.unpersist()
+                raise
             cents.unpersist()
             cents = new_cents
     except BaseException:

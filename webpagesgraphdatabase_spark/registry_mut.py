@@ -223,8 +223,19 @@ def _q_rule_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     - round 2: hosts with key %3==0 get TWO rules (replace proves
       whole-set, not row-wise, supersession), key %3==1 hosts get the
       NULL CLEAR marker;
-    - round 3: key %5==0 hosts get ``/r3`` (allow).
-    """
+    - round 3: key %5==0 hosts get ``/r3`` (allow) plus a deliberate
+      equal-length allow/disallow PAIR on ``/tie``.
+
+    The second leg (r12 verdict item 5) puts
+    :func:`~.robots.robots_filter`'s adjudication itself under the
+    gate: five derived URLs per host (a round-1 pattern, a round-2
+    pattern, the round-3 allow, the tie path, and a rule-free path)
+    filter through the SURVIVING memory via the real operator —
+    longest match wins, allow wins the length tie, CLEAR-marker and
+    ruleless hosts pass — and the oracle adjudicates the same rows
+    with a ``max(struct(plen, allow))`` per URL, the exact winner
+    ordering ``robots_filter`` aggregates with
+    (``robots.py:robots_filter``)."""
     import shutil as _sh
     import tempfile as _tmp
 
@@ -262,7 +273,12 @@ def _q_rule_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("plen"),
         )
     )
-    r3 = rule_rows(nation.filter(F.col("k") % 5 == 0), True, F.lit("/r3"))
+    fives = nation.filter(F.col("k") % 5 == 0)
+    r3 = (
+        rule_rows(fives, True, F.lit("/r3"))
+        .unionByName(rule_rows(fives, True, F.lit("/tie")))
+        .unionByName(rule_rows(fives, False, F.lit("/tie")))
+    )
 
     empty_frontier = spark.createDataFrame([], "url string, indeg long")
     root = _tmp.mkdtemp(prefix="rule_memory_gate_")
@@ -273,14 +289,51 @@ def _q_rule_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.compact()  # the fold + superseded-rules prune mid-history
         state.record_round(9003, "r3.warc", {}, empty_frontier, rules=r3)
         rows = [
-            (r.host, bool(r.allow), r.pattern, int(r.plen))
+            (r.host, bool(r.allow), r.pattern, r.rx, int(r.plen))
             for r in state.rules().collect()
-        ]  # bounded: ≤ 2 rules per nation host
+        ]  # bounded: ≤ 3 rules per nation host
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "host string, allow boolean, pattern string, plen int"
+    mem = spark.createDataFrame(
+        rows,
+        "host string, allow boolean, pattern string, rx string, plen int",
     )
+    rules_leg = mem.select(
+        F.lit("rules").alias("leg"),
+        "host",
+        "allow",
+        "pattern",
+        "plen",
+        F.lit(None).cast("string").alias("url"),
+    )
+    # leg 2 (r12 verdict item 5): the adjudication itself — five
+    # derived URLs per host through the REAL robots_filter against
+    # the surviving memory
+    from . import robots as R
+
+    urls = nation.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/r1/"),
+                    F.col("k").cast("string"),
+                ),
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/r2a/x")),
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/r3/z")),
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/tie/q")),
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/free")),
+            )
+        ).alias("url")
+    )
+    allowed_leg = R.robots_filter(urls, mem).select(
+        F.lit("allowed").alias("leg"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("boolean").alias("allow"),
+        F.lit(None).cast("string").alias("pattern"),
+        F.lit(None).cast("int").alias("plen"),
+        "url",
+    )
+    return rules_leg.unionByName(allowed_leg)
 
 
 _RULE_MEMORY_ORACLE = """
@@ -292,12 +345,42 @@ hist AS (
   UNION ALL SELECT host, false, '/r2b', 2 FROM h WHERE k % 3 = 0
   UNION ALL SELECT host, NULL, NULL, 2 FROM h WHERE k % 3 = 1
   UNION ALL SELECT host, true, '/r3', 3 FROM h WHERE k % 5 = 0
+  UNION ALL SELECT host, true, '/tie', 3 FROM h WHERE k % 5 = 0
+  UNION ALL SELECT host, false, '/tie', 3 FROM h WHERE k % 5 = 0
 ),
-latest AS (SELECT host, max(rno) AS rno FROM hist GROUP BY host)
-SELECT hist.host AS host, hist.allow AS allow, hist.pattern AS pattern,
-       CAST(length(hist.pattern) AS INT) AS plen
-FROM hist JOIN latest ON hist.host = latest.host AND hist.rno = latest.rno
-WHERE hist.pattern IS NOT NULL
+latest AS (SELECT host, max(rno) AS rno FROM hist GROUP BY host),
+mem AS (
+  SELECT hist.host AS host, hist.allow AS allow, hist.pattern AS pattern,
+         '^' || hist.pattern AS rx,
+         CAST(length(hist.pattern) AS INT) AS plen
+  FROM hist JOIN latest ON hist.host = latest.host AND hist.rno = latest.rno
+  WHERE hist.pattern IS NOT NULL
+),
+urls AS (
+  SELECT host, 'https://' || host || '/r1/' || CAST(k AS VARCHAR) AS url FROM h
+  UNION ALL SELECT host, 'https://' || host || '/r2a/x' FROM h
+  UNION ALL SELECT host, 'https://' || host || '/r3/z' FROM h
+  UNION ALL SELECT host, 'https://' || host || '/tie/q' FROM h
+  UNION ALL SELECT host, 'https://' || host || '/free' FROM h
+),
+scored AS (
+  SELECT u.url AS url,
+         max(CASE WHEN r.rx IS NOT NULL AND regexp_matches(
+                       regexp_extract(u.url, '^[a-z]+://[^/]*(/.*)$', 1),
+                       r.rx)
+                  THEN {'plen': r.plen, 'allow_i': CAST(r.allow AS INT)}
+             END) AS winner
+  FROM urls u LEFT JOIN mem r ON u.host = r.host
+  GROUP BY u.url
+)
+SELECT 'rules' AS leg, host, allow, pattern, plen,
+       CAST(NULL AS VARCHAR) AS url
+FROM mem
+UNION ALL
+SELECT 'allowed' AS leg, CAST(NULL AS VARCHAR) AS host,
+       CAST(NULL AS BOOLEAN) AS allow, CAST(NULL AS VARCHAR) AS pattern,
+       CAST(NULL AS INT) AS plen, url
+FROM scored WHERE winner IS NULL OR winner.allow_i = 1
 """
 
 

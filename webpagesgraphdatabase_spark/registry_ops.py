@@ -824,9 +824,36 @@ def _q_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["a_region_revenue"] = _q_region_revenue
+def _q_region_revenue_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q5-shaped star rollup PLUS the INTERSECT/EXCEPT
+    demonstration as a tagged union in one registry row
+    (leg, key, n_items, revenue): ``leg='region_revenue'`` carries the
+    per-region revenue rollup; ``leg='intersect'``/``'except'`` carry
+    the segment set-ops part keys (n_items/revenue NULL). Merged so
+    every operator stays inside the driver gate's ~50-row hash window
+    (r12 verdict item 1 — ``u_segment_setops`` was the first
+    driver-unchecked registry row since round 1; the merged-row
+    pattern is the same one ``g_links_per_category`` and
+    ``g_integrity_checks`` use)."""
+    from pyspark.sql import functions as F
+
+    rev = _q_region_revenue(spark, sf_dir).select(
+        F.lit("region_revenue").alias("leg"),
+        F.col("region").alias("key"),
+        "n_items",
+        "revenue",
+    )
+    ops = _q_segment_setops(spark, sf_dir).select(
+        F.col("op").alias("leg"),
+        F.col("partkey").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n_items"),
+        F.lit(None).cast("string").alias("revenue"),
+    )
+    return rev.unionByName(ops)
+
+
+QUERIES["a_region_revenue"] = _q_region_revenue_setops
 QUERIES["a_events_sketch"] = _q_events_sketch
-QUERIES["u_segment_setops"] = _q_segment_setops
 
 
 # ---------------------------------------------------------------------------
@@ -1688,18 +1715,39 @@ FROM events e
 ASOF LEFT JOIN ref r ON e.user_id = r.user_id AND e.ts > r.ts
 """,
     "a_region_revenue": """
-SELECT r_name AS region, count(*) AS n_items,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS VARCHAR) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE c_nationkey = s_nationkey
-GROUP BY r_name
+WITH rev AS (
+  SELECT r_name AS region, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS VARCHAR) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE c_nationkey = s_nationkey
+  GROUP BY r_name
+),
+building AS (
+  SELECT DISTINCT l_partkey AS partkey FROM customer
+  JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+),
+machinery AS (
+  SELECT DISTINCT l_partkey AS partkey FROM customer
+  JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT 'region_revenue' AS leg, region AS key, n_items, revenue FROM rev
+UNION ALL
+SELECT 'intersect' AS leg, CAST(partkey AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS n_items, CAST(NULL AS VARCHAR) AS revenue
+FROM (SELECT * FROM building INTERSECT SELECT * FROM machinery)
+UNION ALL
+SELECT 'except' AS leg, CAST(partkey AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS n_items, CAST(NULL AS VARCHAR) AS revenue
+FROM (SELECT * FROM building EXCEPT SELECT * FROM machinery)
 """,
     "_kmv_part": f"""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -1828,21 +1876,6 @@ SELECT event_type, count(*) AS bq_n_sample,
        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS bq_p50,
        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS bq_p90
 FROM samp GROUP BY event_type
-""",
-    "u_segment_setops": """
-WITH building AS (
-  SELECT DISTINCT l_partkey AS partkey FROM customer
-  JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
-  WHERE c_mktsegment = 'BUILDING'
-),
-machinery AS (
-  SELECT DISTINCT l_partkey AS partkey FROM customer
-  JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
-  WHERE c_mktsegment = 'MACHINERY'
-)
-SELECT partkey, 'intersect' AS op FROM (SELECT * FROM building INTERSECT SELECT * FROM machinery)
-UNION ALL
-SELECT partkey, 'except' AS op FROM (SELECT * FROM building EXCEPT SELECT * FROM machinery)
 """,
     # --- grouping-sets aggregates ---
     "a_lineitem_rollup": """

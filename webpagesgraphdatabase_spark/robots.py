@@ -290,7 +290,9 @@ def merge_rules_per_host(
     )
 
 
-def effective_rules(*tables: DataFrame | None) -> DataFrame | None:
+def effective_rules(
+    *tables: DataFrame | None, broadcast: bool | None = None
+) -> DataFrame | None:
     """The ONE effective rule table from a freshest-first sequence of
     optional tables — e.g. ``(archive_own, caller_supplied,
     stored_memory)``: a left fold of :func:`merge_rules_per_host`, so
@@ -299,12 +301,26 @@ def effective_rules(*tables: DataFrame | None) -> DataFrame | None:
     returns ``None``. Extracted (r11 verdict item 7) so the two
     stored+caller merge sites — ``crawl_round_resumable``'s frontier
     gate and :meth:`.crawl_state.CrawlState.next_fetch_plan` — share
-    one precedence implementation and cannot diverge."""
+    one precedence implementation and cannot diverge.
+
+    ``broadcast`` threads the caller's ALREADY-RESOLVED adjudication
+    choice into every fold step (ADVICE r12 low): the crawl gates
+    probe their tables exactly once for the gate decision, and the
+    merge must not re-probe per step — a resolved ``False`` (any
+    input past the budget) keeps every anti-join shuffled (the safe
+    direction), a resolved ``True`` broadcasts the accumulated
+    primary's host-KEY set (strictly smaller than the rule tables the
+    caller already probed). ``None`` keeps the per-step auto-probe for
+    callers outside the gates."""
     out: DataFrame | None = None
     for t in tables:
         if t is None:
             continue
-        out = t if out is None else merge_rules_per_host(out, t)
+        out = (
+            t
+            if out is None
+            else merge_rules_per_host(out, t, broadcast=broadcast)
+        )
     return out
 
 

@@ -976,6 +976,15 @@ def crawl_round(
         broadcast_rules=bc_frontier,
         broadcast_delays=broadcast_delays,
     )
+    # the resolved join shapes ride the report (r12 verdict item 6):
+    # an operator watching round reports sees the broadcast→shuffled
+    # flip the moment a memory crosses the budget, not after a
+    # driver-memory incident
+    report["broadcast"] = {
+        "rules_ingest": bool(bc_ingest),
+        "rules_frontier": bool(bc_frontier),
+        "delays": bool(broadcast_delays),
+    }
     return report
 
 
@@ -1074,7 +1083,12 @@ def _derive_frontier(
     # archived content retroactively.
     from . import robots as R
 
-    frontier_rules = R.effective_rules(rules, extra_rules)
+    # threading the gate's resolved choice keeps the fold probe-free:
+    # archive-own rules really never probe, and the stored-memory
+    # probe the wrapper already paid is not repeated (ADVICE r12 low)
+    frontier_rules = R.effective_rules(
+        rules, extra_rules, broadcast=broadcast_rules
+    )
     return crawl_frontier(
         edges,
         seen,
@@ -1206,22 +1220,34 @@ def crawl_round_resumable(
     )
     from . import robots as R
 
-    # freshest-first whole-host precedence: the caller's live table
-    # over the stored memory (the same effective_rules fold
-    # next_fetch_plan uses — r11 verdict item 7)
-    merged_rules = R.effective_rules(caller_rules, stored_rules)
-    if merged_rules is not None:
-        kw["extra_rules"] = merged_rules
     if kw.get("broadcast_rules") is None:
         # the scale-safe choice from cheap stats (r11 verdict item 1):
         # the RAW store count (probed with a short-circuiting limit —
         # an upper bound on the latest-per-host read, so an
         # over-estimate only ever shuffles a broadcastable table) and
         # a bounded probe of any caller table. Probing the merged
-        # frame instead would pay part of the memory's window.
+        # frame instead would pay part of the memory's window. The
+        # conjunction must ALSO cover a pass-through ``rules=`` table
+        # in **kw: the resolved bool overrides crawl_round's own
+        # auto-probe, so omitting it would force-broadcast an
+        # over-budget ingest-gate table (ADVICE r12 medium).
         kw["broadcast_rules"] = (
-            stored_rules is None or state.rules_fit_broadcast()
-        ) and (caller_rules is None or R.fits_broadcast(caller_rules))
+            (stored_rules is None or state.rules_fit_broadcast())
+            and (caller_rules is None or R.fits_broadcast(caller_rules))
+            and (
+                kw.get("rules") is None
+                or R.fits_broadcast(kw["rules"])
+            )
+        )
+    # freshest-first whole-host precedence: the caller's live table
+    # over the stored memory (the same effective_rules fold
+    # next_fetch_plan uses — r11 verdict item 7); resolved-choice
+    # threading keeps the fold itself probe-free (ADVICE r12 low)
+    merged_rules = R.effective_rules(
+        caller_rules, stored_rules, broadcast=bool(kw["broadcast_rules"])
+    )
+    if merged_rules is not None:
+        kw["extra_rules"] = merged_rules
     if kw.get("broadcast_delays") is None:
         # the DELAY memory grows O(hosts-ever-seen) exactly like the
         # rule store — same raw-store probe, same safe direction (r12)
@@ -1269,17 +1295,39 @@ def crawl_round_resumable(
     return report
 
 
+def _landing_part(warc_file: str) -> str:
+    """The landing partition key for one archive path: a fixed-width
+    md5 digest (ADVICE r12 low). Partitioning by the RAW path value
+    had two failure shapes at the directory layer: a numeric-looking
+    filename type-infers the partition column to long on read, so the
+    string equality filter silently matches nothing (a zero-doc round
+    that looks successful), and a deep path escapes to one
+    ``%2F``-per-slash directory component that can exceed the 255-byte
+    filename limit and fail the write. The digest is always 32 ASCII
+    hex chars (never inferred numeric: Spark's partition inference
+    only upgrades integral/date-shaped strings), and the raw path
+    stays behind as a DATA column for the exact filter."""
+    import hashlib
+
+    return hashlib.md5(warc_file.encode("utf-8")).hexdigest()
+
+
 def _stream_landed_records(
     spark: SparkSession, landing: str, warc_file: str
 ) -> DataFrame:
     """One streamed archive's landed columnar records — the stateful
     stream's parse-once read (r11 verdict item 3): a parquet scan
-    partition-pruned to the file's own ``warc_file=`` partition, so
-    everything downstream of the landing hop (ingest legs, frontier
-    derivation) plans as a FileScan with a partition filter, never a
-    second Arrow parse of the archive bytes (test-pinned)."""
-    return spark.read.parquet(f"{landing}/stream.parquet").filter(
-        F.col("warc_file") == warc_file
+    partition-pruned to the file's own ``warc_part=`` digest partition
+    (:func:`_landing_part`), re-filtered on the ``warc_file`` data
+    column for exactness, so everything downstream of the landing hop
+    (ingest legs, frontier derivation) plans as a FileScan with a
+    partition filter, never a second Arrow parse of the archive bytes
+    (test-pinned)."""
+    return (
+        spark.read.parquet(f"{landing}/stream.parquet")
+        .filter(F.col("warc_part") == _landing_part(warc_file))
+        .filter(F.col("warc_file") == warc_file)
+        .drop("warc_part")
     )
 
 
@@ -1360,9 +1408,11 @@ def streaming_crawl_round(
     ``landing`` (stateful mode) is the stream's parse-once hop, the
     twin of :func:`crawl_round`'s ``landing=`` (r11 verdict item 3):
     each micro-batch's uncommitted archives land ONCE as columnar
-    parquet under ``<landing>/stream.parquet`` partitioned by
-    ``warc_file`` (dynamic overwrite — a replay re-lands exactly its
-    own per-file partitions), and both the ingest and the frontier
+    parquet under ``<landing>/stream.parquet`` partitioned by the
+    per-file path digest ``warc_part`` (dynamic overwrite — a replay
+    re-lands exactly its own per-file partitions; the digest keying is
+    ADVICE r12: raw path values type-infer and overflow as directory
+    names), and both the ingest and the frontier
     derivation scan the landing with partition pruning instead of
     re-running the archive byte parse. Without it the records frame
     stays persisted across ingest + frontier (still one parse per
@@ -1429,14 +1479,20 @@ def streaming_crawl_round(
             # overwrite on warc_file: a fresh-checkpoint replay
             # re-lands exactly its own partitions (identical bytes),
             # the batch loop's b<batch> keying translated to the
-            # stream's per-file id space.
+            # stream's per-file id space. The partition key is the
+            # fixed-width path DIGEST (:func:`_landing_part` — the
+            # Spark-side md5 matches it bit-for-bit), never the raw
+            # path value (ADVICE r12 low: numeric-looking filenames
+            # type-infer the partition column; escaped deep paths
+            # overflow the 255-byte directory component limit).
             (
                 batch_df.filter(
                     F.col("warc_file").isin([f for f, _ in todo])
                 )
+                .withColumn("warc_part", F.md5(F.col("warc_file")))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("warc_file")
+                .partitionBy("warc_part")
                 .parquet(f"{landing}/stream.parquet")
             )
         for f, bid in todo:
