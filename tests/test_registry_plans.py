@@ -23,6 +23,21 @@ SF_DIR = "/root/testdata/sf0.001"
 QUERIES = entrymod.queries()
 
 
+def test_registry_stays_inside_the_driver_gate_window():
+    """The driver's correctness gate records at most ~50 registry rows
+    (r12 grew the registry to 51 and the 51st row went
+    driver-unchecked — the first unchecked row since round 1). Every
+    row must stay under the gate: merge related operators into tagged-
+    union rows (the ``a_region_revenue`` / ``g_integrity_checks``
+    pattern) before adding a 51st key, and keep oracle coverage 1:1."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50, (
+        f"{len(qs)} registry rows — the driver gate records ~50; "
+        "merge rows (see registry_ops.py's window note)"
+    )
+    assert set(entrymod.oracle_sql()) == set(qs)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_registry_plan_free_of_scale_antipatterns(spark, name, tmp_path):
     df = QUERIES[name](spark, SF_DIR)
