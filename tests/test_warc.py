@@ -3064,7 +3064,8 @@ def test_streaming_crawl_round_landing_parse_once(spark, tmp_path):
     )
     assert len(parts) == 2
     # fixed-width digest keys, never raw path values (ADVICE r12)
-    assert all(len(p) == len("warc_part=") + 32 for p in parts)
+    assert all(len(p) == len("warc_part=") + 33 for p in parts)
+    assert all(p.split("=", 1)[1].startswith("h") for p in parts)
     recs = W._stream_landed_records(
         spark, ldir, spark.read.parquet(f"{ldir}/stream.parquet")
         .select("warc_file").first()[0]

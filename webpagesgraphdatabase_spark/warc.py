@@ -1303,13 +1303,15 @@ def _landing_part(warc_file: str) -> str:
     string equality filter silently matches nothing (a zero-doc round
     that looks successful), and a deep path escapes to one
     ``%2F``-per-slash directory component that can exceed the 255-byte
-    filename limit and fail the write. The digest is always 32 ASCII
-    hex chars (never inferred numeric: Spark's partition inference
-    only upgrades integral/date-shaped strings), and the raw path
-    stays behind as a DATA column for the exact filter."""
+    filename limit and fail the write. The key is a fixed 33 ASCII
+    chars — an ``h`` prefix plus the hex digest — the prefix closes
+    the residual inference hole too (one hex digest in ~3e6 is
+    all-digits, which partition inference would upgrade to a decimal
+    and drop leading zeros from); the raw path stays behind as a DATA
+    column for the exact filter."""
     import hashlib
 
-    return hashlib.md5(warc_file.encode("utf-8")).hexdigest()
+    return "h" + hashlib.md5(warc_file.encode("utf-8")).hexdigest()
 
 
 def _stream_landed_records(
@@ -1489,7 +1491,10 @@ def streaming_crawl_round(
                 batch_df.filter(
                     F.col("warc_file").isin([f for f, _ in todo])
                 )
-                .withColumn("warc_part", F.md5(F.col("warc_file")))
+                .withColumn(
+                    "warc_part",
+                    F.concat(F.lit("h"), F.md5(F.col("warc_file"))),
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("warc_part")
