@@ -1222,10 +1222,11 @@ def crawl_round_resumable(
 
     if kw.get("broadcast_rules") is None:
         # the scale-safe choice from cheap stats (r11 verdict item 1):
-        # the RAW store count (probed with a short-circuiting limit —
-        # an upper bound on the latest-per-host read, so an
-        # over-estimate only ever shuffles a broadcastable table) and
-        # a bounded probe of any caller table. Probing the merged
+        # the RAW store count (summed from parquet footers driver-side
+        # — zero Spark jobs, r12 item 7; an upper bound on the
+        # latest-per-host read, so an over-estimate only ever shuffles
+        # a broadcastable table) and a bounded probe of any caller
+        # table. Probing the merged
         # frame instead would pay part of the memory's window. The
         # conjunction must ALSO cover a pass-through ``rules=`` table
         # in **kw: the resolved bool overrides crawl_round's own
@@ -1521,8 +1522,9 @@ def streaming_crawl_round(
                 else None
             )
             # per-round resolution: the memory grows as the stream
-            # runs, so each recorded round re-probes the raw store
-            # (limit-bounded; file-less store short-circuits to True)
+            # runs, so each recorded round re-reads the raw store's
+            # footer row count (driver-side, zero Spark jobs — r12
+            # item 7; file-less store short-circuits to True)
             bc_round = (
                 bool(broadcast_rules)
                 if broadcast_rules is not None
