@@ -1623,6 +1623,7 @@ def test_crawl_resumable_across_sessions(spark, tmp_path):
     rep = W.crawl_round_resumable(spark, session(), str(archives[2]), sd,
                                   text_index=ti, **kw)
     assert rep["replayed"] is True
+    assert rep["frontier_scoped"] is False  # no fold yet: exact rows
     assert rep["n_docs_indexed"] == s2["n_docs_indexed"]
     assert sorted(r.url for r in rep["frontier"].collect()) == res_f2
     assert sorted(r.url for r in session().graph().links.collect()) == before
@@ -1649,6 +1650,10 @@ def test_crawl_resumable_across_sessions(spark, tmp_path):
     rep2 = W.crawl_round_resumable(spark, session(), str(archives[1]), sd,
                                    text_index=ti, **kw)
     assert rep2["replayed"] is True
+    # ADVICE r13: a replay AFTER the fold flags its frontier read as
+    # the backlog-canonical scoped one (a zero-frontier round reads
+    # identically either way and stays unflagged)
+    assert rep2["frontier_scoped"] is (rep2["n_frontier"] > 0)
 
 
 def test_crawl_resumable_delay_carry_over(spark, tmp_path):
@@ -3177,6 +3182,9 @@ def test_model_based_budget_flip_mid_history(spark, tmp_path, monkeypatch):
     # after round 1 — the later rounds adjudicate shuffled
     assert flip_shapes[0] is True and flip_shapes[-1] is False
     assert flip == base
+
+
+def test_model_based_stream_batch_interleaving(spark, tmp_path):
     """r11 verdict item 5: one scripted sequence mixing BATCH resumable
     rounds, STREAMED micro-batch drains (fresh checkpoint each time —
     the ledger, not the checkpoint, adjudicates), a simulated crash
@@ -3483,3 +3491,76 @@ def test_next_fetch_plan_delay_memory_over_budget_goes_shuffled(
         forced._jdf.queryExecution().optimizedPlan().toString().lower()
     )
     assert sorted(map(tuple, forced.collect())) == want
+
+
+def test_streaming_landing_old_layout_migrates(spark, tmp_path):
+    """ADVICE r13: a landing dir written by the pre-digest version was
+    partitioned by raw ``warc_file=``. Resuming a stream against it
+    must neither AnalysisException on the now-missing ``warc_part``
+    column nor write a second, conflicting partition layout into the
+    same dir — the landing is derived (a parse-once cache of
+    uncommitted archives), so the old layout is dropped wholesale and
+    this run re-lands its own partitions under ``warc_part=``."""
+    import os
+
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.warc").write_bytes(W.build_warc(_crawl_records()))
+    ldir = tmp_path / "landing"
+    # fabricate the OLD layout the previous version wrote
+    spark.createDataFrame(
+        [("stale", str(land / "a.warc"))],
+        "record_id string, warc_file string",
+    ).write.partitionBy("warc_file").parquet(f"{ldir}/stream.parquet")
+    assert any(
+        e.startswith("warc_file=")
+        for e in os.listdir(f"{ldir}/stream.parquet")
+    )
+
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    W.streaming_crawl_round(
+        spark, store, str(land), str(tmp_path / "ck"),
+        state_dir=str(tmp_path / "sd"), landing=str(ldir),
+    )
+    parts = os.listdir(f"{ldir}/stream.parquet")
+    assert not any(e.startswith("warc_file=") for e in parts)
+    assert any(e.startswith("warc_part=") for e in parts)
+    assert _graph_state(store)["links"]  # the round itself committed
+
+
+def test_count_parquet_rows_skips_staging_and_hidden(spark, tmp_path):
+    """ADVICE r13: the footer walk must only see COMMITTED data files —
+    Spark staging subtrees (``_temporary``, ``.hive-staging``) and
+    hidden task-attempt leftovers from a crashed or concurrent write
+    can hold real parquet bytes that are NOT part of the store, and
+    counting them inflated ``broadcast_status``'s ``rows_exact``
+    report."""
+    import os
+    import shutil
+
+    from webpagesgraphdatabase_spark.operators._util import (
+        count_parquet_files,
+        count_parquet_rows,
+    )
+
+    d = str(tmp_path / "store")
+    spark.range(7).coalesce(1).write.parquet(d)
+    n_files = count_parquet_files(d)
+    assert count_parquet_rows(d) == 7
+
+    # a crashed concurrent writer left staging dirs with real bytes
+    committed = next(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    for sub in ("_temporary/0/task-1", ".hive-staging/x"):
+        os.makedirs(f"{d}/{sub}", exist_ok=True)
+        shutil.copy(f"{d}/{committed}", f"{d}/{sub}/part-stale.parquet")
+    shutil.copy(f"{d}/{committed}", f"{d}/.part-crc-like.parquet")
+
+    assert count_parquet_rows(d) == 7
+    assert count_parquet_files(d) == n_files
+    # short-circuit still bounded by the budget, not the junk
+    assert count_parquet_rows(d, stop_at=3) == 7

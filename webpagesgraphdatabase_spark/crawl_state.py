@@ -205,6 +205,29 @@ class CrawlState:
             .select("url", "indeg")
         )
 
+    def frontier_is_folded(self, batch_id: int) -> bool:
+        """True when :meth:`compact` has folded this COMMITTED round's
+        frontier partition into segment 0 — i.e. :meth:`frontier_of`
+        now returns the backlog-canonical scoped read (ADVICE r13: the
+        replay report surfaces this so its ``n_frontier`` ledger count
+        and its frontier row count can be read together honestly).
+        Zero Spark jobs beyond the ledger lookup: the fold removes the
+        round's ``batch=<round_no>`` partition dir, so a committed
+        dirname check decides. A round that stored no frontier rows
+        reports False — its scoped read is identically empty, same as
+        the original."""
+        import os
+
+        from .operators._util import count_parquet_files
+
+        s = self.round_summary(batch_id)
+        if s["n_frontier"] == 0:
+            return False
+        part = os.path.join(self._frontier, f"batch={s['round_no']}")
+        return not (
+            os.path.isdir(part) and count_parquet_files(part) > 0
+        )
+
     def _candidates(
         self, seen: DataFrame | None, indeg_alias: str
     ) -> DataFrame:
@@ -251,7 +274,6 @@ class CrawlState:
     def _store_fits_broadcast(
         self,
         store: str,
-        schema: T.StructType,
         max_rows: int | None = None,
     ) -> bool:
         """Shared cheap stat for the state-memory broadcast decisions:
@@ -280,17 +302,13 @@ class CrawlState:
         """Does the stored rule memory fit the broadcast budget? The
         cheap stat behind the :func:`.robots.robots_filter` join
         choice in the crawl wrappers (r11 verdict item 1)."""
-        return self._store_fits_broadcast(
-            self._rules, _RULES_SCHEMA, max_rows
-        )
+        return self._store_fits_broadcast(self._rules, max_rows)
 
     def hosts_fit_broadcast(self, max_rows: int | None = None) -> bool:
         """Does the stored DELAY memory fit the broadcast budget? Same
         growth (O(hosts-ever-seen)) and same discipline as the rule
         store — the stat behind ``_budget_cap``'s join choice (r12)."""
-        return self._store_fits_broadcast(
-            self._hosts, _HOSTS_SCHEMA, max_rows
-        )
+        return self._store_fits_broadcast(self._hosts, max_rows)
 
     def broadcast_status(self, max_rows: int | None = None) -> dict:
         """The budget decisions an operator needs to see COMING (r12

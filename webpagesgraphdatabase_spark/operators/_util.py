@@ -107,12 +107,24 @@ def swap_in_rewrite(write_fn, target: str, tmp: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def count_parquet_files(d: str) -> int:
+def _walk_committed(d):
+    """os.walk that skips Spark's hidden/staging subtrees (basenames
+    starting with ``_`` or ``.`` — ``_temporary``, ``.hive-staging``,
+    task-attempt leftovers from a crashed or concurrent write), so the
+    footer counts below only see COMMITTED data files. Hidden files
+    (``.part-…​.crc``, ``_SUCCESS``) are filtered by the callers'
+    ``.parquet`` suffix check plus the leading-dot guard here."""
     import os
 
+    for dp, dns, fns in os.walk(d):
+        dns[:] = [n for n in dns if not n.startswith(("_", "."))]
+        yield dp, dns, [n for n in fns if not n.startswith(("_", "."))]
+
+
+def count_parquet_files(d: str) -> int:
     return sum(
         1
-        for dp, _, fns in os.walk(d)
+        for dp, _, fns in _walk_committed(d)
         for fn in fns
         if fn.endswith(".parquet")
     )
@@ -129,13 +141,17 @@ def count_parquet_rows(d: str, stop_at: int | None = None) -> int:
     :func:`~..robots.fits_broadcast`'s ``limit(n+1)`` discipline).
     Each footer read is one ~KB tail fetch; between compactions the
     file count grows O(appends), which the store's own compact()
-    bounds."""
+    bounds. Only COMMITTED files count: staging subtrees
+    (``_temporary``, ``.hive-staging``) and hidden task-attempt files
+    are skipped, so a concurrent or crashed write can never inflate
+    the stat (it reported ``rows_exact`` rows that included
+    uncommitted data before)."""
     import os
 
     import pyarrow.parquet as pq
 
     total = 0
-    for dp, _, fns in os.walk(d):
+    for dp, _, fns in _walk_committed(d):
         for fn in fns:
             if not fn.endswith(".parquet"):
                 continue

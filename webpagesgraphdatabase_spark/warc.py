@@ -1158,7 +1158,11 @@ def crawl_round_resumable(
     ``GraphStore`` + state dir continues the identical frontier
     sequence, and re-feeding an archive whose round already completed
     is a recorded no-op (``replayed: True`` with the stored counts and
-    frontier) instead of a duplicate ingest.
+    frontier — for a round a later :meth:`~.crawl_state.CrawlState.
+    compact` has folded, the frontier is the backlog-canonical SCOPED
+    read and ``frontier_scoped: True`` says so; the ledger
+    ``n_frontier`` is always the round's original count) instead of a
+    duplicate ingest.
 
     Differences from the stateless call: the returned ``frontier`` is
     the AT-REST copy (materialized once into the state store — (url,
@@ -1188,6 +1192,13 @@ def crawl_round_resumable(
     if state.has_round(batch):
         report = state.round_summary(batch)
         report["frontier"] = state.frontier_of(batch)
+        # a round whose partition compact() already folded reads the
+        # backlog-canonical SCOPED frontier (one row per normalized
+        # url whose latest committed appearance was this round) — the
+        # ledger n_frontier stays the round's original exact count, so
+        # the two can legitimately disagree; the flag says which read
+        # this is (ADVICE r13)
+        report["frontier_scoped"] = state.frontier_is_folded(batch)
         report["replayed"] = True
         return report
     # the wrapper owns these knobs: a caller-passed extra_delays
@@ -1605,6 +1616,24 @@ def streaming_crawl_round(
                 )
                 if n > int(state_compact_threshold):
                     state.compact()
+
+    if landing is not None:
+        # layout migration (ADVICE r13): a landing written before the
+        # digest key was partitioned by raw ``warc_file=``; the reader
+        # now prunes on ``warc_part=`` (missing column → Analysis-
+        # Exception) and a mixed dir would hold two conflicting
+        # partition layouts. The landing is DERIVED data (parse-once
+        # cache of uncommitted archives — committed rounds never read
+        # it), so the safe migration is to drop the old layout and let
+        # this run re-land its own partitions from the source bytes.
+        import os
+        import shutil
+
+        _sp = os.path.join(landing, "stream.parquet")
+        if os.path.isdir(_sp) and any(
+            e.startswith("warc_file=") for e in os.listdir(_sp)
+        ):
+            shutil.rmtree(_sp)
 
     q = (
         read_warc_stream(spark, path)
