@@ -123,13 +123,231 @@ ANN_HEADLINE = {
 # `rebaselined` with their ratio AND reason — never silently dropped.
 # Clear this dict at the start of every round; re-add only entries
 # whose implementation actually changed.
+def _scale_reason(k: int) -> str:
+    return (
+        f"r14 verdict item 1: bench-time input scaled ×{k} (row-count "
+        "multiplier, same plan) so the entry runs well above the "
+        "scheduler-jitter floor — one-time rebaseline of every "
+        "sub-second headline entry"
+    )
+
+
+# r14 verdict item 1: bench-time ROW-COUNT MULTIPLIERS for the entries
+# that ran sub-second at sf0.1 — every breach/watch cycle of r11-r13
+# (`t_quality_lr_score`, `u_heavy_hitters`, `t_cdc_segments`,
+# `d_paragraph_dedup_hot`) was a sub-second entry where scheduler
+# jitter dominates the reading. Each scaled entry's input is k DISJOINT
+# replicas of its table (primary keys salted per copy, the shared
+# vocabulary — keywords / categories / event types — left 1×, the
+# realistic "more rows, same domain" shape), materialized to parquet
+# ONCE at bench setup (untimed) so the timed plan is byte-identical in
+# shape to the unscaled one. Entries whose work is quadratic in the
+# multiplied key (the pair self-joins) use small k on purpose. The full
+# map lands in the detail sidecar as `bench_scale`; every entry here is
+# also in CHANGED_ENTRIES — the k× reading measures k× the work, so
+# "timing / calibrated prior" is a rebaseline, not a regression.
+BENCH_SCALE: dict[str, int] = {
+    # graph entries: the recorded k is the multiplier of the TABLE the
+    # query actually scans (top_keywords reads only links;
+    # links_per_category only belongs_to — those two run against a
+    # store whose scanned table is replicated much deeper than the
+    # rest, tools/tune_bench_scale.py measured the slopes)
+    "g_top_keywords": 640,          # links ×640
+    "g_links_with_categories": 96,  # links + belongs_to ×96
+    "g_links_per_category": 1536,   # belongs_to ×1536
+    "g_export_edges": 96,           # belongs_to + has_keyword ×96
+    "g_interconnect_pair_counts": 8,  # pairs grow superlinearly in k
+    # registry rows timed against a scaled table dir
+    "mm_byte_histogram": 384,
+    "t_repetition": 8,              # window rank is superlinear in k
+    "e_sessionize": 96,
+    "e_user_rollup": 96,
+    # direct-operator entries on scaled frames (the four r11-r13
+    # breach churners all land >=3 s)
+    "t_quality_lr_score": 384,
+    "u_heavy_hitters": 72,
+    "t_cdc_segments": 56,
+    "d_paragraph_dedup": 8,     # rode the 1 s line unscaled (r13 1.07)
+    "d_paragraph_dedup_hot": 96,
+    "u_bottomk_quantiles": 96,
+    # warehouse maintenance on scaled twins of the events table
+    # (w_cluster_zorder stays 1× — it was never sub-second). The
+    # zonemap write and the pruned read are CONSTANT-BY-DESIGN ops
+    # (per-file metadata work / a point read that prunes everything
+    # else) — k× rows moves them very little; they are covered by the
+    # absolute-delta breach floor instead (see BREACH_ABS_FLOOR_S).
+    "w_compact": 32,
+    "w_zonemap_write": 32,
+    "w_read_pruned": 32,
+    # embeddings entries (cosine_neardup is an n² block-matmul: k=6
+    # means ~36× work). pca_model is a sufficient-stats pass with
+    # map-side combine — near-constant by design at any feasible k; it
+    # shares the projection's dir and the breach floor covers it.
+    "s_pca_model": 256,
+    "s_pca_whiten": 256,
+    "s_cosine_neardup": 6,
+    "s_ann_lsh": 192,
+}
+
+#: salt columns per source table for the replicas: only the PRIMARY
+#: identity is salted per copy; attribute vocabularies stay shared so
+#: group counts scale in ROWS (the aggregation work) without inventing
+#: new domains.
+_SCALE_SALT = {
+    "documents": ("doc_id",),
+    "events": ("event_id", "user_id"),
+    "embeddings": ("vec_id",),
+}
+
+
+def _replicate(df, k: int, salt_cols=()):
+    """k disjoint copies of a bench input (r14 verdict item 1): one
+    narrow explode per row; integer keys shift by copy-index · 2³³,
+    string keys get a ``#r<i>`` suffix. Downstream operators spread()
+    their inputs, so layout stays theirs."""
+    from pyspark.sql import functions as SF
+
+    if k <= 1:
+        return df
+    types = dict(df.dtypes)
+    out = df.withColumn(
+        "_rep", SF.explode(SF.sequence(SF.lit(0), SF.lit(k - 1)))
+    )
+    for c in salt_cols:
+        if types[c] in ("bigint", "int", "long"):
+            out = out.withColumn(
+                c, SF.col(c) + SF.col("_rep").cast("long") * SF.lit(1 << 33)
+            )
+        else:
+            out = out.withColumn(
+                c, SF.concat(SF.col(c), SF.lit("#r"), SF.col("_rep"))
+            )
+    return out.drop("_rep")
+
+
+class ScaledInputs:
+    """Lazily materialized k× replicas of the bench inputs, written to
+    parquet ONCE (untimed setup) so every timed pass scans at-rest
+    columnar data exactly like the unscaled entries do. One dir per
+    (table, k); one scaled GraphStore per k. ``close()`` removes
+    everything."""
+
+    def __init__(self, spark, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.root = tempfile.mkdtemp(prefix="bench_scaled_")
+        self._dirs: dict[tuple[str, int], str] = {}
+        self._graphs: dict[int, object] = {}
+
+    def dir_for(self, k: int, tables: tuple[str, ...]) -> str:
+        """A table dir holding the requested tables at k×, laid out so
+        ``load_table(spark, dir, name)`` reads them like the source."""
+        from webpagesgraphdatabase_spark.io_tpch import load_table
+
+        d = os.path.join(self.root, f"k{k}")
+        for t in tables:
+            if (t, k) in self._dirs:
+                continue
+            df = _replicate(
+                load_table(self.spark, self.sf_dir, t),
+                k,
+                _SCALE_SALT.get(t, ()),
+            )
+            # replicas of a 1-file source would land as 1 task; write
+            # spread so the at-rest layout matches a real k×-larger
+            # table (the spread() discipline, operators/_util.py)
+            df.repartition(
+                self.spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+            self._dirs[(t, k)] = d
+        return d
+
+    def table(self, name: str, k: int):
+        from webpagesgraphdatabase_spark.io_tpch import load_table
+
+        return load_table(self.spark, self.dir_for(k, (name,)), name)
+
+    def graph_store(self, k: int, src_store, table_ks: dict | None = None):
+        """A GraphStore holding k disjoint replicas of ``src_store``'s
+        graph: link urls and edge sources salted per copy, the
+        category/keyword vocabulary shared (each replica url keeps ONE
+        category — the single-category witness survives). ``table_ks``
+        overrides the multiplier per table — used for the single-table
+        scans (top_keywords reads only links, links_per_category only
+        belongs_to), whose scanned table replicates far deeper than a
+        full-store k could afford; entries on such a store must not
+        join two tables with different multipliers."""
+        table_ks = table_ks or {}
+        key = (k, tuple(sorted(table_ks.items())))
+        if key in self._graphs:
+            return self._graphs[key]
+        g = src_store.graph()
+        tag = "_".join(
+            [f"k{k}"] + [f"{t}{v}" for t, v in sorted(table_ks.items())]
+        )
+        st = GraphStore(self.spark, os.path.join(self.root, f"graph_{tag}"))
+        st.init_schema()
+        par = self.spark.sparkContext.defaultParallelism
+
+        def rep(df, table, salt):
+            kk = table_ks.get(table, k)
+            out = _replicate(df, kk, salt)
+            return out.repartition(par) if kk > 1 else out
+
+        st.wh.overwrite("links", rep(g.links, "links", ("url",)))
+        st.wh.overwrite("categories", g.categories)
+        st.wh.overwrite("keywords", g.keywords)
+        st.wh.overwrite(
+            "belongs_to", rep(g.belongs_to, "belongs_to", ("src_url",))
+        )
+        st.wh.overwrite(
+            "has_keyword", rep(g.has_keyword, "has_keyword", ("src_url",))
+        )
+        self._graphs[key] = st
+        return st
+
+    def close(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+def build_graph_inputs(scaled: ScaledInputs, store) -> dict:
+    """The scaled graph stores for the de-noised graph entries (r14
+    verdict item 1). Three stores: a full-replica moderate store for
+    the joining queries; a deep single-table store for the two
+    single-scan queries (links ×640 for top_keywords, belongs_to ×1536
+    for links_per_category — no query on it joins the two, so the
+    mismatched replica universes are never compared); and a shallow
+    full-replica store for pair_counts, whose (category, keyword)
+    group self-join grows superlinearly in k. Unlisted graph entries
+    (the canonical interconnect, triangles) run on the 1× store — they
+    were never sub-second."""
+    sg_m = scaled.graph_store(BENCH_SCALE["g_links_with_categories"], store)
+    sg_single = scaled.graph_store(
+        1,
+        store,
+        table_ks={
+            "links": BENCH_SCALE["g_top_keywords"],
+            "belongs_to": BENCH_SCALE["g_links_per_category"],
+            # has_keyword stays 1× — nothing on this store scans it
+        },
+    )
+    sg_pairs = scaled.graph_store(
+        BENCH_SCALE["g_interconnect_pair_counts"], store
+    )
+    return {
+        "g_top_keywords": sg_single,
+        "g_links_per_category": sg_single,
+        "g_links_with_categories": sg_m,
+        "g_export_edges": sg_m,
+        "g_interconnect_pair_counts": sg_pairs,
+    }
+
+
 CHANGED_ENTRIES: dict[str, str] = {
-    # r12: EMPTY. The round's benched-code diffs are timing-neutral by
-    # construction — kmeans_centroids gained a try/finally around its
-    # existing persists (same plan, same caching), and crawl_round's
-    # broadcast auto-selection resolves with ZERO probe jobs on the
-    # benched no-caller-rules path (w_crawl_round passes no rules=).
-    # The r11 argmax/persist rebaselines are now the committed prior.
+    # r14: every BENCH_SCALE entry is a one-time input rebaseline —
+    # the verdict's item 1 (de-noise the sub-second entries).
+    name: _scale_reason(k)
+    for name, k in BENCH_SCALE.items()
 }
 
 # Entries whose thunk mutates its fixture (compaction, clustering,
@@ -141,13 +359,14 @@ CHANGED_ENTRIES: dict[str, str] = {
 # re-timed pass — an honest number instead of a "fixture out of scope"
 # error now that the inner-finally fixtures are reconstructable.
 MUTATING_ENTRIES: dict[str, str] = {
-    "w_compact": "compacts the events table; the re-time rebuilds the "
-    "fragmented table before each pass",
+    "w_compact": "compacts the scaled events_c table; the re-time "
+    "rebuilds the fragmented scaled table before each pass",
     "w_cluster_zorder": "rewrites the events table clustered; the "
     "re-time rebuilds + compacts before each pass (the main run's "
     "pass-1 state)",
-    "w_zonemap_write": "overwrites the zone-map manifest; the re-time "
-    "rebuilds + compacts + clusters before each pass",
+    "w_zonemap_write": "overwrites the scaled events_zp zone-map "
+    "manifest; the re-time rebuilds the range-laid table before each "
+    "pass",
     "w_crawl_round": "each pass lands into a FRESH store dir (equal "
     "work); the re-time re-creates the archive fixture dir first",
 }
@@ -323,31 +542,45 @@ def solo_retime(
     return res
 
 
-def _wh_retime_setups(wh, ev_w) -> dict:
+def _wh_retime_setups(wh, ev_w, ev_c=None, ev_zp=None) -> dict:
     """Fixture rebuilders for the warehouse-maintenance re-times: each
     recreates its entry's main-run PASS-1 input state from the source
     frame — the bench's inner ``finally`` removes the warehouse dir
     before report assembly, and the Warehouse API recreates it on
     write, so a breach re-time produces an honest median instead of a
     ``fixture out of scope`` error (r10 verdict item 5). Importable
-    for the forced-breach test."""
+    for the forced-breach test. ``ev_c`` / ``ev_zp`` are the scaled
+    twins (r14 verdict item 1): ``w_compact`` times compaction of the
+    fragmented scaled table, ``w_zonemap_write`` / ``w_read_pruned``
+    run over the range-laid scaled table; ``w_cluster_zorder`` stays on
+    the 1× compacted table, its pre-r14 input state."""
 
-    def fragmented():
-        wh.create_table("events", ev_w.schema)
-        wh.overwrite("events", ev_w.repartition(64))
+    def fragmented_c():
+        src = ev_c if ev_c is not None else ev_w
+        wh.create_table("events_c", src.schema)
+        wh.overwrite("events_c", src.repartition(64))
 
     def compacted():
-        fragmented()
+        wh.create_table("events", ev_w.schema)
+        wh.overwrite("events", ev_w.repartition(64))
         wh.compact("events")
 
-    def clustered():
-        compacted()
-        wh.cluster("events", ("event_type", "ts"), target_file_bytes=1 << 20)
+    def ranged():
+        src = ev_zp if ev_zp is not None else ev_w
+        wh.create_table("events_zp", src.schema)
+        wh.overwrite(
+            "events_zp", src.repartitionByRange(64, "event_type", "ts")
+        )
+
+    def ranged_mapped():
+        ranged()
+        wh.write_zonemap("events_zp", ("event_type", "ts"))
 
     return {
-        "w_compact": fragmented,
+        "w_compact": fragmented_c,
         "w_cluster_zorder": compacted,
-        "w_zonemap_write": clustered,
+        "w_zonemap_write": ranged,
+        "w_read_pruned": ranged_mapped,
     }
 
 
@@ -452,6 +685,14 @@ GATE_SCRATCH_BOUND_S = 1.5
 # host the original two samples were blind to; this probe sees it
 # without needing a Spark session.
 GATE_MEM_BOUND_S = 2.5
+
+# r14 verdict item 1: an unchanged entry only counts as a BREACH when,
+# besides the >1.5× ratio, its calibrated absolute excess over the
+# prior exceeds this floor. Sub-second/constant-by-design entries
+# (pruned point reads, manifest writes) produced every false
+# breach/retime cycle of r11-r13; a regression that matters at scale
+# moves a reading by seconds.
+BREACH_ABS_FLOOR_S = 1.0
 
 
 def host_quiet_gate(retry_sleep: float = 30.0) -> dict:
@@ -617,6 +858,7 @@ def main() -> None:
         return val
 
     graph_dirs: list[str] = []
+    scaled = ScaledInputs(spark, sf_dir)
     try:
         # the one-time database build. r6's committed artifact carried a
         # 5.06× calibrated-prior spike here that could not be adjudicated
@@ -646,8 +888,12 @@ def main() -> None:
         # the io probe, not the cpu/shuffle ones
         groups["graph_load"] = "io"
 
+        # scaled entries run against k×-replicated graph stores
+        # (materialized once, untimed — r14 verdict item 1)
+        graph_inputs = build_graph_inputs(scaled, store)
         for name, fn in GRAPH_HEADLINE.items():
-            timed(name, lambda fn=fn: _force(fn(store.graph())))
+            g_store = graph_inputs.get(name, store)
+            timed(name, lambda fn=fn, s=g_store: _force(fn(s.graph())))
 
         # degree-ordered triangle counting on the capped keyword
         # co-occurrence projection (r6)
@@ -664,8 +910,24 @@ def main() -> None:
         )
         group_mark("tables")
 
+        # registry rows keep their EXACT registry composition at k×:
+        # the scaled entries read from a dir holding the k×-replicated
+        # table under the source's own name
+        scaled_tables = {
+            "mm_byte_histogram": ("documents",),
+            "t_repetition": ("documents",),
+            "e_sessionize": ("events",),
+            "e_user_rollup": ("events",),
+        }
         for name in TABLE_HEADLINE:
-            timed(name, lambda name=name: _force(registry.QUERIES[name](spark, sf_dir)))
+            k = BENCH_SCALE.get(name)
+            d_in = scaled.dir_for(k, scaled_tables[name]) if k else sf_dir
+            timed(
+                name,
+                lambda name=name, d=d_in: _force(
+                    registry.QUERIES[name](spark, d)
+                ),
+            )
         group_mark("dedup")
 
         # the superstep components loop only routes above 500k edges, so
@@ -690,9 +952,10 @@ def main() -> None:
         )
         # CCNet-style segment-level dedup (r5): one window shuffle on the
         # segment text + one reassembly groupBy
+        docs_pd = scaled.table("documents", BENCH_SCALE["d_paragraph_dedup"])
         timed(
             "d_paragraph_dedup",
-            lambda: _force(dedup.paragraph_dedup(docs)),
+            lambda: _force(dedup.paragraph_dedup(docs_pd)),
         )
         # trained LR quality classifier (r5): training is the one-time
         # cache-then-iterate job (timed once, like the index builds),
@@ -703,9 +966,10 @@ def main() -> None:
             "t_quality_lr_train",
             lambda: textstats.train_quality_classifier(docs),
         )
+        docs_lr = scaled.table("documents", BENCH_SCALE["t_quality_lr_score"])
         timed(
             "t_quality_lr_score",
-            lambda: _force(textstats.quality_lr_score(docs, lr_model)),
+            lambda: _force(textstats.quality_lr_score(docs_lr, lr_model)),
         )
         # MG heavy hitters over the exploded token stream (r5): the
         # bounded-state alternative to the exact groupBy count
@@ -713,9 +977,9 @@ def main() -> None:
 
         from webpagesgraphdatabase_spark.operators import sketches, tokenize
 
-        tok_stream = docs.select(
-            SF.explode(tokenize.whitespace_tokens("text")).alias("t")
-        )
+        tok_stream = scaled.table(
+            "documents", BENCH_SCALE["u_heavy_hitters"]
+        ).select(SF.explode(tokenize.whitespace_tokens("text")).alias("t"))
         timed(
             "u_heavy_hitters",
             lambda: _force(sketches.heavy_hitters(tok_stream, "t", k=64)),
@@ -747,18 +1011,19 @@ def main() -> None:
         )
         # content-defined chunking (r7): narrow token explode + lag
         # window hash + doc-bounded cumsum + keyed reassembly
+        docs_cdc = scaled.table("documents", BENCH_SCALE["t_cdc_segments"])
         timed(
             "t_cdc_segments",
-            lambda: _force(textstats.cdc_segments(docs)),
+            lambda: _force(textstats.cdc_segments(docs_cdc)),
         )
         # per-event-type bottom-k quantile sketch (r6): count-sized
         # hash-threshold prefilter + O(k)-row rank + percentile agg
-        ev = load_table(spark, sf_dir, "events")
+        ev_bk = scaled.table("events", BENCH_SCALE["u_bottomk_quantiles"])
         timed(
             "u_bottomk_quantiles",
             lambda: _force(
                 sketches.bottomk_sample_quantiles(
-                    ev, "event_type", "event_id", "value"
+                    ev_bk, "event_type", "event_id", "value"
                 )
             ),
         )
@@ -766,15 +1031,16 @@ def main() -> None:
         # carries identical text, so every segment is a corpus-wide
         # duplicate of one hot key. The r5 window plan ranked all copies
         # on a single task; the r6 partial aggregate must stay flat here.
-        hot = docs.select(
-            "doc_id",
-            SF.lit(("boilerplate navigation footer terms " * 24).strip()).alias(
-                "text"
-            ),
-        )
+        hot_text = SF.lit(
+            ("boilerplate navigation footer terms " * 24).strip()
+        ).alias("text")
+        hot = docs.select("doc_id", hot_text)
+        hot_scaled = scaled.table(
+            "documents", BENCH_SCALE["d_paragraph_dedup_hot"]
+        ).select("doc_id", hot_text)
         timed(
             "d_paragraph_dedup_hot",
-            lambda: _force(dedup.paragraph_dedup(hot)),
+            lambda: _force(dedup.paragraph_dedup(hot_scaled)),
         )
         # span dedup under its own target pathology (r6): every doc is
         # the same text, so every 4-token window is one corpus-wide hot
@@ -796,15 +1062,23 @@ def main() -> None:
         try:
             wh = Warehouse(spark, wh_dir)
             ev_w = load_table(spark, sf_dir, "events")
-            wh_setups = _wh_retime_setups(wh, ev_w)
-            wh.create_table("events", ev_w.schema)
-            wh.overwrite("events", ev_w.repartition(64))  # fragmented
+            # scaled twins (r14 verdict item 1): compaction times the
+            # k×-fragmented table; zonemap + pruned read run over a
+            # RANGE-LAID k× table (repartitionByRange on the zonemap
+            # cols — file-level ranges stay selective, the same
+            # pruning shape the 1× clustered table had)
+            ev_c = scaled.table("events", BENCH_SCALE["w_compact"])
+            ev_zp = scaled.table("events", BENCH_SCALE["w_read_pruned"])
+            wh_setups = _wh_retime_setups(wh, ev_w, ev_c=ev_c, ev_zp=ev_zp)
+            wh_setups["w_compact"]()  # fragmented events_c (scaled)
             timed(
                 "w_compact",
-                lambda: wh.compact("events"),
+                lambda: wh.compact("events_c"),
                 repeats=3,
                 rerun_setup=wh_setups["w_compact"],
             )
+            # the 1× zorder keeps its pre-r14 input state: compacted
+            wh_setups["w_cluster_zorder"]()
             timed(
                 "w_cluster_zorder",
                 lambda: wh.cluster(
@@ -813,9 +1087,10 @@ def main() -> None:
                 repeats=3,
                 rerun_setup=wh_setups["w_cluster_zorder"],
             )
+            wh_setups["w_zonemap_write"]()  # range-laid events_zp
             timed(
                 "w_zonemap_write",
-                lambda: wh.write_zonemap("events", ("event_type", "ts")),
+                lambda: wh.write_zonemap("events_zp", ("event_type", "ts")),
                 repeats=3,
                 rerun_setup=wh_setups["w_zonemap_write"],
             )
@@ -825,7 +1100,8 @@ def main() -> None:
             ranges = {"event_type": (lo_hi["lo"], lo_hi["lo"])}
             timed(
                 "w_read_pruned",
-                lambda: _force(wh.read_pruned("events", ranges)),
+                lambda: _force(wh.read_pruned("events_zp", ranges)),
+                rerun_setup=wh_setups["w_read_pruned"],
             )
         finally:
             shutil.rmtree(wh_dir, ignore_errors=True)
@@ -909,25 +1185,37 @@ def main() -> None:
         emb_dim = len(emb.select("embedding").first()["embedding"])
         # PCA/whitening (r5): sufficient-statistics model fit is timed
         # once (driver eigh is corpus-free), projection as a query
-        pca = timed_build("s_pca_model", lambda: _similarity().pca_model(emb))
+        emb_pca = scaled.table("embeddings", BENCH_SCALE["s_pca_model"])
+        pca = timed_build(
+            "s_pca_model", lambda: _similarity().pca_model(emb_pca)
+        )
+        emb_wh = scaled.table("embeddings", BENCH_SCALE["s_pca_whiten"])
         timed(
             "s_pca_whiten",
-            lambda: _force(_similarity().pca_project(emb, pca, whiten=True)),
+            lambda: _force(_similarity().pca_project(emb_wh, pca, whiten=True)),
         )
         # s_cosine_neardup keeps timing the raw broadcast block-matmul
         # operator (the registry row of the same name now also carries
         # the SemDeDup union — timed separately as s_semantic_dedup so
         # the r2-r4 timing series stays comparable)
+        emb_cn = scaled.table("embeddings", BENCH_SCALE["s_cosine_neardup"])
         timed(
             "s_cosine_neardup",
-            lambda: _force(_similarity().cosine_neardup(emb)),
+            lambda: _force(_similarity().cosine_neardup(emb_cn)),
         )
         timed(
             "s_semantic_dedup",
             lambda: _force(_similarity().semantic_dedup(emb, corpus_count=n_emb)),
         )
         for name, fn in ANN_HEADLINE.items():
-            timed(name, lambda fn=fn: _force(fn(emb, n_emb, emb_dim)))
+            k = BENCH_SCALE.get(name)
+            e_in, n_in = (
+                (scaled.table("embeddings", k), n_emb * k) if k else (emb, n_emb)
+            )
+            timed(
+                name,
+                lambda fn=fn, e=e_in, n=n_in: _force(fn(e, n, emb_dim)),
+            )
 
         # hybrid retrieval (r8): per fixed query, BM25 top-20 over the
         # documents corpus fused with the exact-cosine top-20 of the
@@ -1141,10 +1429,32 @@ def main() -> None:
             retime=retime,
         )
     finally:
+        scaled.close()
         for d in graph_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
     print(line)
+
+
+def _cross_host_verdict(watch: dict | None, retime: dict | None) -> str:
+    """Mechanical cross-host adjudication of one watched/breaching
+    entry (r14 verdict item 3). Builder quiet-window evidence wins:
+    a median inside the recorded historical band closes the entry, a
+    median outside it is a regression (measured on a quiet window — no
+    host excuse left). With no builder reading yet, a clean solo
+    re-time (≤1.25× the prior, the jitter envelope BENCHLOG's retime
+    series established) closes it; anything else stays a watch."""
+    band = (watch or {}).get("band")
+    med = (watch or {}).get("builder_quiet_median")
+    if band and med is not None:
+        return "closed" if band[0] <= med <= band[1] else "regression"
+    rt = retime or {}
+    r = rt.get("retime_calibrated_ratio", rt.get("retime_raw_ratio"))
+    if r is not None and min(
+        r, rt.get("retime_raw_ratio", r)
+    ) <= 1.25:
+        return "closed"
+    return "watch"
 
 
 def build_report(
@@ -1349,11 +1659,39 @@ def build_report(
                     for k in ratios
                     if prev_q.get(k)
                 }
-                breaches = {
+                over = {
                     k: max(r, raw_r.get(k, 0.0))
                     for k, r in ratios.items()
                     if max(r, raw_r.get(k, 0.0)) > 1.5
                 }
+                # r14 verdict item 1: a breach must ALSO exceed the
+                # jitter floor in calibrated absolute seconds. The
+                # ratio trigger alone re-timed the same sub-second
+                # entries three rounds running while their code was
+                # untouched; constant-by-design entries (the pruned
+                # point read, the zonemap manifest write) can never be
+                # scaled past the floor, so a pure ratio on them is
+                # noise by construction. A real regression that
+                # matters at 100 TB moves the reading by seconds, not
+                # by a scheduler-jitter fraction of one.
+                breaches = {
+                    k: v
+                    for k, v in over.items()
+                    if timings[k] - factors[k] * prev_q[k]
+                    > BREACH_ABS_FLOOR_S
+                }
+                sub_floor = {
+                    k: {
+                        "ratio": round(v, 2),
+                        "excess_s": round(
+                            timings[k] - factors[k] * prev_q[k], 2
+                        ),
+                    }
+                    for k, v in over.items()
+                    if k not in breaches
+                }
+                if sub_floor:
+                    out["_sub_floor_breaches"] = sub_floor
                 if breaches and retime is not None:
                     adjud = {}
                     for k in sorted(
@@ -1454,6 +1792,39 @@ def build_report(
                     k: round(v, 3) for k, v in ratios.items()
                 }
 
+    # r14 verdict item 3: machine-readable cross-host adjudication.
+    # tools/watch_entries_r*.py writes WATCHES.json (builder
+    # quiet-window medians, n, historical band per watched entry); the
+    # detail sidecar joins it with this run's breach re-times so the
+    # per-entry verdict is a field the judge can read, not BENCHLOG
+    # prose.
+    watch_entries: dict = {}
+    try:
+        with open(os.path.join(here, "WATCHES.json")) as fh:
+            watch_entries = json.load(fh).get("entries", {})
+    except (OSError, ValueError):
+        pass
+    adjud_names = set(watch_entries) | set(out.get("_breach_retimes") or {})
+    if adjud_names:
+        factors_map = out.get("_per_query_factor") or {}
+        out["_cross_host"] = {
+            k: {
+                "builder_quiet_median": (watch_entries.get(k) or {}).get(
+                    "builder_quiet_median"
+                ),
+                "n": (watch_entries.get(k) or {}).get("n"),
+                "band": (watch_entries.get(k) or {}).get("band"),
+                "host_factor_used": factors_map.get(
+                    k, out.get("host_factor")
+                ),
+                "verdict": _cross_host_verdict(
+                    watch_entries.get(k),
+                    (out.get("_breach_retimes") or {}).get(k),
+                ),
+            }
+            for k in sorted(adjud_names)
+        }
+
     # full sidecar: everything, including per-query stats — committed so
     # the next round has a complete per-query baseline regardless of
     # what survives the driver's stdout tail
@@ -1464,11 +1835,18 @@ def build_report(
 
     detail = dict(out)
     detail["stats"] = stats
+    # the r14 input-scale map (verdict item 1): which entries read k×
+    # replicas, so any cross-round series divides by the recorded k
+    # (quadratic entries — the pair self-joins — by ~k²) instead of
+    # archaeology
+    detail["bench_scale"] = dict(BENCH_SCALE)
     for k in (
         "_per_query_factor",
         "_calibrated_ratios",
         "_rebaselined_reasons",
         "_breach_retimes",
+        "_sub_floor_breaches",
+        "_cross_host",
     ):
         if k in detail:
             detail[k.lstrip("_")] = detail.pop(k)

@@ -360,13 +360,15 @@ def test_breach_retime_fixture_out_of_scope_recorded(tmp_path):
         tmp_path,
         "BENCH_DETAIL_r01.json",
         {
-            "value": 1.0,
-            "queries": {"q_gone": 1.0},
+            "value": 2.0,
+            "queries": {"q_gone": 2.0},
             "calibration": {"cpu": 0.2, "shuffle": 0.8},
         },
     )
     _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
-    timings = {"q_gone": 2.0}
+    # 4.0 vs prior 2.0: ratio 2.0 AND calibrated excess 2.0 s — past
+    # the r14 absolute breach floor, so the retime fires
+    timings = {"q_gone": 4.0}
     stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
 
     def fake_retime(name):
@@ -440,23 +442,24 @@ def test_breach_retime_raw_only_breach_triggers(tmp_path):
         tmp_path,
         "BENCH_DETAIL_r01.json",
         {
-            "value": 2.0,
-            "queries": {"q_rawbreach": 1.0, "q_ok": 1.0},
+            "value": 11.0,
+            "queries": {"q_rawbreach": 10.0, "q_ok": 1.0},
             "calibration": {"cpu": 0.2, "shuffle": 0.8},
         },
     )
     _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
     # host runs 1.4x slow (shuffle 0.8 -> 1.12): raw 1.58 breaches,
-    # calibrated 1.58/1.4 = 1.13 does not — r9's exact escape
+    # calibrated 1.58/1.4 = 1.13 does not — r9's exact escape (prior
+    # sized 10 s so the calibrated excess 1.8 s clears the r14 floor)
     cal = {"cpu": 0.28, "shuffle": 1.12}
-    timings = {"q_rawbreach": 1.58, "q_ok": 1.3}
+    timings = {"q_rawbreach": 15.8, "q_ok": 1.3}
     stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
     calls = []
 
     def fake_retime(name):
         calls.append(name)
         return {
-            "median": 1.05, "n": 3, "cooldown_s": 20.0,
+            "median": 10.5, "n": 3, "cooldown_s": 20.0,
             "probe": 0.2, "probe_kind": "cpu",
         }
 
@@ -483,13 +486,16 @@ def test_breach_retime_mutating_entry_flagged(tmp_path, monkeypatch):
         tmp_path,
         "BENCH_DETAIL_r01.json",
         {
-            "value": 1.0,
-            "queries": {"w_compact": 1.0},
+            "value": 2.0,
+            "queries": {"w_compact": 2.0},
             "calibration": {"cpu": 0.2, "shuffle": 0.8},
         },
     )
     _mk(tmp_path, "BENCH_r01.json", {"rc": 0, "parsed": None, "tail": ""})
-    timings = {"w_compact": 2.0}
+    # w_compact sits in the r14 BENCH_SCALE rebaseline set; this test
+    # pins the mutating-entry annotation, so compare same-code
+    monkeypatch.setattr(bench, "CHANGED_ENTRIES", {})
+    timings = {"w_compact": 4.0}
     stats = {k: {"median": v, "p95": v, "n": 3} for k, v in timings.items()}
 
     def fake_retime(name):
@@ -652,7 +658,7 @@ def test_wh_retime_setup_produces_median_not_error(spark, tmp_path):
     # simulate the bench's inner finally: the warehouse dir is GONE
     shutil.rmtree(wh_dir, ignore_errors=True)
     res = bench.solo_retime(
-        lambda: wh.compact("events"),
+        lambda: wh.compact("events_c"),
         probe=0.1,
         probe_kind="cpu",
         cooldown=0.0,
@@ -668,6 +674,6 @@ def test_wh_retime_setup_produces_median_not_error(spark, tmp_path):
     # without the setup the same re-run records the error honestly
     shutil.rmtree(wh_dir, ignore_errors=True)
     res2 = bench.solo_retime(
-        lambda: wh.compact("events"), 0.1, "cpu", 0.0
+        lambda: wh.compact("events_c"), 0.1, "cpu", 0.0
     )
     assert "error" in res2 and "median" not in res2

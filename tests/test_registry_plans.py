@@ -44,3 +44,23 @@ def test_registry_plan_free_of_scale_antipatterns(spark, name, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python\n{plan}"
+
+
+def test_merge_map_covers_every_gate_row():
+    """r14 verdict item 7: the documented merge map (registry_map.py,
+    printed by ``tools/check_oracle.py --list``) and the registry can
+    never drift — every gate row has a leg inventory, every mapped row
+    exists, and no row claims zero legs."""
+    from webpagesgraphdatabase_spark.registry_map import (
+        MERGE_MAP,
+        operator_index,
+    )
+
+    qs = entrymod.queries()
+    assert set(MERGE_MAP) == set(qs)
+    assert all(legs for legs in MERGE_MAP.values())
+    # the inverted index round-trips: every (row, leg) site resolves
+    for op, sites in operator_index().items():
+        for row, leg in sites:
+            assert row in qs
+            assert (leg, op) in MERGE_MAP[row]

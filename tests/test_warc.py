@@ -3564,3 +3564,158 @@ def test_count_parquet_rows_skips_staging_and_hidden(spark, tmp_path):
     assert count_parquet_files(d) == n_files
     # short-circuit still bounded by the budget, not the junk
     assert count_parquet_rows(d, stop_at=3) == 7
+
+
+def test_state_store_boundedness_thirty_rounds(spark, tmp_path):
+    """r14 verdict item 6: the operational end-to-end pin on
+    state-store boundedness. A ~30-round resumable loop with a small
+    ``state_compact_threshold`` must keep the hosts and frontier
+    stores at their READ-SEMANTICS minimum plus the unfolded tail at
+    EVERY round — row counts (one struct-max row per host / one
+    backlog-canonical row per normalized url for the folded part, plus
+    only the rows appended since the last fold) AND parquet file
+    counts (a constant ceiling, never O(rounds)), which is what keeps
+    the zero-job footer-probe walk O(budget) as the crawl history
+    grows."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators._util import (
+        count_parquet_files,
+        count_parquet_rows,
+    )
+
+    n_rounds, threshold = 30, 4
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    sd = str(tmp_path / "sd")
+    state = CrawlState(spark, sd)
+
+    hosts_seen: set = set()        # hosts that ever declared a delay
+    norms_seen: set = set()        # frontier urls ever stored
+    tail_hosts = tail_frontier = 0  # appends since the last fold
+    # constant file ceiling: a fold REBALANCEs each store to one file
+    # per batch dir (steady state: 4 files total), and one round
+    # appends <= ~2 per store before the next threshold check —
+    # independent of round count, which is the claim. The first
+    # version of this pin caught the ledger growing one file per round
+    # (no prune fold -> narrow relabel preserved the input layout).
+    file_cap = threshold + 10
+    files_by_round: list[int] = []
+
+    for i in range(n_rounds):
+        host = f"b{i % 4}.example"
+        robots = (
+            f"User-agent: *\nDisallow: /private\nCrawl-delay: {2 + i % 3}\n"
+        ).encode()
+        page = f"https://{host}/p{i}"
+        out1, out2 = f"https://{host}/next{i}", f"https://{host}/shared"
+        recs = [
+            _mk_rec(f"rb{i}", f"https://{host}/robots.txt", robots,
+                    "text/plain"),
+            _mk_page(f"pg{i}", page, f"bounded corpus round {i}",
+                     hrefs=[out1, out2]),
+        ]
+        arch = tmp_path / f"b{i}.warc"
+        arch.write_bytes(W.build_warc(recs))
+        rep = W.crawl_round_resumable(
+            spark, store, str(arch), sd,
+            auto_politeness=True, round_seconds=10.0,
+            state_compact_threshold=threshold,
+        )
+        hosts_seen.add(host)
+        frontier_urls = {r.url for r in rep["frontier"].collect()}
+        norms_seen |= frontier_urls
+        if "state_compacted" in rep:
+            tail_hosts = tail_frontier = 0
+        else:
+            tail_hosts += 1  # one delay row per archive host
+            tail_frontier += rep["n_frontier"]
+
+        # ROW boundedness: folded minimum + unfolded tail, never
+        # O(rounds x keys)
+        h_rows = count_parquet_rows(state._hosts)
+        f_rows = count_parquet_rows(state._frontier)
+        assert h_rows <= len(hosts_seen) + tail_hosts, (i, h_rows)
+        assert f_rows <= len(norms_seen) + tail_frontier, (i, f_rows)
+
+        # FILE boundedness: the probe walk's cost — a constant ceiling
+        # (threshold-triggered folds), not files O(rounds)
+        n_files = sum(
+            count_parquet_files(s)
+            for s in (state._hosts, state._frontier, state._rules,
+                      state._ledger)
+        )
+        files_by_round.append(n_files)
+        assert n_files <= file_cap, (i, n_files)
+
+    # the loop really exercised the fold path and ran full length
+    assert len(state.ledger().collect()) == n_rounds
+    # no growth trend: the second half of the run never needs more
+    # files than the first half had already reached (+ jitter of one
+    # store's append) — the O(rounds) shape this test exists to forbid
+    assert max(files_by_round[15:]) <= max(files_by_round[:15]) + 4
+    # the footer probe short-circuits at the budget even mid-history
+    assert count_parquet_rows(state._frontier, stop_at=1) >= 2
+    # every host's delay read still resolves to its max declared value
+    delays = {r.host: r.crawl_delay for r in state.delays().collect()}
+    assert set(delays) == hosts_seen
+    assert all(v == 4.0 for v in delays.values())  # max of 2,3,4 per host
+
+
+def test_state_store_boundedness_streaming(spark, tmp_path):
+    """r14 verdict item 6, streaming twin: the same boundedness holds
+    when the rounds arrive through ``streaming_crawl_round`` micro-
+    batches (one new archive per drain, fold threshold crossing inside
+    the stream's foreachBatch)."""
+    from webpagesgraphdatabase_spark.crawl_state import CrawlState
+    from webpagesgraphdatabase_spark.graph.mutations import GraphStore
+    from webpagesgraphdatabase_spark.operators._util import (
+        count_parquet_files,
+        count_parquet_rows,
+    )
+
+    n_rounds, threshold = 10, 4
+    land = tmp_path / "land"
+    land.mkdir()
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.init_schema()
+    sd = str(tmp_path / "sd")
+    state = CrawlState(spark, sd)
+    hosts_seen: set = set()
+    norms_seen: set = set()
+
+    for i in range(n_rounds):
+        host = f"sb{i % 3}.example"
+        robots = f"User-agent: *\nCrawl-delay: {1 + i % 2}\n".encode()
+        recs = [
+            _mk_rec(f"srb{i}", f"https://{host}/robots.txt", robots,
+                    "text/plain"),
+            _mk_page(f"spg{i}", f"https://{host}/p{i}",
+                     f"stream bounded {i}",
+                     hrefs=[f"https://{host}/next{i}"]),
+        ]
+        (land / f"s{i}.warc").write_bytes(W.build_warc(recs))
+        W.streaming_crawl_round(
+            spark, store, str(land), str(tmp_path / f"ck{i}"),
+            state_dir=sd, auto_politeness=True, round_seconds=10.0,
+            state_compact_threshold=threshold,
+        )
+        hosts_seen.add(host)
+        bid = W._archive_batch_id(spark, str(land / f"s{i}.warc"))
+        norms_seen |= {
+            r.url for r in state.frontier_of(bid).collect()
+        }
+        # rows: folded minimum + at most the rounds-since-fold tail
+        # (<= threshold rounds can accumulate before the fold fires)
+        h_rows = count_parquet_rows(state._hosts)
+        f_rows = count_parquet_rows(state._frontier)
+        assert h_rows <= len(hosts_seen) + threshold + 1, (i, h_rows)
+        assert f_rows <= len(norms_seen) + threshold + 1, (i, f_rows)
+        n_files = sum(
+            count_parquet_files(s)
+            for s in (state._hosts, state._frontier, state._rules,
+                      state._ledger)
+        )
+        assert n_files <= threshold + 10, (i, n_files)
+
+    assert len(state.ledger().collect()) == n_rounds

@@ -52,7 +52,33 @@ def canon_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()
 
 
+def list_merge_map() -> int:
+    """``--list`` (VERDICT r13 item 7): print the registry's documented
+    merge map — which gate row carries which operator legs — so the
+    next row merge is a lookup, not archaeology. No Spark session."""
+    from webpagesgraphdatabase_spark.registry_map import (
+        MERGE_MAP,
+        operator_index,
+    )
+
+    print(f"# {len(MERGE_MAP)} gate rows -> operator legs\n")
+    for row, legs in MERGE_MAP.items():
+        print(row)
+        for leg, op in legs:
+            print(f"  [{leg}] {op}")
+    print("\n# operator -> (row, leg)\n")
+    for op, sites in sorted(operator_index().items()):
+        locs = ", ".join(f"{r}[{leg}]" for r, leg in sites)
+        print(f"{op}\n  -> {locs}")
+    return 0
+
+
 def main() -> int:
+    if "--list" in sys.argv:
+        try:
+            return list_merge_map()
+        except BrokenPipeError:  # `--list | head` is a normal use
+            return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 

@@ -751,8 +751,23 @@ class CrawlState:
         }
         # skip missing AND file-less stores (an empty-frame append
         # creates the latter; compact_store's read would throw on it)
+        def _fold_layout(df: DataFrame) -> DataFrame:
+            # r14 verdict item 6 (caught by the 30-round boundedness
+            # pin): the LEDGER has no prune fold, so the default
+            # narrow relabel preserved the input file layout and the
+            # store grew one parquet file per round — O(rounds) footer
+            # reads for every probe/read forever. AQE REBALANCE on the
+            # partition column is the scale-correct write shape: tiny
+            # state stores coalesce to one file per batch dir, while a
+            # genuinely large folded store (a 100 TB crawl's frontier
+            # backlog in segment 0) splits at the advisory partition
+            # size instead of funneling through one task.
+            return df.hint("rebalance", "batch")
+
         subs = [
-            SubStore(s, ("batch",), fold=folds.get(s))
+            SubStore(
+                s, ("batch",), fold=folds.get(s), layout=_fold_layout
+            )
             for s in (
                 self._frontier,
                 self._hosts,
