@@ -227,32 +227,38 @@ def components_from_edges(
         .persist()
     )
     labels.count()
+    pinned = labels  # the persisted handle backing `labels`
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node_id", "src"), "src")
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the did-anything-improve flag IN the label row: the
+        # fixpoint check is then one aggregate over the frame the
+        # superstep materializes anyway, instead of a second job
+        # re-joining new labels against old (full |V|-vs-|V| shuffle
+        # join per superstep for one boolean)
+        upd = (
             labels.join(neighbor_min, "node_id", "left")
             .select(
                 "node_id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("component"), F.lit(False)
+                ).alias("_chg"),
             )
             .persist()
         )
-        new_labels.count()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # ONE action materializes the superstep AND reads the flag
+        changed = int(
+            upd.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
         )
-        labels.unpersist()
-        labels = new_labels
+        pinned.unpersist()
+        pinned = upd
+        labels = upd.select("node_id", "component")
         if changed == 0:
             break
     edges.unpersist()

@@ -1831,11 +1831,20 @@ def build_pq_index(
         n_centroids = auto_n_centroids(count)
     if dim is None:
         dim = len(emb.select("embedding").first()["embedding"])
+    pinned: list = []  # frames persisted for this build's duration
     if opq:
         model = pca_model(emb)
         perm = pq_dim_permutation(model, m)
         _write_opq_transform(spark, path, model, perm)
-        emb = apply_dim_permutation(pca_project(emb, model), perm)
+        # the transform is an Arrow GEMM pass over the whole corpus;
+        # every downstream consumer (coarse seeding/training, the
+        # corpus assignment, PQ training sample, the encode pass, the
+        # residual-norm join) would re-run scan+GEMM — persist it once
+        # for the build (MEMORY_AND_DISK default spills gracefully at
+        # corpus scale; the build is the one-time job, so the cache
+        # lifetime is this function)
+        emb = apply_dim_permutation(pca_project(emb, model), perm).persist()
+        pinned.append(emb)
     else:
         # a rebuild-in-place over a previous opq=True layout must not
         # leave the stale transform behind: the query path applies
@@ -1868,6 +1877,9 @@ def build_pq_index(
                 ).alias("_cent"),
             )
             vn = _norm(F.col("embedding"))
+            # consumed twice (PQ training sample + the full encode
+            # pass), and each evaluation re-pays the assign join —
+            # persist for the build's duration like the transform above
             enc = (
                 emb.join(assign, "vec_id")
                 .join(F.broadcast(cent), "ccid")
@@ -1879,7 +1891,9 @@ def build_pq_index(
                         lambda a, b: a - b,
                     ).alias("embedding"),
                 )
+                .persist()
             )
+            pinned.append(enc)
         else:
             enc = emb
         train_pq(enc, m, ks, n_iters, dim=dim, corpus_count=corpus_count).write.mode("overwrite").parquet(
@@ -1934,6 +1948,8 @@ def build_pq_index(
         )
     finally:
         assign.unpersist()
+        for df_ in pinned:
+            _unpersist_quietly(df_)
     return path
 
 

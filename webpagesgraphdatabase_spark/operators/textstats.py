@@ -436,23 +436,35 @@ def train_quality_classifier(
     n_iters: int = 40,
     lr: float = 1.0,
     tol: float = 1e-6,
+    reg: float = 1e-4,
 ) -> dict:
-    """Train a logistic-regression quality classifier as gradient
+    """Train a logistic-regression quality classifier as Newton/IRLS
     supersteps — the fastText-style linear quality filter real corpus
     pipelines run (e.g. GPT-3/CCNet quality scoring), trained
     *distributively*: the corpus is featurized once into a persisted
-    4-column table, and each full-batch gradient step is one scan of
-    that table producing a single 6-number row on the driver (avg
-    residual × feature per weight) — the cache-then-iterate shape
-    Spark's own MLlib GLMs use. No MLlib dependency: the loop is ~20
-    lines of DataFrame aggregation.
+    4-column table, and each full-batch Newton step is ONE scan of
+    that table producing a single small row on the driver (avg
+    gradient + the 5×5 Hessian's upper triangle — 21 numbers) — the
+    cache-then-iterate shape Spark's own MLlib GLMs use, with the
+    second-order update MLlib's own LogisticRegression uses (L-BFGS /
+    IRLS family). No MLlib dependency: the loop is ~30 lines of
+    DataFrame aggregation plus a 5×5 solve on the driver.
+
+    Newton steps converge quadratically, so a run that previously paid
+    ~40 gradient-descent scans (each a full Spark job whose cost at
+    bench scale is dominated by scheduling, and at 100 TB by the scan)
+    reaches the same ``tol`` in ~5-8 scans. ``lr`` damps the Newton
+    step (default 1.0 = full step); the Hessian gets a tiny ridge so a
+    degenerate batch cannot produce a singular solve, and a
+    non-finite/failed solve falls back to the plain gradient step for
+    that iteration.
 
     ``labels`` is (doc_id, label∈{0,1}); default is weak supervision
     from the heuristic: label = 1 where :func:`quality_score`'s
     composite ≥ 0.5 (bootstrapping a *smooth, trainable* scorer from a
     hard rule — the standard pipeline move; swap in human labels when
-    they exist). Features are standardized (one agg job) so one
-    learning rate fits all dimensions.
+    they exist). Features are standardized (one agg job) so the
+    conditioning of the Hessian is uniform across dimensions.
 
     Returns ``{"weights": [bias, w…], "mean": […], "std": […],
     "loss": […per-iteration log-loss…]}`` — everything
@@ -460,11 +472,44 @@ def train_quality_classifier(
     map."""
     import math
 
+    import numpy as np
+
     if labels is None:
-        labels = quality_score(docs).select(
-            "doc_id", (F.col("quality") >= 0.5).cast("double").alias("label")
+        # weak labels derive from the SAME per-doc stats the features
+        # do — compute both in one scan instead of a second corpus
+        # featurize + a shuffle join (the label expression reproduces
+        # quality_score bit-for-bit: same composite, same 6-dp round)
+        toks = docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            tokens_col().alias("toks"),
         )
-    feats = quality_features(docs).join(labels, "doc_id")
+        stats = toks.select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.expr(
+                "aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)"
+            ).alias("sum_len"),
+            _count_in("toks", STOPWORDS).alias("n_stop"),
+            "n_chars",
+        ).filter(F.col("n_tokens") > 0)
+        mean_len = F.col("sum_len") / F.col("n_tokens")
+        stop_ratio = F.col("n_stop") / F.col("n_tokens")
+        quality = (
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - stop_ratio) * 0.3
+            + F.least(mean_len / 10.0, F.lit(1.0)) * 0.2
+        )
+        feats = stats.select(
+            "doc_id",
+            F.log1p("n_tokens").alias("f_log_tokens"),
+            mean_len.alias("f_mean_len"),
+            stop_ratio.alias("f_stop_ratio"),
+            F.log1p("n_chars").alias("f_log_chars"),
+            (F.round(quality, 6) >= 0.5).cast("double").alias("label"),
+        )
+    else:
+        feats = quality_features(docs).join(labels, "doc_id")
 
     mom = feats.agg(
         *[F.avg(c).alias(f"m_{c}") for c in _QUALITY_FEATS],
@@ -482,7 +527,10 @@ def train_quality_classifier(
     ).persist()
     z.count()
 
-    w = [0.0] * (1 + len(_QUALITY_FEATS))  # [bias, w1..w4]
+    # design columns in weight order; x0 = the bias' constant 1
+    xcols = [F.lit(1.0)] + [F.col(c) for c in _QUALITY_FEATS]
+    k = len(xcols)
+    w = [0.0] * k  # [bias, w1..w4]
     losses: list[float] = []
     try:
         for _ in range(n_iters):
@@ -490,25 +538,49 @@ def train_quality_classifier(
             for i, c in enumerate(_QUALITY_FEATS):
                 margin = margin + F.col(c) * F.lit(w[i + 1])
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            s = p * (F.lit(1.0) - p)  # IRLS weight
             eps = 1e-12
-            row = z.agg(
-                F.avg(p - F.col("label")).alias("g0"),
-                *[
-                    F.avg((p - F.col("label")) * F.col(c)).alias(f"g{i + 1}")
-                    for i, c in enumerate(_QUALITY_FEATS)
-                ],
+            aggs = [
+                F.avg((p - F.col("label")) * xcols[i]).alias(f"g{i}")
+                for i in range(k)
+            ]
+            aggs += [
+                F.avg(s * xcols[i] * xcols[j]).alias(f"h{i}_{j}")
+                for i in range(k)
+                for j in range(i, k)
+            ]
+            aggs.append(
                 F.avg(
                     -(
                         F.col("label") * F.log(p + eps)
                         + (1 - F.col("label")) * F.log(1 - p + eps)
                     )
-                ).alias("loss"),
-            ).first()
+                ).alias("loss")
+            )
+            row = z.agg(*aggs).first()
             losses.append(float(row["loss"]))
-            w = [
-                w[i] - lr * float(row[f"g{i}"])
-                for i in range(len(w))
-            ]
+            g = np.array([float(row[f"g{i}"]) for i in range(k)])
+            h = np.empty((k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    h[i, j] = h[j, i] = float(row[f"h{i}_{j}"])
+            # small L2 on the non-bias weights: weak labels thresholded
+            # from the features themselves are (near-)separable, under
+            # which the unregularized optimum sits at infinity and the
+            # loop burns its full iteration budget chasing it; the
+            # penalty makes the optimum finite so Newton's quadratic
+            # convergence actually fires (plus a tiny ridge so an
+            # all-saturated batch — s ≈ 0 everywhere — cannot go
+            # singular)
+            g[1:] += reg * np.asarray(w[1:])
+            h += np.diag([1e-9] + [reg + 1e-9] * (k - 1))
+            try:
+                step = np.linalg.solve(h, g)
+                if not np.all(np.isfinite(step)):  # pragma: no cover
+                    raise np.linalg.LinAlgError
+            except np.linalg.LinAlgError:  # pragma: no cover
+                step = g  # degenerate Hessian: plain gradient step
+            w = [w[i] - lr * float(step[i]) for i in range(k)]
             if not all(math.isfinite(x) for x in w):  # pragma: no cover
                 raise ArithmeticError("diverged; lower lr")
             # early stop: each iteration is a distributed scan, so
