@@ -196,23 +196,45 @@ def preload_csv(store: GraphStore, csv_df: DataFrame, batch_size: int | None = N
         "keyword_explanation",
     )
     n_new = links.count()
-    store.merge_links(links, update=False)
 
     categories = parsed.select(F.col("parsed_category").alias("name")).distinct()
-    store.merge_names("categories", categories)
-    store.merge_edges(
-        "belongs_to",
-        parsed.select(
-            F.col("url").alias("src_url"),
-            F.col("parsed_category").alias("dst_category"),
-        ),
-    )
-
     kw = parsed.select(
         F.col("url").alias("src_url"), F.explode("kw_arr").alias("dst_keyword")
     ).filter(F.col("dst_keyword") != fn.SENTINEL_NONE)
-    store.merge_names("keywords", kw.select(F.col("dst_keyword").alias("name")))
-    store.merge_edges("has_keyword", kw)
+
+    # The five merges write five DIFFERENT tables, so they only order
+    # by referential dependency (merge_edges endpoint-checks against
+    # the COMMITTED links + name tables): links/categories/keywords
+    # first, then both edge tables. Within a round the jobs are
+    # independent — submit them concurrently so the scheduler
+    # back-fills the tail of one merge with the next one's tasks (the
+    # materialize_graph thread-pool discipline); 5 serial write jobs
+    # become 2 rounds.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for job in [
+            pool.submit(store.merge_links, links, update=False),
+            pool.submit(store.merge_names, "categories", categories),
+            pool.submit(
+                store.merge_names,
+                "keywords",
+                kw.select(F.col("dst_keyword").alias("name")),
+            ),
+        ]:
+            job.result()
+        for job in [
+            pool.submit(
+                store.merge_edges,
+                "belongs_to",
+                parsed.select(
+                    F.col("url").alias("src_url"),
+                    F.col("parsed_category").alias("dst_category"),
+                ),
+            ),
+            pool.submit(store.merge_edges, "has_keyword", kw),
+        ]:
+            job.result()
     parsed.unpersist()
     return n_new
 

@@ -773,24 +773,52 @@ def _crawl_ingest(
                 # count doubles as the survivor count and the drop
                 # count needs no extra job (r8 verdict item 4)
                 n_cross_dup = n_before - n_indexed
-        if text_index is not None:
+        # the text and vector tiers write DIFFERENT index dirs from the
+        # same persisted `cleaned` — submit them as concurrent jobs so
+        # one append's task tail back-fills with the other's stages
+        # (guide §2.6, the materialize_graph discipline); exactly-once
+        # is per-index (each lands its own batch partition), so
+        # completion order is irrelevant
+        def _text_tier() -> None:
             _search.ensure_text_index(spark, text_index)
             _search.text_index_append(cleaned, text_index, batch=batch)
-        if sq8_index is not None or bin_index is not None:
+
+        def _vector_tiers() -> None:
             # ONE embedding pass feeds every vector tier
             emb = (embed or (lambda d: _sim.hash_embed(d, dim=embed_dim)))(
                 cleaned
             )
             if sq8_index is not None and bin_index is not None:
                 emb = emb.persist()
-            if sq8_index is not None:
-                _sim.ensure_sq8_index(spark, sq8_index)
-                _sim.sq8_index_append(emb, sq8_index, batch=batch)
-            if bin_index is not None:
-                _sim.ensure_bin_index(spark, bin_index)
-                _sim.bin_index_append(emb, bin_index, batch=batch)
-            if sq8_index is not None and bin_index is not None:
-                emb.unpersist()
+            try:
+                if sq8_index is not None:
+                    _sim.ensure_sq8_index(spark, sq8_index)
+                    _sim.sq8_index_append(emb, sq8_index, batch=batch)
+                if bin_index is not None:
+                    _sim.ensure_bin_index(spark, bin_index)
+                    _sim.bin_index_append(emb, bin_index, batch=batch)
+            finally:
+                if sq8_index is not None and bin_index is not None:
+                    emb.unpersist()
+
+        tiers = []
+        if text_index is not None:
+            tiers.append(_text_tier)
+        if sq8_index is not None or bin_index is not None:
+            tiers.append(_vector_tiers)
+        import os as _os
+
+        if len(tiers) > 1 and not _os.environ.get(
+            "SPARK_GRAFT_SERIAL_TIERS"
+        ):
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(tiers)) as pool:
+                for job in [pool.submit(t) for t in tiers]:
+                    job.result()
+        else:
+            for t in tiers:
+                t()
         if any_index:
             cleaned.unpersist()
         # revisit hints (URL-level dedup) counted HERE, over the cached
