@@ -201,74 +201,61 @@ def test_kmeans_zero_iters_equals_seeded_sample(vecs):
     )
 
 
-def test_kmeans_midloop_failure_leaves_no_cached_blocks(spark, monkeypatch):
-    """r11 ADVICE: an exception mid-Lloyd-loop must not leak the cached
-    training frame (or the iteration's centroid table) for the session
-    lifetime — the loop unpersists in try/finally, matching
-    build_pq_index's persist discipline."""
+def test_kmeans_training_leaves_no_cached_blocks(spark):
+    """The r14 driver-sample trainer persists nothing: a full training
+    run must leave the session's RDD storage exactly as it found it
+    (the cache-leak concern the old superstep loop guarded with
+    try/finally unpersists is now structural)."""
     rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(12)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
         "embedding", F.col("embedding").cast("array<float>")
     )
     before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    calls = {"n": 0}
-    real = similarity._argmax_assign
-
-    def boom(v, cents, mult=1):
-        calls["n"] += 1
-        if calls["n"] >= 2:
-            raise RuntimeError("injected mid-loop failure")
-        return real(v, cents, mult)
-
-    monkeypatch.setattr(similarity, "_argmax_assign", boom)
-    with pytest.raises(RuntimeError, match="injected"):
-        similarity.kmeans_centroids(emb, n_centroids=2, n_iters=3)
+    similarity.kmeans_centroids(emb, n_centroids=2, n_iters=3).collect()
+    similarity.train_pq(emb.withColumn(
+        "embedding",
+        F.expr("transform(sequence(1, 4), i -> embedding[0] * i)").cast(
+            "array<float>"
+        ),
+    ), m=2, ks=2, n_iters=2, dim=4).collect()
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert after == before
 
 
-def test_kmeans_new_cents_count_failure_unpersists_it(spark, monkeypatch):
-    """ADVICE r12 low: if the just-persisted new_cents' materializing
-    count raises, that newest handle must unpersist too — the outer
-    handler only releases the PREVIOUS iteration's table. Injects the
-    failure at exactly new_cents.count() (the 3rd persisted frame's
-    own count) and asserts every frame the loop persisted reads back
-    at StorageLevel NONE."""
-    # patch the CONCRETE class (pyspark 4's classic DataFrame defines
-    # its own count/persist; patching the abstract base is a no-op)
+def test_kmeans_training_collect_is_cap_bounded(spark, monkeypatch):
+    """The Lloyd iterations run driver-side over the hash-sample — the
+    collect must be bounded by ~1.2·train_cap (+ the centroid seeds),
+    NEVER corpus-sized: the at-scale safety property of the r14
+    driver-sample trainer."""
     try:
         from pyspark.sql.classic.dataframe import DataFrame
     except ImportError:  # older pyspark: one DataFrame class
         from pyspark.sql import DataFrame
 
-    rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(12)]
+    n, cap = 600, 64
+    rows = [(i, [float(i % 7 + 1), float(i % 5), 1.0, 0.5]) for i in range(n)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
         "embedding", F.col("embedding").cast("array<float>")
     )
-    persisted = []
-    real_persist = DataFrame.persist
+    sizes = []
+    real_collect = DataFrame.collect
 
-    def spy_persist(self, *a, **k):
-        persisted.append(self)
-        return real_persist(self, *a, **k)
+    def spy_collect(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
 
-    real_count = DataFrame.count
-
-    def failing_count(self):
-        # persist order inside kmeans_centroids: cents, v, new_cents —
-        # new_cents.count() immediately follows its own persist
-        if len(persisted) >= 3 and self is persisted[-1]:
-            raise RuntimeError("injected new_cents count failure")
-        return real_count(self)
-
-    monkeypatch.setattr(DataFrame, "persist", spy_persist)
-    monkeypatch.setattr(DataFrame, "count", failing_count)
-    with pytest.raises(RuntimeError, match="injected new_cents"):
-        similarity.kmeans_centroids(emb, n_centroids=2, n_iters=3)
-    assert len(persisted) == 3
-    for df in persisted:
-        lvl = df.storageLevel
-        assert not (lvl.useMemory or lvl.useDisk)
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    cents = similarity.kmeans_centroids(
+        emb, n_centroids=4, n_iters=2, train_cap=cap, corpus_count=n
+    )
+    monkeypatch.undo()
+    assert len(cents.collect()) == 4
+    assert sizes, "trainer no longer collects — update this pin"
+    # hash-sample slack is 1.2x; allow binomial spread on top, but the
+    # bound must stay FAR below the corpus
+    assert max(sizes) <= int(1.2 * cap + 6 * cap**0.5) + 4
+    assert max(sizes) < n / 2
 
 
 def test_kmeans_centroids_converge_to_blob_directions(spark):
