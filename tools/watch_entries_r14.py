@@ -64,16 +64,25 @@ def main():
     # environment bisect for d_paragraph_dedup_hot (unchanged code,
     # moving reading): its input table's physical layout this round
     src = f"{sf_dir}/documents.parquet"
-    bytes_total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fns in os.walk(src)
-        for f in fns
-    )
-    env = {
-        "documents_files": count_parquet_files(src),
-        "documents_rows": count_parquet_rows(src),
-        "documents_bytes": bytes_total,
-    }
+    if os.path.isfile(src):  # the testdata tables are single flat files
+        import pyarrow.parquet as pq
+
+        env = {
+            "documents_files": 1,
+            "documents_rows": pq.ParquetFile(src).metadata.num_rows,
+            "documents_bytes": os.path.getsize(src),
+        }
+    else:
+        bytes_total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fns in os.walk(src)
+            for f in fns
+        )
+        env = {
+            "documents_files": count_parquet_files(src),
+            "documents_rows": count_parquet_rows(src),
+            "documents_bytes": bytes_total,
+        }
     print(f"input-layout bisect: {env}")
 
     k_lr = bench.BENCH_SCALE["t_quality_lr_score"]
