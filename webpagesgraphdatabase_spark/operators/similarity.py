@@ -373,6 +373,8 @@ def kmeans_centroids(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not seed_rows or not tr:  # empty corpus: the seeds ARE the model
+        return cents
     tr.sort(key=lambda r: r.vec_id)
     x = np.asarray([r.embedding for r in tr], dtype=np.float64)
     xn = np.linalg.norm(x, axis=1)
@@ -1418,6 +1420,8 @@ def train_pq(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not seed_rows or not tr:  # empty corpus: the seeds ARE the model
+        return seeds
     tr.sort(key=lambda r: r.vec_id)
     x = np.asarray([r.embedding for r in tr], dtype=np.float64)
     out_rows = []
