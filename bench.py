@@ -695,6 +695,46 @@ GATE_MEM_BOUND_S = 2.5
 BREACH_ABS_FLOOR_S = 1.0
 
 
+def _gate_sample() -> dict:
+    """One host-quiet reading: 1-minute load average, a 64 MiB
+    write+fsync+read scratch probe, and a 256 MiB×4 memory-bandwidth
+    copy. Module-level (not a closure) so tests can replace the WHOLE
+    sample — the r14 driver verify died on a test that mocked only
+    getloadavg and let the real scratch/mem probes run on a loaded
+    host (VERDICT r14 item 1)."""
+    s: dict = {}
+    try:
+        s["load_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        s["load_1m"] = None
+    t0 = time.time()
+    d = tempfile.mkdtemp(prefix="bench_gate_")
+    try:
+        p = os.path.join(d, "probe.bin")
+        buf = os.urandom(1 << 20)  # incompressible, like io_probe
+        with open(p, "wb") as fh:
+            for _ in range(64):
+                fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+        with open(p, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    s["scratch_io_s"] = round(time.time() - t0, 3)
+    # memory-bandwidth probe: 4 full copies of a 256 MiB buffer —
+    # catches the shuffle/memory-degraded window the load and disk
+    # samples are blind to (observed r9: shuffle probe 1.8x slow
+    # under load 0.08 and a clean scratch read)
+    buf = bytes(256 << 20)
+    t0 = time.time()
+    for _ in range(4):
+        bytearray(buf)
+    s["mem_s"] = round(time.time() - t0, 3)
+    return s
+
+
 def host_quiet_gate(retry_sleep: float = 30.0) -> dict:
     """Machine-readable host-quiet gate (r8 verdict item 7). BENCHLOG's
     ninth run documented the failure mode this encodes: a bench started
@@ -709,37 +749,7 @@ def host_quiet_gate(retry_sleep: float = 30.0) -> dict:
     explanation in-artifact instead of in prose."""
 
     def sample() -> dict:
-        s: dict = {}
-        try:
-            s["load_1m"] = round(os.getloadavg()[0], 2)
-        except OSError:
-            s["load_1m"] = None
-        t0 = time.time()
-        d = tempfile.mkdtemp(prefix="bench_gate_")
-        try:
-            p = os.path.join(d, "probe.bin")
-            buf = os.urandom(1 << 20)  # incompressible, like io_probe
-            with open(p, "wb") as fh:
-                for _ in range(64):
-                    fh.write(buf)
-                fh.flush()
-                os.fsync(fh.fileno())
-            with open(p, "rb") as fh:
-                while fh.read(1 << 22):
-                    pass
-        finally:
-            shutil.rmtree(d, ignore_errors=True)
-        s["scratch_io_s"] = round(time.time() - t0, 3)
-        # memory-bandwidth probe: 4 full copies of a 256 MiB buffer —
-        # catches the shuffle/memory-degraded window the load and disk
-        # samples are blind to (observed r9: shuffle probe 1.8x slow
-        # under load 0.08 and a clean scratch read)
-        buf = bytes(256 << 20)
-        t0 = time.time()
-        for _ in range(4):
-            bytearray(buf)
-        s["mem_s"] = round(time.time() - t0, 3)
-        return s
+        return _gate_sample()
 
     def bad(s: dict) -> bool:
         return (
@@ -1883,25 +1893,65 @@ def build_report(
         if len(out["normalized_deltas"]) < len(full_nd):
             out["nd_elided_below"] = 0.05
     line = json.dumps(out, separators=(",", ":"))
-    # shed order: deltas are recomputable from the detail sidecars of
-    # two rounds (as is worst_raw_ratio_any); `recall` is an
+
+    # shed order (r14 verdict item 2: the per-query timings are the
+    # driver's ground-truth comparison channel — EVERY advisory block
+    # sheds before a single query elides; all of them live whole in the
+    # detail sidecar). r14's line kept `rebaselined` (22 entries) and
+    # the gate's pre/retry readings while eliding 40 of 59 timings,
+    # which the driver read as dropped_from_bench. `recall` is an
     # adjudication result with no other home in the driver line, so it
-    # goes last
-    # breach_retimes' full block lives in the detail sidecar, so the
-    # condensed line copy is recomputable and sheds before recall
-    for drop in (
-        "normalized_deltas",
-        "calibrated_prev",
-        "worst_raw_ratio_any",
-        "breach_retimes",
-        "recall",
-    ):
+    # goes last among the shed steps.
+    # `detail` shallow-copies `out`, so the calibration dict is shared:
+    # replace it with a trimmed copy rather than mutating in place
+    def _shed_gate() -> None:
+        cal = dict(out.get("calibration") or {})
+        gate = cal.get("gate")
+        if isinstance(gate, dict):
+            cal["gate"] = {"degraded": gate.get("degraded")}
+        out["calibration"] = cal
+
+    def _shed_cal_groups() -> None:
+        cal = dict(out.get("calibration") or {})
+        cal.pop("groups", None)
+        out["calibration"] = cal
+
+    def _shed_prev_scalars() -> None:
+        for k in (
+            "comparable_total_normalized",
+            "host_factor_cpu",
+            "nd_elided_below",
+            "prev_total",
+            "comparable_prev_total",
+            "comparable_total",
+            "prev_round",
+        ):
+            out.pop(k, None)
+
+    def _shed_1dp() -> None:
+        out["queries"] = {k: round(v, 1) for k, v in out["queries"].items()}
+
+    shed_steps = (
+        lambda: out.pop("normalized_deltas", None),
+        lambda: out.pop("calibrated_prev", None),
+        lambda: out.pop("worst_raw_ratio_any", None),
+        lambda: out.pop("breach_retimes", None),
+        lambda: out.pop("rebaselined", None),
+        _shed_gate,
+        _shed_cal_groups,
+        _shed_prev_scalars,
+        lambda: out.pop("recall", None),
+        _shed_1dp,
+    )
+    for step in shed_steps:
         if len(line) <= 1920:
             break
-        out.pop(drop, None)
+        step()
         line = json.dumps(out, separators=(",", ":"))
-    # last resort: keep the heaviest per-query timings and say how many
-    # were elided (full set always lives in the detail sidecar)
+    # last resort (pathological query names only — the real registry's
+    # 59 entries fit after the sheds above): keep the heaviest
+    # per-query timings and say how many were elided (full set always
+    # lives in the detail sidecar)
     while len(line) > 1920 and len(out["queries"]) > 8:
         keep = sorted(out["queries"], key=out["queries"].get, reverse=True)
         keep = keep[: max(8, len(keep) - 8)]

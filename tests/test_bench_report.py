@@ -135,13 +135,17 @@ def test_line_stays_under_driver_tail_budget(tmp_path):
     )
     assert len(line) <= 1920
     parsed = json.loads(line)
-    # adjudication fields survive shedding; queries degrade to the
-    # heaviest entries with an explicit elision count
+    # queries degrade to the heaviest entries with an explicit elision
+    # count ONLY as the last resort (these 60 pathological 29-char
+    # names cannot fit even alone at 1dp); every advisory block must
+    # already be gone by then (r14 verdict item 2)
     assert len(parsed["queries"]) + parsed.get("q_elided", 0) == 60
     assert parsed["host_factor"] == 2.0
-    assert "comparable_total_normalized" in parsed
+    assert "rebaselined" not in parsed
+    assert "comparable_total_normalized" not in parsed
     # the detail sidecar keeps everything regardless
     assert len(detail["normalized_deltas"]) == 60
+    assert "comparable_total_normalized" in detail
 
 
 def test_recall_outlives_advisory_blocks_when_shedding(tmp_path):
@@ -561,31 +565,43 @@ def test_degraded_gate_labels_artifact(tmp_path):
 
 
 def test_host_quiet_gate_samples_and_bounds(monkeypatch):
-    """The gate samples load + scratch I/O; an out-of-bounds first
-    sample triggers exactly one re-sample (no sleep in tests), and the
-    verdict follows the LAST sample."""
-    readings = iter([9.9, 0.5])
-    monkeypatch.setattr(
-        bench.os, "getloadavg", lambda: (next(readings), 0.0, 0.0)
-    )
+    """The gate samples load + scratch I/O + memory bandwidth; an
+    out-of-bounds first sample triggers exactly one re-sample (no sleep
+    in tests), and the verdict follows the LAST sample. Hermetic (r14
+    verdict item 1): the WHOLE probe sample is injected — the r14
+    driver verify died because this test mocked only getloadavg and
+    let the real scratch/mem probes run on a loaded host."""
+    quiet = {"load_1m": 0.5, "scratch_io_s": 0.2, "mem_s": 0.9}
+    loaded = {"load_1m": 9.9, "scratch_io_s": 0.2, "mem_s": 0.9}
+    readings = iter([dict(loaded), dict(quiet)])
+    monkeypatch.setattr(bench, "_gate_sample", lambda: next(readings))
     gate = bench.host_quiet_gate(retry_sleep=0)
     assert gate["pre"]["load_1m"] == 9.9
     # retry_sleep=0 disables the re-sample: verdict follows the pre read
     assert "retry" not in gate and gate["degraded"] is True
     assert gate["bounds"]["load_1m"] == bench.GATE_LOAD_BOUND
     assert gate["bounds"]["mem_s"] == bench.GATE_MEM_BOUND_S
-    assert gate["pre"]["scratch_io_s"] > 0
-    assert gate["pre"]["mem_s"] > 0  # the memory-bandwidth sample rides
+    assert gate["pre"]["scratch_io_s"] == 0.2
+    assert gate["pre"]["mem_s"] == 0.9  # the memory-bandwidth sample rides
 
-    readings2 = iter([9.9, 0.5])
-    monkeypatch.setattr(
-        bench.os, "getloadavg", lambda: (next(readings2), 0.0, 0.0)
-    )
+    readings2 = iter([dict(loaded), dict(quiet)])
+    monkeypatch.setattr(bench, "_gate_sample", lambda: next(readings2))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     gate2 = bench.host_quiet_gate(retry_sleep=1.0)
     assert gate2["pre"]["load_1m"] == 9.9
     assert gate2["retry"]["load_1m"] == 0.5
     assert gate2["degraded"] is False  # the machine quieted down
+
+    # each of the three probes trips the gate on its own
+    for key, val in (
+        ("load_1m", 99.0),
+        ("scratch_io_s", 9.0),
+        ("mem_s", 9.0),
+    ):
+        bad = dict(quiet)
+        bad[key] = val
+        monkeypatch.setattr(bench, "_gate_sample", lambda b=bad: dict(b))
+        assert bench.host_quiet_gate(retry_sleep=0)["degraded"] is True
 
 
 def test_detail_written_and_round_numbered(tmp_path):
