@@ -63,11 +63,11 @@ def redact_col(text_col: str = "text") -> Column:
     return col
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Scan + redact in one projection: (doc_id, n_email, n_ip,
-    n_phone, n_id, clean_text). Computes the staged redaction chain
-    once — use this over joining :func:`pii_scan` + :func:`pii_redact`
-    when both are wanted (the join would run the regex chain twice)."""
+def scrub_cols(text_col: str = "text") -> list:
+    """The scan+redact projection columns alone: [n_email, n_ip,
+    n_phone, n_id, clean_text] over ``text_col`` — shared by
+    :func:`pii_scrub` and the fused t_lang_quality registry row (the
+    staged redaction chain is computed once either way)."""
     staged = F.col(text_col)
     cols = []
     for kind, pat, placeholder in PII_RULES:
@@ -75,7 +75,16 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_count(staged, F.lit(pat)).cast("long").alias(f"n_{kind}")
         )
         staged = F.regexp_replace(staged, pat, placeholder)
-    return docs.select("doc_id", *cols, staged.alias("clean_text"))
+    cols.append(staged.alias("clean_text"))
+    return cols
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scan + redact in one projection: (doc_id, n_email, n_ip,
+    n_phone, n_id, clean_text). Computes the staged redaction chain
+    once — use this over joining :func:`pii_scan` + :func:`pii_redact`
+    when both are wanted (the join would run the regex chain twice)."""
+    return docs.select("doc_id", *scrub_cols(text_col))
 
 
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread
+
 #: hash-space size of the 8-hex-digit md5 prefix used for thresholding
 _HASH_SPACE = 2**32
 
@@ -173,7 +175,12 @@ def _dsir_features(
     # re-evaluate the whole tokenize per element inside the bigram
     # lambda — O(tokens²) work per document (measured 6+ s for a 500k-
     # feature corpus; ~0.5 s with the projection)
-    base = docs.select(
+    # spread BEFORE the explode (r15): the single-file documents source
+    # is one input split, and the fused single-explode shape has no
+    # early exchange of its own — without the spread the explode and
+    # the md5 hashing of every feature run on one core (the pre-r15
+    # two-branch union at least ran its branches as two scan tasks)
+    base = spread(docs).select(
         "doc_id",
         *extra,
         F.filter(
@@ -181,28 +188,30 @@ def _dsir_features(
         ).alias("_toks"),
     )
     tcol = F.col("_toks")
-    feats = base.select("doc_id", *extra, F.explode(tcol).alias("f"))
-    # bigrams: positions 1..n-1 of the token array joined with a
-    # space; sequence(1, 0) would generate a DESCENDING [1, 0] for
-    # sub-2-token docs, so those emit an empty array instead
-    bi = base.select(
-        "doc_id",
-        *extra,
-        F.explode(
-            F.when(
-                F.size(tcol) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tcol) - F.lit(1)),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(tcol, i),
-                        F.element_at(tcol, i + F.lit(1)),
-                    ),
+    # unigrams and adjacent bigrams in ONE concatenated array → ONE
+    # explode over ONE corpus scan (r15, guide §2.4: the pre-r15 shape
+    # ran two explode branches unioned, each re-reading the corpus).
+    # The feature multiset is identical, so every downstream aggregate
+    # is bit-identical. bigrams: positions 1..n-1 of the token array
+    # joined with a space; sequence(1, 0) would generate a DESCENDING
+    # [1, 0] for sub-2-token docs, so those contribute unigrams only.
+    grams = F.concat(
+        tcol,
+        F.when(
+            F.size(tcol) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tcol) - F.lit(1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tcol, i),
+                    F.element_at(tcol, i + F.lit(1)),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("f"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return feats.unionByName(bi).select(
+    return base.select(
+        "doc_id", *extra, F.explode(grams).alias("f")
+    ).select(
         "doc_id", *extra, F.substring(F.md5(F.col("f")), 1, 2).alias("b")
     )
 
@@ -239,6 +248,24 @@ def dsir_weights(
     folds its ≤256 (bucket, count) cells in bucket-sorted order — a
     DETERMINISTIC float summation order, so the oracle reproduces the
     exact double. No global sort, no hot-key window anywhere."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dsir_logw(docs, target_filter, text_col, id_col), "doc_id", "left")
+        .select("doc_id", *dsir_coalesced_cols())
+    )
+
+
+def dsir_logw(
+    docs: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The aggregate half of :func:`dsir_weights`: (doc_id, raw_logw)
+    for documents WITH at least one hashed n-gram feature (callers
+    left-join and coalesce via :func:`dsir_coalesced_cols` — the fused
+    t_lang_quality row attaches this to its row-local frame instead of
+    paying the rejoin corpus scan)."""
     flagged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col),
@@ -280,27 +307,26 @@ def dsir_weights(
     per = per_doc.join(F.broadcast(lam), "b").select(
         "doc_id", "b", (F.col("n") * F.col("lam")).alias("v")
     )
-    logw = per.groupBy("doc_id").agg(
+    return per.groupBy("doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("b", "v"))),
             F.lit(0.0),
             lambda acc, s: acc + s["v"],
         ).alias("raw_logw")
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(logw, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(F.coalesce("raw_logw", F.lit(0.0)), 6).alias(
-                "dsir_logw"
-            ),
-        )
-        # keep thresholds the ROUNDED weight: both engines compare
-        # the same 6-decimal double, so a last-ulp summation
-        # difference can never flip the verdict at the boundary
-        .withColumn("dsir_keep", F.col("dsir_logw") > 0)
-    )
+
+
+def dsir_coalesced_cols() -> list:
+    """[dsir_logw, dsir_keep] over a frame carrying ``raw_logw`` (null
+    for feature-less docs) — the exact post-left-join expressions of
+    :func:`dsir_weights`. keep thresholds the ROUNDED weight: both
+    engines compare the same 6-decimal double, so a last-ulp summation
+    difference can never flip the verdict at the boundary."""
+    logw = F.round(F.coalesce("raw_logw", F.lit(0.0)), 6)
+    return [
+        logw.alias("dsir_logw"),
+        (logw > 0).alias("dsir_keep"),
+    ]
 
 
 def dsir_top_fraction(

@@ -37,26 +37,77 @@ def _count_in(col_name: str, words: tuple[str, ...]):
     return F.expr(f"size(filter({col_name}, t -> t in ({lst})))")
 
 
+def lang_best_struct(toks: str = "toks"):
+    """Column: struct(score, pri, lang) of the winning language over an
+    already-projected token-array column — the argmax with the
+    (score desc, lang asc) tie-break as a ROW-LOCAL struct-max fold
+    (``pri`` is the reversed lexicographic rank, so equal scores
+    resolve to the lexicographically first language). Shared by
+    :func:`lang_id` and the fused t_lang_quality registry row."""
+    langs = sorted(LANG_MARKERS)
+    n = len(langs)
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _count_in(toks, LANG_MARKERS[lang]).alias("score"),
+                    F.lit(n - 1 - i).alias("pri"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-based language ID: (doc_id, pred_lang, score). score is the
     marker-hit count of the winning language (ties → lexicographically
-    first language). One narrow |docs|×|langs| expansion, then a
-    per-doc top-1 — partial-aggregatable, no shuffle beyond the top-1."""
+    first language). Row-local struct-max argmax over the fixed language
+    list — one projection, no expansion, no shuffle (the pre-r15 shape
+    unioned |docs|×|langs| rows through a window top-1; the scores and
+    the tie-break are identical, including all-null scores on null
+    text, where both shapes yield the lexicographically first
+    language)."""
     toks = docs.select("doc_id", tokens_col().alias("toks"))
-    scored = None
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        part = toks.select(
-            "doc_id",
-            F.lit(lang).alias("lang"),
-            _count_in("toks", markers).alias("score"),
-        )
-        scored = part if scored is None else scored.unionByName(part)
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    best = lang_best_struct("toks")
+    return toks.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("score"),
     )
+
+
+def quality_stat_cols(toks: str = "toks") -> list:
+    """The raw per-doc stats :func:`quality_score` derives from, as
+    expressions over an already-projected token-array column:
+    [n_tokens, sum_len, n_stop]. Shared with the fused t_lang_quality
+    registry row so the arithmetic has ONE definition."""
+    return [
+        F.size(toks).alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({toks}, t -> length(t)), 0, (a, x) -> a + x)"
+        ).alias("sum_len"),
+        _count_in(toks, STOPWORDS).alias("n_stop"),
+    ]
+
+
+def quality_derived_cols() -> list:
+    """The derived quality columns over a frame carrying
+    (n_tokens, sum_len, n_stop): [mean_token_len, stopword_ratio,
+    quality], each rounded to 6 dp — the oracle-checked expressions."""
+    mean_len = F.col("sum_len") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    quality = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - stop_ratio) * 0.3
+        + F.least(mean_len / 10.0, F.lit(1.0)) * 0.2
+    )
+    return [
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ]
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -67,27 +118,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
             + 0.2·min(mean_token_len/10, 1), rounded to 6 dp.
     Pure column algebra — identical expression in the oracle."""
     toks = docs.select("doc_id", tokens_col().alias("toks"))
-    stats = toks.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)").alias(
-            "sum_len"
-        ),
-        _count_in("toks", STOPWORDS).alias("n_stop"),
-    )
-    mean_len = F.col("sum_len") / F.col("n_tokens")
-    stop_ratio = F.col("n_stop") / F.col("n_tokens")
-    quality = (
-        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
-        + (F.lit(1.0) - stop_ratio) * 0.3
-        + F.least(mean_len / 10.0, F.lit(1.0)) * 0.2
-    )
+    stats = toks.select("doc_id", *quality_stat_cols("toks"))
     return stats.filter(F.col("n_tokens") > 0).select(
         "doc_id",
         "n_tokens",
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        *quality_derived_cols(),
     )
 
 
@@ -361,6 +396,29 @@ def trigram_score(docs: DataFrame, scale: int = TRIGRAM_SCALE) -> DataFrame:
     — vocab-bounded, ≤ |charset|³ rows, broadcast back), then a per-doc
     partial-agg mean. Two shuffles, both on high-cardinality keys; the
     model join is broadcast at any realistic charset."""
+    return (
+        spread(docs)
+        .select("doc_id")
+        .join(trigram_per_doc(docs, scale), "doc_id", "left")
+        .select("doc_id", *trigram_coalesced_cols())
+    )
+
+
+def trigram_per_doc(docs: DataFrame, scale: int = TRIGRAM_SCALE) -> DataFrame:
+    """The aggregate half of :func:`trigram_score`: (doc_id, n_tri,
+    tri_score) for documents WITH trigrams only (callers left-join and
+    coalesce via :func:`trigram_coalesced_cols` — the fused
+    t_lang_quality row attaches this to its row-local frame instead of
+    paying the rejoin corpus scan)."""
+    # Internals measured and deliberately KEPT as the occurrence-level
+    # shape (r15, guide §1.1): a (doc, trigram)-cell root aggregate won
+    # standalone (one explode pass instead of two) but LOST inside the
+    # fused t_lang_quality join — a pushed join-side filter broke the
+    # subtree identity, so the cells exchange was NOT reused, the
+    # corpus still exploded twice, and the near-unique (doc, tri) cell
+    # shuffle came on top. The model groupBy below is vocab-bounded
+    # partial aggregation and broadcasts back — no full-stream shuffle
+    # at any scale.
     occ = spread(docs).select(
         "doc_id", F.explode(char_trigrams_col()).alias("tri")
     )
@@ -374,22 +432,21 @@ def trigram_score(docs: DataFrame, scale: int = TRIGRAM_SCALE) -> DataFrame:
             F.expr(f"cast({scale} as bigint) * cnt div total").alias("s"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tri"),
         F.expr("sum(s) div count(*)").alias("tri_score"),
     )
-    return (
-        spread(docs)
-        .select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
-            F.coalesce(F.col("tri_score"), F.lit(0))
-            .cast("long")
-            .alias("tri_score"),
-        )
-    )
+
+
+def trigram_coalesced_cols() -> list:
+    """[n_tri, tri_score] with the no-trigram default (0) applied —
+    the exact post-left-join expressions of :func:`trigram_score`."""
+    return [
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.coalesce(F.col("tri_score"), F.lit(0))
+        .cast("long")
+        .alias("tri_score"),
+    ]
 
 
 # --------------------------------------------------------------------------
@@ -628,6 +685,16 @@ def bigram_lm_scores(docs: DataFrame, k: float = 1.0) -> DataFrame:
     the doc bigram stream against the count tables and a per-doc avg.
     No model object leaves the cluster; at 100 TB the bigram table is
     the only intermediate and it is vocabulary-, not corpus-, sized."""
+    # Measured and deliberately KEPT as the window shape (r15, guide
+    # §1.1 "a fresh implementation of the ideal plan is usually slower
+    # at first"): two rewrites — (doc,w,w2) count cells as the root
+    # aggregate, and a row-local array-algebra bigram explode — both
+    # measured SLOWER in interleaved A/B at sf0.1 (cells 1.62 vs 1.21 s
+    # min; row-local explode 1.24 vs 0.89 s min), because the window's
+    # exchange is computed once and REUSED by all three downstream
+    # consumers, while a narrow explode is re-evaluated per consumer
+    # and the cells exchange barely compacts (bigrams are mostly
+    # unique per doc).
     tok = docs.select(
         "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
     )

@@ -146,6 +146,18 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import pii
 
     docs = load_table(spark, sf_dir, "documents")
+    # Composition measured and deliberately KEPT as the per-leg join
+    # shape (r15, guide §1.1/§1.3): fusing the four row-local legs
+    # (language argmax + quality stats + token counts + PII scrub) into
+    # one projection over one scan — value-identical, oracle-verified —
+    # measured consistently SLOWER at sf0.1 in load-gated interleaved
+    # A/B (fused min 4.34 / med 4.77 vs joined min 3.51 / med 4.58 over
+    # 6 quiet pairs): the independent leg subtrees give the scheduler
+    # concurrent stages that fill the cores, and the broadcast joins
+    # stream the probe side, while the fused block serializes all the
+    # regex/argmax work behind one exchange on the critical path. The
+    # legs themselves carry this round's wins (lang_id's window
+    # removal, DSIR's single-explode feature pass).
     pii_cols = pii.pii_scrub(pii.plant_pii(docs), "text_pii")
     # DSIR importance weights (r8): target = the English subset —
     # "which documents look like the data we want more of"
