@@ -55,7 +55,7 @@ def main():
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_emb = emb.count()
-    emb_dim = len(emb.select("vec").head()["vec"])
+    emb_dim = len(emb.select("embedding").first()["embedding"])
 
     # untimed index build — the bench times the *_indexed entry
     # against an at-rest index exactly like this
