@@ -120,6 +120,20 @@ def zonemap_range_predicate(ranges: dict):
     return pred
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a few-split table read across the cores — the
+    operators/_util.spread discipline, duplicated here because catalog
+    is a lower layer than the operators package. A compacted table is
+    often ONE file = one input split, which would serialize every
+    derived pass of a maintenance rewrite (quantile probe, bounds
+    sample, range sampling, the rewrite itself) on one core."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 class TableNotFoundError(KeyError):
     pass
 
@@ -418,7 +432,9 @@ class Warehouse:
         if not 1 <= len(cols) <= 4:
             raise ValueError("cluster needs 1-4 clustering columns")
         before = self.file_stats(name)
-        df = self.read(name)
+        # spread: the usual input is the compacted table = 1-2 files,
+        # whose single splits would run every pass below on one core
+        df = _spread(self.read(name))
         n_buckets = 1 << bits
         dtypes = dict(df.dtypes)
         num_re = re.compile(
@@ -499,13 +515,25 @@ class Warehouse:
                     ).cast("long")
                 )
         n_files = max(1, round(before["total_bytes"] / target_file_bytes))
-        clustered = (
-            df.withColumn("_zvalue", z)
-            .repartitionByRange(n_files, F.col("_zvalue"))
-            .sortWithinPartitions("_zvalue")
-            .drop("_zvalue")
-        )
-        self.overwrite(name, clustered)
+        # persist the z-augmented frame for the rewrite's duration
+        # (released in the finally): the range exchange's boundary
+        # sampling executes its child in full, so without the persist
+        # the rank folds above are evaluated over every row TWICE —
+        # once by the sampler, once by the shuffle write. The cache is
+        # one table copy (MEMORY_AND_DISK, spills), the same order as
+        # the rewrite's own shuffle — the build-scoped-persist
+        # discipline of the index builds.
+        zdf = df.withColumn("_zvalue", z).persist()
+        try:
+            zdf.count()  # materialize so both consumers read computed z
+            clustered = (
+                zdf.repartitionByRange(n_files, F.col("_zvalue"))
+                .sortWithinPartitions("_zvalue")
+                .drop("_zvalue")
+            )
+            self.overwrite(name, clustered)
+        finally:
+            zdf.unpersist()
         after = self.file_stats(name)
         return {"before": before, "after": after, "target_files": n_files}
 
