@@ -1662,11 +1662,18 @@ def _write_opq_transform(spark, path: str, model: dict, perm: list[int]) -> None
         [float(x) for x in model["eigvals"]],
         [int(p) for p in perm],
     )
+    # one-slice parallelize, NOT createDataFrame([row]).coalesce(1):
+    # a local-list DataFrame parallelizes into defaultParallelism
+    # pickled slices, and coalesce(1) then pulls all 32 of them
+    # SEQUENTIALLY through the driver's serve socket inside the single
+    # write task — measured 4.3-5.0 s for this one-row write, ~a third
+    # of the whole opq+residual index build. One slice from the start
+    # is one fetch, one task, same single-file layout: 0.34 s.
     spark.createDataFrame(
-        [row],
+        spark.sparkContext.parallelize([row], 1),
         "mean array<double>, components array<array<double>>, "
         "eigvals array<double>, perm array<int>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/opq.parquet")
+    ).write.mode("overwrite").parquet(f"{path}/opq.parquet")
 
 
 #: driver-side cache of loaded OPQ transforms, keyed by (dir, newest
